@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship preprocessing pipeline at sf0.001;
+``queries()`` exposes one entry per implemented SURVEY.md §2 operator;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each.
+
+The Birli-parity operators run over a deterministic long-format vis table
+derived from ``lineitem`` (birli_spark/sources/synthetic.py) — integer
+arithmetic only, mirrored verbatim in the oracle SQL, with every float
+output demoted through f32 (the reference's own promote/compute/demote
+pattern) so Spark and DuckDB hash identically.
 """
 
 from __future__ import annotations
@@ -12,27 +16,269 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from birli_spark import pipeline
+from birli_spark.operators import (
+    averaging,
+    calibration,
+    corrections,
+    flags,
+    occupancy,
+    selection,
+    weights,
+)
+from birli_spark.sources import synthetic as syn
+
+_COLS = syn.VIS_COLUMNS
+
+
+def _with_vis(select: str, extra_ctes: str = "") -> str:
+    ctes = f"vis AS ({syn.vis_sql()})"
+    if extra_ctes:
+        ctes += ", " + extra_ctes
+    return f"WITH {ctes} {select}"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full preprocessing pipeline (rule flags → cable →
+    digital gains → passband → geometry → DI calibration → flag baking →
+    4x2 time/freq averaging) at sf0.001."""
+    return pipeline.preprocess(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------- queries ---
+
+def _q_vis_scan(spark, sf_dir):
+    return syn.load_vis(spark, sf_dir)
+
+
+def _q_select_ranges(spark, sf_dir):
+    return selection.select_ranges(
+        syn.load_vis(spark, sf_dir), t_min=2, t_max=10, coarse_chans=(0, 2))
+
+
+def _q_retain_antennas(spark, sf_dir):
+    return selection.retain_antennas(syn.load_vis(spark, sf_dir), (0, 1, 2))
+
+
+def _q_filter_flagged_ants(spark, sf_dir):
+    ants = syn.load_dim(spark, "antennas").filter(F.col("flagged"))
+    return selection.filter_antennas(syn.load_vis(spark, sf_dir), ants)
+
+
+def _q_filter_autos(spark, sf_dir):
+    return selection.filter_autos(syn.load_vis(spark, sf_dir))
+
+
+def _q_quack_flags(spark, sf_dir):
+    ts = syn.load_dim(spark, "timesteps")
+    return flags.flag_timesteps_quack(
+        ts, syn.GPS_START, pipeline.OBS_END_GPS, quack_s=pipeline.QUACK_S)
+
+
+def _q_baseline_flags(spark, sf_dir):
+    return flags.baseline_flags(syn.load_dim(spark, "antennas"))
+
+
+def _q_set_flags(spark, sf_dir):
+    return pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
+
+
+def _q_unflagged_ranges(spark, sf_dir):
+    return flags.unflagged_timestep_ranges(
+        pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)))
+
+
+def _q_missing_slabs(spark, sf_dir):
+    vis = syn.load_vis(spark, sf_dir).filter(
+        ~((F.col("t") == 3) & (F.col("cc") == 1)))
+    return flags.flag_missing_slabs(vis)
+
+
+def _q_bake_weights(spark, sf_dir):
+    return weights.bake_flags_into_weights(
+        pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)))
+
+
+def _q_cable(spark, sf_dir):
+    return corrections.correct_cable_lengths(
+        syn.load_vis(spark, sf_dir), syn.load_dim(spark, "antennas"))
+
+
+def _q_digital(spark, sf_dir):
+    return corrections.correct_digital_gains(
+        syn.load_vis(spark, sf_dir), syn.load_dim(spark, "digital_gains"))
+
+
+def _q_passband(spark, sf_dir):
+    fine_gains = spark.sql(corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS))
+    return corrections.correct_passband_gains(syn.load_vis(spark, sf_dir), fine_gains)
+
+
+def _q_geometry(spark, sf_dir):
+    return corrections.correct_geometry(
+        syn.load_vis(spark, sf_dir), syn.load_dim(spark, "part_uvw"))
+
+
+def _q_calibration(spark, sf_dir):
+    return calibration.apply_di_calsol(
+        syn.load_vis(spark, sf_dir), syn.load_dim(spark, "calsols"),
+        pipeline.CAL_RATIO)
+
+
+def _q_average(spark, sf_dir):
+    vis = weights.bake_flags_into_weights(
+        pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)))
+    return averaging.average_time_freq(vis, pipeline.AVG_TIME, pipeline.AVG_FREQ)
+
+
+def _q_chan_occupancy(spark, sf_dir):
+    return occupancy.channel_occupancy(
+        pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)))
+
+
+def _q_bl_occupancy(spark, sf_dir):
+    return occupancy.baseline_occupancy(
+        pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)))
+
+
+def _q_rowcount(spark, sf_dir):
+    return syn.load_vis(spark, sf_dir).agg(F.count("*").alias("n_rows"))
+
+
+def _q_pipeline(spark, sf_dir):
+    return pipeline.preprocess(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s1_vis_scan": _q_vis_scan,
+        "s2_missing_slabs": _q_missing_slabs,
+        "p1_select_ranges": _q_select_ranges,
+        "p2_retain_antennas": _q_retain_antennas,
+        "p3_filter_flagged_ants": _q_filter_flagged_ants,
+        "p4_filter_autos": _q_filter_autos,
+        "f2_quack_flags": _q_quack_flags,
+        "f6_baseline_flags": _q_baseline_flags,
+        "f7_set_flags": _q_set_flags,
+        "f8_unflagged_ranges": _q_unflagged_ranges,
+        "f10_bake_weights": _q_bake_weights,
+        "c2_cable_correction": _q_cable,
+        "c3_geometric_correction": _q_geometry,
+        "c4_digital_gains": _q_digital,
+        "c5_passband_correction": _q_passband,
+        "c6_di_calibration": _q_calibration,
+        "a1_average_time_freq": _q_average,
+        "a2_channel_occupancy": _q_chan_occupancy,
+        "a3_baseline_occupancy": _q_bl_occupancy,
+        "a4_rowcount_validation": _q_rowcount,
+        "pipeline_preprocess": _q_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ------------------------------------------------------------- oracles ---
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fc_pred = flags.fine_channel_pred_sql(
+        syn.NUM_FC, n_edge=pipeline.N_EDGE, is_legacy=pipeline.IS_LEGACY)
+    flagged_ctes = pipeline.flagged_vis_oracle_cte()
+    cols = ", ".join(_COLS)
+
+    missing_slabs = _with_vis(
+        "SELECT * FROM visd UNION ALL SELECT "
+        + ", ".join(
+            {
+                "t": "m.t AS t",
+                "cc": "m.cc AS cc",
+                "ts_gps": "CAST(NULL AS DOUBLE) AS ts_gps",
+                "flag": "TRUE AS flag",
+            }.get(
+                c,
+                f"0.0 AS {c}" if c.endswith("_re") or c.endswith("_im") else f"s.{c}",
+            )
+            for c in _COLS
+        )
+        + " FROM missing m JOIN skeleton s ON m.cc = s.cc",
+        extra_ctes=(
+            "visd AS (SELECT * FROM vis WHERE NOT (t = 3 AND cc = 1)), "
+            "present AS (SELECT DISTINCT t, cc FROM visd), "
+            "expected AS (SELECT a.t, b.cc FROM (SELECT DISTINCT t FROM visd) a "
+            "CROSS JOIN (SELECT DISTINCT cc FROM visd) b), "
+            "missing AS (SELECT e.t, e.cc FROM expected e LEFT JOIN present p "
+            "ON e.t = p.t AND e.cc = p.cc WHERE p.t IS NULL), "
+            "skeleton AS (SELECT DISTINCT cc, fc, chan, freq_hz, bl, ant1, ant2, "
+            "weight FROM visd)"
+        ),
+    )
+
+    baked = flags.set_flags_oracle_select("vis", "ts_flags", "bl_flags", fc_pred, _COLS)
+
+    return {
+        "s1_vis_scan": syn.vis_sql(),
+        "s2_missing_slabs": missing_slabs,
+        "p1_select_ranges": _with_vis(
+            f"SELECT {cols} FROM vis WHERE t >= 2 AND t < 10 AND cc IN (0, 2)"),
+        "p2_retain_antennas": _with_vis(
+            f"SELECT {cols} FROM vis WHERE ant1 IN (0, 1, 2) AND ant2 IN (0, 1, 2)"),
+        "p3_filter_flagged_ants": _with_vis(
+            f"SELECT {cols} FROM vis WHERE ant1 NOT IN "
+            f"(SELECT ant FROM antennas WHERE flagged) AND ant2 NOT IN "
+            f"(SELECT ant FROM antennas WHERE flagged)",
+            extra_ctes=f"antennas AS ({syn.ANTENNAS_SQL})"),
+        "p4_filter_autos": _with_vis(f"SELECT {cols} FROM vis WHERE ant1 <> ant2"),
+        "f2_quack_flags": (
+            f"WITH timesteps AS ({syn.TIMESTEPS_SQL}) "
+            + flags.quack_oracle_select(
+                "timesteps", syn.GPS_START, pipeline.OBS_END_GPS,
+                quack_s=pipeline.QUACK_S)),
+        "f6_baseline_flags": (
+            f"WITH antennas AS ({syn.ANTENNAS_SQL}) "
+            + flags.baseline_flags_oracle_select("antennas")),
+        "f7_set_flags": f"WITH {flagged_ctes} SELECT * FROM flagged",
+        "f8_unflagged_ranges": (
+            f"WITH {flagged_ctes} "
+            + flags.unflagged_ranges_oracle_select("flagged")),
+        "f10_bake_weights": (
+            f"WITH {flagged_ctes} SELECT "
+            + ", ".join(
+                "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+                if c == "weight" else c
+                for c in _COLS)
+            + " FROM flagged"),
+        "c2_cable_correction": _with_vis(
+            corrections.cable_oracle_select("vis", "antennas", _COLS),
+            extra_ctes=f"antennas AS ({syn.ANTENNAS_SQL})"),
+        "c3_geometric_correction": _with_vis(
+            corrections.geom_oracle_select("vis", "part_uvw", _COLS),
+            extra_ctes=f"part_uvw AS ({syn.PART_UVW_SQL})"),
+        "c4_digital_gains": _with_vis(
+            corrections.digital_oracle_select("vis", "digital_gains", _COLS),
+            extra_ctes=f"digital_gains AS ({syn.DIGITAL_GAINS_SQL})"),
+        "c5_passband_correction": _with_vis(
+            corrections.passband_oracle_select("vis", "fine_gains", _COLS),
+            extra_ctes=(
+                "fine_gains AS ("
+                + corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS) + ")")),
+        "c6_di_calibration": _with_vis(
+            calibration.calibration_oracle_select(
+                "vis", "calsols", pipeline.CAL_RATIO, _COLS),
+            extra_ctes=f"calsols AS ({syn.CALSOLS_SQL})"),
+        "a1_average_time_freq": (
+            f"WITH {flagged_ctes}, baked AS (SELECT "
+            + ", ".join(
+                "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+                if c == "weight" else c
+                for c in _COLS)
+            + " FROM flagged) "
+            + averaging.averaging_oracle_select(
+                "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ)),
+        "a2_channel_occupancy": (
+            f"WITH {flagged_ctes} "
+            + occupancy.occupancy_oracle_select("flagged", ("cc", "fc"))),
+        "a3_baseline_occupancy": (
+            f"WITH {flagged_ctes} "
+            + occupancy.occupancy_oracle_select("flagged", ("ant1", "ant2"))),
+        "a4_rowcount_validation": _with_vis("SELECT COUNT(*) AS n_rows FROM vis"),
+        "pipeline_preprocess": pipeline.preprocess_oracle_sql(),
+    }

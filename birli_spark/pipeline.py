@@ -1,0 +1,115 @@
+"""End-to-end preprocessing pipeline (reference
+``PreprocessContext::preprocess``, src/preprocessing.rs:178-361, and
+``BirliContext::run``, src/cli.rs:1584-1954).
+
+Stage order follows the README flowchart (reference README.md:498-543):
+  rule flags → (van vleck) → cable → digital gains → passband → (RFI) →
+  geometry → DI calibration → bake flags into weights → average → sink.
+
+In Spark all per-cell corrections fuse into a single whole-stage-codegen
+projection over the scan + broadcast joins; the only fact-table shuffle is
+the final averaging groupBy. The same composition is available as one
+DuckDB SQL string (:func:`preprocess_oracle_sql`) for the correctness
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from birli_spark.operators import averaging, calibration, corrections, flags, weights
+from birli_spark.sources import synthetic as syn
+
+#: pipeline defaults used by the flagship query, bench, and the oracle
+QUACK_S = 4.0
+N_EDGE = 1
+IS_LEGACY = True
+AVG_TIME = 4
+AVG_FREQ = 2
+CAL_RATIO = (syn.NUM_CC * syn.NUM_FC) // syn.NUM_CHAN_SOL
+OBS_END_GPS = syn.GPS_START + syn.NUM_T * syn.INT_TIME_S
+
+# scrunched PFB fine-channel gains, computed once driver-side
+# (reference src/corrections.rs:502) and inlined as a literal dim
+_UFC_GAINS = [(50 + u) / 100 for u in range(syn.NUM_UFC)]
+FINE_GAIN_ROWS = corrections.fine_gain_rows(_UFC_GAINS, syn.NUM_FC, center_symmetric=False)
+
+
+def rule_flags(spark: SparkSession, vis: DataFrame) -> DataFrame:
+    """F1-F7: quack timestep flags + metafits baseline flags + edge/DC fine
+    channel flags, OR-combined into the fact table via broadcast joins."""
+    ts = syn.load_dim(spark, "timesteps")
+    ants = syn.load_dim(spark, "antennas")
+    ts_f = flags.flag_timesteps_quack(ts, syn.GPS_START, OBS_END_GPS, quack_s=QUACK_S)
+    bl_f = flags.baseline_flags(ants)
+    fc_pred = flags.flag_fine_channels(syn.NUM_FC, n_edge=N_EDGE, is_legacy=IS_LEGACY)
+    return flags.set_flags(vis, ts_f, bl_f, fc_pred)
+
+
+def preprocess(spark: SparkSession, sf_dir: str,
+               avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) -> DataFrame:
+    """The full batch pipeline on the derived vis table at ``sf_dir``."""
+    vis = syn.load_vis(spark, sf_dir)
+    vis = rule_flags(spark, vis)
+    vis = corrections.correct_cable_lengths(vis, syn.load_dim(spark, "antennas"))
+    vis = corrections.correct_digital_gains(vis, syn.load_dim(spark, "digital_gains"))
+    fine_gains = spark.sql(corrections.fine_gains_values_sql(FINE_GAIN_ROWS))
+    vis = corrections.correct_passband_gains(vis, fine_gains)
+    vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
+    vis = calibration.apply_di_calsol(vis, syn.load_dim(spark, "calsols"), CAL_RATIO)
+    vis = weights.bake_flags_into_weights(vis)
+    return averaging.average_time_freq(vis, avg_time, avg_freq)
+
+
+def _flag_ctes() -> str:
+    ts_f = flags.quack_oracle_select("timesteps", syn.GPS_START, OBS_END_GPS,
+                                     quack_s=QUACK_S)
+    bl_f = flags.baseline_flags_oracle_select("antennas")
+    return f"ts_flags AS ({ts_f}), bl_flags AS ({bl_f})"
+
+
+def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS) -> str:
+    """CTE chain: vis → rule-flagged vis (shared by several oracles)."""
+    fc_pred = flags.fine_channel_pred_sql(syn.NUM_FC, n_edge=N_EDGE, is_legacy=IS_LEGACY)
+    flagged = flags.set_flags_oracle_select(
+        "vis", "ts_flags", "bl_flags", fc_pred, vis_columns)
+    return (
+        f"vis AS ({syn.vis_sql()}),"
+        f" antennas AS ({syn.ANTENNAS_SQL}),"
+        f" timesteps AS ({syn.TIMESTEPS_SQL}),"
+        f" {_flag_ctes()},"
+        f" flagged AS ({flagged})"
+    )
+
+
+def preprocess_oracle_sql(avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) -> str:
+    """One DuckDB query equivalent to :func:`preprocess` — each stage a CTE
+    reusing the exact scalar fragments the Spark plan uses."""
+    cols = syn.VIS_COLUMNS
+    cols_uvw = tuple(cols) + ("u", "v", "w")
+    cable = corrections.cable_oracle_select("flagged", "antennas", cols)
+    digital = corrections.digital_oracle_select("cabled", "digital_gains", cols)
+    fine_gains = corrections.fine_gains_values_sql(FINE_GAIN_ROWS)
+    passband = corrections.passband_oracle_select("digitald", "fine_gains", cols)
+    geom = corrections.geom_oracle_select("passbanded", "part_uvw", cols)
+    cal = calibration.calibration_oracle_select("geomed", "calsols", CAL_RATIO, cols_uvw)
+    baked_cols = ", ".join(
+        "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+        if c == "weight" else c
+        for c in cols_uvw
+    )
+    avg = averaging.averaging_oracle_select("baked", avg_time, avg_freq)
+    return (
+        f"WITH {flagged_vis_oracle_cte()},"
+        f" digital_gains AS ({syn.DIGITAL_GAINS_SQL}),"
+        f" fine_gains AS ({fine_gains}),"
+        f" part_uvw AS ({syn.PART_UVW_SQL}),"
+        f" calsols AS ({syn.CALSOLS_SQL}),"
+        f" cabled AS ({cable}),"
+        f" digitald AS ({digital}),"
+        f" passbanded AS ({passband}),"
+        f" geomed AS ({geom}),"
+        f" caled AS ({cal}),"
+        f" baked AS (SELECT {baked_cols} FROM caled)"
+        f" {avg}"
+    )

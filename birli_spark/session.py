@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the same configs (AQE, adaptive coalesce,
+Arrow for pandas UDFs, UTC session timezone for oracle comparability) are
+what we would set on a real cluster. `spark.sql.shuffle.partitions` is set
+to the local core count — on a 1000-executor cluster this would be tuned to
+~2-3x total cores or left to AQE's coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Honors SPARK_GRAFT_CPUS for the bench harness; UTC timezone is pinned so
+    timestamp outputs hash identically against the DuckDB oracle.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
