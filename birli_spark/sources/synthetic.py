@@ -161,8 +161,16 @@ def load_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the fact table would be real parquet partitioned by (cc, t);
     the derivation here is a zero-shuffle projection, so plan shape is the
     same: scan → project.
+
+    Local-mode fixup: the driver testdata is a single parquet row group, so
+    the scan yields fewer splits than cores; round-robin repartition to the
+    default parallelism once, up front. On a real dataset the scan produces
+    thousands of row-group splits and this branch never triggers.
     """
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if lineitem.rdd.getNumPartitions() < n:
+        lineitem = lineitem.repartition(n)
     lineitem.createOrReplaceTempView("lineitem")
     return spark.sql(vis_sql("lineitem"))
 
