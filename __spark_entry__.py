@@ -151,6 +151,22 @@ def _q_pipeline(spark, sf_dir):
     return pipeline.preprocess(spark, sf_dir)
 
 
+def _q_van_vleck(spark, sf_dir):
+    from birli_spark.operators import vanvleck
+    vis = syn.load_vis_legacy(spark, sf_dir)
+    return vanvleck.correct_van_vleck(vis, syn.VV_SAMPLE_SCALE, flagged_ants=[3])
+
+
+def _q_rfi(spark, sf_dir):
+    from birli_spark.operators import rfi
+    vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
+    return rfi.flag_rfi(vis)
+
+
+def _q_pipeline_full(spark, sf_dir):
+    return pipeline.preprocess_full(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -174,6 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_baseline_occupancy": _q_bl_occupancy,
         "a4_rowcount_validation": _q_rowcount,
         "pipeline_preprocess": _q_pipeline,
+        # UDF islands — genuinely iterative/image-based; no oracle SQL, the
+        # driver records rows-only checks (validated instead by golden unit
+        # tests against the reference's published vectors).
+        "c1_van_vleck": _q_van_vleck,
+        "f9_rfi_sumthreshold": _q_rfi,
+        "pipeline_preprocess_full": _q_pipeline_full,
     }
 
 

@@ -1,0 +1,115 @@
+"""F9 — RFI detection (SURVEY.md §2.3 F9; reference src/flags.rs:368-437).
+
+The reference marshals each baseline's visibilities into 8 time×chan float
+images and runs AOFlagger's Lua strategy (SumThreshold et al., external
+C++); the resulting mask is OR-ed into the existing flags
+(``re_apply_existing``, src/flags.rs:414-418).
+
+Byte-identical AOFlagger output is out of scope (the strategy is an
+external Lua+C++ artifact, SURVEY.md §7 "What's hard"); we pin the
+**documented SumThreshold algorithm** (A. R. Offringa et al., "A morphological
+algorithm for improving radio-frequency interference detection",
+A&A 539 A95, 2012): iterative sum-threshold passes in both time and
+frequency directions with window lengths M = 1, 2, 4, ..., thresholds
+``chi_M = chi_1 / rho^log2(M)`` (rho = 1.5), noise estimated by MAD.
+
+Spark shape: ``groupBy(ant1, ant2).applyInPandas`` — the one
+image-forming shuffle of the pipeline. At 100 TB this is why the fact
+table should be written bucketed by baseline: the groupBy then reuses the
+bucketing and the shuffle disappears.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+RHO = 1.5
+WINDOWS = (1, 2, 4, 8, 16, 32)
+
+
+def _sumthreshold_1d(img: np.ndarray, flags: np.ndarray, m: int, chi: float) -> None:
+    """One SumThreshold pass along axis 1 (vectorized over rows, in place).
+
+    Flagged samples contribute the threshold value chi instead of their own
+    (Offringa 2012 §2.1), so already-flagged spikes don't mask neighbours.
+    """
+    n = img.shape[1]
+    if n < m:
+        return
+    adj = np.where(flags, chi, img)
+    if m == 1:
+        flags |= adj > chi
+        return
+    csum = np.cumsum(adj, axis=1)
+    wsum = csum[:, m - 1:].copy()
+    wsum[:, 1:] -= csum[:, :n - m]
+    exceed = wsum > chi * m          # window starting at column j
+    hit = np.zeros_like(flags)
+    for off in range(m):
+        hit[:, off:off + exceed.shape[1]] |= exceed
+    flags |= hit
+
+
+def sumthreshold_mask(img: np.ndarray, base_sensitivity: float = 6.0,
+                      existing: np.ndarray | None = None) -> np.ndarray:
+    """SumThreshold over a 2-D (time × chan) amplitude image → boolean mask.
+
+    chi_1 = base_sensitivity * sigma_MAD; both directions per window length.
+    """
+    img = np.asarray(img, dtype=np.float64)
+    med = np.median(img)
+    mad = np.median(np.abs(img - med))
+    sigma = 1.4826 * mad
+    if sigma == 0.0 or not np.isfinite(sigma):
+        # flat image: anything different from the median is interference
+        flags = img != med
+        return flags if existing is None else (flags | existing)
+    flags = np.zeros(img.shape, dtype=bool) if existing is None else existing.copy()
+    resid = img - med
+    chi1 = base_sensitivity * sigma
+    for m in WINDOWS:
+        chi = chi1 / (RHO ** np.log2(m))
+        _sumthreshold_1d(resid, flags, m, chi)                 # time direction
+        ft = flags.T.copy()
+        _sumthreshold_1d(resid.T.copy(), ft, m, chi)           # freq direction
+        flags |= ft.T
+    return flags
+
+
+def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
+             re_apply_existing: bool = True) -> DataFrame:
+    """Detect RFI per baseline and OR it into ``flag``.
+
+    The per-baseline image is the Stokes-I amplitude
+    ``|(xx + yy)| / 2`` over (t, chan) — the same reduction AOFlagger's MWA
+    strategy feeds SumThreshold. ``re_apply_existing=True`` ORs with prior
+    flags (reference src/flags.rs:414-418); False overwrites.
+    """
+    cols = list(vis.columns)
+    schema = vis.schema
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(pdf["t"].unique())
+        chans = np.sort(pdf["chan"].unique())
+        t_idx = {v: i for i, v in enumerate(ts)}
+        c_idx = {v: i for i, v in enumerate(chans)}
+        rows = pdf["t"].map(t_idx).to_numpy()
+        cs = pdf["chan"].map(c_idx).to_numpy()
+        img = np.zeros((len(ts), len(chans)), dtype=np.float64)
+        re = (pdf["xx_re"].to_numpy() + pdf["yy_re"].to_numpy()) / 2.0
+        im = (pdf["xx_im"].to_numpy() + pdf["yy_im"].to_numpy()) / 2.0
+        img[rows, cs] = np.hypot(re, im)
+        prior = np.zeros(img.shape, dtype=bool)
+        prior[rows, cs] = pdf["flag"].to_numpy(dtype=bool)
+        mask = sumthreshold_mask(
+            img, base_sensitivity,
+            existing=prior if re_apply_existing else None)
+        out = pdf.copy()
+        detected = mask[rows, cs]
+        out["flag"] = (pdf["flag"].to_numpy(dtype=bool) | detected) \
+            if re_apply_existing else detected
+        return out[cols]
+
+    return vis.groupBy("ant1", "ant2").applyInPandas(per_baseline, schema=schema)

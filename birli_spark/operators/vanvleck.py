@@ -1,0 +1,288 @@
+"""C1 — Van Vleck correction (SURVEY.md §2.4; reference src/van_vleck.rs).
+
+Undoes the 4+4-bit quantization bias of the legacy MWA correlator:
+
+- **Autos**: per (t, chan, ant, pol) solve ``sigma = sighat^{-1}(sqrt(v/scale))``
+  by Newton's method, where ``sighat(s) = sqrt(49 - sum_{k=0..6} (2k+1)
+  erf((k+.5)/(s*sqrt(2))))`` (reference sighat src/van_vleck.rs:368-392,
+  Newton loop :333-346, tol 1e-12, stop at guess <= 0.5).
+- **Crosses**: per value solve ``kappa = F^{-1}(khat)`` where ``F(rho) =
+  int_0^rho pdf`` is the quantized bivariate-normal correction integral
+  evaluated with Simpson's rule on n=10 intervals over a 7x7 quantization
+  grid (pdf src/van_vleck.rs:634-660, simpsons :663-685, newton
+  :703-748); ``|khat| > sigma1*sigma2`` or non-convergence → passthrough
+  (:248-259, :280-295).
+
+Spark shape (SURVEY.md C1): the iterative solves are genuine UDF islands —
+  1. filter unflagged autos → **sigma table** via a vectorized-numpy Newton
+     in `mapInPandas` (Arrow batches, no per-row Python);
+  2. join the fact table to the sigma table twice on (t, chan, ant) — the
+     one fact-to-fact "self join with its auto subset"; at scale both
+     sides are co-partitioned by (t, cc) so AQE plans a local join; the
+     sigma table is ~n_ants/n_baselines (≈1.5%) of the fact table;
+  3. one `mapInPandas` applying the auto/cross corrections to all 8 values
+     per row in a single Arrow pass.
+
+No oracle SQL — iterative; the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from birli_spark.functions.complex import VIS_COLS
+
+SQRT_2 = math.sqrt(2.0)
+SQRT_TAU = 2.5066282746310002  # reference src/van_vleck.rs:377
+_K = np.arange(7.0) + 0.5          # quantization grid (k + 0.5), k = 0..6
+_erf = np.vectorize(math.erf, otypes=[np.float64])
+
+
+# ------------------------------------------------------------ auto solve ---
+
+def sighat(sigma: np.ndarray) -> np.ndarray:
+    """sighat(s) = sqrt(49 - sum (2k+1) erf((k+.5)/(s sqrt2)))
+    (src/van_vleck.rs:368-374)."""
+    s = np.asarray(sigma, dtype=np.float64)
+    acc = np.zeros_like(s)
+    for k_ in _K:
+        acc += 2.0 * k_ * _erf(k_ / (s * SQRT_2))
+    return np.sqrt(49.0 - acc)
+
+
+def sighat_prime(sigma: np.ndarray) -> np.ndarray:
+    """d sighat / d sigma (src/van_vleck.rs:380-392)."""
+    s2 = np.asarray(sigma, dtype=np.float64) ** 2
+    acc = np.zeros_like(s2)
+    for k_ in _K:
+        k2 = k_ ** 2
+        acc += 2.0 * k2 * np.exp(-k2 / (2.0 * s2)) / (SQRT_TAU * s2)
+    return acc / sighat(np.sqrt(s2))
+
+
+def van_vleck_autos(sighat_vals: np.ndarray) -> np.ndarray:
+    """Vectorized Newton inversion of sighat; non-converged values pass
+    through unchanged (src/van_vleck.rs:333-361): tol 1e-12, max 100
+    iterations, stop when guess <= 0.5."""
+    s = np.asarray(sighat_vals, dtype=np.float64)
+    guess = s.copy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        delta = sighat(guess) - s
+        active = (np.abs(delta) > 1e-12) & (guess > 0.5) & np.isfinite(delta)
+        for _ in range(100):
+            if not active.any():
+                break
+            guess[active] -= delta[active] / sighat_prime(guess[active])
+            delta[active] = sighat(guess[active]) - s[active]
+            active &= (np.abs(delta) > 1e-12) & (guess > 0.5) & np.isfinite(delta)
+    # loop exits via the while-condition → accept guess; cells still active
+    # after 100 iterations did not converge → passthrough input (reference
+    # van_vleck_autos map_or, src/van_vleck.rs:352-361)
+    out = guess
+    out[active] = s[active]
+    return out
+
+
+# ----------------------------------------------------------- cross solve ---
+
+def _pdf_grid(rho_grid: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Quantized bivariate-normal pdf summed over the 7x7 grid
+    (src/van_vleck.rs:634-660). rho_grid: (M, R); x/y: (M, 7);
+    returns (M, R)."""
+    d = np.maximum(1.0 - rho_grid ** 2, 1e-20)        # (M, R)
+    d4 = d[:, :, None, None]                          # (M, R, 1, 1)
+    xx = x[:, None, :, None]                          # (M, 1, 7, 1)
+    yy = y[:, None, None, :]                          # (M, 1, 1, 7)
+    numer = 2.0 * np.cosh(rho_grid[:, :, None, None] * xx * yy / d4)
+    denom = np.exp((xx ** 2 + yy ** 2) / (2.0 * d4))
+    r = (numer / denom).sum(axis=(-2, -1))            # (M, R)
+    return r / (np.pi * np.sqrt(d))
+
+
+def _pdf(rho: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Single-point pdf per cell: rho (M,) → (M,)."""
+    return _pdf_grid(rho[:, None], x, y)[:, 0]
+
+
+_SIMPSON_N = 10
+_SIMPSON_W = np.array([1, 4, 2, 4, 2, 4, 2, 4, 2, 4, 1], dtype=np.float64)
+
+
+def _corrcorrect_simp(rho: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Simpson's-rule integral of the pdf from 0 to rho, n=10 intervals
+    (src/van_vleck.rs:663-697)."""
+    h = rho / _SIMPSON_N                                   # (M,)
+    pts = np.linspace(0.0, 1.0, _SIMPSON_N + 1)            # (R,)
+    rho_grid = rho[:, None] * pts[None, :]                 # (M, R)
+    vals = _pdf_grid(rho_grid, x, y)                       # (M, R)
+    return (vals * _SIMPSON_W).sum(axis=-1) * h / 3.0
+
+
+def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
+                      sigma2: np.ndarray) -> np.ndarray:
+    """Vectorized Newton solve of the cross integral
+    (src/van_vleck.rs:703-748). Guards replicate the reference: sigma<=0,
+    initial guess outside [0,1), |rho|>1, or non-convergence → passthrough
+    of khat (van_vleck_crosses_int :751-771)."""
+    k = np.asarray(khat, dtype=np.float64)
+    s1 = np.asarray(sigma1, dtype=np.float64)
+    s2 = np.asarray(sigma2, dtype=np.float64)
+    out = k.copy()
+    sign = np.sign(k)
+    ka = np.abs(k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        guess = ka / (s1 * s2)
+    solvable = (s1 > 0) & (s2 > 0) & (guess >= 0.0) & (guess < 1.0) & np.isfinite(guess)
+    idx = np.flatnonzero(solvable)
+    if idx.size == 0:
+        return out
+    x = _K[None, :] / s1[idx, None]                        # (M, 7)
+    y = _K[None, :] / s2[idx, None]
+    g = guess[idx]
+    target = ka[idx]
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        delta = _corrcorrect_simp(g, x, y) - target
+        active = (np.abs(delta) > 1e-12) & np.isfinite(delta)
+        for _ in range(100):
+            if not active.any():
+                break
+            gp = _pdf(g[active], x[active], y[active])
+            g[active] -= delta[active] / gp
+            delta[active] = (
+                _corrcorrect_simp(g[active], x[active], y[active]) - target[active])
+            active &= (np.abs(delta) > 1e-12) & np.isfinite(delta)
+    # non-converged after 100 iterations → passthrough khat (unwrap_or,
+    # src/van_vleck.rs:764-768); all others accept the solved rho
+    done = ~active
+    upd = idx[done]
+    out[upd] = (sign[idx] * g)[done] * s1[upd] * s2[upd]
+    return out
+
+
+# -------------------------------------------------------- Spark operator ---
+
+_SIGMA_SCHEMA = "t int, chan int, ant int, sigma_x double, sigma_y double"
+
+
+def auto_sigmas(vis: DataFrame, sample_scale: float,
+                flagged_ants: list[int] | None = None) -> DataFrame:
+    """Stage 1: the sigma table from unflagged autocorrelations
+    (src/van_vleck.rs:197-216). sighat = sqrt(v / scale) per xx/yy real."""
+    autos = vis.filter(F.col("ant1") == F.col("ant2"))
+    if flagged_ants:
+        autos = autos.filter(~F.col("ant1").isin(list(flagged_ants)))
+    # One sigma row per (t, chan, ant), ALWAYS: in a real obs the auto subset
+    # is already unique per key, but any duplicate keys (e.g. re-read rows)
+    # would turn the left joins below into a row-multiplying explosion. The
+    # aggregate guarantees key uniqueness and map-side-combines the solve
+    # input down to exactly T*C*A rows before the Newton UDF.
+    proj = (autos
+            .groupBy("t", "chan", F.col("ant1").alias("ant"))
+            .agg(F.min("xx_re").alias("xx_re"), F.min("yy_re").alias("yy_re")))
+
+    def solve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            sighat_xx = np.sqrt(pdf_["xx_re"].to_numpy() / sample_scale)
+            sighat_yy = np.sqrt(pdf_["yy_re"].to_numpy() / sample_scale)
+            yield pd.DataFrame({
+                "t": pdf_["t"], "chan": pdf_["chan"], "ant": pdf_["ant"],
+                "sigma_x": van_vleck_autos(sighat_xx),
+                "sigma_y": van_vleck_autos(sighat_yy),
+            })
+
+    return proj.mapInPandas(solve, schema=_SIGMA_SCHEMA)
+
+
+def correct_van_vleck(vis: DataFrame, sample_scale: float,
+                      flagged_ants: list[int] | None = None) -> DataFrame:
+    """Full C1: sigma table → double join → vectorized cross/auto solve.
+
+    ``sample_scale`` = fine_chan_width_hz * int_time_ms / 500 * bscale
+    (get_vv_sample_scale, src/van_vleck.rs:318-329).
+    Rows whose sigma is unavailable (flagged ant / missing auto) pass
+    through unchanged, like the reference's ``_ => {}`` arm (:305).
+    """
+    sig = auto_sigmas(vis, sample_scale, flagged_ants)
+    s1 = sig.select(F.col("t"), F.col("chan"), F.col("ant").alias("ant1"),
+                    F.col("sigma_x").alias("_s1x"), F.col("sigma_y").alias("_s1y"))
+    s2 = sig.select(F.col("t"), F.col("chan"), F.col("ant").alias("ant2"),
+                    F.col("sigma_x").alias("_s2x"), F.col("sigma_y").alias("_s2y"))
+    joined = (vis.join(s1, ["t", "chan", "ant1"], "left")
+                 .join(s2, ["t", "chan", "ant2"], "left"))
+    out_cols = list(vis.columns)
+    schema = ", ".join(
+        {
+            "t": "t int", "ant1": "ant1 int", "ant2": "ant2 int",
+            "bl": "bl int", "cc": "cc int", "fc": "fc int", "chan": "chan int",
+            "flag": "flag boolean",
+        }.get(c, f"{c} double")
+        for c in out_cols
+    )
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            n = len(pdf_)
+            if n == 0:
+                continue
+            is_auto = (pdf_["ant1"] == pdf_["ant2"]).to_numpy()
+            s1x = pdf_["_s1x"].to_numpy()
+            s1y = pdf_["_s1y"].to_numpy()
+            s2x = pdf_["_s2x"].to_numpy()
+            s2y = pdf_["_s2y"].to_numpy()
+            have1 = np.isfinite(s1x)
+            have2 = np.isfinite(s2x)
+            vals = {c: pdf_[c].to_numpy(dtype=np.float64).copy() for c in VIS_COLS}
+
+            # --- unflagged autos (src/van_vleck.rs:230-266)
+            am = is_auto & have1
+            if am.any():
+                sx, sy = s1x[am], s1y[am]
+                vals["xx_re"][am] = sample_scale * sx ** 2
+                vals["xx_im"][am] = 0.0
+                vals["yy_re"][am] = sample_scale * sy ** 2
+                vals["yy_im"][am] = 0.0
+                prod = sx * sy
+                khat_re = pdf_["xy_re"].to_numpy(dtype=np.float64)[am] / sample_scale
+                khat_im = pdf_["xy_im"].to_numpy(dtype=np.float64)[am] / sample_scale
+                ok = ~((khat_re > prod) | (khat_im > prod))
+                kr = khat_re.copy()
+                ki = khat_im.copy()
+                kr[ok] = van_vleck_crosses(khat_re[ok], sx[ok], sy[ok])
+                ki[ok] = van_vleck_crosses(khat_im[ok], sx[ok], sy[ok])
+                sub = np.flatnonzero(am)[ok]
+                vals["xy_re"][sub] = sample_scale * kr[ok]
+                vals["xy_im"][sub] = sample_scale * ki[ok]
+                vals["yx_re"][sub] = sample_scale * kr[ok]
+                vals["yx_im"][sub] = sample_scale * -ki[ok]
+
+            # --- unflagged crosses (src/van_vleck.rs:268-303)
+            cm = (~is_auto) & have1 & have2
+            if cm.any():
+                pol_sig = {
+                    "xx": (s1x, s2x), "xy": (s1x, s2y),
+                    "yx": (s1y, s2x), "yy": (s1y, s2y),
+                }
+                for pol, (sa, sb) in pol_sig.items():
+                    for part in ("re", "im"):
+                        col = f"{pol}_{part}"
+                        khat = vals[col][cm] / sample_scale
+                        prod = sa[cm] * sb[cm]
+                        ok = ~(np.abs(khat) > prod)
+                        res = khat.copy()
+                        res[ok] = van_vleck_crosses(khat[ok], sa[cm][ok], sb[cm][ok])
+                        outv = vals[col][cm]
+                        outv[ok] = sample_scale * res[ok]
+                        vals[col][cm] = outv
+
+            res = pdf_[out_cols].copy()
+            for c in VIS_COLS:
+                res[c] = np.float64(np.float32(vals[c]))  # demote like f32 writes
+            yield res
+
+    return joined.mapInPandas(apply, schema=schema)

@@ -61,6 +61,32 @@ def preprocess(spark: SparkSession, sf_dir: str,
     return averaging.average_time_freq(vis, avg_time, avg_freq)
 
 
+def preprocess_full(spark: SparkSession, sf_dir: str,
+                    avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) -> DataFrame:
+    """The complete pipeline including the UDF islands, in reference order
+    (README.md:498-543): Van Vleck → rule flags → cable → digital →
+    passband → SumThreshold RFI → geometry → calibration → bake → average.
+
+    Uses the legacy vis variant whose autos are sighat-encoded (the valid
+    Van Vleck domain). No SQL oracle — the islands are iterative; the
+    correctness of each island is pinned by golden unit tests.
+    """
+    from birli_spark.operators import rfi, vanvleck
+
+    vis = syn.load_vis_legacy(spark, sf_dir)
+    vis = vanvleck.correct_van_vleck(vis, syn.VV_SAMPLE_SCALE, flagged_ants=[3])
+    vis = rule_flags(spark, vis)
+    vis = corrections.correct_cable_lengths(vis, syn.load_dim(spark, "antennas"))
+    vis = corrections.correct_digital_gains(vis, syn.load_dim(spark, "digital_gains"))
+    fine_gains = spark.sql(corrections.fine_gains_values_sql(FINE_GAIN_ROWS))
+    vis = corrections.correct_passband_gains(vis, fine_gains)
+    vis = rfi.flag_rfi(vis)
+    vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
+    vis = calibration.apply_di_calsol(vis, syn.load_dim(spark, "calsols"), CAL_RATIO)
+    vis = weights.bake_flags_into_weights(vis)
+    return averaging.average_time_freq(vis, avg_time, avg_freq)
+
+
 def _flag_ctes() -> str:
     ts_f = flags.quack_oracle_select("timesteps", syn.GPS_START, OBS_END_GPS,
                                      quack_s=QUACK_S)

@@ -177,3 +177,35 @@ def load_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_dim(spark: SparkSession, name: str) -> DataFrame:
     return spark.sql(DIM_SQL[name])
+
+
+#: Van Vleck sample scale for the synthetic obs: fine_chan_width_hz *
+#: int_time_ms / 500 * bscale(=0.5 legacy default) — reference
+#: get_vv_sample_scale, src/van_vleck.rs:318-329. 40kHz * 2000ms/500 = 160k.
+VV_SAMPLE_SCALE = FINE_CHAN_WIDTH_HZ * (INT_TIME_S * 1000.0) / 500.0
+
+
+def load_vis_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `vis_legacy` fixture variant (FIXTURES.md §1): autos carry
+    sighat-encoded powers (xx_re = sighat^2 * scale, sighat in the
+    published fixture range [1.3, 1.95); reference σ vectors
+    src/van_vleck.rs:400-443), crosses carry small khat-encoded values —
+    the valid input domain of the Van Vleck correction."""
+    from pyspark.sql import functions as F
+
+    vis = load_vis(spark, sf_dir)
+    k = "(t * 31 + chan * 7 + ant1 * 3 + ant2)"
+    sighat2 = f"POW(1.3 + CAST({k} % 650 AS DOUBLE) / 1000, 2)"
+    khat = f"(CAST({k} % 200 - 100 AS DOUBLE) / 2000)"
+    is_auto = "ant1 = ant2"
+    exprs = {}
+    for col in ("xx_re", "yy_re"):
+        exprs[col] = (
+            f"CASE WHEN {is_auto} THEN {sighat2} * {VV_SAMPLE_SCALE!r}"
+            f" ELSE {khat} * {VV_SAMPLE_SCALE!r} END"
+        )
+    for col in ("xx_im", "yy_im", "xy_re", "xy_im", "yx_re", "yx_im"):
+        exprs[col] = f"{khat} * {VV_SAMPLE_SCALE!r}"
+    return vis.select(
+        *[F.expr(exprs[c]).alias(c) if c in exprs else F.col(c) for c in vis.columns]
+    )
