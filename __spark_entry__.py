@@ -23,9 +23,14 @@ from birli_spark.operators import (
     averaging,
     calibration,
     corrections,
+    dedup,
+    events,
     flags,
+    multimodal,
     occupancy,
     selection,
+    similarity,
+    text,
     weights,
 )
 from birli_spark.sources import synthetic as syn
@@ -167,6 +172,94 @@ def _q_pipeline_full(spark, sf_dir):
     return pipeline.preprocess_full(spark, sf_dir)
 
 
+# --- training-data pipeline operators (documents / embeddings / events) ---
+
+def _q_token_stats(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.token_stats(corpus.load_documents(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.lang_id(corpus.load_documents(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.fingerprint(corpus.load_documents(spark, sf_dir))
+
+
+def _q_exact_dedup(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.exact_dedup(corpus.load_documents(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.shingle_jaccard_pairs(corpus.load_documents(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.minhash_lsh_pairs(corpus.load_documents(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.simhash_pairs(corpus.load_documents(spark, sf_dir))
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.embedding_neardup(corpus.load_embeddings(spark, sf_dir))
+
+
+def _q_ann_brute(spark, sf_dir):
+    from birli_spark.operators import similarity
+    from birli_spark.sources import corpus
+    return similarity.brute_topk(corpus.load_embeddings(spark, sf_dir))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from birli_spark.operators import similarity
+    from birli_spark.sources import corpus
+    return similarity.lsh_topk(corpus.load_embeddings(spark, sf_dir))
+
+
+def _q_windowed_agg(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.windowed_agg(corpus.load_events(spark, sf_dir))
+
+
+def _q_sessionize(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.sessionize(corpus.load_events(spark, sf_dir))
+
+
+def _q_media_features(spark, sf_dir):
+    from birli_spark.operators import multimodal
+    from birli_spark.sources import corpus
+    return multimodal.media_features(
+        multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
+
+
+def _q_frame_sample(spark, sf_dir):
+    from birli_spark.operators import multimodal
+    from birli_spark.sources import corpus
+    return multimodal.sample_frames(
+        multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -196,6 +289,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_van_vleck": _q_van_vleck,
         "f9_rfi_sumthreshold": _q_rfi,
         "pipeline_preprocess_full": _q_pipeline_full,
+        # training-data pipeline (north-star ops beyond the reference)
+        "t1_token_stats": _q_token_stats,
+        "t2_lang_id": _q_lang_id,
+        "t3_fingerprint": _q_fingerprint,
+        "d1_exact_dedup": _q_exact_dedup,
+        "d2_ngram_jaccard": _q_ngram_jaccard,
+        "d3_minhash_lsh": _q_minhash_lsh,
+        "d4_simhash_pairs": _q_simhash,
+        "d5_embedding_neardup": _q_embedding_neardup,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "e1_windowed_agg": _q_windowed_agg,
+        "e2_sessionize": _q_sessionize,
+        "mm_media_features": _q_media_features,
+        "mm_frame_sample": _q_frame_sample,
     }
 
 
@@ -303,4 +411,18 @@ def oracle_sql() -> dict[str, str]:
             + occupancy.occupancy_oracle_select("flagged", ("ant1", "ant2"))),
         "a4_rowcount_validation": _with_vis("SELECT COUNT(*) AS n_rows FROM vis"),
         "pipeline_preprocess": pipeline.preprocess_oracle_sql(),
+        "t1_token_stats": text.token_stats_oracle_sql(),
+        "t2_lang_id": text.lang_id_oracle_sql(),
+        "t3_fingerprint": text.fingerprint_oracle_sql(),
+        "d1_exact_dedup": dedup.exact_dedup_oracle_sql(),
+        "d2_ngram_jaccard": dedup.shingle_jaccard_oracle_sql(),
+        "d3_minhash_lsh": dedup.minhash_lsh_oracle_sql(),
+        "d4_simhash_pairs": dedup.simhash_oracle_sql(),
+        "d5_embedding_neardup": dedup.embedding_neardup_oracle_sql(),
+        "ann_brute_topk": similarity.brute_topk_oracle_sql(),
+        "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
+        "e1_windowed_agg": events.windowed_agg_oracle_sql(),
+        "e2_sessionize": events.sessionize_oracle_sql(),
+        "mm_media_features": multimodal.media_features_oracle_sql(),
+        "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
     }

@@ -32,6 +32,12 @@ HEADLINE = [
     "a1_average_time_freq",
     "a2_channel_occupancy",
     "pipeline_preprocess",
+    # training-data pipeline: the scale-sensitive shapes (LSH band join,
+    # brute pairwise cosine, streaming-shaped groupBy)
+    "d3_minhash_lsh",
+    "d5_embedding_neardup",
+    "ann_lsh_topk",
+    "e1_windowed_agg",
 ]
 
 

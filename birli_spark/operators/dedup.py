@@ -1,0 +1,282 @@
+"""Deduplication operators for the training-data pipeline: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup
+(north-star requirement beyond the reference's operator set).
+
+Scale design (100 TB corpus):
+
+- **exact**: one hash shuffle on md5(text) — uniform keys, no skew;
+- **Jaccard / MinHash / SimHash**: candidate generation is always a
+  *bucket equi-join* (shared shingle, LSH band, SimHash band) — never an
+  all-pairs product; the verify step runs only on candidate pairs;
+- ubiquitous shingles are the skew hazard — ``max_df`` drops shingles
+  appearing in more than that many documents (the classic stop-shingle
+  guard); the LSH band join has bounded fan-out by construction;
+- embedding near-dup's brute-force form is the *oracle baseline*; the
+  scale path is the LSH-bucketed candidate generation in
+  :mod:`birli_spark.operators.similarity`.
+
+Every operator has an exact DuckDB oracle: hashes are md5-hex (identical
+across engines), set sizes/intersections are integers, and ratios are
+single exact double divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from birli_spark.functions import textsql as X
+
+SHINGLE_N = 3
+MINHASH_SEEDS = 8
+MINHASH_BANDS = 4  # 2 hashes per band
+SIMHASH_BANDS = 4  # 4 bits per band; exact recall for hamming <= 3
+
+
+# ------------------------------------------------------------- exact (D1) ---
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup assignment: every doc mapped to the minimum doc_id of
+    its identical-text group. One hash-partition shuffle on md5(text)."""
+    w = Window.partitionBy("text_md5")
+    return (docs
+            .select("doc_id", F.md5("text").alias("text_md5"))
+            .select("doc_id", "text_md5",
+                    F.min("doc_id").over(w).alias("keep_doc_id"),
+                    F.count("*").over(w).alias("group_size"))
+            .withColumn("is_dupe", F.col("doc_id") != F.col("keep_doc_id")))
+
+
+def exact_dedup_oracle_sql() -> str:
+    return (
+        "SELECT doc_id, md5(text) AS text_md5,\n"
+        "  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,\n"
+        "  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,\n"
+        "  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dupe\n"
+        "FROM documents")
+
+
+# ---------------------------------------------------- shingle tables (D2+) ---
+
+def _shingle_table(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, s): distinct n-token shingles, exploded long-format."""
+    sh = X.distinct(X.SPARK, X.shingles(X.SPARK, X.toks(X.SPARK), n))
+    return docs.select("doc_id", F.explode(F.expr(sh)).alias("s"))
+
+
+def _duck_shingle_cte(n: int = SHINGLE_N) -> str:
+    sh = X.distinct(X.DUCK, X.shingles(X.DUCK, X.toks(X.DUCK), n))
+    return f"sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents)"
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs: |A∩B| / (|A| + |B| − |A∩B|)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (cand
+             .join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+             .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "s"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+            .withColumn("jaccard",
+                        F.expr("CAST(i AS DOUBLE) / (na + nb - i)"))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def shingle_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                          max_df: int | None = None) -> DataFrame:
+    """All-pairs n-gram Jaccard via the shared-shingle equi-join (pairs
+    with zero overlap never materialize). ``max_df`` drops stop-shingles
+    to bound join fan-out on skewed corpora."""
+    sh = _shingle_table(docs)
+    join_side = sh
+    if max_df is not None:
+        keep = (sh.groupBy("s").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("s"))
+        join_side = sh.join(keep, "s", "left_semi")
+    a = join_side.withColumnsRenamed({"doc_id": "doc_a"})
+    b = join_side.withColumnsRenamed({"doc_id": "doc_b"})
+    cand = (a.join(b, (a["s"] == b["s"]) & (a["doc_a"] < b["doc_b"]))
+            .select("doc_a", "doc_b").distinct())
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def shingle_jaccard_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_duck_shingle_cte()},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold!r}"""
+
+
+# ------------------------------------------------------- MinHash+LSH (D3) ---
+
+def minhash_signatures(docs: DataFrame,
+                       seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(doc_id, h0..h{seeds-1}): seeded min-hashes over 3-token shingles.
+    One partial-aggregating groupBy — each hash is MIN over fixed-width
+    hex, so map-side combine applies."""
+    sh = _shingle_table(docs)
+    aggs = [F.min(F.expr(X.minhash16("s", k))).alias(f"h{k}")
+            for k in range(seeds)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      seeds: int = MINHASH_SEEDS,
+                      bands: int = MINHASH_BANDS) -> DataFrame:
+    """MinHash → banding → bucket equi-join → exact-Jaccard verify.
+
+    The band join is the scale path: docs land in band buckets, only
+    same-bucket pairs are compared (no quadratic blow-up); the verify
+    join recomputes true Jaccard on the (small) candidate set."""
+    r = seeds // bands
+    sig = minhash_signatures(docs, seeds)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("key"))
+        for b in range(bands)]
+    banded = (sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+              .select("doc_id", F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    a = banded.withColumnsRenamed({"doc_id": "doc_a"})
+    b = banded.withColumnsRenamed({"doc_id": "doc_b"})
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    return _verify_jaccard(cand, _shingle_table(docs), threshold)
+
+
+def minhash_lsh_oracle_sql(threshold: float = 0.5,
+                           seeds: int = MINHASH_SEEDS,
+                           bands: int = MINHASH_BANDS) -> str:
+    r = seeds // bands
+    hashes = ",\n    ".join(
+        f"MIN({X.minhash16('s', k)}) AS h{k}" for k in range(seeds))
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(f"h{b * r + j}" for j in range(r))
+        + " AS key FROM sig"
+        for b in range(bands))
+    return f"""
+WITH {_duck_shingle_cte()},
+sig AS (
+  SELECT doc_id,
+    {hashes}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold!r}"""
+
+
+# ------------------------------------------------------------ SimHash (D4) ---
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): per-row 16-bit SimHash — pure projection, no shuffle
+    (bit majority over md5(token) bits, textsql.simhash16). Token hashes
+    are materialized once as an array column so the 16 bit-votes share
+    them."""
+    hashes = X.token_hashes(X.SPARK, X.toks(X.SPARK))
+    return (docs
+            .select("doc_id", F.expr(hashes).alias("th"))
+            .select("doc_id",
+                    F.expr(X.simhash16(X.SPARK, "th")).alias("sig")))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation: 4 bands × 4 bits — by pigeonhole any pair with
+    ≤ 3 differing bits shares at least one intact band, so the band join
+    has **exact recall** (for any ``max_hamming`` ≤ 3) while avoiding the
+    all-pairs product. Default 1: with a 16-bit signature over a
+    shared-vocabulary corpus, hamming ≤ 3 is too permissive to mean
+    "near-duplicate"."""
+    sig = simhash_signatures(docs)
+    bands = None
+    for k in range(SIMHASH_BANDS):
+        part = sig.select(
+            "doc_id", "sig", F.lit(k).alias("band"),
+            F.expr(f"CAST(shiftright(sig, {4 * k}) & 15 AS INT)").alias("key"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
+    b = bands.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    F.expr("bit_count(sig_a ^ sig_b)").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_oracle_sql(max_hamming: int = 1) -> str:
+    hashes = X.token_hashes(X.DUCK, X.toks(X.DUCK))
+    sig = X.simhash16(X.DUCK, "th")
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sig, {k} AS band, CAST((sig >> {4 * k}) & 15 AS INT)"
+        f" AS key FROM sig"
+        for k in range(SIMHASH_BANDS))
+    return f"""
+WITH th AS (SELECT doc_id, {hashes} AS th FROM documents),
+sig AS (SELECT doc_id, {sig} AS sig FROM th),
+bands AS (
+  {band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  bit_count(xor(a.sig, b.sig)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}"""
+
+
+# ------------------------------------------- embedding cosine near-dup (D5) ---
+
+def embedding_neardup(emb: DataFrame, tau: float = 0.35) -> DataFrame:
+    """Brute-force cosine near-dup pairs (the oracle baseline). At corpus
+    scale, swap candidate generation for the hyperplane-LSH buckets in
+    :func:`birli_spark.operators.similarity.lsh_topk` — verify stays the
+    same exact fold-based cosine."""
+    n = emb.select("vec_id", "embedding",
+                   F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = (f"{X.dot(X.SPARK, 'a.embedding', 'b.embedding')}"
+           f" / (a.nrm * b.nrm)")
+    return (a.join(b, F.expr("a.vec_id < b.vec_id"))
+            .select(F.expr("a.vec_id").alias("vec_a"),
+                    F.expr("b.vec_id").alias("vec_b"),
+                    F.expr(cos).alias("cos"))
+            .filter(F.col("cos") >= tau))
+
+
+def embedding_neardup_oracle_sql(tau: float = 0.35) -> str:
+    cos = f"{X.dot(X.DUCK, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {cos} >= {tau!r}"""

@@ -1,0 +1,107 @@
+"""Event-stream analytics over the ``events`` table: tumbling-window
+aggregation and gap-based sessionization.
+
+The batch forms here are the oracle-checked surface; the same windowed
+aggregation runs incrementally under Structured Streaming in
+:mod:`birli_spark.streaming.windows` (watermark + tumbling window), which
+the reference — a finite batch pipeline — has no analogue of
+(SURVEY.md §2.8 "Streaming: none").
+
+Time axis: the source ``ts`` is BIGINT nanoseconds (corpus.load_events),
+but the oracle's DuckDB TIMESTAMP carries only microseconds — so all
+operators truncate to **integer microseconds** first (``ts div 1000``
+== DuckDB ``epoch_us``) and every comparison/bucket stays exact integer
+math on both engines. Group SUMs of doubles go through f32 demotion
+(the order of a distributed SUM is unspecified in both engines).
+
+Scale: both operators are single-shuffle — windowed agg hash-partitions
+on (event_type, hour) with map-side partial aggregation; sessionization
+hash-partitions on user_id and sorts within partitions (Spark's window
+exec), the classic gaps-and-islands plan. Skewed users would need salting
+only for pathological single-user streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from birli_spark.functions.complex import f32
+
+US_PER_HOUR = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+#: exact micro-epoch: Spark source is int64 nanos, DuckDB is a µs
+#: timestamp — identical integers after truncation.
+TS_US_SPARK = "(ts div 1000)"
+TS_US_DUCK = "epoch_us(ts)"
+
+
+def windowed_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count, f32 sum and mean of
+    ``value``. The flagship streaming-shaped groupBy."""
+    return (events
+            .groupBy(
+                "event_type",
+                F.expr(f"CAST(FLOOR({TS_US_SPARK} / {US_PER_HOUR}) * 3600"
+                       f" AS BIGINT)").alias("hour_epoch"))
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(f32("SUM(value)")).alias("sum_value"),
+                 F.expr(f32("SUM(value) / COUNT(*)")).alias("avg_value")))
+
+
+def windowed_agg_oracle_sql() -> str:
+    return f"""
+SELECT event_type,
+  CAST(FLOOR({TS_US_DUCK} / {US_PER_HOUR}) * 3600 AS BIGINT) AS hour_epoch,
+  COUNT(*) AS n_events,
+  {f32('SUM(value)')} AS sum_value,
+  {f32('SUM(value) / COUNT(*)')} AS avg_value
+FROM events
+GROUP BY 1, 2"""
+
+
+def sessionize(events: DataFrame,
+               gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user (new session when > 30 min idle): the
+    gaps-and-islands pattern — lag → boundary flag → running sum →
+    per-session aggregate. Order ties broken by event_id so the island
+    assignment is deterministic."""
+    base = events.withColumn("ts_us", F.expr(TS_US_SPARK))
+    w_user = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = (base
+               .withColumn("prev_us", F.lag("ts_us").over(w_user))
+               .withColumn(
+                   "is_new",
+                   F.expr(f"CAST(prev_us IS NULL OR ts_us - prev_us > {gap_us}"
+                          f" AS INT)"))
+               .withColumn("session_seq",
+                           F.sum("is_new").over(
+                               w_user.rowsBetween(Window.unboundedPreceding, 0))))
+    return (flagged
+            .groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts_us").alias("start_us"),
+                 F.max("ts_us").alias("end_us"),
+                 F.expr(f32("SUM(value)")).alias("sum_value")))
+
+
+def sessionize_oracle_sql(gap_us: int = SESSION_GAP_US) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, value, {TS_US_DUCK} AS ts_us,
+    CASE WHEN LAG({TS_US_DUCK}) OVER w IS NULL
+           OR {TS_US_DUCK} - LAG({TS_US_DUCK}) OVER w > {gap_us}
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {TS_US_DUCK}, event_id)),
+islands AS (
+  SELECT user_id, value, ts_us,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+  {f32('SUM(value)')} AS sum_value
+FROM islands
+GROUP BY 1, 2"""

@@ -1,0 +1,125 @@
+"""Multimodal-column plumbing (north-star requirement): treat image /
+audio / video payloads as opaque ``binary`` columns with typed metadata,
+with decode / feature-extract / frame-sample stages as Arrow-batched
+pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked stub (:func:`decode_image` raises ``NotImplementedError``
+unless PIL is importable); everything Spark-side — binary schema,
+metadata columns, UDF signatures, Arrow batch shapes, the deterministic
+byte-level features — is real and oracle-checked.
+
+Scale: media payloads dominate row size, so the operators never shuffle
+the binary column — features are extracted in a narrow ``mapInPandas``
+pass directly over the scan, and only the (tiny) feature rows move
+downstream. Frame sampling is a controlled explode: n_frames rows per
+asset, all integer arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Synthesize the multimodal asset table from ``documents``: payload =
+    utf-8 bytes of the text (a deterministic stand-in for an image blob),
+    plus typed metadata (mime, declared width/height/frame count)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.expr("CAST(16 + doc_id % 64 AS INT)").alias("width"),
+        F.expr("CAST(16 + (doc_id * 7) % 64 AS INT)").alias("height"),
+        F.expr("CAST(1 + doc_id % 8 AS INT)").alias("n_frames"))
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real image decode needs PIL/libvips, absent here. The Spark
+    plumbing that would call this (schema, batching) is exercised by
+    :func:`media_features` with byte-level features instead."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL, which is not available in this "
+            "environment; media_features extracts byte-level features only")
+    raise NotImplementedError("real decode intentionally out of scope")
+
+
+_FEATURES_SCHEMA = ("doc_id long, n_bytes int, content_md5 string, "
+                    "width int, height int, aspect double")
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column: byte
+    length, content hash, declared-dimension aspect ratio. This is the
+    slot where a real decoder would emit pixel stats / embeddings."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "aspect": pdf["width"].astype("float64")
+                / pdf["height"].astype("float64"),
+            })
+
+    return media.mapInPandas(extract, schema=_FEATURES_SCHEMA)
+
+
+def media_features_oracle_sql() -> str:
+    """Exact oracle: payload is the utf-8 text, so byte length and md5 are
+    computable SQL-side (ASCII corpus ⇒ octet_length == length)."""
+    return """
+SELECT doc_id,
+  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(16 + doc_id % 64 AS INT) AS width,
+  CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+  CAST(16 + doc_id % 64 AS DOUBLE) / CAST(16 + (doc_id * 7) % 64 AS DOUBLE)
+    AS aspect
+FROM documents"""
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling for video-like assets: emit ``n_frames`` evenly
+    spaced byte offsets per asset (a real sampler would emit decoded
+    frames; offsets keep it deterministic and oracle-checkable). A
+    controlled explode — output cardinality = sum(n_frames)."""
+    return (media
+            .select("doc_id", "n_frames",
+                    F.octet_length("media").alias("n_bytes"),
+                    F.explode(F.expr("sequence(0, n_frames - 1)"))
+                     .alias("frame_idx"))
+            .withColumn(
+                "frame_off",
+                F.expr("CAST(FLOOR(CAST(n_bytes AS DOUBLE) * frame_idx "
+                       "/ n_frames) AS INT)"))
+            .select("doc_id", "frame_idx", "frame_off"))
+
+
+def sample_frames_oracle_sql() -> str:
+    return """
+WITH media AS (
+  SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS n_frames,
+         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+  FROM documents)
+SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+  CAST(FLOOR(CAST(n_bytes AS DOUBLE) * unnest(generate_series(0, n_frames - 1))
+       / n_frames) AS INT) AS frame_off
+FROM media"""

@@ -1,0 +1,130 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table
+(north-star requirement beyond the reference's operator set).
+
+Two tiers:
+
+- :func:`brute_topk` — exact cosine top-k: broadcast the (small) query
+  set against the full corpus, rank per query. The baseline every ANN
+  variant is measured against. At 100 TB the corpus side streams through
+  executors; only queries and the final k rows per query move.
+- :func:`lsh_topk` — hyperplane-LSH bucketed search (IVF-style): corpus
+  vectors land in sign-pattern buckets of a fixed set of deterministic
+  hyperplanes; each query searches only its own bucket. Bucket key
+  computation is a pure projection; the candidate join is a bucket
+  equi-join, so cost scales with corpus/2^planes per query, not corpus.
+
+Cosines are sequential-fold double dot products (textsql.dot) — exact and
+bit-identical to the DuckDB oracle, so ranks match deterministically
+(ties broken by vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from birli_spark.functions import textsql as X
+
+N_PLANES = 4
+EMB_DIM = 64
+
+
+def _plane(j: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane j: Knuth-multiplicative mix
+    of the flat index, mapped to [-1, 1]. Same literals in both engines."""
+    return [(((j * dim + i) * 2654435761) % 2001 - 1000) / 1000.0
+            for i in range(dim)]
+
+
+def _plane_literal(j: int, d: str) -> str:
+    vals = ", ".join(repr(v) for v in _plane(j))
+    if d == X.SPARK:
+        return f"array({vals})"
+    return f"[{vals}]"
+
+
+def _bucket_expr(d: str, vec: str, planes: int = N_PLANES) -> str:
+    bits = [f"IF({X.dot(d, vec, _plane_literal(j, d))} >= CAST(0 AS DOUBLE),"
+            f" '1', '0')" for j in range(planes)]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def brute_topk(emb: DataFrame, k: int = 5, n_queries: int = 8) -> DataFrame:
+    """Exact top-k by cosine for the query set ``vec_id < n_queries``.
+
+    The query side is broadcast (it is tiny by construction); ranking is a
+    per-query window — the shuffle moves only (query × corpus-survivor)
+    rows, and AQE coalesces the k·queries output."""
+    n = emb.select("vec_id", "embedding",
+                   F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"))
+    q = (n.filter(F.col("vec_id") < n_queries)
+         .withColumnsRenamed({"vec_id": "qid", "embedding": "q_emb",
+                              "nrm": "q_nrm"}))
+    cos = f"{X.dot(X.SPARK, 'q_emb', 'embedding')} / (q_nrm * nrm)"
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (n.join(F.broadcast(q), F.expr("vec_id <> qid"))
+            .select("qid", "vec_id", F.expr(cos).alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def brute_topk_oracle_sql(k: int = 5, n_queries: int = 8) -> str:
+    cos = f"{X.dot(X.DUCK, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id, {cos} AS cos
+  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}),
+ranked AS (
+  SELECT qid, vec_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
+             planes: int = N_PLANES) -> DataFrame:
+    """Bucketed ANN: rank only candidates sharing the query's hyperplane
+    sign-pattern bucket. Recall < 1 by design (that is the approximation);
+    the bucket fan-out replaces the full scan per query.
+
+    With multiprobe (flipping low-margin bits) recall rises at ~2× cost —
+    left out here to keep the oracle exact."""
+    n = emb.select("vec_id", "embedding",
+                   F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"),
+                   F.expr(_bucket_expr(X.SPARK, "embedding", planes))
+                    .alias("bucket"))
+    q = (n.filter(F.col("vec_id") < n_queries)
+         .withColumnsRenamed({"vec_id": "qid", "embedding": "q_emb",
+                              "nrm": "q_nrm", "bucket": "q_bucket"}))
+    cos = f"{X.dot(X.SPARK, 'q_emb', 'embedding')} / (q_nrm * nrm)"
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (n.join(F.broadcast(q),
+                   (F.col("bucket") == F.col("q_bucket"))
+                   & F.expr("vec_id <> qid"))
+            .select("qid", "vec_id", F.expr(cos).alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def lsh_topk_oracle_sql(k: int = 5, n_queries: int = 8,
+                        planes: int = N_PLANES) -> str:
+    cos = f"{X.dot(X.DUCK, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    bucket = _bucket_expr(X.DUCK, "embedding", planes)
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm,
+                  {bucket} AS bucket
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id, {cos} AS cos
+  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}),
+ranked AS (
+  SELECT qid, vec_id, cos,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""

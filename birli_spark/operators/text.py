@@ -1,0 +1,139 @@
+"""Text-analysis operators for the training-data pipeline (beyond the
+reference's operator set; north-star requirement): token statistics /
+quality scoring, language identification, and document fingerprinting over
+the ``documents`` table.
+
+All three are **pure per-row projections** built from
+:mod:`birli_spark.functions.textsql` fragments — no UDF, no shuffle; at
+100 TB they pipeline inside whole-stage codegen directly over the parquet
+scan with column pruning (only ``doc_id``/``text``/``lang`` are read).
+Each has an exact DuckDB oracle built from the same expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from birli_spark.functions import textsql as X
+from birli_spark.functions.complex import f32
+
+#: stopword marker lists per language for the n-gram/stopword heuristic
+#: language ID. Order = argmax tie-break precedence.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "des", "une", "et"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("shi", "zai", "he", "wo", "ni"),
+}
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    lits = ", ".join(f"'{w}'" for w in words)
+    return f"{var} IN ({lits})"
+
+
+def _stats_exprs(d: str) -> dict[str, str]:
+    t = X.toks(d)
+    n = X.size(d, t)
+    n_uniq = X.size(d, X.distinct(d, t))
+    n_stop = X.size(d, X.lfilter(d, t, f"t -> {_in_list('t', EN_STOPWORDS)}"))
+    stop_ratio = f"CAST({n_stop} AS DOUBLE) / {n}"
+    uniq_ratio = f"CAST({n_uniq} AS DOUBLE) / {n}"
+    # single-space-joined text: total token chars = len - (n-1) separators
+    mean_len = f"CAST(length(trim(text)) - ({n}) + 1 AS DOUBLE) / {n}"
+    quality = f32(
+        f"CAST(0.4 AS DOUBLE) * ({uniq_ratio}) "
+        f"+ CAST(0.4 AS DOUBLE) * (CAST(1 AS DOUBLE) - ({stop_ratio})) "
+        f"+ CAST(0.2 AS DOUBLE) * LEAST(CAST({n} AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))")
+    return {
+        "n_tokens": f"CAST({n} AS INT)",
+        "n_unique": f"CAST({n_uniq} AS INT)",
+        "stopword_ratio": stop_ratio,
+        "uniq_ratio": uniq_ratio,
+        "mean_token_len": mean_len,
+        "quality_score": quality,
+    }
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts + quality score (length/stopword/diversity
+    mix — the standard pretraining-corpus quality heuristics)."""
+    ex = _stats_exprs(X.SPARK)
+    return docs.select(
+        "doc_id", *[F.expr(e).alias(c) for c, e in ex.items()])
+
+
+def token_stats_oracle_sql() -> str:
+    ex = _stats_exprs(X.DUCK)
+    cols = ",\n  ".join(f"{e} AS {c}" for c, e in ex.items())
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"
+
+
+def _lang_exprs(d: str) -> dict[str, str]:
+    t = X.toks(d)
+    out: dict[str, str] = {}
+    for lang, words in LANG_MARKERS.items():
+        cnt = X.size(d, X.lfilter(d, t, f"t -> {_in_list('t', words)}"))
+        out[f"score_{lang}"] = f"CAST({cnt} AS INT)"
+    scores = [f"score_{lang}" for lang in LANG_MARKERS]
+    best = f"GREATEST({', '.join(scores)})"
+    pred = "CASE "
+    for lang in LANG_MARKERS:  # dict order = precedence on ties
+        pred += f"WHEN score_{lang} = {best} AND score_{lang} > 0 THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    out["pred_lang"] = pred
+    return out
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID: count per-language marker tokens,
+    predict the argmax (ties broken by fixed precedence, zero evidence →
+    'und'). A charset rule (CJK/accents) would extend this for non-Latin
+    corpora; the synthetic corpus is ASCII so marker counts decide."""
+    ex = _lang_exprs(X.SPARK)
+    score_cols = [c for c in ex if c.startswith("score_")]
+    scored = docs.select(
+        "doc_id", "lang", *[F.expr(ex[c]).alias(c) for c in score_cols])
+    return scored.select(
+        "doc_id", "lang", *score_cols, F.expr(ex["pred_lang"]).alias("pred_lang"))
+
+
+def lang_id_oracle_sql() -> str:
+    ex = _lang_exprs(X.DUCK)
+    score_cols = [c for c in ex if c.startswith("score_")]
+    inner = ",\n    ".join(f"{ex[c]} AS {c}" for c in score_cols)
+    return (f"WITH scored AS (\n  SELECT doc_id, lang,\n    {inner}\n"
+            f"  FROM documents)\n"
+            f"SELECT doc_id, lang, {', '.join(score_cols)},\n"
+            f"  {ex['pred_lang']} AS pred_lang\nFROM scored")
+
+
+SHINGLE_N = 3
+
+
+def _fp_exprs(d: str) -> dict[str, str]:
+    sh = X.shingles(d, X.toks(d), SHINGLE_N)
+    hashed = X.ltransform(d, sh, f"s -> {X.minhash16('s', 0)}")
+    return {
+        "n_shingles": f"CAST({X.size(d, sh)} AS INT)",
+        "fingerprint": X.arr_min(d, hashed),
+    }
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling-window document fingerprint: the minimum seeded hash over
+    all 3-token shingles (= the seed-0 MinHash signature). Equal
+    fingerprints ⇒ high shingle overlap; used as a cheap first-pass
+    near-dup key. Fixed-width hex keeps MIN() order-correct."""
+    ex = _fp_exprs(X.SPARK)
+    return docs.select("doc_id", *[F.expr(e).alias(c) for c, e in ex.items()])
+
+
+def fingerprint_oracle_sql() -> str:
+    ex = _fp_exprs(X.DUCK)
+    cols = ",\n  ".join(f"{e} AS {c}" for c, e in ex.items())
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"

@@ -1,0 +1,100 @@
+"""Semantic tests for the dedup family on constructed corpora with known
+duplicate structure (plus brute-force recomputation in Python)."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+from pyspark.sql import Row
+
+from birli_spark.operators import dedup
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_exact_dedup_groups(spark):
+    docs = _mk_docs(spark, [BASE, BASE, BASE + " x", "totally different words"])
+    out = {r.doc_id: r for r in dedup.exact_dedup(docs).collect()}
+    assert out[0].keep_doc_id == 0 and not out[0].is_dupe
+    assert out[1].keep_doc_id == 0 and out[1].is_dupe
+    assert out[1].group_size == 2
+    assert out[2].keep_doc_id == 2 and not out[2].is_dupe
+
+
+def _py_jaccard(a, b, n=3):
+    sa = {" ".join(a[i:i + n]) for i in range(len(a) - n + 1)}
+    sb = {" ".join(b[i:i + n]) for i in range(len(b) - n + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_shingle_jaccard_exact_values(spark):
+    texts = [BASE,
+             BASE.replace("dog", "cat"),
+             "one two three four five six seven eight nine ten"]
+    docs = _mk_docs(spark, texts)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.shingle_jaccard_pairs(docs, threshold=0.01).collect()}
+    toks = [t.split(" ") for t in texts]
+    for i, j in itertools.combinations(range(3), 2):
+        expect = _py_jaccard(toks[i], toks[j])
+        if expect > 0.01:
+            assert abs(got[(i, j)] - expect) < 1e-15
+        else:
+            assert (i, j) not in got
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    texts = [BASE, BASE, BASE.replace("dog", "cat"),
+             "one two three four five six seven eight nine ten"]
+    docs = _mk_docs(spark, texts)
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert got[(0, 1)] == 1.0           # identical docs always collide
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    texts = [BASE, BASE, "one two three four five six seven eight nine ten"]
+    docs = _mk_docs(spark, texts)
+    sigs = {r.doc_id: r.sig for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert 0 <= sigs[0] < 1 << 16
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in dedup.simhash_pairs(docs, max_hamming=0).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_simhash_band_recall_vs_bruteforce(spark, sf_dir):
+    """4 bands x 4 bits must recover ALL pairs with hamming <= 3
+    (pigeonhole) — checked against a brute-force O(n^2) scan."""
+    from birli_spark.sources import corpus
+    docs = corpus.load_documents(spark, sf_dir).filter("doc_id < 60")
+    sigs = {r.doc_id: r.sig for r in dedup.simhash_signatures(docs).collect()}
+    brute = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+             for a, b in itertools.combinations(sorted(sigs), 2)
+             if bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == brute
+
+
+def test_embedding_neardup_exact_cosine(spark):
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=8).astype(np.float32)
+    rows = [Row(vec_id=0, embedding=[float(x) for x in v]),
+            Row(vec_id=1, embedding=[float(x) for x in v]),          # identical
+            Row(vec_id=2, embedding=[float(-x) for x in v]),         # opposite
+            Row(vec_id=3, embedding=[float(x) for x in rng.normal(size=8)])]
+    out = {(r.vec_a, r.vec_b): r.cos
+           for r in dedup.embedding_neardup(
+               spark.createDataFrame(rows), tau=0.99).collect()}
+    assert (0, 1) in out and abs(out[(0, 1)] - 1.0) < 1e-12
+    assert (0, 2) not in out

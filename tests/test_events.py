@@ -1,0 +1,58 @@
+"""Semantic tests for event analytics: constructed streams with known
+session structure; pandas recomputation for the windowed aggregate."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Row
+
+from birli_spark.operators import events
+from birli_spark.sources import corpus
+
+US = 1_000_000
+NS = 1_000
+
+
+def _ev(eid, user, t_us, value=1.0, typ="click"):
+    return Row(event_id=eid, ts=t_us * NS, user_id=user,
+               event_type=typ, value=value, props="{}")
+
+
+def test_sessionize_gap_splits(spark):
+    gap = events.SESSION_GAP_US
+    rows = [
+        _ev(1, 7, 0), _ev(2, 7, 10 * US), _ev(3, 7, gap + 11 * US),   # split
+        _ev(4, 7, gap + 20 * US),
+        _ev(5, 9, 5 * US),                                            # other user
+    ]
+    out = {(r.user_id, r.session_seq): r
+           for r in events.sessionize(spark.createDataFrame(rows)).collect()}
+    assert out[(7, 1)].n_events == 2
+    assert out[(7, 1)].start_us == 0 and out[(7, 1)].end_us == 10 * US
+    assert out[(7, 2)].n_events == 2
+    assert out[(9, 1)].n_events == 1
+    assert len(out) == 3
+
+
+def test_sessionize_boundary_is_strict_greater(spark):
+    gap = events.SESSION_GAP_US
+    rows = [_ev(1, 1, 0), _ev(2, 1, gap)]       # exactly gap -> same session
+    out = events.sessionize(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_windowed_agg_matches_pandas(spark, sf_dir):
+    ev = corpus.load_events(spark, sf_dir)
+    got = (events.windowed_agg(ev)
+           .orderBy("event_type", "hour_epoch").toPandas())
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["hour_epoch"] = (pdf.ts.astype("int64") // (3600 * 10 ** 9)) * 3600
+    exp = (pdf.groupby(["event_type", "hour_epoch"])
+           .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+           .reset_index().sort_values(["event_type", "hour_epoch"]))
+    assert got.n_events.tolist() == exp.n_events.tolist()
+    assert got.hour_epoch.tolist() == exp.hour_epoch.tolist()
+    # f32-demoted sums: equal to float32 resolution
+    import numpy as np
+    assert np.allclose(got.sum_value.values, exp.sum_value.values,
+                       rtol=1e-6, atol=1e-4)

@@ -1,0 +1,45 @@
+"""Tests for the multimodal plumbing: binary schema, Arrow-batched
+feature extraction (verified with hashlib), frame-sampling explode, and
+the clearly-marked decode stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from birli_spark.operators import multimodal
+from birli_spark.sources import corpus
+
+
+def test_media_schema_and_features(spark, sf_dir):
+    docs = corpus.load_documents(spark, sf_dir).filter("doc_id < 20")
+    media = multimodal.attach_media(docs)
+    assert dict(media.dtypes)["media"] == "binary"
+    got = multimodal.media_features(media).orderBy("doc_id").toPandas()
+    src = docs.orderBy("doc_id").toPandas()
+    for g, text in zip(got.itertuples(), src.text):
+        payload = text.encode("utf-8")
+        assert g.n_bytes == len(payload)
+        assert g.content_md5 == hashlib.md5(payload).hexdigest()
+        assert g.aspect == g.width / g.height
+
+
+def test_frame_sampling_offsets(spark, sf_dir):
+    docs = corpus.load_documents(spark, sf_dir).filter("doc_id < 20")
+    media = multimodal.attach_media(docs)
+    frames = multimodal.sample_frames(media).toPandas()
+    meta = media.select("doc_id", "n_frames").toPandas().set_index("doc_id")
+    for doc_id, grp in frames.groupby("doc_id"):
+        n = int(meta.loc[doc_id].n_frames)
+        assert sorted(grp.frame_idx) == list(range(n))
+        offs = grp.sort_values("frame_idx").frame_off.tolist()
+        assert offs[0] == 0
+        assert all(a <= b for a, b in zip(offs, offs[1:]))  # monotone
+
+
+def test_decode_stub_is_gated(spark):
+    if multimodal._HAVE_PIL:
+        pytest.skip("PIL present; stub path not applicable")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_image(b"\x89PNG")

@@ -1,0 +1,65 @@
+"""Semantic tests for ANN search: brute-force top-k against numpy; LSH
+bucketing properties."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from birli_spark.operators import similarity
+from birli_spark.sources import corpus
+
+
+def _numpy_topk(emb_pdf, qid, k):
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb_pdf.itertuples()}
+    q = vecs[qid]
+    scored = sorted(
+        ((float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), vid)
+         for vid, v in vecs.items() if vid != qid),
+        key=lambda t: (-t[0], t[1]))
+    return [vid for _, vid in scored[:k]]
+
+
+def test_brute_topk_matches_numpy(spark, sf_dir):
+    emb = corpus.load_embeddings(spark, sf_dir).filter("vec_id < 120")
+    got = similarity.brute_topk(emb, k=5, n_queries=4).toPandas()
+    pdf = emb.toPandas()
+    for qid in range(4):
+        mine = (got[got.qid == qid].sort_values("rank").vec_id.tolist())
+        expect = _numpy_topk(pdf, qid, 5)
+        assert mine == expect, f"qid={qid}: {mine} != {expect}"
+    # cosine sanity: within [-1, 1], ranks strictly ordered by cos desc
+    g0 = got[got.qid == 0].sort_values("rank")
+    assert (g0.cos.values <= 1.0 + 1e-12).all()
+    assert (np.diff(g0.cos.values) <= 1e-18).all()
+
+
+def test_lsh_topk_is_bucket_restricted_subset(spark, sf_dir):
+    """Every LSH result must appear in the brute-force ranking of the
+    same-bucket candidate set, in the same order."""
+    emb = corpus.load_embeddings(spark, sf_dir).filter("vec_id < 200")
+    from pyspark.sql import functions as F
+    from birli_spark.functions import textsql as X
+    buckets = {r.vec_id: r.bucket for r in emb.select(
+        "vec_id",
+        F.expr(similarity._bucket_expr(X.SPARK, "embedding")).alias("bucket")
+    ).collect()}
+    got = similarity.lsh_topk(emb, k=3, n_queries=6).toPandas()
+    pdf = emb.toPandas()
+    for qid in range(6):
+        mine = got[got.qid == qid].sort_values("rank").vec_id.tolist()
+        cands = [v for v, bk in buckets.items()
+                 if bk == buckets[qid] and v != qid]
+        sub = pdf[pdf.vec_id.isin(cands + [qid])]
+        expect = _numpy_topk(sub, qid, 3)
+        assert mine == expect
+        for v in mine:
+            assert buckets[v] == buckets[qid]
+
+
+def test_planes_are_deterministic():
+    p0 = similarity._plane(0)
+    assert len(p0) == similarity.EMB_DIM
+    assert p0 == similarity._plane(0)
+    assert all(-1.0 <= x <= 1.0 for x in p0)
+    assert similarity._plane(1) != p0

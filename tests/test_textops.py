@@ -1,0 +1,55 @@
+"""Semantic tests for the text-analysis operators: results are recomputed
+independently in Python (collections.Counter / hashlib) — not just
+cross-checked against the SQL oracle, which the driver already does."""
+
+from __future__ import annotations
+
+import hashlib
+
+from birli_spark.operators import text
+from birli_spark.sources import corpus
+
+
+def _docs_pdf(spark, sf_dir, n=25):
+    df = corpus.load_documents(spark, sf_dir)
+    return df.filter(f"doc_id < {n}"), (
+        df.filter(f"doc_id < {n}").orderBy("doc_id").toPandas())
+
+
+def test_token_stats_matches_python(spark, sf_dir):
+    docs, pdf = _docs_pdf(spark, sf_dir)
+    got = text.token_stats(docs).orderBy("doc_id").toPandas()
+    for _, row in pdf.iterrows():
+        toks = row["text"].strip().split(" ")
+        g = got[got.doc_id == row.doc_id].iloc[0]
+        assert g.n_tokens == len(toks)
+        assert g.n_unique == len(set(toks))
+        n_stop = sum(t in text.EN_STOPWORDS for t in toks)
+        assert g.stopword_ratio == n_stop / len(toks)
+        assert g.mean_token_len == sum(map(len, toks)) / len(toks)
+        assert 0.0 <= g.quality_score <= 1.1
+
+
+def test_lang_id_scores_match_python(spark, sf_dir):
+    docs, pdf = _docs_pdf(spark, sf_dir)
+    got = text.lang_id(docs).orderBy("doc_id").toPandas()
+    for _, row in pdf.iterrows():
+        toks = row["text"].strip().split(" ")
+        g = got[got.doc_id == row.doc_id].iloc[0]
+        for lang, markers in text.LANG_MARKERS.items():
+            assert g[f"score_{lang}"] == sum(t in markers for t in toks)
+        # synthetic corpus: 'the'/'a' always present -> en unless tie upset
+        assert g.pred_lang in set(text.LANG_MARKERS) | {"und"}
+
+
+def test_fingerprint_matches_hashlib(spark, sf_dir):
+    docs, pdf = _docs_pdf(spark, sf_dir, n=5)
+    got = text.fingerprint(docs).orderBy("doc_id").toPandas()
+    for _, row in pdf.iterrows():
+        toks = row["text"].strip().split(" ")
+        shingles = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        expect = min(
+            hashlib.md5(f"0#{s}".encode()).hexdigest()[:16] for s in shingles)
+        g = got[got.doc_id == row.doc_id].iloc[0]
+        assert g.n_shingles == len(shingles)
+        assert g.fingerprint == expect
