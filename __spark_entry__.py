@@ -24,15 +24,19 @@ from birli_spark.operators import (
     calibration,
     corrections,
     dedup,
+    describe,
     events,
     flags,
     multimodal,
     occupancy,
+    picket,
     selection,
     similarity,
     text,
     weights,
 )
+from birli_spark.sinks import flagsink
+from birli_spark.sinks import uvfits as uvfits_sink
 from birli_spark.sources import synthetic as syn
 
 _COLS = syn.VIS_COLUMNS
@@ -172,6 +176,47 @@ def _q_pipeline_full(spark, sf_dir):
     return pipeline.preprocess_full(spark, sf_dir)
 
 
+# --- sources, sinks, picket fence, describe (S3-S5, O1, O3-O4, P5) ---
+
+def _q_antenna_dim(spark, sf_dir):
+    return syn.load_dim(spark, "antennas")
+
+
+def _q_aocal_scan(spark, sf_dir):
+    import tempfile
+    from birli_spark.sources import aocal
+    path = f"{tempfile.gettempdir()}/birli_spark_calsols.bin"
+    aocal.write_synthetic_calsols(path, syn.NUM_ANTS, syn.NUM_CHAN_SOL)
+    return aocal.calsols_df(spark, path)
+
+
+def _q_flag_roundtrip(spark, sf_dir):
+    import tempfile
+    from birli_spark.sinks import flagsink
+    out = f"{tempfile.gettempdir()}/birli_spark_flagsink"
+    vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
+    flagsink.write_flags(vis, out, obsid=1254670392, gps_start=syn.GPS_START)
+    return flagsink.read_flags(spark, out)
+
+
+def _q_uvfits_rows(spark, sf_dir):
+    from birli_spark.sinks import uvfits
+    baked = pipeline.preprocess_baked(spark, sf_dir)
+    return uvfits.uvfits_group_rows(
+        baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+        syn.GPS_START, syn.INT_TIME_S)
+
+
+def _q_picket(spark, sf_dir):
+    from birli_spark.operators import picket
+    return picket.run_picket(spark, sf_dir, "0,1-2")
+
+
+def _q_describe(spark, sf_dir):
+    from birli_spark.operators import describe
+    return describe.describe(spark, syn.load_vis(spark, sf_dir))
+
+
 # --- training-data pipeline operators (documents / embeddings / events) ---
 
 def _q_token_stats(spark, sf_dir):
@@ -289,6 +334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_van_vleck": _q_van_vleck,
         "f9_rfi_sumthreshold": _q_rfi,
         "pipeline_preprocess_full": _q_pipeline_full,
+        "s3_antenna_dim": _q_antenna_dim,
+        "s4_aocal_scan": _q_aocal_scan,
+        "s5_o3_flag_roundtrip": _q_flag_roundtrip,
+        "o1_uvfits_rows": _q_uvfits_rows,
+        "p5_picket_ranges": _q_picket,
+        "o4_describe": _q_describe,
         # training-data pipeline (north-star ops beyond the reference)
         "t1_token_stats": _q_token_stats,
         "t2_lang_id": _q_lang_id,
@@ -411,6 +462,18 @@ def oracle_sql() -> dict[str, str]:
             + occupancy.occupancy_oracle_select("flagged", ("ant1", "ant2"))),
         "a4_rowcount_validation": _with_vis("SELECT COUNT(*) AS n_rows FROM vis"),
         "pipeline_preprocess": pipeline.preprocess_oracle_sql(),
+        "s3_antenna_dim": syn.ANTENNAS_SQL,
+        "s4_aocal_scan": syn.CALSOLS_SQL,
+        "s5_o3_flag_roundtrip": (
+            f"WITH {pipeline.flagged_vis_oracle_cte()} "
+            f"SELECT {', '.join(flagsink.FLAG_COLS)} FROM flagged"),
+        "o1_uvfits_rows": (
+            f"WITH {pipeline.baked_oracle_ctes()} "
+            + uvfits_sink.uvfits_rows_oracle_select(
+                "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
+                syn.GPS_START, syn.INT_TIME_S)),
+        "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
+        "o4_describe": _with_vis(describe.describe_sql("vis")),
         "t1_token_stats": text.token_stats_oracle_sql(),
         "t2_lang_id": text.lang_id_oracle_sql(),
         "t3_fingerprint": text.fingerprint_oracle_sql(),

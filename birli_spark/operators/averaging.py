@@ -28,7 +28,7 @@ from birli_spark.functions.complex import VIS_COLS, f32
 GROUP_KEYS = ("t_out", "chan_out", "bl", "ant1", "ant2")
 
 
-def _avg_fragments() -> dict[str, str]:
+def _avg_fragments(extra_mean_cols: tuple[str, ...] = ()) -> dict[str, str]:
     frags: dict[str, str] = {}
     n_unflagged = "SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END)"
     wsum_pos = "SUM(CASE WHEN weight > 0 THEN weight ELSE 0.0 END)"
@@ -40,6 +40,10 @@ def _avg_fragments() -> dict[str, str]:
     )
     frags["flag"] = f"({n_unflagged} = 0)"
     frags["n_samples"] = "CAST(COUNT(*) AS BIGINT)"
+    for c in extra_mean_cols:
+        # plain (unweighted) block mean — used for per-block UVWs at the
+        # UVFITS sink; f32-demoted like every float aggregate
+        frags[c] = f32(f"AVG({c})")
     return frags
 
 
@@ -50,14 +54,16 @@ def _key_fragments(avg_time: int, avg_freq: int) -> dict[str, str]:
     }
 
 
-def average_time_freq(vis: DataFrame, avg_time: int, avg_freq: int) -> DataFrame:
+def average_time_freq(vis: DataFrame, avg_time: int, avg_freq: int,
+                      extra_mean_cols: tuple[str, ...] = ()) -> DataFrame:
     """Weighted block average over (t div avg_time, chan div avg_freq, bl).
 
     Input must already have flags baked into weight signs
-    (``weights.bake_flags_into_weights``).
+    (``weights.bake_flags_into_weights``). ``extra_mean_cols`` are carried
+    through as plain f32 block means (e.g. per-block UVWs for the sink).
     """
     keys = _key_fragments(avg_time, avg_freq)
-    frags = _avg_fragments()
+    frags = _avg_fragments(extra_mean_cols)
     grouped = vis.withColumn("t_out", F.expr(keys["t_out"])).withColumn(
         "chan_out", F.expr(keys["chan_out"])
     )
@@ -68,9 +74,10 @@ def average_time_freq(vis: DataFrame, avg_time: int, avg_freq: int) -> DataFrame
 
 
 def averaging_oracle_select(vis: str = "vis", avg_time: int = 2,
-                            avg_freq: int = 2) -> str:
+                            avg_freq: int = 2,
+                            extra_mean_cols: tuple[str, ...] = ()) -> str:
     keys = _key_fragments(avg_time, avg_freq)
-    frags = _avg_fragments()
+    frags = _avg_fragments(extra_mean_cols)
     key_cols = ", ".join(
         [f"{keys['t_out']} AS t_out", f"{keys['chan_out']} AS chan_out",
          "bl", "ant1", "ant2"]

@@ -46,10 +46,15 @@ def rule_flags(spark: SparkSession, vis: DataFrame) -> DataFrame:
     return flags.set_flags(vis, ts_f, bl_f, fc_pred)
 
 
-def preprocess(spark: SparkSession, sf_dir: str,
-               avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) -> DataFrame:
-    """The full batch pipeline on the derived vis table at ``sf_dir``."""
-    vis = syn.load_vis(spark, sf_dir)
+def preprocess_baked(spark: SparkSession, sf_dir: str,
+                     vis: DataFrame | None = None) -> DataFrame:
+    """Pipeline up to (and including) flag→weight baking, before the
+    averaging shuffle — the corrections chain fused as one projection.
+    ``vis`` overrides the default scan (used by picket-fence ranges).
+    Output keeps the u/v/w columns the geometry stage emits (consumed by
+    the UVFITS sink)."""
+    if vis is None:
+        vis = syn.load_vis(spark, sf_dir)
     vis = rule_flags(spark, vis)
     vis = corrections.correct_cable_lengths(vis, syn.load_dim(spark, "antennas"))
     vis = corrections.correct_digital_gains(vis, syn.load_dim(spark, "digital_gains"))
@@ -57,8 +62,15 @@ def preprocess(spark: SparkSession, sf_dir: str,
     vis = corrections.correct_passband_gains(vis, fine_gains)
     vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
     vis = calibration.apply_di_calsol(vis, syn.load_dim(spark, "calsols"), CAL_RATIO)
-    vis = weights.bake_flags_into_weights(vis)
-    return averaging.average_time_freq(vis, avg_time, avg_freq)
+    return weights.bake_flags_into_weights(vis)
+
+
+def preprocess(spark: SparkSession, sf_dir: str,
+               avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ,
+               vis: DataFrame | None = None) -> DataFrame:
+    """The full batch pipeline on the derived vis table at ``sf_dir``."""
+    baked = preprocess_baked(spark, sf_dir, vis=vis)
+    return averaging.average_time_freq(baked, avg_time, avg_freq)
 
 
 def preprocess_full(spark: SparkSession, sf_dir: str,
@@ -94,13 +106,17 @@ def _flag_ctes() -> str:
     return f"ts_flags AS ({ts_f}), bl_flags AS ({bl_f})"
 
 
-def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS) -> str:
-    """CTE chain: vis → rule-flagged vis (shared by several oracles)."""
+def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS, vis_where: str = "") -> str:
+    """CTE chain: vis → rule-flagged vis (shared by several oracles).
+    ``vis_where`` restricts the scan (picket-fence channel ranges)."""
     fc_pred = flags.fine_channel_pred_sql(syn.NUM_FC, n_edge=N_EDGE, is_legacy=IS_LEGACY)
     flagged = flags.set_flags_oracle_select(
         "vis", "ts_flags", "bl_flags", fc_pred, vis_columns)
+    vis_cte = syn.vis_sql()
+    if vis_where:
+        vis_cte = f"SELECT * FROM ({vis_cte}) WHERE {vis_where}"
     return (
-        f"vis AS ({syn.vis_sql()}),"
+        f"vis AS ({vis_cte}),"
         f" antennas AS ({syn.ANTENNAS_SQL}),"
         f" timesteps AS ({syn.TIMESTEPS_SQL}),"
         f" {_flag_ctes()},"
@@ -108,9 +124,9 @@ def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS) -> str:
     )
 
 
-def preprocess_oracle_sql(avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) -> str:
-    """One DuckDB query equivalent to :func:`preprocess` — each stage a CTE
-    reusing the exact scalar fragments the Spark plan uses."""
+def baked_oracle_ctes(vis_where: str = "") -> str:
+    """CTE chain vis → … → ``baked`` (the pre-averaging pipeline state,
+    incl. u/v/w from the geometry stage)."""
     cols = syn.VIS_COLUMNS
     cols_uvw = tuple(cols) + ("u", "v", "w")
     cable = corrections.cable_oracle_select("flagged", "antennas", cols)
@@ -124,9 +140,8 @@ def preprocess_oracle_sql(avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) ->
         if c == "weight" else c
         for c in cols_uvw
     )
-    avg = averaging.averaging_oracle_select("baked", avg_time, avg_freq)
     return (
-        f"WITH {flagged_vis_oracle_cte()},"
+        f"{flagged_vis_oracle_cte(vis_where=vis_where)},"
         f" digital_gains AS ({syn.DIGITAL_GAINS_SQL}),"
         f" fine_gains AS ({fine_gains}),"
         f" part_uvw AS ({syn.PART_UVW_SQL}),"
@@ -137,5 +152,14 @@ def preprocess_oracle_sql(avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) ->
         f" geomed AS ({geom}),"
         f" caled AS ({cal}),"
         f" baked AS (SELECT {baked_cols} FROM caled)"
-        f" {avg}"
     )
+
+
+def preprocess_oracle_sql(avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ,
+                          vis_where: str = "",
+                          extra_mean_cols: tuple[str, ...] = ()) -> str:
+    """One DuckDB query equivalent to :func:`preprocess` — each stage a CTE
+    reusing the exact scalar fragments the Spark plan uses."""
+    avg = averaging.averaging_oracle_select("baked", avg_time, avg_freq,
+                                            extra_mean_cols)
+    return f"WITH {baked_oracle_ctes(vis_where)} {avg}"

@@ -1,0 +1,188 @@
+"""O1 — UVFITS sink (SURVEY.md §2.7; reference ``write_uvfits``,
+src/io/mod.rs:392-467, and the marlu random-groups writer it drives).
+
+Two layers:
+
+1. :func:`uvfits_group_rows` — the **relational form** of the
+   random-groups content: one row per (averaged time block, baseline,
+   output channel) carrying the group params (u, v, w, 256-coded
+   baseline, JD) plus the averaged visibilities/weights. This is the
+   oracle-checked surface; per-block UVWs are the plain f32 block mean of
+   the per-sample UVW diffs (the reference evaluates UVWs at averaged
+   centroids via precession — equivalent up to the synthetic part-UVW
+   table's granularity).
+   Baseline code: 256*(ant1+1) + (ant2+1) (reference
+   src/test_common.rs:195-205); JD from GPS seconds on the fixed GPS
+   epoch (JD 2444244.5), leap seconds ignored like the fixtures.
+2. :func:`write_uvfits` / :func:`read_uvfits` — a minimal pure-numpy
+   random-groups FITS writer/reader (no astropy in this environment):
+   2880-byte header blocks of 80-char cards, big-endian f32 groups of
+   PCOUNT=5 params (UU, VV, WW, BASELINE, DATE) + a (chan × pol ×
+   [re, im, wt]) data cube. Single-writer by design — the reference's
+   UVFITS append is sequential too (SURVEY.md §3.4); rows stream through
+   ``toLocalIterator`` in (t, bl) order so driver memory stays O(row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from birli_spark.functions.complex import POLS, VIS_COLS, f32
+from birli_spark.operators import averaging
+
+GPS_EPOCH_JD = 2444244.5  # 1980-01-06, JD of GPS second 0
+
+
+def _group_param_exprs(gps_start: float, int_time_s: float,
+                       avg_time: int) -> dict[str, str]:
+    # CAST every float literal to DOUBLE: DuckDB parses bare decimal
+    # literals as DECIMAL and its fixed-point arithmetic would diverge
+    # from Spark's double math in the last ulp.
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    centroid_gps = (f"({d(gps_start)} + (t_out * {avg_time}) * {d(int_time_s)}"
+                    f" + {d(avg_time * int_time_s / 2.0)})")
+    return {
+        "bl_code": "CAST(256 * (ant1 + 1) + (ant2 + 1) AS INT)",
+        "jd": f"({d(GPS_EPOCH_JD)} + {centroid_gps} / {d(86400.0)})",
+    }
+
+
+def uvfits_group_rows(baked: DataFrame, avg_time: int, avg_freq: int,
+                      gps_start: float, int_time_s: float) -> DataFrame:
+    """Averaged output + UVFITS group params, from the pre-averaging
+    pipeline state (pipeline.preprocess_baked — must still carry the
+    u/v/w columns of the geometry stage)."""
+    avg = averaging.average_time_freq(baked, avg_time, avg_freq,
+                                      extra_mean_cols=("u", "v", "w"))
+    exprs = _group_param_exprs(gps_start, int_time_s, avg_time)
+    return avg.select(
+        "t_out", "chan_out", "bl", "ant1", "ant2",
+        F.expr(exprs["bl_code"]).alias("bl_code"),
+        F.expr(exprs["jd"]).alias("jd"),
+        "u", "v", "w", *VIS_COLS, "weight", "flag", "n_samples")
+
+
+def uvfits_rows_oracle_select(baked: str, avg_time: int, avg_freq: int,
+                              gps_start: float, int_time_s: float) -> str:
+    avg = averaging.averaging_oracle_select(baked, avg_time, avg_freq,
+                                            extra_mean_cols=("u", "v", "w"))
+    exprs = _group_param_exprs(gps_start, int_time_s, avg_time)
+    vis_cols = ", ".join(VIS_COLS)
+    return (
+        f"SELECT t_out, chan_out, bl, ant1, ant2, "
+        f"{exprs['bl_code']} AS bl_code, {exprs['jd']} AS jd, "
+        f"u, v, w, {vis_cols}, weight, flag, n_samples FROM ({avg})")
+
+
+# ------------------------------------------------- minimal FITS writer ---
+
+_BLOCK = 2880
+PTYPES = ("UU", "VV", "WW", "BASELINE", "DATE")
+
+
+def _card(key: str, value, comment: str = "") -> bytes:
+    if isinstance(value, bool):
+        v = "T" if value else "F"
+        s = f"{key:<8}= {v:>20}"
+    elif isinstance(value, (int, float)):
+        s = f"{key:<8}= {value:>20}"
+    elif value is None:
+        s = f"{key:<80}"[:80]
+        return s.encode("ascii")
+    else:
+        s = f"{key:<8}= '{value}'"
+    if comment:
+        s += f" / {comment}"
+    return f"{s:<80}"[:80].encode("ascii")
+
+
+def _pad(b: bytes, fill: bytes = b" ") -> bytes:
+    rem = len(b) % _BLOCK
+    return b if rem == 0 else b + fill * (_BLOCK - rem)
+
+
+def write_uvfits(path: str, groups, n_chan: int, n_groups: int,
+                 object_name: str = "synthetic") -> None:
+    """Write random-groups UVFITS. ``groups`` iterates
+    (u, v, w, bl_code, jd, data) with data shaped (n_chan, 4, 3) float —
+    e.g. from a DataFrame's ordered ``toLocalIterator``."""
+    cards = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", -32, "IEEE float32"),
+        _card("NAXIS", 6),
+        _card("NAXIS1", 0, "random groups"),
+        _card("NAXIS2", 3, "re, im, weight"),
+        _card("NAXIS3", 4, "pols: XX YY XY YX"),
+        _card("NAXIS4", n_chan, "fine channels"),
+        _card("NAXIS5", 1), _card("NAXIS6", 1),
+        _card("GROUPS", True), _card("PCOUNT", len(PTYPES)),
+        _card("GCOUNT", n_groups),
+        _card("OBJECT", object_name),
+    ]
+    for i, pt in enumerate(PTYPES):
+        cards.append(_card(f"PTYPE{i + 1}", pt))
+        cards.append(_card(f"PSCAL{i + 1}", 1.0))
+        cards.append(_card(f"PZERO{i + 1}", 0.0))
+    cards.append(f"{'END':<80}".encode("ascii"))
+    with open(path, "wb") as f:
+        f.write(_pad(b"".join(cards)))
+        n = 0
+        for u, v, w, bl_code, jd, data in groups:
+            rec = np.empty(5 + n_chan * 4 * 3, dtype=">f4")
+            rec[:5] = (u, v, w, float(bl_code), jd)
+            rec[5:] = np.asarray(data, dtype=np.float64).reshape(-1)
+            f.write(rec.tobytes())
+            n += 1
+        if n != n_groups:
+            raise ValueError(f"wrote {n} groups, declared {n_groups}")
+        written = n * (5 + n_chan * 4 * 3) * 4
+        if written % _BLOCK:
+            f.write(b"\x00" * (_BLOCK - written % _BLOCK))
+
+
+def read_uvfits(path: str) -> tuple[dict, np.ndarray, np.ndarray]:
+    """Minimal reader for round-trip tests → (header, params (G, 5),
+    data (G, n_chan, 4, 3))."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    header: dict[str, object] = {}
+    off = 0
+    done = False
+    while not done:
+        block = raw[off:off + _BLOCK]
+        off += _BLOCK
+        for i in range(0, _BLOCK, 80):
+            card = block[i:i + 80].decode("ascii")
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if "=" not in card:
+                continue
+            val = card[9:].split("/")[0].strip()
+            if val.startswith("'"):
+                header[key] = val.strip("'").strip()
+            elif val in ("T", "F"):
+                header[key] = val == "T"
+            else:
+                header[key] = float(val) if "." in val else int(val)
+    n_chan = int(header["NAXIS4"])
+    g = int(header["GCOUNT"])
+    per = 5 + n_chan * 4 * 3
+    arr = np.frombuffer(raw, dtype=">f4", count=g * per,
+                        offset=off).reshape(g, per)
+    return header, arr[:, :5].astype(np.float64), (
+        arr[:, 5:].reshape(g, n_chan, 4, 3).astype(np.float64))
+
+
+def f32_expr(e: str) -> str:  # re-export for sink callers
+    return f32(e)
+
+
+#: pol order in the UVFITS data cube (reference/marlu write XX YY XY YX)
+UVFITS_POLS = ("xx", "yy", "xy", "yx")
+assert set(UVFITS_POLS) == set(POLS)
