@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from birli_spark.functions import textsql as X
 
@@ -91,7 +92,9 @@ def shingle_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     """All-pairs n-gram Jaccard via the shared-shingle equi-join (pairs
     with zero overlap never materialize). ``max_df`` drops stop-shingles
     to bound join fan-out on skewed corpora."""
-    sh = _shingle_table(docs)
+    # the shingle table feeds the candidate join (twice) AND the verify
+    # joins — persist so the scan+tokenize+explode runs once, not 4x
+    sh = _shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
     join_side = sh
     if max_df is not None:
         keep = (sh.groupBy("s").agg(F.count("*").alias("df"))
@@ -141,7 +144,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     same-bucket pairs are compared (no quadratic blow-up); the verify
     join recomputes true Jaccard on the (small) candidate set."""
     r = seeds // bands
-    sig = minhash_signatures(docs, seeds)
+    # one persisted shingle table serves signature building AND the
+    # Jaccard verification — without it the corpus is re-tokenized 3x
+    sh = _shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    aggs = [F.min(F.expr(X.minhash16("s", k))).alias(f"h{k}")
+            for k in range(seeds)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("key"))
@@ -154,7 +162,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     cand = (a.join(b, ["band", "key"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-    return _verify_jaccard(cand, _shingle_table(docs), threshold)
+    return _verify_jaccard(cand, sh, threshold)
 
 
 def minhash_lsh_oracle_sql(threshold: float = 0.5,

@@ -208,7 +208,11 @@ def correct_van_vleck(vis: DataFrame, sample_scale: float,
     Rows whose sigma is unavailable (flagged ant / missing auto) pass
     through unchanged, like the reference's ``_ => {}`` arm (:305).
     """
-    sig = auto_sigmas(vis, sample_scale, flagged_ants)
+    # both join sides consume the sigma table — persist so the Newton
+    # solve (groupBy + mapInPandas over all autos) runs once, not twice
+    from pyspark.storagelevel import StorageLevel
+    sig = auto_sigmas(vis, sample_scale, flagged_ants).persist(
+        StorageLevel.MEMORY_AND_DISK)
     s1 = sig.select(F.col("t"), F.col("chan"), F.col("ant").alias("ant1"),
                     F.col("sigma_x").alias("_s1x"), F.col("sigma_y").alias("_s1y"))
     s2 = sig.select(F.col("t"), F.col("chan"), F.col("ant").alias("ant2"),
