@@ -37,6 +37,7 @@ from birli_spark.operators import (
 )
 from birli_spark.sinks import flagsink
 from birli_spark.sinks import uvfits as uvfits_sink
+from birli_spark.sources import gpubox
 from birli_spark.sources import synthetic as syn
 
 _COLS = syn.VIS_COLUMNS
@@ -180,6 +181,23 @@ def _q_pipeline_full(spark, sf_dir):
 
 def _q_antenna_dim(spark, sf_dir):
     return syn.load_dim(spark, "antennas")
+
+
+_GPUBOX_SHAPE = dict(num_cc=3, num_ants=4, num_fine=8, num_timesteps=8)
+
+
+def _q_gpubox_scan(spark, sf_dir):
+    import os
+    import tempfile
+    from birli_spark.sources import gpubox
+    d = os.path.join(tempfile.gettempdir(), "birli_spark_gpubox")
+    os.makedirs(d, exist_ok=True)
+    for cc in range(_GPUBOX_SHAPE["num_cc"]):
+        gpubox.write_gpubox(
+            os.path.join(d, f"gpubox_{cc:02d}.fits"), cc,
+            _GPUBOX_SHAPE["num_ants"], _GPUBOX_SHAPE["num_fine"],
+            _GPUBOX_SHAPE["num_timesteps"], obsid=1297526432)
+    return gpubox.read_gpubox(spark, d + "/*.fits")
 
 
 def _q_aocal_scan(spark, sf_dir):
@@ -335,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_rfi_sumthreshold": _q_rfi,
         "pipeline_preprocess_full": _q_pipeline_full,
         "s3_antenna_dim": _q_antenna_dim,
+        "s1b_gpubox_fits_scan": _q_gpubox_scan,
         "s4_aocal_scan": _q_aocal_scan,
         "s5_o3_flag_roundtrip": _q_flag_roundtrip,
         "o1_uvfits_rows": _q_uvfits_rows,
@@ -463,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_rowcount_validation": _with_vis("SELECT COUNT(*) AS n_rows FROM vis"),
         "pipeline_preprocess": pipeline.preprocess_oracle_sql(),
         "s3_antenna_dim": syn.ANTENNAS_SQL,
+        "s1b_gpubox_fits_scan": gpubox.expected_grid_sql(**_GPUBOX_SHAPE),
         "s4_aocal_scan": syn.CALSOLS_SQL,
         "s5_o3_flag_roundtrip": (
             f"WITH {pipeline.flagged_vis_oracle_cte()} "

@@ -79,30 +79,14 @@ def uvfits_rows_oracle_select(baked: str, avg_time: int, avg_freq: int,
 
 
 # ------------------------------------------------- minimal FITS writer ---
+# (shared primitives in sources/fitscore.py)
 
-_BLOCK = 2880
+from birli_spark.sources import fitscore as _fc  # noqa: E402
+
+_BLOCK = _fc.BLOCK
+_card = _fc.card
+_pad = _fc.pad_block
 PTYPES = ("UU", "VV", "WW", "BASELINE", "DATE")
-
-
-def _card(key: str, value, comment: str = "") -> bytes:
-    if isinstance(value, bool):
-        v = "T" if value else "F"
-        s = f"{key:<8}= {v:>20}"
-    elif isinstance(value, (int, float)):
-        s = f"{key:<8}= {value:>20}"
-    elif value is None:
-        s = f"{key:<80}"[:80]
-        return s.encode("ascii")
-    else:
-        s = f"{key:<8}= '{value}'"
-    if comment:
-        s += f" / {comment}"
-    return f"{s:<80}"[:80].encode("ascii")
-
-
-def _pad(b: bytes, fill: bytes = b" ") -> bytes:
-    rem = len(b) % _BLOCK
-    return b if rem == 0 else b + fill * (_BLOCK - rem)
 
 
 def write_uvfits(path: str, groups, n_chan: int, n_groups: int,
