@@ -91,6 +91,18 @@ def _q_baseline_flags(spark, sf_dir):
     return flags.baseline_flags(syn.load_dim(spark, "antennas"))
 
 
+_EXPLICIT_FCS = (2, 5)
+
+
+def _q_fine_chan_flags(spark, sf_dir):
+    pred = flags.flag_fine_channels(
+        syn.NUM_FC, n_edge=pipeline.N_EDGE, is_legacy=pipeline.IS_LEGACY,
+        explicit_fcs=_EXPLICIT_FCS)
+    return (syn.load_vis(spark, sf_dir)
+            .select("cc", "fc").distinct()
+            .withColumn("fc_flag", pred))
+
+
 def _q_set_flags(spark, sf_dir):
     return pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
 
@@ -332,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_filter_flagged_ants": _q_filter_flagged_ants,
         "p4_filter_autos": _q_filter_autos,
         "f2_quack_flags": _q_quack_flags,
+        "f3_f5_fine_chan_flags": _q_fine_chan_flags,
         "f6_baseline_flags": _q_baseline_flags,
         "f7_set_flags": _q_set_flags,
         "f8_unflagged_ranges": _q_unflagged_ranges,
@@ -432,6 +445,12 @@ def oracle_sql() -> dict[str, str]:
             + flags.quack_oracle_select(
                 "timesteps", syn.GPS_START, pipeline.OBS_END_GPS,
                 quack_s=pipeline.QUACK_S)),
+        "f3_f5_fine_chan_flags": _with_vis(
+            "SELECT DISTINCT cc, fc, "
+            + flags.fine_channel_pred_sql(
+                syn.NUM_FC, n_edge=pipeline.N_EDGE,
+                is_legacy=pipeline.IS_LEGACY, explicit_fcs=_EXPLICIT_FCS)
+            + " AS fc_flag FROM vis"),
         "f6_baseline_flags": (
             f"WITH antennas AS ({syn.ANTENNAS_SQL}) "
             + flags.baseline_flags_oracle_select("antennas")),

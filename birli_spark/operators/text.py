@@ -45,12 +45,21 @@ def _stats_exprs(d: str) -> dict[str, str]:
     uniq_ratio = f"CAST({n_uniq} AS DOUBLE) / {n}"
     # single-space-joined text: total token chars = len - (n-1) separators
     mean_len = f"CAST(length(trim(text)) - ({n}) + 1 AS DOUBLE) / {n}"
+    # BPE-ish subtoken estimate: ceil(len/4) pieces per word (~4 chars per
+    # merged piece, the usual BPE average) — integer-exact in both engines
+    piece = "x -> CAST(FLOOR((length(x) + 3) / 4) AS INT)"
+    pieces = X.ltransform(d, t, piece)
+    if d == X.SPARK:
+        n_sub = f"aggregate({pieces}, 0, (a, x) -> a + x)"
+    else:
+        n_sub = f"CAST(list_sum({pieces}) AS INT)"
     quality = f32(
         f"CAST(0.4 AS DOUBLE) * ({uniq_ratio}) "
         f"+ CAST(0.4 AS DOUBLE) * (CAST(1 AS DOUBLE) - ({stop_ratio})) "
         f"+ CAST(0.2 AS DOUBLE) * LEAST(CAST({n} AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))")
     return {
         "n_tokens": f"CAST({n} AS INT)",
+        "n_subtokens": n_sub,
         "n_unique": f"CAST({n_uniq} AS INT)",
         "stopword_ratio": stop_ratio,
         "uniq_ratio": uniq_ratio,
