@@ -229,6 +229,15 @@ def _q_flag_roundtrip(spark, sf_dir):
     return flagsink.read_flags(spark, out)
 
 
+def _q_mwaf_roundtrip(spark, sf_dir):
+    import tempfile
+    from birli_spark.sinks import mwaf
+    out = f"{tempfile.gettempdir()}/birli_spark_mwaf"
+    vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
+    mwaf.write_mwaf_set(vis, out, obsid=1254670392, gps_start=syn.GPS_START)
+    return mwaf.read_mwaf_set(spark, out)
+
+
 def _q_uvfits_rows(spark, sf_dir):
     from birli_spark.sinks import uvfits
     baked = pipeline.preprocess_baked(spark, sf_dir)
@@ -369,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1b_gpubox_fits_scan": _q_gpubox_scan,
         "s4_aocal_scan": _q_aocal_scan,
         "s5_o3_flag_roundtrip": _q_flag_roundtrip,
+        "o3b_mwaf_roundtrip": _q_mwaf_roundtrip,
         "o1_uvfits_rows": _q_uvfits_rows,
         "p5_picket_ranges": _q_picket,
         "o4_describe": _q_describe,
@@ -506,6 +516,25 @@ def oracle_sql() -> dict[str, str]:
         "s5_o3_flag_roundtrip": (
             f"WITH {pipeline.flagged_vis_oracle_cte()} "
             f"SELECT {', '.join(flagsink.FLAG_COLS)} FROM flagged"),
+        # mwaf bit-table = OR-reduced cells on the full dense (t, bl, chan)
+        # grid; cells absent from the fact table read back unflagged
+        "o3b_mwaf_roundtrip": (
+            f"WITH {pipeline.flagged_vis_oracle_cte()}, "
+            "cell AS (SELECT t, bl, cc, fc, MAX(flag) AS flag FROM flagged"
+            " GROUP BY t, bl, cc, fc), "
+            f"grid AS (SELECT t.t, b.bl, c.cc, f.fc FROM"
+            f" (SELECT unnest(generate_series(0, {syn.NUM_T - 1})) AS t) t"
+            f" CROSS JOIN (SELECT unnest(generate_series(0,"
+            f" {syn.NUM_ANTS * syn.NUM_ANTS - 1})) AS bl) b"
+            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_CC - 1}))"
+            f" AS cc) c"
+            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_FC - 1}))"
+            f" AS fc) f) "
+            "SELECT CAST(g.t AS BIGINT) AS t, CAST(g.bl AS BIGINT) AS bl,"
+            " CAST(g.cc AS BIGINT) AS cc, CAST(g.fc AS BIGINT) AS fc,"
+            " COALESCE(cell.flag, FALSE) AS flag"
+            " FROM grid g LEFT JOIN cell ON cell.t = g.t AND cell.bl = g.bl"
+            " AND cell.cc = g.cc AND cell.fc = g.fc"),
         "o1_uvfits_rows": (
             f"WITH {pipeline.baked_oracle_ctes()} "
             + uvfits_sink.uvfits_rows_oracle_select(

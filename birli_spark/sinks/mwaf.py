@@ -1,0 +1,177 @@
+"""O3/S5 — the real bit-packed ``.mwaf`` FITS flag format (reference
+``FlagFileSet``, src/io/mwaf.rs): one FITS file per coarse channel from a
+``%``-template (2 digits legacy / 3 MWAX, src/io/mwaf.rs:106-138), a
+primary header of observation metadata (src/io/mwaf.rs:263-349), a FLAGS
+bintable with one row per (timestep, baseline) and one **bit** per fine
+channel (src/io/mwaf.rs:424-495), and CH_OCC / BL_OCC occupancy
+bintables on finalise (src/io/mwaf.rs:528-628).
+
+This complements the parquet flag sink (sinks/flagsink.py — the
+cluster-native form): the mwaf writer is the interchange format so
+downstream reference-ecosystem tools can consume our flags. Flag volumes
+are 1 bit/cell (≈ 0.4% of vis bytes), so the per-coarse-channel
+driver-side packing loop is not a scale concern; rows stream through
+``toPandas`` per channel in (t, bl) order like the reference's
+sequential cfitsio appends (SURVEY.md §3.4).
+
+Bit order: FITS ``X`` columns are MSB-first within each byte —
+``np.packbits(bitorder='big')``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from birli_spark.sources import fitscore as fc
+
+VERSION = "2.0"
+
+
+def expand_template(template: str, cc: int, digits: int = 2) -> str:
+    """``Flagfile%%.mwaf`` → ``Flagfile01.mwaf`` (legacy: 2 digits, MWAX:
+    3 — reference src/io/mwaf.rs:106-138)."""
+    marker = "%" * digits
+    if marker not in template:
+        raise ValueError(f"template {template!r} lacks {marker!r}")
+    return template.replace(marker, f"{cc:0{digits}d}")
+
+
+def _bintable_hdu(extname: str, coldefs: list[tuple[str, str]],
+                  rows: bytes, n_rows: int, row_bytes: int,
+                  extra_cards: list[bytes] | None = None) -> bytes:
+    cards = [
+        fc.card("XTENSION", "BINTABLE"), fc.card("BITPIX", 8),
+        fc.card("NAXIS", 2), fc.card("NAXIS1", row_bytes),
+        fc.card("NAXIS2", n_rows), fc.card("PCOUNT", 0), fc.card("GCOUNT", 1),
+        fc.card("TFIELDS", len(coldefs)),
+    ]
+    for i, (name, tform) in enumerate(coldefs, start=1):
+        cards.append(fc.card(f"TTYPE{i}", name))
+        cards.append(fc.card(f"TFORM{i}", tform))
+    cards.append(fc.card("EXTNAME", extname))
+    cards.extend(extra_cards or [])
+    cards.append(fc.end_card())
+    return fc.pad_block(b"".join(cards)) + fc.pad_block(rows, b"\x00")
+
+
+def _dense_flags(pdf: pd.DataFrame,
+                 n_chans: int) -> tuple[np.ndarray, int, int]:
+    """Dense boolean matrix over the full (t, bl) grid, t-major (the
+    reference's row order, src/io/mwaf.rs:451-495); absent cells are
+    unflagged. t and bl must be 0-based dense indices — like the
+    reference's timestep/baseline indices — so read-back can reconstruct
+    (t, bl) from the row number alone."""
+    nscans = int(pdf["t"].max()) + 1 if len(pdf) else 0
+    nbl = int(pdf["bl"].max()) + 1 if len(pdf) else 0
+    mat = np.zeros((nscans * nbl, n_chans), dtype=bool)
+    rows = pdf["t"].to_numpy() * nbl + pdf["bl"].to_numpy()
+    mat[rows, pdf["fc"].to_numpy()] |= pdf["flag"].to_numpy(dtype=bool)
+    return mat, nscans, nbl
+
+
+def write_mwaf_set(flags: DataFrame, out_dir: str,
+                   template: str = "Flagfile%%.mwaf", digits: int = 2,
+                   obsid: int = 0, gps_start: float = 0.0,
+                   software: str = "birli_spark") -> list[str]:
+    """Write one .mwaf FITS per coarse channel. ``flags`` needs columns
+    (t, bl, cc, fc, flag); duplicate cells OR together."""
+    os.makedirs(out_dir, exist_ok=True)
+    cell = (flags.groupBy("t", "bl", "cc", "fc")
+            .agg(F.max("flag").alias("flag")))
+    n_chans = cell.agg(F.countDistinct("fc")).collect()[0][0]
+    paths = []
+    for cc_row in sorted(r.cc for r in cell.select("cc").distinct().collect()):
+        pdf = (cell.filter(F.col("cc") == cc_row)
+               .select("t", "bl", "fc", "flag").toPandas())
+        mat, nscans, nbl = _dense_flags(pdf, n_chans)
+        packed = np.packbits(mat, axis=1, bitorder="big")
+        primary = fc.pad_block(b"".join([
+            fc.card("SIMPLE", True), fc.card("BITPIX", 8),
+            fc.card("NAXIS", 0),
+            fc.card("VERSION", VERSION), fc.card("OBSID", obsid),
+            fc.card("GPSSTART", gps_start), fc.card("NCHANS", n_chans),
+            fc.card("NSCANS", nscans), fc.card("NBL", nbl),
+            fc.card("CC_IDX", cc_row), fc.card("SOFTWARE", software),
+            fc.end_card()]))
+        flags_hdu = _bintable_hdu(
+            "FLAGS", [("FLAGS", f"{n_chans}X")], packed.tobytes(),
+            n_rows=mat.shape[0], row_bytes=packed.shape[1])
+        occ = mat.sum(axis=0)
+        # NOTE: np.int32(x).astype('>i4') silently keeps native byte order
+        # for 0-d scalars — 1-element arrays honor the big-endian dtype
+        ch_rows = b"".join(
+            np.array([i], dtype=">i4").tobytes()
+            + np.array([occ[i]], dtype=">i8").tobytes()
+            + np.array([occ[i] / mat.shape[0]], dtype=">f8").tobytes()
+            for i in range(n_chans))
+        ch_hdu = _bintable_hdu(
+            "CH_OCC", [("Index", "1J"), ("Count", "1K"), ("Occupancy", "1D")],
+            ch_rows, n_rows=n_chans, row_bytes=20)
+        path = os.path.join(out_dir, expand_template(template, cc_row, digits))
+        with open(path, "wb") as f:
+            f.write(primary + flags_hdu + ch_hdu)
+        paths.append(path)
+    return paths
+
+
+def read_mwaf(path: str) -> tuple[dict, np.ndarray, pd.DataFrame]:
+    """→ (primary header, dense flag matrix [(t,bl) row][fine_chan],
+    CH_OCC table)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    primary, off = fc.parse_header(raw)
+    flags_mat = None
+    ch_occ = None
+    while off < len(raw):
+        hdr, off = fc.parse_header(raw, off)
+        size = fc.data_size_bytes(hdr)
+        data = raw[off:off + size]
+        off = fc.skip_data(off, hdr)
+        if hdr.get("EXTNAME") == "FLAGS":
+            n_rows = int(hdr["NAXIS2"])
+            row_bytes = int(hdr["NAXIS1"])
+            n_chans = int(primary["NCHANS"])
+            packed = np.frombuffer(data, dtype=np.uint8).reshape(
+                n_rows, row_bytes)
+            flags_mat = np.unpackbits(
+                packed, axis=1, bitorder="big")[:, :n_chans].astype(bool)
+        elif hdr.get("EXTNAME") == "CH_OCC":
+            n = int(hdr["NAXIS2"])
+            rec = np.frombuffer(
+                data, dtype=np.dtype([("Index", ">i4"), ("Count", ">i8"),
+                                      ("Occupancy", ">f8")]), count=n)
+            ch_occ = pd.DataFrame(rec)
+    if flags_mat is None:
+        raise ValueError(f"{path}: no FLAGS HDU")
+    return primary, flags_mat, ch_occ
+
+
+def read_mwaf_set(spark: SparkSession, out_dir: str,
+                  template: str = "Flagfile%%.mwaf",
+                  digits: int = 2) -> DataFrame:
+    """Read a whole .mwaf set back into the long-format flag DataFrame
+    (row order (t, bl) per file, reference src/io/mwaf.rs:798-893)."""
+    frames = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".mwaf"):
+            continue
+        primary, mat, _ = read_mwaf(os.path.join(out_dir, name))
+        cc = int(primary["CC_IDX"])
+        n_chans = int(primary["NCHANS"])
+        nbl = int(primary["NBL"])
+        n_rows = mat.shape[0]
+        t_of_row = np.arange(n_rows) // nbl
+        bl_of_row = np.arange(n_rows) % nbl
+        frames.append(pd.DataFrame({
+            "t": np.repeat(t_of_row, n_chans),
+            "bl": np.repeat(bl_of_row, n_chans),
+            "cc": cc,
+            "fc": np.tile(np.arange(n_chans), n_rows),
+            "flag": mat.reshape(-1),
+        }))
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
