@@ -22,6 +22,7 @@ from birli_spark import pipeline
 from birli_spark.operators import (
     averaging,
     calibration,
+    chunking,
     corrections,
     dedup,
     describe,
@@ -256,6 +257,13 @@ def _q_describe(spark, sf_dir):
     return describe.describe(spark, syn.load_vis(spark, sf_dir))
 
 
+def _q_time_chunks(spark, sf_dir):
+    from birli_spark.operators import chunking
+    vis = syn.load_vis(spark, sf_dir)
+    chunked = chunking.with_time_chunks(vis, 8, avg_time=pipeline.AVG_TIME)
+    return chunked.select("chunk", "t").distinct()
+
+
 # --- training-data pipeline operators (documents / embeddings / events) ---
 
 def _q_token_stats(spark, sf_dir):
@@ -381,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3b_mwaf_roundtrip": _q_mwaf_roundtrip,
         "o1_uvfits_rows": _q_uvfits_rows,
         "p5_picket_ranges": _q_picket,
+        "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
         # training-data pipeline (north-star ops beyond the reference)
         "t1_token_stats": _q_token_stats,
@@ -541,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
+        "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),
         "t1_token_stats": text.token_stats_oracle_sql(),
         "t2_lang_id": text.lang_id_oracle_sql(),
