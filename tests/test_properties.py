@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure-numpy kernels: Van
+Vleck inversions are true inverses on their domains, SumThreshold is
+monotone and spike-complete, and the streaming session transition is
+batch-split invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from birli_spark.operators import rfi, vanvleck
+from birli_spark.streaming import sessions
+
+US = 1_000_000
+GAP = 1_800_000_000
+
+
+# ------------------------------------------------------------- van vleck ---
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(min_value=0.6, max_value=8.0))
+def test_autos_inverts_sighat(sigma):
+    got = vanvleck.van_vleck_autos(vanvleck.sighat(np.array([sigma])))
+    assert abs(got[0] - sigma) < 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.floats(min_value=0.8, max_value=3.0),
+       st.floats(min_value=0.8, max_value=3.0),
+       st.floats(min_value=-0.8, max_value=0.8))
+def test_crosses_inverts_forward_integral(s1, s2, rho):
+    x = vanvleck._K[None, :] / s1
+    y = vanvleck._K[None, :] / s2
+    khat = vanvleck._corrcorrect_simp(np.array([abs(rho)]), x, y)[0]
+    khat = np.copysign(khat, rho)
+    got = vanvleck.van_vleck_crosses(
+        np.array([khat]), np.array([s1]), np.array([s2]))
+    assert abs(got[0] - rho * s1 * s2) < 1e-8
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.floats(min_value=0.6, max_value=8.0))
+def test_sighat_is_monotone_increasing(sigma):
+    a, b = vanvleck.sighat(np.array([sigma, sigma + 0.1]))
+    assert b > a
+
+
+# ----------------------------------------------------------- sumthreshold ---
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=15),
+       st.integers(min_value=0, max_value=23),
+       st.floats(min_value=50.0, max_value=1000.0))
+def test_sumthreshold_flags_single_spike(ti, ci, amp):
+    rng = np.random.default_rng(ti * 31 + ci)
+    img = rng.normal(1.0, 0.1, size=(16, 24))
+    img[ti, ci] += amp
+    mask = rfi.sumthreshold_mask(img)
+    assert mask[ti, ci]
+    assert mask.mean() < 0.5  # no blanket flagging
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.floats(min_value=3.0, max_value=8.0))
+def test_sumthreshold_monotone_in_sensitivity(sens):
+    rng = np.random.default_rng(7)
+    img = rng.normal(1.0, 0.1, size=(16, 24))
+    img[3, 4] += 50
+    img[10, 12:16] += 5
+    tight = rfi.sumthreshold_mask(img, base_sensitivity=sens)
+    loose = rfi.sumthreshold_mask(img, base_sensitivity=sens + 2.0)
+    assert (loose <= tight).all()  # higher threshold flags a subset
+
+
+def test_sumthreshold_constant_image_unflagged():
+    img = np.full((8, 8), 3.0)
+    assert not rfi.sumthreshold_mask(img).any()
+
+
+# ------------------------------------------------- session batch-splitting ---
+
+events_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20_000),  # seconds
+              st.floats(min_value=-10, max_value=10)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=40, deadline=None)
+@given(events_strategy, st.integers(min_value=0, max_value=39))
+def test_session_transition_split_invariant(evs, cut):
+    rows = [(t * US, i, v) for i, (t, v) in enumerate(sorted(evs))]
+    pdf = pd.DataFrame(rows, columns=["ts_us", "event_id", "value"])
+    whole, st_whole = sessions._session_update(1, pdf, None, GAP)
+    cut = min(cut, len(pdf) - 1)
+    if cut == 0:
+        split, st_split = sessions._session_update(1, pdf, None, GAP)
+    else:
+        part1, mid = sessions._session_update(1, pdf.iloc[:cut], None, GAP)
+        part2, st_split = sessions._session_update(1, pdf.iloc[cut:], mid, GAP)
+        # part2 re-emits (upserts) any session it touched; final state of
+        # each session_seq comes from the last emission
+        merged = pd.concat([part1, part2]).drop_duplicates(
+            subset=["session_seq"], keep="last").sort_values("session_seq",
+                                                             ignore_index=True)
+        split = merged
+    assert st_whole == st_split
+    pd.testing.assert_frame_equal(
+        whole.reset_index(drop=True), split.reset_index(drop=True),
+        check_dtype=False)
