@@ -1,0 +1,32 @@
+"""Smoke test of the end-to-end example (gpubox FITS → pipeline →
+UVFITS + mwaf): the reference's examples/preprocess.rs analogue."""
+
+from __future__ import annotations
+
+import runpy
+import sys
+
+import numpy as np
+
+
+def test_example_end_to_end(tmp_path, monkeypatch):
+    # the example manages its own SparkSession (getOrCreate reuses ours)
+    sys.modules.pop("examples.preprocess", None)
+    mod = runpy.run_path("examples/preprocess.py")
+    # prevent the example from stopping the shared test session
+    import birli_spark.session as sess
+    real_stop = None
+    result = None
+    spark = sess.get_spark("birli_spark_tests")
+    real_stop = spark.stop
+    try:
+        spark.stop = lambda: None
+        result = mod["main"](str(tmp_path / "demo"))
+    finally:
+        spark.stop = real_stop
+    assert result["raw_files"] == 3 and result["mwaf_files"] == 3
+    assert result["uvfits_groups"] == 20  # 10 baselines x 2 avg blocks
+    from birli_spark.sinks import uvfits
+    header, params, data = uvfits.read_uvfits(result["uvfits_path"])
+    assert header["GCOUNT"] == 20
+    assert np.isfinite(data).all()
