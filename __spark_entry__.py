@@ -338,6 +338,12 @@ def _q_sessionize(spark, sf_dir):
     return events.sessionize(corpus.load_events(spark, sf_dir))
 
 
+def _q_top_users_salted(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.top_users_salted(corpus.load_events(spark, sf_dir))
+
+
 def _q_media_features(spark, sf_dir):
     from birli_spark.operators import multimodal
     from birli_spark.sources import corpus
@@ -404,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "e1_windowed_agg": _q_windowed_agg,
         "e2_sessionize": _q_sessionize,
+        "e3_top_users_salted": _q_top_users_salted,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
     }
@@ -564,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
         "e1_windowed_agg": events.windowed_agg_oracle_sql(),
         "e2_sessionize": events.sessionize_oracle_sql(),
+        "e3_top_users_salted": events.top_users_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
     }

@@ -86,6 +86,48 @@ def sessionize(events: DataFrame,
                  F.expr(f32("SUM(value)")).alias("sum_value")))
 
 
+def top_users_salted(events: DataFrame, k: int = 10,
+                     salt_n: int = 8) -> DataFrame:
+    """Top-k users by event count/value via a **salted two-stage
+    aggregation** — the skew pattern: stage 1 groups on (user, salt) so a
+    pathological hot user spreads over ``salt_n`` reducers; stage 2
+    merges the partials on user alone (tiny input). Results are
+    identical to a direct groupBy — the salt only reshapes the shuffle.
+
+    Salt must be deterministic for the oracle: ``event_id % salt_n``
+    (production would use ``rand()``; any uniform assignment works since
+    stage 2 re-merges)."""
+    stage1 = (events
+              .withColumn("salt", F.expr(f"event_id % {salt_n}"))
+              .groupBy("user_id", "salt")
+              .agg(F.count("*").alias("pn"),
+                   F.sum("value").alias("pv")))
+    merged = (stage1.groupBy("user_id")
+              .agg(F.sum("pn").alias("n_events"),
+                   F.expr(f32("SUM(pv)")).alias("sum_value")))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (merged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("user_id", "n_events", "sum_value",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def top_users_oracle_sql(k: int = 10) -> str:
+    """The direct (unsalted) form — identical results by construction
+    (the salt only changes the physical shuffle, and the f32-demoted sum
+    absorbs partial-order differences)."""
+    return f"""
+WITH agg AS (
+  SELECT user_id, COUNT(*) AS n_events, {f32('SUM(value)')} AS sum_value
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT user_id, n_events, sum_value,
+    ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id ASC) AS rank
+  FROM agg)
+SELECT user_id, n_events, sum_value, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def sessionize_oracle_sql(gap_us: int = SESSION_GAP_US) -> str:
     return f"""
 WITH flagged AS (
