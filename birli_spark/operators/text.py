@@ -122,6 +122,23 @@ def lang_id_oracle_sql() -> str:
 
 
 SHINGLE_N = 3
+_RH_BASE = 131
+_RH_MOD = 1_000_000_007
+
+
+def _rolling_hash(d: str, col: str = "text") -> str:
+    """Rabin-Karp polynomial rolling hash over the character codes:
+    ``h = (h * 131 + code) mod 1e9+7`` — a sequential integer fold,
+    bit-identical across engines. (DuckDB's list_reduce has no init
+    argument; prepending 0 makes the first element the seed.)"""
+    if d == X.SPARK:
+        codes = f"transform(split({col}, ''), c -> CAST(ascii(c) AS BIGINT))"
+        return (f"aggregate({codes}, CAST(0 AS BIGINT), "
+                f"(acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})")
+    codes = (f"list_transform(string_split({col}, ''), "
+             f"c -> CAST(ascii(c) AS BIGINT))")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
+            f"(acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})")
 
 
 def _fp_exprs(d: str) -> dict[str, str]:
@@ -130,6 +147,7 @@ def _fp_exprs(d: str) -> dict[str, str]:
     return {
         "n_shingles": f"CAST({X.size(d, sh)} AS INT)",
         "fingerprint": X.arr_min(d, hashed),
+        "rolling_hash": _rolling_hash(d),
     }
 
 
