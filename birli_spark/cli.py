@@ -1,0 +1,278 @@
+"""CLI mirroring the reference's argument surface (reference
+``BirliContext::from_args``, src/cli.rs:622-1518) so a user of the
+reference can switch with the flags they already use. Staged semantic
+analysis into plain context structs — the same "IR" design (SURVEY.md
+§3.1) — then a Spark plan assembled from the operator library.
+
+Supported subset (the operators implemented in this engine):
+selection (``--sel-time``, ``--sel-ants``, ``--sel-chan-ranges``,
+``--no-sel-autos``, ``--no-sel-flagged-ants``), flagging
+(``--flag-times``, ``--flag-antennas``, ``--flag-fine-chans``,
+``--flag-edge-chans``, ``--flag-dc``/``--no-flag-dc``,
+``--flag-autos``, ``--quack-time``, ``--no-rfi``), corrections
+(``--no-cable-delay``, ``--no-digital-gains``, ``--no-geometric-delay``,
+``--van-vleck``, ``--pfb-gains``), ``--apply-di-cal``, averaging
+(``--avg-time-factor``, ``--avg-freq-factor``, resolution variants),
+chunking (``--time-chunk``, ``--max-memory``), sinks (``-f`` mwaf
+template dir, ``-u`` uvfits path, ``--flag-parquet``), ``--dry-run``.
+
+Input is the synthetic sf directory (stands in for metafits+gpubox; the
+gpubox FITS path exists via ``sources/gpubox.py`` but the driver test
+data is parquet).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from birli_spark import pipeline
+from birli_spark.operators import (averaging, calibration, chunking,
+                                   corrections, describe, flags, selection,
+                                   weights)
+from birli_spark.sources import aocal
+from birli_spark.sources import synthetic as syn
+
+
+@dataclass
+class Context:
+    """The parsed-and-validated invocation — the plain-struct "IR"
+    (reference BirliContext, src/cli.rs:54-73)."""
+    sf_dir: str
+    sel_time: tuple[int, int] | None = None
+    sel_ants: list[int] | None = None
+    sel_chan_ranges: str | None = None
+    no_sel_autos: bool = False
+    no_sel_flagged_ants: bool = False
+    flag_times: list[int] = field(default_factory=list)
+    flag_antennas: list[int] = field(default_factory=list)
+    flag_fine_chans: list[int] = field(default_factory=list)
+    flag_edge_chans: int = 0
+    flag_dc: bool = True
+    flag_autos: bool = False
+    quack_time: float = 0.0
+    no_rfi: bool = True
+    no_cable_delay: bool = False
+    no_digital_gains: bool = False
+    no_geometric_delay: bool = False
+    van_vleck: bool = False
+    pfb_gains: str = "none"
+    apply_di_cal: str | None = None
+    avg_time: int = 1
+    avg_freq: int = 1
+    time_chunk: int | None = None
+    max_memory_gib: float | None = None
+    mwaf_out: str | None = None
+    uvfits_out: str | None = None
+    flag_parquet_out: str | None = None
+    dry_run: bool = False
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="birli_spark",
+        description="PySpark-native MWA preprocessing (reference-compatible flags)")
+    p.add_argument("sf_dir", help="input data directory (TESTDATA.md layout)")
+    p.add_argument("--sel-time", nargs=2, type=int, metavar=("MIN", "MAX"))
+    p.add_argument("--sel-ants", nargs="+", type=int)
+    p.add_argument("--sel-chan-ranges", type=str)
+    p.add_argument("--no-sel-autos", action="store_true")
+    p.add_argument("--no-sel-flagged-ants", action="store_true")
+    p.add_argument("--flag-times", nargs="+", type=int, default=[])
+    p.add_argument("--flag-antennas", nargs="+", type=int, default=[])
+    p.add_argument("--flag-fine-chans", nargs="+", type=int, default=[])
+    p.add_argument("--flag-edge-chans", type=int, default=0)
+    dc = p.add_mutually_exclusive_group()
+    dc.add_argument("--flag-dc", dest="flag_dc", action="store_true",
+                    default=None)
+    dc.add_argument("--no-flag-dc", dest="flag_dc", action="store_false")
+    p.add_argument("--flag-autos", action="store_true")
+    p.add_argument("--quack-time", type=float, default=0.0)
+    p.add_argument("--no-rfi", action="store_true")
+    p.add_argument("--no-cable-delay", action="store_true")
+    p.add_argument("--no-digital-gains", action="store_true")
+    p.add_argument("--no-geometric-delay", action="store_true")
+    p.add_argument("--van-vleck", action="store_true")
+    p.add_argument("--pfb-gains", choices=("none", "jake", "cotter"),
+                   default="none")
+    p.add_argument("--apply-di-cal", type=str, metavar="CALSOL_BIN")
+    p.add_argument("--avg-time-factor", type=int, default=1)
+    p.add_argument("--avg-freq-factor", type=int, default=1)
+    p.add_argument("--avg-time-res", type=float,
+                   help="seconds -> factor (reference src/cli.rs:1171-1258)")
+    p.add_argument("--avg-freq-res", type=float, help="kHz -> factor")
+    chunk = p.add_mutually_exclusive_group()
+    chunk.add_argument("--time-chunk", type=int)
+    chunk.add_argument("--max-memory", type=float, metavar="GIBIBYTES")
+    p.add_argument("-f", "--flag-template", type=str,
+                   help="output .mwaf directory")
+    p.add_argument("-u", "--uvfits-out", type=str)
+    p.add_argument("--flag-parquet", type=str)
+    p.add_argument("--dry-run", action="store_true")
+    return p
+
+
+def _res_to_factor(res: float, base: float, what: str) -> int:
+    """Resolution → integer factor with the reference's divisibility check
+    (src/cli.rs:1171-1258)."""
+    factor = res / base
+    if factor != int(factor) or factor < 1:
+        raise SystemExit(
+            f"{what} resolution {res} is not a multiple of the base {base}")
+    return int(factor)
+
+
+def parse_args(argv: list[str]) -> Context:
+    a = build_parser().parse_args(argv)
+    avg_time = a.avg_time_factor
+    if a.avg_time_res is not None:
+        avg_time = _res_to_factor(a.avg_time_res, syn.INT_TIME_S, "time")
+    avg_freq = a.avg_freq_factor
+    if a.avg_freq_res is not None:
+        avg_freq = _res_to_factor(a.avg_freq_res * 1000.0,
+                                  syn.FINE_CHAN_WIDTH_HZ, "freq")
+    if a.time_chunk is not None:
+        chunking.validate_chunk_size(a.time_chunk, avg_time)
+    return Context(
+        sf_dir=a.sf_dir,
+        sel_time=tuple(a.sel_time) if a.sel_time else None,
+        sel_ants=a.sel_ants, sel_chan_ranges=a.sel_chan_ranges,
+        no_sel_autos=a.no_sel_autos,
+        no_sel_flagged_ants=a.no_sel_flagged_ants,
+        flag_times=a.flag_times, flag_antennas=a.flag_antennas,
+        flag_fine_chans=a.flag_fine_chans,
+        flag_edge_chans=a.flag_edge_chans,
+        flag_dc=pipeline.IS_LEGACY if a.flag_dc is None else a.flag_dc,
+        flag_autos=a.flag_autos, quack_time=a.quack_time, no_rfi=a.no_rfi,
+        no_cable_delay=a.no_cable_delay,
+        no_digital_gains=a.no_digital_gains,
+        no_geometric_delay=a.no_geometric_delay,
+        van_vleck=a.van_vleck, pfb_gains=a.pfb_gains,
+        apply_di_cal=a.apply_di_cal,
+        avg_time=avg_time, avg_freq=avg_freq,
+        time_chunk=a.time_chunk, max_memory_gib=a.max_memory,
+        mwaf_out=a.flag_template, uvfits_out=a.uvfits_out,
+        flag_parquet_out=a.flag_parquet, dry_run=a.dry_run)
+
+
+def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
+    """Assemble the DataFrame plan from the context (reference
+    ``BirliContext::run``, src/cli.rs:1584-1954)."""
+    vis = syn.load_vis(spark, ctx.sf_dir)
+
+    # selection (P1-P4)
+    if ctx.sel_time:
+        vis = selection.select_ranges(vis, t_min=ctx.sel_time[0],
+                                      t_max=ctx.sel_time[1] + 1)
+    if ctx.sel_chan_ranges:
+        from birli_spark.operators import picket
+        ccs = [cc for lo, hi in picket.parse_ranges(ctx.sel_chan_ranges)
+               for cc in range(lo, hi + 1)]
+        vis = vis.filter(F.col("cc").isin(ccs))
+    if ctx.sel_ants:
+        vis = selection.retain_antennas(vis, tuple(ctx.sel_ants))
+    if ctx.no_sel_flagged_ants:
+        ants = syn.load_dim(spark, "antennas").filter(F.col("flagged"))
+        vis = selection.filter_antennas(vis, ants)
+    if ctx.no_sel_autos:
+        vis = selection.filter_autos(vis)
+
+    # Van Vleck first (reference pipeline order)
+    if ctx.van_vleck:
+        from birli_spark.operators import vanvleck
+        vis = vanvleck.correct_van_vleck(
+            vis, syn.VV_SAMPLE_SCALE, flagged_ants=ctx.flag_antennas or None)
+
+    # flags (F1-F7)
+    ts = syn.load_dim(spark, "timesteps")
+    ants = syn.load_dim(spark, "antennas")
+    ts_f = flags.flag_timesteps_quack(
+        ts, syn.GPS_START, pipeline.OBS_END_GPS, quack_s=ctx.quack_time)
+    if ctx.flag_times:
+        ts_f = ts_f.withColumn(
+            "ts_flag", F.col("ts_flag") | F.col("t").isin(ctx.flag_times))
+    if ctx.flag_antennas:
+        ants = ants.withColumn(
+            "flagged", F.col("flagged") | F.col("ant").isin(ctx.flag_antennas))
+    bl_f = flags.baseline_flags(ants, flag_autos=ctx.flag_autos)
+    fc_pred = flags.flag_fine_channels(
+        syn.NUM_FC, n_edge=ctx.flag_edge_chans, is_legacy=ctx.flag_dc,
+        explicit_fcs=tuple(ctx.flag_fine_chans))
+    vis = flags.set_flags(vis, ts_f, bl_f, fc_pred)
+
+    # corrections (C2, C4, C5, C3, C6)
+    if not ctx.no_cable_delay:
+        vis = corrections.correct_cable_lengths(vis, ants)
+    if not ctx.no_digital_gains:
+        vis = corrections.correct_digital_gains(
+            vis, syn.load_dim(spark, "digital_gains"))
+    if ctx.pfb_gains != "none":
+        fine_gains = spark.sql(
+            corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS))
+        vis = corrections.correct_passband_gains(vis, fine_gains)
+    if not ctx.no_rfi:
+        from birli_spark.operators import rfi
+        vis = rfi.flag_rfi(vis)
+    if not ctx.no_geometric_delay:
+        vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
+    if ctx.apply_di_cal:
+        calsols = aocal.calsols_df(spark, ctx.apply_di_cal)
+        vis = calibration.apply_di_calsol(vis, calsols, pipeline.CAL_RATIO)
+
+    # bake + average (F10 + A1)
+    vis = weights.bake_flags_into_weights(vis)
+    if ctx.time_chunk:
+        vis = chunking.with_time_chunks(vis, ctx.time_chunk, ctx.avg_time)
+        vis = vis.drop("chunk")
+    if ctx.avg_time > 1 or ctx.avg_freq > 1:
+        vis = averaging.average_time_freq(vis, ctx.avg_time, ctx.avg_freq)
+    return vis
+
+
+def run(argv: list[str], spark: SparkSession | None = None) -> dict:
+    ctx = parse_args(argv)
+    own_session = spark is None
+    if spark is None:
+        from birli_spark.session import get_spark
+        spark = get_spark("birli_spark_cli")
+    try:
+        if ctx.dry_run:
+            summary = describe.describe(
+                spark, syn.load_vis(spark, ctx.sf_dir)).collect()
+            for row in summary:
+                print(f"{row.stat:>16}: {row.value}")
+            return {"dry_run": True, "stats": len(summary)}
+        out = build_plan(spark, ctx)
+        result: dict = {}
+        if ctx.mwaf_out:
+            from birli_spark.sinks import mwaf
+            flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
+            result["mwaf_files"] = len(mwaf.write_mwaf_set(
+                flagged, ctx.mwaf_out, gps_start=syn.GPS_START))
+        if ctx.flag_parquet_out:
+            from birli_spark.sinks import flagsink
+            flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
+            flagsink.write_flags(flagged, ctx.flag_parquet_out,
+                                 gps_start=syn.GPS_START)
+            result["flag_parquet"] = ctx.flag_parquet_out
+        result["rows"] = out.count()
+        if ctx.uvfits_out:
+            out.orderBy(*[c for c in ("t_out", "t") if c in out.columns],
+                        "bl").write.mode("overwrite").parquet(ctx.uvfits_out)
+            result["out_path"] = ctx.uvfits_out
+        return result
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def main() -> None:
+    print(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""CLI (reference-compatible flags): parse validation, plan assembly for
+flag combinations, dry run, and an end-to-end invocation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from birli_spark import cli
+from birli_spark.sources import synthetic as syn
+
+
+def test_parse_defaults():
+    ctx = cli.parse_args(["/data"])
+    assert ctx.avg_time == 1 and ctx.avg_freq == 1
+    assert ctx.flag_dc is True  # legacy default (reference src/flags.rs:128)
+    assert not ctx.dry_run
+
+
+def test_parse_resolution_to_factor():
+    ctx = cli.parse_args(["/data", "--avg-time-res", "8.0",
+                          "--avg-freq-res", "80.0"])
+    assert ctx.avg_time == 4   # 8s / 2s
+    assert ctx.avg_freq == 2   # 80kHz / 40kHz
+    with pytest.raises(SystemExit):
+        cli.parse_args(["/data", "--avg-time-res", "3.0"])
+
+
+def test_parse_chunk_validation():
+    with pytest.raises(ValueError, match="multiple"):
+        cli.parse_args(["/data", "--time-chunk", "6", "--avg-time-factor", "4"])
+
+
+def test_plan_selection_and_averaging(spark, sf_dir):
+    ctx = cli.parse_args([sf_dir, "--sel-time", "2", "9",
+                          "--no-sel-autos", "--avg-time-factor", "4",
+                          "--avg-freq-factor", "2", "--quack-time", "4"])
+    out = cli.build_plan(spark, ctx)
+    pdf = out.toPandas()
+    assert "t_out" in pdf.columns            # averaged output
+    assert (pdf.ant1 != pdf.ant2).all()      # autos gone
+    assert pdf.t_out.min() >= 0 and pdf.t_out.max() <= 2  # t in [2, 9]
+
+
+def test_plan_explicit_flags(spark, sf_dir):
+    ctx = cli.parse_args([sf_dir, "--flag-times", "5",
+                          "--flag-antennas", "2", "--no-cable-delay",
+                          "--no-digital-gains", "--no-geometric-delay"])
+    out = cli.build_plan(spark, ctx)
+    flagged_t5 = out.filter("t = 5 AND NOT flag").count()
+    assert flagged_t5 == 0                   # whole timestep flagged
+    ant2 = out.filter("(ant1 = 2 OR ant2 = 2) AND NOT flag").count()
+    assert ant2 == 0                         # antenna-2 baselines flagged
+
+
+def test_cli_dry_run(spark, sf_dir, capsys):
+    res = cli.run([sf_dir, "--dry-run"], spark=spark)
+    assert res["dry_run"] is True
+    out = capsys.readouterr().out
+    assert "n_timesteps" in out and str(syn.NUM_T) in out
+
+
+def test_cli_end_to_end(spark, sf_dir, tmp_path):
+    res = cli.run([sf_dir, "--avg-time-factor", "4", "--avg-freq-factor", "2",
+                   "--quack-time", "4", "--flag-edge-chans", "1",
+                   "-u", str(tmp_path / "out"),
+                   "-f", str(tmp_path / "mwaf")], spark=spark)
+    assert res["rows"] > 0
+    assert res["mwaf_files"] == syn.NUM_CC
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == res["rows"]
