@@ -41,7 +41,85 @@ from birli_spark.functions.complex import VIS_COLS
 SQRT_2 = math.sqrt(2.0)
 SQRT_TAU = 2.5066282746310002  # reference src/van_vleck.rs:377
 _K = np.arange(7.0) + 0.5          # quantization grid (k + 0.5), k = 0..6
-_erf = np.vectorize(math.erf, otypes=[np.float64])
+_TWO_OVER_SQRT_PI = 2.0 / math.sqrt(math.pi)
+
+
+# Cody's rational-Chebyshev erf/erfc coefficients (W. J. Cody, "Rational
+# Chebyshev approximation for the error function", Math. Comp. 23 (1969);
+# the netlib SPECFUN CALERF constants — public domain, the algorithm
+# inside every libm). Double-precision accurate, fully vectorizable.
+_CODY_A = np.array([3.16112374387056560e0, 1.13864154151050156e2,
+                    3.77485237685302021e2, 3.20937758913846947e3,
+                    1.85777706184603153e-1])
+_CODY_B = np.array([2.36012909523441209e1, 2.44024637934444173e2,
+                    1.28261652607737228e3, 2.84423683343917062e3])
+_CODY_C = np.array([5.64188496988670089e-1, 8.88314979438837594e0,
+                    6.61191906371416295e1, 2.98635138197400131e2,
+                    8.81952221241769090e2, 1.71204761263407058e3,
+                    2.05107837782607147e3, 1.23033935479799725e3,
+                    2.15311535474403846e-8])
+_CODY_D = np.array([1.57449261107098347e1, 1.17693950891312499e2,
+                    5.37181101862009858e2, 1.62138957456669019e3,
+                    3.29079923573345963e3, 4.36261909014324716e3,
+                    3.43936767414372164e3, 1.23033935480374942e3])
+_CODY_P = np.array([3.05326634961232344e-1, 3.60344899949804439e-1,
+                    1.25781726111229246e-1, 1.60837851487422766e-2,
+                    6.58749161529837803e-4, 1.63153871373020978e-2])
+_CODY_Q = np.array([2.56852019228982242e0, 1.87295284992346047e0,
+                    5.27905102951428412e-1, 6.05183413124413191e-2,
+                    2.33520497626869185e-3])
+_SQRPI = 5.6418958354775628695e-1  # 1/sqrt(pi)
+
+
+def _erf(x: np.ndarray) -> np.ndarray:
+    """Vectorized double-precision erf via Cody's rational approximations
+    (no scipy in this environment). Replaces a per-element math.erf loop
+    that would dominate the Newton solves at scale (~1e8 sigma solves per
+    real obs). Validated against math.erf to < 1e-15 in tests."""
+    x = np.asarray(x, dtype=np.float64)
+    ax = np.abs(x)
+    out = np.empty_like(ax)
+
+    # |x| <= 0.46875: erf = x * P1(x^2)/Q1(x^2)
+    m1 = ax <= 0.46875
+    if m1.any():
+        xs = x[m1]
+        y = xs * xs
+        num = _CODY_A[4] * y
+        den = y
+        for i in range(3):
+            num = (num + _CODY_A[i]) * y
+            den = (den + _CODY_B[i]) * y
+        out[m1] = xs * (num + _CODY_A[3]) / (den + _CODY_B[3])
+
+    # 0.46875 < |x| <= 4: erfc = exp(-x^2) * P2(|x|)/Q2(|x|)
+    m2 = (~m1) & (ax <= 4.0)
+    if m2.any():
+        xs = ax[m2]
+        num = _CODY_C[8] * xs
+        den = xs
+        for i in range(7):
+            num = (num + _CODY_C[i]) * xs
+            den = (den + _CODY_D[i]) * xs
+        erfc = np.exp(-xs * xs) * (num + _CODY_C[7]) / (den + _CODY_D[7])
+        out[m2] = 1.0 - erfc
+
+    # |x| > 4: erfc = exp(-x^2)/x * (1/sqrt(pi) - y*P3(y)/Q3(y)), y = 1/x^2
+    m3 = ax > 4.0
+    if m3.any():
+        xs = ax[m3]
+        y = 1.0 / (xs * xs)
+        num = _CODY_P[5] * y
+        den = y
+        for i in range(4):
+            num = (num + _CODY_P[i]) * y
+            den = (den + _CODY_Q[i]) * y
+        r = y * (num + _CODY_P[4]) / (den + _CODY_Q[4])
+        with np.errstate(under="ignore"):
+            erfc = np.exp(-xs * xs) / xs * (_SQRPI - r)
+        out[m3] = 1.0 - erfc
+
+    return np.copysign(out, x)
 
 
 # ------------------------------------------------------------ auto solve ---
