@@ -164,3 +164,28 @@ def fingerprint_oracle_sql() -> str:
     ex = _fp_exprs(X.DUCK)
     cols = ",\n  ".join(f"{e} AS {c}" for c, e in ex.items())
     return f"SELECT doc_id,\n  {cols}\nFROM documents"
+
+
+def source_quality_rollup(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) corpus quality rollup: doc counts, char sums,
+    f32 mean quality, median doc length — the dataset-curation dashboard
+    aggregate. One partial-aggregating groupBy; the quality score is the
+    same per-row projection as :func:`token_stats`, fused into the scan."""
+    q = _stats_exprs(X.SPARK)["quality_score"]
+    scored = docs.select("source", "lang", "n_chars", F.expr(q).alias("q"))
+    return (scored.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.expr(f32("AVG(q)")).alias("avg_quality"),
+                 F.expr(f32("CAST(percentile(n_chars, 0.5) AS DOUBLE)"))
+                  .alias("median_chars")))
+
+
+def source_quality_rollup_oracle_sql() -> str:
+    q = _stats_exprs(X.DUCK)["quality_score"]
+    return f"""
+WITH scored AS (SELECT source, lang, n_chars, {q} AS q FROM documents)
+SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+  {f32('AVG(q)')} AS avg_quality,
+  {f32('CAST(quantile_cont(n_chars, 0.5) AS DOUBLE)')} AS median_chars
+FROM scored GROUP BY source, lang"""
