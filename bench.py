@@ -38,6 +38,10 @@ HEADLINE = [
     "d5_embedding_neardup",
     "ann_lsh_topk",
     "e1_windowed_agg",
+    # UDF islands last — their Python-worker residency (Arrow batches,
+    # long-lived reused daemons) perturbs later JVM-side queries
+    "c1_van_vleck",
+    "f9_rfi_sumthreshold",
 ]
 
 

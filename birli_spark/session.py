@@ -22,6 +22,14 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # make the package importable in executor Python workers regardless of
+    # the driver's cwd (cluster deployments ship a wheel via --py-files;
+    # local workers inherit PYTHONPATH from the JVM's environment)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{pp}" if pp else repo_root)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
