@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from birli_spark import pipeline
 from birli_spark.operators import (
+    asof,
     averaging,
     calibration,
     chunking,
@@ -350,6 +351,12 @@ def _q_top_users_salted(spark, sf_dir):
     return events.top_users_salted(corpus.load_events(spark, sf_dir))
 
 
+def _q_asof_join(spark, sf_dir):
+    from birli_spark.operators import asof
+    from birli_spark.sources import corpus
+    return asof.asof_join(corpus.load_events(spark, sf_dir))
+
+
 def _q_media_features(spark, sf_dir):
     from birli_spark.operators import multimodal
     from birli_spark.sources import corpus
@@ -418,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_windowed_agg": _q_windowed_agg,
         "e2_sessionize": _q_sessionize,
         "e3_top_users_salted": _q_top_users_salted,
+        "e4_asof_join": _q_asof_join,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
     }
@@ -580,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "e1_windowed_agg": events.windowed_agg_oracle_sql(),
         "e2_sessionize": events.sessionize_oracle_sql(),
         "e3_top_users_salted": events.top_users_oracle_sql(),
+        "e4_asof_join": asof.asof_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
     }
