@@ -22,6 +22,7 @@ from birli_spark import pipeline
 from birli_spark.operators import (
     asof,
     averaging,
+    corpus_clean,
     calibration,
     chunking,
     corrections,
@@ -38,6 +39,7 @@ from birli_spark.operators import (
     weights,
 )
 from birli_spark.sinks import flagsink
+from birli_spark.sinks import ms as ms_sink
 from birli_spark.sinks import uvfits as uvfits_sink
 from birli_spark.sources import gpubox
 from birli_spark.sources import synthetic as syn
@@ -191,6 +193,12 @@ def _q_pipeline_full(spark, sf_dir):
     return pipeline.preprocess_full(spark, sf_dir)
 
 
+def _q_corpus_clean(spark, sf_dir):
+    from birli_spark.operators import corpus_clean
+    from birli_spark.sources import corpus
+    return corpus_clean.clean_corpus(corpus.load_documents(spark, sf_dir))
+
+
 # --- sources, sinks, picket fence, describe (S3-S5, O1, O3-O4, P5) ---
 
 def _q_antenna_dim(spark, sf_dir):
@@ -246,6 +254,13 @@ def _q_uvfits_rows(spark, sf_dir):
     return uvfits.uvfits_group_rows(
         baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
         syn.GPS_START, syn.INT_TIME_S)
+
+
+def _q_ms_rows(spark, sf_dir):
+    from birli_spark.sinks import ms
+    baked = pipeline.preprocess_baked(spark, sf_dir)
+    return ms.ms_main_rows(baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+                           syn.GPS_START, syn.INT_TIME_S)
 
 
 def _q_picket(spark, sf_dir):
@@ -407,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_o3_flag_roundtrip": _q_flag_roundtrip,
         "o3b_mwaf_roundtrip": _q_mwaf_roundtrip,
         "o1_uvfits_rows": _q_uvfits_rows,
+        "o2_ms_rows": _q_ms_rows,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -428,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e4_asof_join": _q_asof_join,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
+        "pipeline_corpus_clean": _q_corpus_clean,
     }
 
 
@@ -571,6 +588,11 @@ def oracle_sql() -> dict[str, str]:
             + uvfits_sink.uvfits_rows_oracle_select(
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
+        "o2_ms_rows": (
+            f"WITH {pipeline.baked_oracle_ctes()} "
+            + ms_sink.ms_rows_oracle_select(
+                "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
+                syn.GPS_START, syn.INT_TIME_S)),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),
@@ -591,4 +613,5 @@ def oracle_sql() -> dict[str, str]:
         "e4_asof_join": asof.asof_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
+        "pipeline_corpus_clean": corpus_clean.clean_corpus_oracle_sql(),
     }

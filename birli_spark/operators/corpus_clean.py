@@ -1,0 +1,65 @@
+"""The flagship training-data pipeline: corpus cleaning — exact dedup →
+MinHash-LSH near-dup removal → quality filter, composed from the dedup
+and text operators (the document-side analogue of the visibility
+preprocessing pipeline).
+
+Spark shape: two bucket-join candidate stages and one per-row
+projection. Survivors are selected with **anti-joins** against the
+removal sets (exact-dupe doc_ids, near-dup doc_b's), so nothing
+materializes per surviving row but the final projection. At 100 TB the
+shingle table is the dominant intermediate; it is persisted once inside
+the LSH stage (operators/dedup.py).
+
+Removal policy (the standard one): for an exact group keep the minimum
+doc_id; for a near-dup pair (doc_a < doc_b) drop doc_b — so the lowest
+id of any duplicate cluster survives (transitively, for chains found by
+LSH banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from birli_spark.operators import dedup, text
+
+QUALITY_MIN = 0.55
+NEARDUP_JACCARD = 0.7
+
+
+def clean_corpus(docs: DataFrame, quality_min: float = QUALITY_MIN,
+                 neardup_threshold: float = NEARDUP_JACCARD) -> DataFrame:
+    """→ (doc_id, lang, source, n_tokens, quality_score) of surviving
+    documents."""
+    exact = dedup.exact_dedup(docs).filter("is_dupe").select("doc_id")
+    near = (dedup.minhash_lsh_pairs(docs, threshold=neardup_threshold)
+            .select(F.col("doc_b").alias("doc_id")).distinct())
+    drop = exact.unionByName(near).distinct()
+    stats = text.token_stats(docs).select("doc_id", "n_tokens",
+                                          "quality_score")
+    return (docs.join(drop, "doc_id", "left_anti")
+            .join(stats, "doc_id")
+            .filter(F.col("quality_score") >= quality_min)
+            .select("doc_id", "lang", "source", "n_tokens", "quality_score"))
+
+
+def clean_corpus_oracle_sql(quality_min: float = QUALITY_MIN,
+                            neardup_threshold: float = NEARDUP_JACCARD) -> str:
+    minhash = dedup.minhash_lsh_oracle_sql(threshold=neardup_threshold)
+    stats = text.token_stats_oracle_sql()
+    return f"""
+WITH exact_dupes AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id
+    FROM documents)
+  WHERE doc_id <> keep_doc_id),
+near_pairs AS ({minhash}),
+near_dupes AS (SELECT DISTINCT doc_b AS doc_id FROM near_pairs),
+drops AS (SELECT doc_id FROM exact_dupes UNION SELECT doc_id FROM near_dupes),
+stats AS ({stats})
+SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.quality_score
+FROM documents d
+JOIN stats s ON s.doc_id = d.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+  AND s.quality_score >= {quality_min!r}"""

@@ -1,0 +1,33 @@
+"""Corpus-cleaning pipeline: constructed corpus with one exact dupe, one
+near-dupe, and one junk doc — survivors and removal reasons are known."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from birli_spark.operators import corpus_clean
+
+GOOD = ("the quick brown fox jumps over the lazy dog while many other "
+        "animals watch the scene with great interest and some concern")
+NEAR = GOOD.replace("dog", "cat")          # high shingle overlap with GOOD
+JUNK = "a a a a a a a a a a a a"           # all stopwords, zero diversity
+
+
+def test_clean_corpus_drops_the_right_docs(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=GOOD, lang="en", source="s0", n_chars=len(GOOD)),
+        Row(doc_id=1, text=GOOD, lang="en", source="s1", n_chars=len(GOOD)),
+        Row(doc_id=2, text=NEAR, lang="en", source="s2", n_chars=len(NEAR)),
+        Row(doc_id=3, text=JUNK, lang="en", source="s3", n_chars=len(JUNK)),
+        Row(doc_id=4, text="completely unrelated words forming a decent "
+                           "document about spark physical query planning",
+            lang="en", source="s4", n_chars=90),
+    ])
+    out = corpus_clean.clean_corpus(docs).toPandas()
+    survivors = set(out.doc_id)
+    assert 0 in survivors                  # cluster representative kept
+    assert 1 not in survivors              # exact dupe of 0
+    assert 2 not in survivors              # near-dupe of 0 (jaccard > 0.7)
+    assert 3 not in survivors              # quality below threshold
+    assert 4 in survivors
+    assert (out.quality_score >= corpus_clean.QUALITY_MIN).all()
