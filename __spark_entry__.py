@@ -348,6 +348,12 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(corpus.load_embeddings(spark, sf_dir))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from birli_spark.operators import similarity
+    from birli_spark.sources import corpus
+    return similarity.ivf_topk(corpus.load_embeddings(spark, sf_dir))
+
+
 def _q_windowed_agg(spark, sf_dir):
     from birli_spark.operators import events
     from birli_spark.sources import corpus
@@ -438,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": _q_embedding_neardup,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "e1_windowed_agg": _q_windowed_agg,
         "e2_sessionize": _q_sessionize,
         "e3_top_users_salted": _q_top_users_salted,
@@ -607,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "d5_embedding_neardup": dedup.embedding_neardup_oracle_sql(),
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
+        "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),
         "e1_windowed_agg": events.windowed_agg_oracle_sql(),
         "e2_sessionize": events.sessionize_oracle_sql(),
         "e3_top_users_salted": events.top_users_oracle_sql(),

@@ -110,6 +110,99 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
             .filter(F.col("rank") <= k))
 
 
+IVF_STRIDE = 50
+IVF_NPROBE = 2
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
+             stride: int = IVF_STRIDE, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are assigned to their
+    nearest **centroid cell**; each query probes only its ``nprobe``
+    nearest cells and ranks the candidates living there.
+
+    Centroids are a deterministic corpus subset (``vec_id % stride == 0``
+    — a real system would k-means; the cell structure and query plan are
+    identical). The scale shape:
+
+    - *build* — one narrow pass: corpus × broadcast(centroids) scored,
+      then arg-max per vector via ``max(struct(cos, -cid))``, which is
+      map-side combinable (partial aggregation), so only N assignment
+      rows shuffle — never the N×C score rows;
+    - *search* — probes are a tiny broadcast; candidates come from a
+      cell equi-join, so cost per query is ~N/C·nprobe, not N.
+
+    Recall < 1 by design (the IVF approximation); ties broken by cid /
+    vec_id so both engines rank identically."""
+    n = emb.select("vec_id", "embedding",
+                   F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"))
+    cent = (n.filter(F.col("vec_id") % stride == 0)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("c_emb"),
+                    F.col("nrm").alias("c_nrm")))
+    cos_c = f"{X.dot(X.SPARK, 'embedding', 'c_emb')} / (nrm * c_nrm)"
+    scored = (n.join(F.broadcast(cent))
+              .select("vec_id", "embedding", "nrm", "cid",
+                      F.expr(cos_c).alias("cos_c")))
+    assigned = (scored
+                .groupBy("vec_id", "embedding", "nrm")
+                .agg(F.max(F.struct(F.col("cos_c").alias("c"),
+                                    (-F.col("cid")).alias("ncid"))).alias("m"))
+                .select("vec_id", "embedding", "nrm",
+                        (-F.col("m.ncid")).alias("cell")))
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    qprobe = (scored.filter(F.col("vec_id") < n_queries)
+              .withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= nprobe)
+              .select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("q_emb"),
+                      F.col("nrm").alias("q_nrm"),
+                      F.col("cid").alias("q_cell")))
+    cos = f"{X.dot(X.SPARK, 'q_emb', 'embedding')} / (q_nrm * nrm)"
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (assigned.join(F.broadcast(qprobe),
+                          (F.col("cell") == F.col("q_cell"))
+                          & F.expr("vec_id <> qid"))
+            .select("qid", "vec_id", F.expr(cos).alias("cos"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_topk_oracle_sql(k: int = 5, n_queries: int = 8,
+                        stride: int = IVF_STRIDE,
+                        nprobe: int = IVF_NPROBE) -> str:
+    cos_c = (f"{X.dot(X.DUCK, 'n.embedding', 'cent.c_emb')}"
+             f" / (n.nrm * cent.c_nrm)")
+    cos = f"{X.dot(X.DUCK, 'q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm)"
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+         FROM n WHERE vec_id % {stride} = 0),
+scored AS (
+  SELECT n.vec_id, n.embedding, n.nrm, cent.cid, {cos_c} AS cos_c
+  FROM n CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm, cid AS q_cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS pr
+    FROM scored WHERE vec_id < {n_queries}) WHERE pr <= {nprobe}),
+cand AS (
+  SELECT q.qid, c.vec_id, {cos} AS cos
+  FROM qprobe q JOIN assigned c ON c.cell = q.q_cell AND c.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def lsh_topk_oracle_sql(k: int = 5, n_queries: int = 8,
                         planes: int = N_PLANES) -> str:
     cos = f"{X.dot(X.DUCK, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"

@@ -57,6 +57,33 @@ def test_lsh_topk_is_bucket_restricted_subset(spark, sf_dir):
             assert buckets[v] == buckets[qid]
 
 
+def test_ivf_topk_is_cell_restricted_subset(spark, sf_dir):
+    """Every IVF result must be the brute-force ranking of the candidate
+    set living in the query's probed cells."""
+    emb = corpus.load_embeddings(spark, sf_dir).filter("vec_id < 200")
+    pdf = emb.toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    cents = {v: e for v, e in vecs.items() if v % similarity.IVF_STRIDE == 0}
+
+    def cell_ranking(v):
+        ve = vecs[v]
+        return sorted(
+            ((-float(ve @ ce / (np.linalg.norm(ve) * np.linalg.norm(ce))), c)
+             for c, ce in cents.items()))
+
+    cell = {v: cell_ranking(v)[0][1] for v in vecs}
+    got = similarity.ivf_topk(emb, k=3, n_queries=6).toPandas()
+    for qid in range(6):
+        probed = {c for _, c in cell_ranking(qid)[:similarity.IVF_NPROBE]}
+        cands = [v for v in vecs if cell[v] in probed and v != qid]
+        expect = _numpy_topk(pdf[pdf.vec_id.isin(cands + [qid])], qid, 3)
+        mine = got[got.qid == qid].sort_values("rank").vec_id.tolist()
+        assert mine == expect, f"qid={qid}: {mine} != {expect}"
+        for v in mine:
+            assert cell[v] in probed
+
+
 def test_planes_are_deterministic():
     p0 = similarity._plane(0)
     assert len(p0) == similarity.EMB_DIM
