@@ -189,3 +189,43 @@ SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
   {f32('AVG(q)')} AS avg_quality,
   {f32('CAST(quantile_cont(n_chars, 0.5) AS DOUBLE)')} AS median_chars
 FROM scored GROUP BY source, lang"""
+
+
+VOCAB_TOP_N = 200
+
+
+def vocab_stats(docs: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
+    """Corpus vocabulary table: per-term total frequency, document
+    frequency, and frequency rank — the vocabulary-building aggregate of
+    a tokenizer-training pipeline.
+
+    Scale shape: one explode over the scan (narrow), one
+    partial-aggregated groupBy(term) — term cardinality, not corpus
+    size, crosses the shuffle — then the rank window runs on the tiny
+    aggregated term table. All-integer outputs make the oracle exact."""
+    from pyspark.sql import Window
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(X.toks(X.SPARK))).alias("term"))
+    agg = (tok.filter(F.col("term") != "")
+           .groupBy("term")
+           .agg(F.count("*").alias("tf_total"),
+                F.countDistinct("doc_id").alias("df")))
+    w = Window.orderBy(F.desc("tf_total"), F.asc("term"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n))
+
+
+def vocab_stats_oracle_sql(top_n: int = VOCAB_TOP_N) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents),
+agg AS (
+  SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
+  FROM tok WHERE term <> '' GROUP BY term),
+ranked AS (
+  SELECT term, tf_total, df,
+         ROW_NUMBER() OVER (ORDER BY tf_total DESC, term ASC) AS rank
+  FROM agg)
+SELECT term, tf_total, df, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {top_n}"""

@@ -51,3 +51,19 @@ def test_averaging_has_partial_aggregation(spark, sf_dir):
     plan = avg._jdf.queryExecution().executedPlan().toString()
     n_hash_aggs = plan.count("HashAggregate")
     assert n_hash_aggs >= 2, plan[:2000]
+
+def test_plan_audit_has_no_warnings(spark, sf_dir):
+    """The physical-plan contract: headline plans stay broadcast-only on
+    dims, partial-aggregated, and free of unbounded nested-loop joins
+    (tools/plan_audit.py is the full auditor; this pins a representative
+    subset so regressions fail CI)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import plan_audit
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    for name in ("pipeline_preprocess", "a1_average_time_freq",
+                 "d3_minhash_lsh", "ann_ivf_topk", "pipeline_corpus_clean"):
+        plan = plan_audit.formatted_plan(qs[name](spark, sf_dir))
+        notes = "; ".join(plan_audit.audit(name, plan))
+        assert "WARN" not in notes, f"{name}: {notes}"

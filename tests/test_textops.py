@@ -53,3 +53,19 @@ def test_fingerprint_matches_hashlib(spark, sf_dir):
         g = got[got.doc_id == row.doc_id].iloc[0]
         assert g.n_shingles == len(shingles)
         assert g.fingerprint == expect
+
+
+def test_vocab_stats_matches_python(spark, sf_dir):
+    docs = corpus.load_documents(spark, sf_dir).filter("doc_id < 100")
+    got = (text.vocab_stats(docs, top_n=20).toPandas()
+           .sort_values("rank").reset_index(drop=True))
+    from collections import Counter
+    tf, df = Counter(), Counter()
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in r.text.strip().split(" ") if t]
+        tf.update(toks)
+        df.update(set(toks))
+    expect = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got.term, got.tf_total)) == expect
+    assert all(df[t] == d for t, d in zip(got.term, got.df))
+    assert got["rank"].tolist() == list(range(1, len(expect) + 1))
