@@ -169,37 +169,52 @@ def van_vleck_autos(sighat_vals: np.ndarray) -> np.ndarray:
 
 # ----------------------------------------------------------- cross solve ---
 
-def _pdf_grid(rho_grid: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+def _grids(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """rho-independent 7x7 grids per cell, computed once per solve and
+    reused across every Simpson point and Newton iteration:
+    ``xy = x_i * y_j`` and ``sq = (x_i^2 + y_j^2) / 2``. x/y: (M, 7)."""
+    xx = x[:, :, None]                                # (M, 7, 1)
+    yy = y[:, None, :]                                # (M, 1, 7)
+    return xx * yy, (xx ** 2 + yy ** 2) * 0.5
+
+
+def _pdf_grid(rho_grid: np.ndarray, xy: np.ndarray, sq: np.ndarray) -> np.ndarray:
     """Quantized bivariate-normal pdf summed over the 7x7 grid
-    (src/van_vleck.rs:634-660). rho_grid: (M, R); x/y: (M, 7);
-    returns (M, R)."""
+    (src/van_vleck.rs:634-660). rho_grid: (M, R); xy/sq: (M, 7, 7) from
+    `_grids`; returns (M, R).
+
+    ``2 cosh(rho xy / d) exp(-(x^2+y^2)/(2d))`` is evaluated as
+    ``exp((rho xy - sq)/d) + exp((-rho xy - sq)/d)`` — identical value, two
+    transcendentals per grid point instead of three (cosh is itself two
+    exps). Both exponents are <= 0 for rho in [0, 1) and x, y > 0 (AM-GM:
+    2 rho xy <= x^2 + y^2), so no overflow guard is needed."""
     d = np.maximum(1.0 - rho_grid ** 2, 1e-20)        # (M, R)
-    d4 = d[:, :, None, None]                          # (M, R, 1, 1)
-    xx = x[:, None, :, None]                          # (M, 1, 7, 1)
-    yy = y[:, None, None, :]                          # (M, 1, 1, 7)
-    numer = 2.0 * np.cosh(rho_grid[:, :, None, None] * xx * yy / d4)
-    denom = np.exp((xx ** 2 + yy ** 2) / (2.0 * d4))
-    r = (numer / denom).sum(axis=(-2, -1))            # (M, R)
+    inv_d = 1.0 / d[:, :, None, None]                 # (M, R, 1, 1)
+    a = xy[:, None, :, :] * rho_grid[:, :, None, None] * inv_d
+    b = sq[:, None, :, :] * inv_d
+    r = (np.exp(a - b) + np.exp(-a - b)).sum(axis=(-2, -1))  # (M, R)
     return r / (np.pi * np.sqrt(d))
 
 
-def _pdf(rho: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+def _pdf(rho: np.ndarray, xy: np.ndarray, sq: np.ndarray) -> np.ndarray:
     """Single-point pdf per cell: rho (M,) → (M,)."""
-    return _pdf_grid(rho[:, None], x, y)[:, 0]
+    return _pdf_grid(rho[:, None], xy, sq)[:, 0]
 
 
 _SIMPSON_N = 10
 _SIMPSON_W = np.array([1, 4, 2, 4, 2, 4, 2, 4, 2, 4, 1], dtype=np.float64)
 
 
-def _corrcorrect_simp(rho: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+def _corrcorrect_simp(rho: np.ndarray, xy: np.ndarray, sq: np.ndarray,
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Simpson's-rule integral of the pdf from 0 to rho, n=10 intervals
-    (src/van_vleck.rs:663-697)."""
+    (src/van_vleck.rs:663-697). Returns ``(integral, pdf(rho))`` — the last
+    Simpson point IS rho, so the Newton derivative comes for free."""
     h = rho / _SIMPSON_N                                   # (M,)
     pts = np.linspace(0.0, 1.0, _SIMPSON_N + 1)            # (R,)
     rho_grid = rho[:, None] * pts[None, :]                 # (M, R)
-    vals = _pdf_grid(rho_grid, x, y)                       # (M, R)
-    return (vals * _SIMPSON_W).sum(axis=-1) * h / 3.0
+    vals = _pdf_grid(rho_grid, xy, sq)                     # (M, R)
+    return (vals * _SIMPSON_W).sum(axis=-1) * h / 3.0, vals[:, -1]
 
 
 def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
@@ -222,18 +237,20 @@ def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
         return out
     x = _K[None, :] / s1[idx, None]                        # (M, 7)
     y = _K[None, :] / s2[idx, None]
+    xy, sq = _grids(x, y)
     g = guess[idx]
     target = ka[idx]
     with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
-        delta = _corrcorrect_simp(g, x, y) - target
+        integral, gp = _corrcorrect_simp(g, xy, sq)
+        delta = integral - target
         active = (np.abs(delta) > 1e-12) & np.isfinite(delta)
         for _ in range(100):
             if not active.any():
                 break
-            gp = _pdf(g[active], x[active], y[active])
-            g[active] -= delta[active] / gp
-            delta[active] = (
-                _corrcorrect_simp(g[active], x[active], y[active]) - target[active])
+            g[active] -= delta[active] / gp[active]
+            integral_a, gp_a = _corrcorrect_simp(g[active], xy[active], sq[active])
+            delta[active] = integral_a - target[active]
+            gp[active] = gp_a
             active &= (np.abs(delta) > 1e-12) & np.isfinite(delta)
     # non-converged after 100 iterations → passthrough khat (unwrap_or,
     # src/van_vleck.rs:764-768); all others accept the solved rho
@@ -332,35 +349,42 @@ def correct_van_vleck(vis: DataFrame, sample_scale: float,
                 prod = sx * sy
                 khat_re = pdf_["xy_re"].to_numpy(dtype=np.float64)[am] / sample_scale
                 khat_im = pdf_["xy_im"].to_numpy(dtype=np.float64)[am] / sample_scale
+                # joint guard on re AND im (src/van_vleck.rs:248-259): if
+                # either component exceeds sigma_x*sigma_y both pass through
                 ok = ~((khat_re > prod) | (khat_im > prod))
-                kr = khat_re.copy()
-                ki = khat_im.copy()
-                kr[ok] = van_vleck_crosses(khat_re[ok], sx[ok], sy[ok])
-                ki[ok] = van_vleck_crosses(khat_im[ok], sx[ok], sy[ok])
+                m = int(ok.sum())
+                solved = van_vleck_crosses(
+                    np.concatenate([khat_re[ok], khat_im[ok]]),
+                    np.tile(sx[ok], 2), np.tile(sy[ok], 2))
+                kr, ki = solved[:m], solved[m:]
                 sub = np.flatnonzero(am)[ok]
-                vals["xy_re"][sub] = sample_scale * kr[ok]
-                vals["xy_im"][sub] = sample_scale * ki[ok]
-                vals["yx_re"][sub] = sample_scale * kr[ok]
-                vals["yx_im"][sub] = sample_scale * -ki[ok]
+                vals["xy_re"][sub] = sample_scale * kr
+                vals["xy_im"][sub] = sample_scale * ki
+                vals["yx_re"][sub] = sample_scale * kr
+                vals["yx_im"][sub] = sample_scale * -ki
 
             # --- unflagged crosses (src/van_vleck.rs:268-303)
             cm = (~is_auto) & have1 & have2
             if cm.any():
-                pol_sig = {
-                    "xx": (s1x, s2x), "xy": (s1x, s2y),
-                    "yx": (s1y, s2x), "yy": (s1y, s2y),
-                }
-                for pol, (sa, sb) in pol_sig.items():
-                    for part in ("re", "im"):
-                        col = f"{pol}_{part}"
-                        khat = vals[col][cm] / sample_scale
-                        prod = sa[cm] * sb[cm]
-                        ok = ~(np.abs(khat) > prod)
-                        res = khat.copy()
-                        res[ok] = van_vleck_crosses(khat[ok], sa[cm][ok], sb[cm][ok])
-                        outv = vals[col][cm]
-                        outv[ok] = sample_scale * res[ok]
-                        vals[col][cm] = outv
+                # one batched Newton solve for all 8 components: the
+                # |khat| > sigma_a*sigma_b pre-guard is subsumed by the
+                # solver's own guess<1 solvability guard (identical
+                # passthrough), so components just concatenate. One big
+                # vectorized solve amortizes the per-call masking overhead
+                # and converges on a single shared active set.
+                comps = [
+                    ("xx_re", s1x, s2x), ("xx_im", s1x, s2x),
+                    ("xy_re", s1x, s2y), ("xy_im", s1x, s2y),
+                    ("yx_re", s1y, s2x), ("yx_im", s1y, s2x),
+                    ("yy_re", s1y, s2y), ("yy_im", s1y, s2y),
+                ]
+                mc = int(cm.sum())
+                solved = van_vleck_crosses(
+                    np.concatenate([vals[c][cm] / sample_scale for c, _, _ in comps]),
+                    np.concatenate([sa[cm] for _, sa, _ in comps]),
+                    np.concatenate([sb[cm] for _, _, sb in comps]))
+                for i, (col, _, _) in enumerate(comps):
+                    vals[col][cm] = sample_scale * solved[i * mc:(i + 1) * mc]
 
             res = pdf_[out_cols].copy()
             for c in VIS_COLS:

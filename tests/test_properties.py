@@ -33,7 +33,8 @@ def test_autos_inverts_sighat(sigma):
 def test_crosses_inverts_forward_integral(s1, s2, rho):
     x = vanvleck._K[None, :] / s1
     y = vanvleck._K[None, :] / s2
-    khat = vanvleck._corrcorrect_simp(np.array([abs(rho)]), x, y)[0]
+    khat = vanvleck._corrcorrect_simp(
+        np.array([abs(rho)]), *vanvleck._grids(x, y))[0][0]
     khat = np.copysign(khat, rho)
     got = vanvleck.van_vleck_crosses(
         np.array([khat]), np.array([s1]), np.array([s2]))

@@ -42,7 +42,7 @@ def test_simpsons_pdf_identity():
     rho = np.array([0.5])
     x = np.zeros((1, 1))
     y = np.zeros((1, 1))
-    got = vv._corrcorrect_simp(rho, x, y)
+    got, _ = vv._corrcorrect_simp(rho, *vv._grids(x, y))
     assert got[0] == pytest.approx(math.asin(0.5) * 2 / math.pi, abs=1e-6)
 
 
@@ -51,9 +51,10 @@ def test_corrcorrect_point_values():
     sx, sy, rho = 1.03637188, 0.98278517, 0.01021078
     x = (vv._K[None, :] / sx)
     y = (vv._K[None, :] / sy)
-    khat = vv._corrcorrect_simp(np.array([rho]), x, y)[0]
+    xy, sq = vv._grids(x, y)
+    khat = vv._corrcorrect_simp(np.array([rho]), xy, sq)[0][0]
     assert khat == pytest.approx(0.0104, abs=1e-6)
-    prime = vv._pdf(np.array([rho]), x, y)[0]
+    prime = vv._pdf(np.array([rho]), xy, sq)[0]
     assert prime == pytest.approx(1.0185308989, abs=1e-6)
 
 
