@@ -336,6 +336,12 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash_pairs(corpus.load_documents(spark, sf_dir))
 
 
+def _q_neardup_clusters(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.neardup_clusters(corpus.load_documents(spark, sf_dir))
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from birli_spark.operators import dedup
     from birli_spark.sources import corpus
@@ -449,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash_pairs": _q_simhash,
         "d5_embedding_neardup": _q_embedding_neardup,
+        "d6_neardup_clusters": _q_neardup_clusters,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -620,6 +627,7 @@ def oracle_sql() -> dict[str, str]:
         "d3_minhash_lsh": dedup.minhash_lsh_oracle_sql(),
         "d4_simhash_pairs": dedup.simhash_oracle_sql(),
         "d5_embedding_neardup": dedup.embedding_neardup_oracle_sql(),
+        "d6_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),

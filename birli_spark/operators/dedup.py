@@ -165,9 +165,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     return _verify_jaccard(cand, sh, threshold)
 
 
-def minhash_lsh_oracle_sql(threshold: float = 0.5,
-                           seeds: int = MINHASH_SEEDS,
-                           bands: int = MINHASH_BANDS) -> str:
+def _minhash_lsh_ctes(threshold: float = 0.5,
+                      seeds: int = MINHASH_SEEDS,
+                      bands: int = MINHASH_BANDS) -> str:
+    """The shared CTE block ending in ``pairs(doc_a, doc_b, jaccard)`` —
+    used by the D3 oracle and as the edge source of the D6 cluster
+    oracle."""
     r = seeds // bands
     hashes = ",\n    ".join(
         f"MIN({X.minhash16('s', k)}) AS h{k}" for k in range(seeds))
@@ -176,8 +179,7 @@ def minhash_lsh_oracle_sql(threshold: float = 0.5,
         + " || ".join(f"h{b * r + j}" for j in range(r))
         + " AS key FROM sig"
         for b in range(bands))
-    return f"""
-WITH {_duck_shingle_cte()},
+    return f"""{_duck_shingle_cte()},
 sig AS (
   SELECT doc_id,
     {hashes}
@@ -194,12 +196,20 @@ inter AS (
   FROM cand c
   JOIN sh a ON a.doc_id = c.doc_a
   JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-FROM inter
-JOIN sz sa ON sa.doc_id = doc_a
-JOIN sz sb ON sb.doc_id = doc_b
-WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold!r}"""
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold!r})"""
+
+
+def minhash_lsh_oracle_sql(threshold: float = 0.5,
+                           seeds: int = MINHASH_SEEDS,
+                           bands: int = MINHASH_BANDS) -> str:
+    return (f"\nWITH {_minhash_lsh_ctes(threshold, seeds, bands)}\n"
+            "SELECT doc_a, doc_b, jaccard FROM pairs")
 
 
 # ------------------------------------------------------------ SimHash (D4) ---
@@ -288,3 +298,81 @@ WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {cos} >= {tau!r}"""
+
+
+# ------------------------------------------- transitive clusters (D6) ---
+
+def neardup_clusters(docs: DataFrame, threshold: float = 0.5,
+                     max_iter: int = 50) -> DataFrame:
+    """D6 — transitive near-dup clusters: connected components over the
+    MinHash-LSH pair graph (A~B and B~C put A, B, C in one cluster even
+    when A and C don't pair directly). Every doc maps to
+    ``cluster_id = min doc_id`` of its component; singletons map to
+    themselves.
+
+    Scale design: distributed **min-label propagation** — per round,
+    each vertex takes the min of its own label and its neighbors'
+    (one shuffle-join + one partial-aggregating groupBy), until a round
+    changes nothing. Rounds = graph diameter; near-dup components are
+    shallow (stars around a popular doc), so this converges in a
+    handful of rounds. Crucially the iteration runs over the *dup
+    subgraph only* (vertices that appear in some pair — a tiny fraction
+    of a 100 TB corpus), never the corpus itself; the corpus is touched
+    once at the end by a single left join. `localCheckpoint` truncates
+    the growing lineage each round so plans stay O(1).
+    """
+    pairs = (minhash_lsh_pairs(docs, threshold)
+             .select("doc_a", "doc_b").localCheckpoint())
+    edges = (pairs.union(pairs.select("doc_b", "doc_a"))
+             .toDF("u", "v")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select("u").distinct()
+              .withColumn("lbl", F.col("u")).localCheckpoint())
+    for _ in range(max_iter):
+        prop = (edges
+                .join(labels.withColumnsRenamed({"u": "v", "lbl": "vlbl"}), "v")
+                .groupBy("u").agg(F.min("vlbl").alias("plbl")))
+        new = (labels.join(prop, "u", "left")
+               .select("u", F.least("lbl", F.coalesce("plbl", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnsRenamed({"lbl": "old"}), "u")
+                   .filter(F.col("lbl") != F.col("old")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    asg = (docs.select("doc_id")
+           .join(labels.withColumnsRenamed({"u": "doc_id",
+                                            "lbl": "cluster_id"}),
+                 "doc_id", "left")
+           .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id")))
+    sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (asg.join(sizes, "cluster_id")
+            .withColumn("is_dupe", F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id", "cluster_id", "cluster_size", "is_dupe"))
+
+
+def neardup_clusters_oracle_sql(threshold: float = 0.5) -> str:
+    """Exact oracle: transitive closure by recursive CTE (min reachable
+    doc_id per vertex), then the same singleton fill + size join."""
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes(threshold)},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u),
+asg AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM asg GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, c.cluster_size,
+  a.doc_id <> a.cluster_id AS is_dupe
+FROM asg a JOIN csz c USING (cluster_id)"""

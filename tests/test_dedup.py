@@ -98,3 +98,30 @@ def test_embedding_neardup_exact_cosine(spark):
                spark.createDataFrame(rows), tau=0.99).collect()}
     assert (0, 1) in out and abs(out[(0, 1)] - 1.0) < 1e-12
     assert (0, 2) not in out
+
+
+def test_neardup_clusters_transitive(spark):
+    # doc1 ~ doc0 and doc1 ~ doc2, but doc0 and doc2 differ in two words
+    # (below threshold) — transitivity must still cluster all three
+    texts = [BASE,
+             BASE.replace("dog", "cat"),
+             BASE.replace("dog", "cat").replace("quick", "slow"),
+             "one two three four five six seven eight nine ten",
+             "one two three four five six seven eight nine ten"]
+    docs = _mk_docs(spark, texts)
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (1, 2) in pairs and (0, 2) not in pairs
+    out = {r.doc_id: r for r in dedup.neardup_clusters(docs, 0.5).collect()}
+    assert [out[i].cluster_id for i in range(5)] == [0, 0, 0, 3, 3]
+    assert out[2].cluster_size == 3 and out[2].is_dupe
+    assert out[0].cluster_size == 3 and not out[0].is_dupe
+    assert out[3].cluster_size == 2 and not out[3].is_dupe
+
+
+def test_neardup_clusters_singletons_only(spark):
+    docs = _mk_docs(spark, ["alpha beta gamma delta epsilon zeta eta",
+                            "one two three four five six seven"])
+    out = {r.doc_id: r for r in dedup.neardup_clusters(docs).collect()}
+    assert all(out[i].cluster_id == i and out[i].cluster_size == 1
+               and not out[i].is_dupe for i in range(2))
