@@ -35,6 +35,7 @@ HEADLINE = [
     # training-data pipeline: the scale-sensitive shapes (LSH band join,
     # brute pairwise cosine, streaming-shaped groupBy)
     "d3_minhash_lsh",
+    "d6_neardup_clusters",
     "d5_embedding_neardup",
     "ann_lsh_topk",
     "e1_windowed_agg",
