@@ -347,8 +347,12 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5,
                                             "lbl": "cluster_id"}),
                  "doc_id", "left")
            .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id")))
-    sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (asg.join(sizes, "cluster_id")
+    # cluster sizes via a window, not groupBy + self-join: one shuffle of
+    # the corpus on cluster_id instead of recomputing the assignment on
+    # both sides of a join (the D1 exact-dedup idiom)
+    return (asg
+            .withColumn("cluster_size",
+                        F.count("*").over(Window.partitionBy("cluster_id")))
             .withColumn("is_dupe", F.col("doc_id") != F.col("cluster_id"))
             .select("doc_id", "cluster_id", "cluster_size", "is_dupe"))
 
