@@ -302,6 +302,37 @@ WHERE {cos} >= {tau!r}"""
 
 # ------------------------------------------- transitive clusters (D6) ---
 
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Distributed min-label propagation over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(u, lbl)``: every vertex labeled with the min
+    vertex id of its connected component. Per round: one shuffle-join of
+    edges to labels + one partial-aggregating min-groupBy; stops when a
+    round changes no label (rounds = graph diameter). `localCheckpoint`
+    truncates the growing lineage each round so plans stay O(1).
+    Vertices absent from ``pairs`` are absent from the result (fill
+    singletons with a left join + coalesce at the call site)."""
+    edges = (pairs.union(pairs.select("doc_b", "doc_a"))
+             .toDF("u", "v")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select("u").distinct()
+              .withColumn("lbl", F.col("u")).localCheckpoint())
+    for _ in range(max_iter):
+        prop = (edges
+                .join(labels.withColumnsRenamed({"u": "v", "lbl": "vlbl"}), "v")
+                .groupBy("u").agg(F.min("vlbl").alias("plbl")))
+        new = (labels.join(prop, "u", "left")
+               .select("u", F.least("lbl", F.coalesce("plbl", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint())
+        changed = (new.join(labels.withColumnsRenamed({"lbl": "old"}), "u")
+                   .filter(F.col("lbl") != F.col("old")).limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels
+
+
 def neardup_clusters(docs: DataFrame, threshold: float = 0.5,
                      max_iter: int = 50) -> DataFrame:
     """D6 — transitive near-dup clusters: connected components over the
@@ -323,25 +354,7 @@ def neardup_clusters(docs: DataFrame, threshold: float = 0.5,
     """
     pairs = (minhash_lsh_pairs(docs, threshold)
              .select("doc_a", "doc_b").localCheckpoint())
-    edges = (pairs.union(pairs.select("doc_b", "doc_a"))
-             .toDF("u", "v")
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    labels = (edges.select("u").distinct()
-              .withColumn("lbl", F.col("u")).localCheckpoint())
-    for _ in range(max_iter):
-        prop = (edges
-                .join(labels.withColumnsRenamed({"u": "v", "lbl": "vlbl"}), "v")
-                .groupBy("u").agg(F.min("vlbl").alias("plbl")))
-        new = (labels.join(prop, "u", "left")
-               .select("u", F.least("lbl", F.coalesce("plbl", "lbl"))
-                       .alias("lbl"))
-               .localCheckpoint())
-        changed = (new.join(labels.withColumnsRenamed({"lbl": "old"}), "u")
-                   .filter(F.col("lbl") != F.col("old")).limit(1).count())
-        labels = new
-        if changed == 0:
-            break
-    edges.unpersist(blocking=False)
+    labels = connected_components(pairs, max_iter)
     asg = (docs.select("doc_id")
            .join(labels.withColumnsRenamed({"u": "doc_id",
                                             "lbl": "cluster_id"}),

@@ -125,3 +125,38 @@ def test_neardup_clusters_singletons_only(spark):
     out = {r.doc_id: r for r in dedup.neardup_clusters(docs).collect()}
     assert all(out[i].cluster_id == i and out[i].cluster_size == 1
                and not out[i].is_dupe for i in range(2))
+
+
+def _py_components(n_vertices, edges):
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in {x for e in edges for x in e}}
+
+
+def test_connected_components_vs_union_find(spark):
+    # adversarial shapes for label propagation: a long chain (diameter =
+    # length), a star, a cycle, descending-id edges, and an isolated pair
+    edges = (
+        [(i, i + 1) for i in range(10, 20)]          # chain 10..20
+        + [(30, j) for j in range(31, 38)]           # star at 30
+        + [(40, 41), (41, 42), (42, 43), (43, 40)]   # cycle
+        + [(52, 51), (51, 50)]                       # labels must flow "up"
+        + [(60, 61)]
+    )
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(edges))
+    shuffled = [edges[i] for i in perm]
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in shuffled])
+    got = {r.u: r.lbl for r in dedup.connected_components(pairs).collect()}
+    assert got == _py_components(70, edges)
