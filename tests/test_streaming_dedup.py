@@ -1,0 +1,52 @@
+"""Streaming exact dedup: the stream must admit exactly one document per
+distinct text, with duplicate suppression carrying across micro-batches
+via the dropDuplicatesWithinWatermark state store."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from birli_spark.operators import dedup as batch_dedup
+from birli_spark.sources import corpus
+from birli_spark.streaming import dedup as sdedup
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+                   str(tmp_path / "ckpt"))
+    got = sdedup.run_available_now(spark, sf_dir, "t_dedup").toPandas()
+    exp = (batch_dedup.exact_dedup(corpus.load_documents(spark, sf_dir))
+           .toPandas())
+    # one admitted row per distinct text, same hash set as batch D1
+    assert sorted(got.text_md5) == sorted(exp.text_md5.unique())
+    # every admitted doc_id really belongs to its hash group
+    groups = exp.groupby("text_md5").doc_id.apply(set)
+    assert all(r.doc_id in groups[r.text_md5] for r in got.itertuples())
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    # batch 0 delivers docs 0-2; batch 1 re-delivers doc 1's text (as doc
+    # 3) and adds a new doc 4 — the re-delivery must be suppressed by
+    # state carried across micro-batches
+    src = str(tmp_path / "docs_split")
+    os.makedirs(src, exist_ok=True)
+    mk = lambda i, t: {"doc_id": i, "text": t, "lang": "en",
+                       "source": "s", "n_chars": len(t)}
+    pd.DataFrame([mk(0, "alpha beta"), mk(1, "gamma delta"),
+                  mk(2, "epsilon zeta")]).to_parquet(
+        f"{src}/part0.parquet", index=False)
+    pd.DataFrame([mk(3, "gamma delta"), mk(4, "eta theta")]).to_parquet(
+        f"{src}/part1.parquet", index=False)
+    stream = (spark.readStream.schema(sdedup.DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sdedup.dedup_stream(stream)
+         .writeStream.format("memory").queryName("t_dedup_mb")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    got = spark.table("t_dedup_mb").toPandas().sort_values("doc_id")
+    assert got.doc_id.tolist() == [0, 1, 2, 4]
