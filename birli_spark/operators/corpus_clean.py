@@ -10,10 +10,14 @@ materializes per surviving row but the final projection. At 100 TB the
 shingle table is the dominant intermediate; it is persisted once inside
 the LSH stage (operators/dedup.py).
 
-Removal policy (the standard one): for an exact group keep the minimum
-doc_id; for a near-dup pair (doc_a < doc_b) drop doc_b — so the lowest
-id of any duplicate cluster survives (transitively, for chains found by
-LSH banding).
+Removal policy (the standard pairwise one): for an exact group keep the
+minimum doc_id; for a near-dup pair (doc_a < doc_b) drop doc_b. A doc
+survives the near-dup stage iff it has no *direct* pair with a smaller
+doc_id — so a component like {1, 5, 4} with pairs (1,5) and (4,5) keeps
+both 1 and 4 (they never paired with each other). For the stricter
+one-survivor-per-transitive-cluster policy, use
+:func:`birli_spark.operators.dedup.connected_components` /
+``neardup_clusters`` (D6) and keep ``doc_id == cluster_id``.
 """
 
 from __future__ import annotations

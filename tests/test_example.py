@@ -30,3 +30,24 @@ def test_example_end_to_end(tmp_path, monkeypatch):
     header, params, data = uvfits.read_uvfits(result["uvfits_path"])
     assert header["GCOUNT"] == 20
     assert np.isfinite(data).all()
+
+def test_corpus_example_end_to_end(tmp_path):
+    sys.modules.pop("examples.corpus_pipeline", None)
+    mod = runpy.run_path("examples/corpus_pipeline.py")
+    import birli_spark.session as sess
+    spark = sess.get_spark("birli_spark_tests")
+    real_stop = spark.stop
+    try:
+        spark.stop = lambda: None
+        result = mod["main"](out_dir=str(tmp_path / "corpus"))
+    finally:
+        spark.stop = real_stop
+    assert result["n_in"] == 500
+    assert 0 < result["n_out"] < result["n_in"]
+    assert result["lang_partitions"] >= 1
+    curated = spark.read.parquet(result["dataset_path"])
+    assert {"doc_id", "cluster_id", "cluster_size", "fingerprint",
+            "quality_score", "lang", "source"} <= set(curated.columns)
+    # survivors of the pairwise policy may still carry a cluster_id of a
+    # removed doc, but every doc_id is unique
+    assert curated.count() == curated.select("doc_id").distinct().count()
