@@ -137,12 +137,22 @@ def minhash_signatures(docs: DataFrame,
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       seeds: int = MINHASH_SEEDS,
-                      bands: int = MINHASH_BANDS) -> DataFrame:
+                      bands: int = MINHASH_BANDS,
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash → banding → bucket equi-join → exact-Jaccard verify.
 
     The band join is the scale path: docs land in band buckets, only
-    same-bucket pairs are compared (no quadratic blow-up); the verify
-    join recomputes true Jaccard on the (small) candidate set."""
+    same-bucket pairs are compared (no quadratic blow-up across the
+    corpus); the verify join recomputes true Jaccard on the (small)
+    candidate set.
+
+    ``max_bucket`` is the in-bucket skew guard (the band-join analogue
+    of ``max_df``): a band bucket shared by B docs emits B² candidate
+    rows, so one hot bucket (boilerplate pages, empty docs) can
+    dominate the whole join. Buckets larger than ``max_bucket`` are
+    dropped from candidate generation — exact duplicates of that
+    boilerplate are already handled by D1, and near-dup recall for a
+    pair only needs *one* of its shared band buckets to survive."""
     r = seeds // bands
     # one persisted shingle table serves signature building AND the
     # Jaccard verification — without it the corpus is re-tokenized 3x
@@ -157,6 +167,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     banded = (sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
               .select("doc_id", F.col("bk.band").alias("band"),
                       F.col("bk.key").alias("key")))
+    if max_bucket is not None:
+        small = (banded.groupBy("band", "key")
+                 .agg(F.count("*").alias("bsz"))
+                 .filter(F.col("bsz") <= max_bucket)
+                 .select("band", "key"))
+        banded = banded.join(small, ["band", "key"], "left_semi")
     a = banded.withColumnsRenamed({"doc_id": "doc_a"})
     b = banded.withColumnsRenamed({"doc_id": "doc_b"})
     cand = (a.join(b, ["band", "key"])

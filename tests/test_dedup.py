@@ -160,3 +160,21 @@ def test_connected_components_vs_union_find(spark):
         [Row(doc_a=a, doc_b=b) for a, b in shuffled])
     got = {r.u: r.lbl for r in dedup.connected_components(pairs).collect()}
     assert got == _py_components(70, edges)
+
+
+def test_minhash_bucket_cap_drops_hot_bucket(spark):
+    # 6 identical docs form one hot band bucket (size 6); one genuine
+    # near-dup pair sits in a small bucket and must survive the cap
+    texts = [BASE] * 6 + [BASE.replace("dog", "cat").replace("fox", "ox"),
+                          BASE.replace("dog", "cat").replace("fox", "ox")
+                          + " extra"]
+    docs = _mk_docs(spark, texts)
+    capped = {(r.doc_a, r.doc_b)
+              for r in dedup.minhash_lsh_pairs(
+                  docs, threshold=0.5, max_bucket=5).collect()}
+    assert (6, 7) in capped
+    assert not any(a < 6 and b < 6 for a, b in capped)  # hot bucket gone
+    # without the cap the identical-doc pairs are all present
+    full = {(r.doc_a, r.doc_b)
+            for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= full
