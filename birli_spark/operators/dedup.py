@@ -242,7 +242,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                     F.expr(X.simhash16(X.SPARK, "th")).alias("sig")))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 1,
+                  max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation: 4 bands × 4 bits — by pigeonhole any pair with
@@ -250,7 +251,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
     has **exact recall** (for any ``max_hamming`` ≤ 3) while avoiding the
     all-pairs product. Default 1: with a 16-bit signature over a
     shared-vocabulary corpus, hamming ≤ 3 is too permissive to mean
-    "near-duplicate"."""
+    "near-duplicate". ``max_bucket`` is the hot-bucket skew guard (see
+    :func:`minhash_lsh_pairs`) — note it trades the exact-recall
+    pigeonhole guarantee for bounded join fan-out."""
     sig = simhash_signatures(docs)
     bands = None
     for k in range(SIMHASH_BANDS):
@@ -258,6 +261,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 1) -> DataFrame:
             "doc_id", "sig", F.lit(k).alias("band"),
             F.expr(f"CAST(shiftright(sig, {4 * k}) & 15 AS INT)").alias("key"))
         bands = part if bands is None else bands.unionByName(part)
+    if max_bucket is not None:
+        small = (bands.groupBy("band", "key")
+                 .agg(F.count("*").alias("bsz"))
+                 .filter(F.col("bsz") <= max_bucket)
+                 .select("band", "key"))
+        bands = bands.join(small, ["band", "key"], "left_semi")
     a = bands.withColumnsRenamed({"doc_id": "doc_a", "sig": "sig_a"})
     b = bands.withColumnsRenamed({"doc_id": "doc_b", "sig": "sig_b"})
     return (a.join(b, ["band", "key"])
