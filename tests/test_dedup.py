@@ -178,3 +178,14 @@ def test_minhash_bucket_cap_drops_hot_bucket(spark):
     full = {(r.doc_a, r.doc_b)
             for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
     assert {(a, b) for a in range(6) for b in range(a + 1, 6)} <= full
+
+
+def test_connected_components_random_graph(spark):
+    # seeded Erdos-Renyi-ish graph: 60 vertices, ~90 random edges
+    rng = np.random.default_rng(42)
+    edges = {tuple(sorted(e)) for e in rng.integers(0, 60, (90, 2))
+             if e[0] != e[1]}
+    pairs = spark.createDataFrame(
+        [Row(doc_a=int(a), doc_b=int(b)) for a, b in sorted(edges)])
+    got = {r.u: r.lbl for r in dedup.connected_components(pairs).collect()}
+    assert got == _py_components(60, sorted(edges))
