@@ -232,31 +232,40 @@ def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
     with np.errstate(divide="ignore", invalid="ignore"):
         guess = ka / (s1 * s2)
     solvable = (s1 > 0) & (s2 > 0) & (guess >= 0.0) & (guess < 1.0) & np.isfinite(guess)
-    idx = np.flatnonzero(solvable)
-    if idx.size == 0:
+    idx_all = np.flatnonzero(solvable)
+    if idx_all.size == 0:
         return out
-    x = _K[None, :] / s1[idx, None]                        # (M, 7)
-    y = _K[None, :] / s2[idx, None]
-    xy, sq = _grids(x, y)
-    g = guess[idx]
-    target = ka[idx]
-    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
-        integral, gp = _corrcorrect_simp(g, xy, sq)
-        delta = integral - target
-        active = (np.abs(delta) > 1e-12) & np.isfinite(delta)
-        for _ in range(100):
-            if not active.any():
-                break
-            g[active] -= delta[active] / gp[active]
-            integral_a, gp_a = _corrcorrect_simp(g[active], xy[active], sq[active])
-            delta[active] = integral_a - target[active]
-            gp[active] = gp_a
-            active &= (np.abs(delta) > 1e-12) & np.isfinite(delta)
-    # non-converged after 100 iterations → passthrough khat (unwrap_or,
-    # src/van_vleck.rs:764-768); all others accept the solved rho
-    done = ~active
-    upd = idx[done]
-    out[upd] = (sign[idx] * g)[done] * s1[upd] * s2[upd]
+    # chunk the solve: the Simpson grids are (M, 11, 7, 7) f64 temporaries
+    # (~4.3 KB/element/iteration), so an unchunked 80k-element batch (10k
+    # Arrow rows x 8 fused components) would churn ~350 MB per Newton
+    # step. 8192-element chunks cap peak temporaries at ~35 MB per worker
+    # regardless of Arrow batch size — elements are independent, results
+    # identical.
+    for lo in range(0, idx_all.size, 8192):
+        idx = idx_all[lo:lo + 8192]
+        x = _K[None, :] / s1[idx, None]                    # (M, 7)
+        y = _K[None, :] / s2[idx, None]
+        xy, sq = _grids(x, y)
+        g = guess[idx]
+        target = ka[idx]
+        with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            integral, gp = _corrcorrect_simp(g, xy, sq)
+            delta = integral - target
+            active = (np.abs(delta) > 1e-12) & np.isfinite(delta)
+            for _ in range(100):
+                if not active.any():
+                    break
+                g[active] -= delta[active] / gp[active]
+                integral_a, gp_a = _corrcorrect_simp(
+                    g[active], xy[active], sq[active])
+                delta[active] = integral_a - target[active]
+                gp[active] = gp_a
+                active &= (np.abs(delta) > 1e-12) & np.isfinite(delta)
+        # non-converged after 100 iterations → passthrough khat
+        # (unwrap_or, src/van_vleck.rs:764-768); others accept the rho
+        done = ~active
+        upd = idx[done]
+        out[upd] = (sign[idx] * g)[done] * s1[upd] * s2[upd]
     return out
 
 
