@@ -229,3 +229,57 @@ ranked AS (
   FROM agg)
 SELECT term, tf_total, df, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {top_n}"""
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic relevance/keyword
+    feature of a curation pipeline: ``tfidf = tf * ln(N / df)``.
+
+    Scale shape: one explode over the scan (narrow), a partial-aggregated
+    groupBy(doc_id, term) for tf, a partial-aggregated groupBy(term) for
+    df (term-cardinality sized — broadcast back onto tf), the corpus
+    count N as a broadcast single-row cross, and the top-k window
+    partitioned by doc_id. The float product is demoted through f32 so
+    the score (and its ORDER BY) is bit-identical across engines; ties
+    break on the term string."""
+    from pyspark.sql import Window
+    tok = (docs.select("doc_id",
+                       F.explode(F.expr(X.toks(X.SPARK))).alias("term"))
+           .filter(F.col("term") != ""))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(dft), "term")
+              .join(F.broadcast(n))
+              .withColumn("tfidf", F.expr(f32(
+                  "CAST(tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / df)"))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("doc_id", "term", "tf", "df", "tfidf", "rnk"))
+
+
+def tfidf_oracle_sql(k: int = TFIDF_TOP_K) -> str:
+    score = f32("CAST(tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / df)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df, {score} AS tfidf
+  FROM tf t JOIN dft d USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {k}"""

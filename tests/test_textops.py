@@ -69,3 +69,32 @@ def test_vocab_stats_matches_python(spark, sf_dir):
     assert list(zip(got.term, got.tf_total)) == expect
     assert all(df[t] == d for t, d in zip(got.term, got.df))
     assert got["rank"].tolist() == list(range(1, len(expect) + 1))
+
+
+def test_tfidf_top_terms_exact(spark):
+    import math
+
+    import numpy as np
+    docs = spark.createDataFrame([
+        (0, "apple banana apple cherry"),
+        (1, "banana banana date"),
+        (2, "apple elderberry elderberry elderberry"),
+    ], ["doc_id", "text"])
+    got = {(r.doc_id, r.rnk): r
+           for r in text.tfidf_top_terms(docs, k=2).collect()}
+    # brute-force recomputation
+    corpus_toks = [["apple", "banana", "apple", "cherry"],
+                   ["banana", "banana", "date"],
+                   ["apple", "elderberry", "elderberry", "elderberry"]]
+    df = {}
+    for toks in corpus_toks:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    for d, toks in enumerate(corpus_toks):
+        scores = sorted(
+            ((np.float32(toks.count(t) * math.log(3.0 / df[t])), t)
+             for t in set(toks)),
+            key=lambda p: (-p[0], p[1]))
+        for rnk, (s, t) in enumerate(scores[:2], start=1):
+            r = got[(d, rnk)]
+            assert r.term == t and abs(r.tfidf - float(s)) < 1e-12
