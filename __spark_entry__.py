@@ -318,6 +318,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    from birli_spark.operators import corpus_clean
+    from birli_spark.sources import corpus
+    return corpus_clean.stratified_sample(corpus.load_documents(spark, sf_dir))
+
+
 def _q_exact_dedup(spark, sf_dir):
     from birli_spark.operators import dedup
     from birli_spark.sources import corpus
@@ -457,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_source_rollup": _q_source_rollup,
         "t5_vocab_stats": _q_vocab_stats,
         "t6_tfidf_top_terms": _q_tfidf,
+        "t7_stratified_sample": _q_stratified_sample,
         "d1_exact_dedup": _q_exact_dedup,
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "d3_minhash_lsh": _q_minhash_lsh,
@@ -630,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "t4_source_rollup": text.source_quality_rollup_oracle_sql(),
         "t5_vocab_stats": text.vocab_stats_oracle_sql(),
         "t6_tfidf_top_terms": text.tfidf_oracle_sql(),
+        "t7_stratified_sample": corpus_clean.stratified_sample_oracle_sql(),
         "d1_exact_dedup": dedup.exact_dedup_oracle_sql(),
         "d2_ngram_jaccard": dedup.shingle_jaccard_oracle_sql(),
         "d3_minhash_lsh": dedup.minhash_lsh_oracle_sql(),

@@ -67,3 +67,56 @@ FROM documents d
 JOIN stats s ON s.doc_id = d.doc_id
 WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
   AND s.quality_score >= {quality_min!r}"""
+
+# ------------------------------------------------- stratified sampling ---
+
+#: per-language keep rates (a curation policy: downweight the dominant
+#: strata, keep the rare ones whole)
+SAMPLE_RATES = {"en": 0.5, "de": 0.75, "fr": 0.75}
+SAMPLE_DEFAULT_RATE = 1.0
+
+_HEX_WIDTH = 8          # compare the first 8 md5 hex chars (32 bits)
+
+
+def _rate_to_hex(rate: float) -> str:
+    """Map a keep-rate to the lexicographic hex threshold such that
+    P[bucket < threshold] = rate for a uniform 32-bit bucket. The
+    threshold must be exactly _HEX_WIDTH chars for the string compare to
+    order like the integer; rate >= 1 uses 'g', which sorts above every
+    hex string (keep everything)."""
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * 16 ** _HEX_WIDTH), f"0{_HEX_WIDTH}x")
+
+
+def _rate_case(d: str) -> str:
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_rate_to_hex(r)}'"
+        for lang, r in sorted(SAMPLE_RATES.items()))
+    return f"CASE {arms} ELSE '{_rate_to_hex(SAMPLE_DEFAULT_RATE)}' END"
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified sample: keep a doc iff the first 8 hex
+    chars of ``md5(doc_id)`` fall under its language's threshold.
+
+    The hash-bucket predicate is the scale-correct sampler: it is a pure
+    narrow filter over the scan (no shuffle, no RNG state, no seed
+    coordination across executors), reproducible run-to-run, and
+    consistent under re-partitioning — the same doc is always in or out.
+    Lexicographic hex comparison avoids hex→int conversion (exact and
+    identical in both engines)."""
+    bucket = "substring(md5(CAST(doc_id AS STRING)), 1, 8)"
+    return (docs
+            .withColumn("bucket", F.expr(bucket))
+            .withColumn("threshold", F.expr(_rate_case("spark")))
+            .filter(F.col("bucket") < F.col("threshold"))
+            .select("doc_id", "lang", "source", "bucket"))
+
+
+def stratified_sample_oracle_sql() -> str:
+    return f"""
+SELECT doc_id, lang, source,
+       substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ({_rate_case('duck')})"""

@@ -31,3 +31,33 @@ def test_clean_corpus_drops_the_right_docs(spark):
     assert 3 not in survivors              # quality below threshold
     assert 4 in survivors
     assert (out.quality_score >= corpus_clean.QUALITY_MIN).all()
+
+def test_stratified_sample_matches_python_predicate(spark, sf_dir):
+    import hashlib
+
+    from birli_spark.sources import corpus
+    docs = corpus.load_documents(spark, sf_dir)
+    got = {r.doc_id for r in
+           corpus_clean.stratified_sample(docs).collect()}
+    pdf = docs.select("doc_id", "lang").toPandas()
+    expect = set()
+    for r in pdf.itertuples():
+        rate = corpus_clean.SAMPLE_RATES.get(
+            r.lang, corpus_clean.SAMPLE_DEFAULT_RATE)
+        bucket = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8]
+        if bucket < corpus_clean._rate_to_hex(rate):
+            expect.add(r.doc_id)
+    assert got == expect
+    # sanity: the en stratum was actually thinned, rare strata survive
+    n_en = (pdf.lang == "en").sum()
+    kept_en = sum(1 for r in pdf.itertuples()
+                  if r.lang == "en" and r.doc_id in got)
+    if n_en > 50:
+        assert 0.3 < kept_en / n_en < 0.7
+
+
+def test_rate_to_hex_thresholds():
+    assert corpus_clean._rate_to_hex(0.5) == "80000000"
+    assert corpus_clean._rate_to_hex(0.0) == "00000000"
+    assert corpus_clean._rate_to_hex(1.0) == "g"
+    assert "ffffffff" < "g"  # the keep-everything sentinel really keeps all
