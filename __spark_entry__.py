@@ -396,6 +396,12 @@ def _q_top_users_salted(spark, sf_dir):
     return events.top_users_salted(corpus.load_events(spark, sf_dir))
 
 
+def _q_event_rollup(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.event_rollup(corpus.load_events(spark, sf_dir))
+
+
 def _q_asof_join(spark, sf_dir):
     from birli_spark.operators import asof
     from birli_spark.sources import corpus
@@ -476,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_windowed_agg": _q_windowed_agg,
         "e2_sessionize": _q_sessionize,
         "e3_top_users_salted": _q_top_users_salted,
+        "e5_event_rollup": _q_event_rollup,
         "e4_asof_join": _q_asof_join,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
@@ -650,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "e1_windowed_agg": events.windowed_agg_oracle_sql(),
         "e2_sessionize": events.sessionize_oracle_sql(),
         "e3_top_users_salted": events.top_users_oracle_sql(),
+        "e5_event_rollup": events.event_rollup_oracle_sql(),
         "e4_asof_join": asof.asof_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),

@@ -147,3 +147,45 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
   {f32('SUM(value)')} AS sum_value
 FROM islands
 GROUP BY 1, 2"""
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def event_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical rollup — the OLAP reporting shape: per-(type, day)
+    leaves, per-type subtotals, and the grand total from ONE pass.
+
+    ``ROLLUP`` expands to grouping sets inside a single
+    partial-aggregating shuffle (each map task emits partials for every
+    level), so the three levels cost one aggregation, not three.
+    Grouping columns are coalesced to sentinels and the ``grouping_id``
+    bitmask is emitted, keeping the output NULL-free and the cross-engine
+    hash deterministic."""
+    day = F.expr(f"CAST(FLOOR({TS_US_SPARK} / {US_PER_DAY}) * 86400"
+                 " AS BIGINT)")
+    return (events.withColumn("day_epoch", day)
+            .rollup("event_type", "day_epoch")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(f32("SUM(value)")).alias("sum_value"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("day_epoch", F.lit(-1)).alias("day_epoch"),
+                    F.col("gid").cast("int").alias("gid"),
+                    "n_events", "sum_value"))
+
+
+def event_rollup_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_type,
+    CAST(FLOOR({TS_US_DUCK} / {US_PER_DAY}) * 86400 AS BIGINT) AS day_epoch,
+    value
+  FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(day_epoch, -1) AS day_epoch,
+  CAST(GROUPING(event_type, day_epoch) AS INT) AS gid,
+  COUNT(*) AS n_events,
+  {f32('SUM(value)')} AS sum_value
+FROM base
+GROUP BY ROLLUP(event_type, day_epoch)"""

@@ -56,3 +56,21 @@ def test_windowed_agg_matches_pandas(spark, sf_dir):
     import numpy as np
     assert np.allclose(got.sum_value.values, exp.sum_value.values,
                        rtol=1e-6, atol=1e-4)
+
+
+def test_event_rollup_levels(spark, sf_dir):
+    from birli_spark.sources import corpus
+    ev = corpus.load_events(spark, sf_dir)
+    out = events.event_rollup(ev).toPandas()
+    leaves = out[out.gid == 0]
+    subtotals = out[out.gid == 1]
+    grand = out[out.gid == 3]
+    assert len(grand) == 1
+    assert grand.iloc[0].event_type == "ALL" and grand.iloc[0].day_epoch == -1
+    assert grand.iloc[0].n_events == ev.count()
+    # every per-type subtotal equals the sum of its leaves
+    per_type = leaves.groupby("event_type").n_events.sum()
+    for r in subtotals.itertuples():
+        assert r.day_epoch == -1
+        assert per_type[r.event_type] == r.n_events
+    assert subtotals.n_events.sum() == grand.iloc[0].n_events
