@@ -241,8 +241,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     Scale shape: one explode over the scan (narrow), a partial-aggregated
     groupBy(doc_id, term) for tf, a partial-aggregated groupBy(term) for
     df (term-cardinality sized — broadcast back onto tf), the corpus
-    count N as a broadcast single-row cross, and the top-k window
-    partitioned by doc_id. The float product is demoted through f32 so
+    count N folded in as a literal, and the top-k window partitioned by
+    doc_id. The float product is demoted through f32 so
     the score (and its ORDER BY) is bit-identical across engines; ties
     break on the term string."""
     from pyspark.sql import Window
@@ -251,11 +251,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
            .filter(F.col("term") != ""))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
+    # corpus size resolved up front (a parquet-metadata-cheap count) and
+    # folded in as a literal — keeps the scoring plan free of the
+    # single-row nested-loop cross a scalar-subquery join would add
+    n_docs = docs.count()
     scored = (tf.join(F.broadcast(dft), "term")
-              .join(F.broadcast(n))
               .withColumn("tfidf", F.expr(f32(
-                  "CAST(tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / df)"))))
+                  f"CAST(tf AS DOUBLE) * LN(CAST({n_docs} AS DOUBLE) / df)"))))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
