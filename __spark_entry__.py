@@ -422,6 +422,38 @@ def _q_frame_sample(spark, sf_dir):
         multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
 
 
+
+def _q_burst_counts(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.burst_counts(corpus.load_events(spark, sf_dir))
+
+
+def _q_length_quantiles(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.length_quantiles(corpus.load_documents(spark, sf_dir))
+
+
+def _q_label_centroids(spark, sf_dir):
+    from birli_spark.operators import similarity
+    from birli_spark.sources import corpus
+    return similarity.label_centroids(corpus.load_embeddings(spark, sf_dir))
+
+
+
+def _q_json_extract_stats(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.json_extract_stats(corpus.load_events(spark, sf_dir))
+
+
+def _q_top_bigrams(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.top_bigrams(corpus.load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -484,6 +516,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_top_users_salted": _q_top_users_salted,
         "e5_event_rollup": _q_event_rollup,
         "e4_asof_join": _q_asof_join,
+        "e6_burst_counts": _q_burst_counts,
+        "e7_json_extract_stats": _q_json_extract_stats,
+        "t9_top_bigrams": _q_top_bigrams,
+        "t8_length_quantiles": _q_length_quantiles,
+        "emb1_label_centroids": _q_label_centroids,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
         "pipeline_corpus_clean": _q_corpus_clean,
@@ -659,6 +696,11 @@ def oracle_sql() -> dict[str, str]:
         "e3_top_users_salted": events.top_users_oracle_sql(),
         "e5_event_rollup": events.event_rollup_oracle_sql(),
         "e4_asof_join": asof.asof_oracle_sql(),
+        "e6_burst_counts": events.burst_counts_oracle_sql(),
+        "e7_json_extract_stats": events.json_extract_stats_oracle_sql(),
+        "t9_top_bigrams": text.top_bigrams_oracle_sql(),
+        "t8_length_quantiles": text.length_quantiles_oracle_sql(),
+        "emb1_label_centroids": similarity.label_centroids_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
         "pipeline_corpus_clean": corpus_clean.clean_corpus_oracle_sql(),

@@ -189,3 +189,95 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
   {f32('SUM(value)')} AS sum_value
 FROM base
 GROUP BY ROLLUP(event_type, day_epoch)"""
+
+
+BURST_WINDOW_US = 600_000_000  # ±10 min
+
+
+def burst_counts(events: DataFrame,
+                 window_us: int = BURST_WINDOW_US) -> DataFrame:
+    """Per-event count of *other* events by the same user within
+    ``±window_us`` — a **banded (range) self-join**, the burst/fraud
+    detection shape the reference has no analogue of (SURVEY.md §2.8:
+    "No theta/range/as-of joins exist in the reference").
+
+    A naive inequality self-join is a per-user cross product (quadratic
+    in the hottest user). Instead the band is bucketized: each probe row
+    explodes into its bucket and the two adjacent buckets
+    (``window_us``-wide), the join is a plain **equi-join** on
+    (user_id, bucket) — hash-shuffled, AQE-splittable — and the exact
+    ``|Δt| <= window_us`` predicate filters the candidates. Candidate
+    fan-in per row is bounded by the user's events in a 3-bucket band,
+    never the user's whole history. A final left join restores
+    zero-neighbor events (absent from the candidate aggregate).
+    """
+    e = events.select("event_id", "user_id",
+                      F.expr(TS_US_SPARK).alias("tu"))
+    build = (e.select("event_id", "user_id", "tu")
+             .withColumn("bkt", F.expr(f"tu div {window_us}")))
+    probe = (e.select(F.col("event_id").alias("p_id"),
+                      F.col("user_id").alias("p_user"),
+                      F.col("tu").alias("p_tu"))
+             .withColumn(
+                 "bkt",
+                 F.explode(F.expr(
+                     f"array(p_tu div {window_us} - 1,"
+                     f" p_tu div {window_us},"
+                     f" p_tu div {window_us} + 1)"))))
+    matched = (probe.join(
+                   build,
+                   (F.col("p_user") == F.col("user_id"))
+                   & (probe.bkt == build.bkt),
+                   "inner")
+               .filter((F.col("p_id") != F.col("event_id"))
+                       & (F.abs(F.col("p_tu") - F.col("tu"))
+                          <= F.lit(window_us)))
+               .groupBy("p_id")
+               .agg(F.count("*").alias("nb")))
+    return (e.join(matched, e.event_id == matched.p_id, "left")
+            .select(e.event_id.alias("event_id"),
+                    F.coalesce("nb", F.lit(0)).alias("n_burst")))
+
+
+def burst_counts_oracle_sql(window_us: int = BURST_WINDOW_US) -> str:
+    """Direct inequality self-join — correct at oracle scale; the engine
+    side replaces it with the bucketed equi-join above."""
+    return f"""
+WITH e AS (SELECT event_id, user_id, {TS_US_DUCK} AS tu FROM events)
+SELECT a.event_id AS event_id, COUNT(b.event_id) AS n_burst
+FROM e a LEFT JOIN e b
+  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+  AND abs(a.tu - b.tu) <= {window_us}
+GROUP BY a.event_id"""
+
+
+def json_extract_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column and aggregate it per event type — the schema-on-read shape of
+    real event pipelines (properties bags are never pre-parsed).
+
+    ``get_json_object`` is a JVM-side expression (no UDF), so the parse
+    fuses into the scan projection; the aggregate is one
+    partial-aggregating shuffle on event_type. Integer sums keep the
+    cross-engine hash exact; the mean goes through f32 demotion.
+    """
+    k = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    return (events.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.expr(f32("CAST(SUM(CAST(get_json_object(props, '$.k')"
+                            " AS BIGINT)) AS DOUBLE) / COUNT(*)"))
+                  .alias("avg_k")))
+
+
+def json_extract_stats_oracle_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+SELECT event_type, COUNT(*) AS n_events, SUM(k) AS sum_k,
+  MIN(k) AS min_k, MAX(k) AS max_k,
+  {f32('CAST(SUM(k) AS DOUBLE) / COUNT(*)')} AS avg_k
+FROM e GROUP BY event_type"""

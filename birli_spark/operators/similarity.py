@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from birli_spark.functions import textsql as X
+from birli_spark.functions.complex import f32
 
 N_PLANES = 4
 EMB_DIM = 64
@@ -221,3 +222,33 @@ ranked AS (
   FROM scored)
 SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label embedding centroid — the cluster-profile aggregate of an
+    embedding-space QA pass (and the exact form of the reduce step that
+    :func:`ivf_topk`'s coarse quantizer would train with).
+
+    ``posexplode`` unfolds the vector column to (label, dim, component)
+    rows; the groupBy partial-aggregates map-side, so the shuffle carries
+    only ``labels × dim × partitions`` partial sums regardless of corpus
+    size — the canonical way to average array columns at 100 TB without
+    driver collection. Component sums are f32-demoted to absorb
+    order-dependent last-ulp drift of the distributed SUM.
+    """
+    return (emb.select("label", F.posexplode("embedding")
+                       .alias("dim", "component"))
+            .groupBy("label", F.col("dim").cast("int").alias("dim"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.expr(f32("SUM(CAST(component AS DOUBLE)) / COUNT(*)"))
+                  .alias("centroid")))
+
+
+def label_centroids_oracle_sql(dim: int = EMB_DIM) -> str:
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS dim)
+SELECT label, CAST(d.dim AS INT) AS dim, COUNT(*) AS n_vectors,
+  {f32('SUM(CAST(embedding[d.dim + 1] AS DOUBLE)) / COUNT(*)')}
+    AS centroid
+FROM embeddings, dims d
+GROUP BY label, d.dim"""

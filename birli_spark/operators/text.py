@@ -285,3 +285,90 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {k}"""
+
+
+QUANTILE_PS = (0.25, 0.5, 0.9)
+
+
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Exact per-language document-length quantiles (p25/p50/p90 of
+    ``n_chars``) — the length-distribution profile a curation pipeline
+    checks before choosing truncation budgets.
+
+    Uses Spark's exact ``percentile`` (linear interpolation, identical to
+    DuckDB ``quantile_cont``; sort-based within each group). At 100 TB
+    the exact sort is the correctness reference; the production path
+    swaps in ``percentile_approx`` (mergeable KLL-style sketch, pure
+    partial aggregation) when per-group sorts dominate.
+    """
+    ps = ", ".join(f"CAST({p} AS DOUBLE)" for p in QUANTILE_PS)
+    return (docs.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.expr(f"percentile(n_chars, array({ps}))").alias("q"))
+            .select("lang", "n_docs",
+                    F.expr("q[0]").alias("p25_chars"),
+                    F.expr("q[1]").alias("p50_chars"),
+                    F.expr("q[2]").alias("p90_chars")))
+
+
+def length_quantiles_oracle_sql() -> str:
+    cols = ",\n  ".join(
+        f"quantile_cont(n_chars, CAST({p} AS DOUBLE)) AS p{int(p * 100)}_chars"
+        for p in QUANTILE_PS)
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+  {cols}
+FROM documents GROUP BY lang"""
+
+
+BIGRAM_TOP_K = 5
+
+
+def top_bigrams(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
+    """Top-k adjacent token bigrams per language — the collocation
+    profile of a tokenizer/quality pipeline.
+
+    Bigrams come from zipping the token array with its tail (a pure
+    projection, no UDF); the count is one partial-aggregating shuffle on
+    (lang, bigram); the top-k is a per-lang window over the (small)
+    distinct-bigram aggregate. Ties break lexicographically so ranks are
+    deterministic cross-engine.
+    """
+    from pyspark.sql import Window
+    t = X.toks(X.SPARK)
+    n = X.size(X.SPARK, t)
+    bigrams = (f"transform(IF({n} >= 2, sequence(1, {n} - 1), "
+               f"CAST(array() AS ARRAY<INT>)), "
+               f"i -> concat({t}[i - 1], ' ', {t}[i]))")
+    counted = (docs
+               .select("lang", F.explode(F.expr(bigrams)).alias("bigram"))
+               .groupBy("lang", "bigram")
+               .agg(F.count("*").alias("n_occurrences")))
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_occurrences"), F.asc("bigram"))
+    return (counted.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("lang", "bigram", "n_occurrences",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def top_bigrams_oracle_sql(k: int = BIGRAM_TOP_K) -> str:
+    t = X.toks(X.DUCK)
+    n = X.size(X.DUCK, t)
+    return f"""
+WITH toks AS (
+  SELECT lang, {t} AS ts, {n} AS nt FROM documents),
+bigrams AS (
+  SELECT lang, ts[i] || ' ' || ts[i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, nt - 1)) AS i) g
+  WHERE nt >= 2),
+counted AS (
+  SELECT lang, bigram, COUNT(*) AS n_occurrences
+  FROM bigrams GROUP BY lang, bigram),
+ranked AS (
+  SELECT lang, bigram, n_occurrences,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_occurrences DESC, bigram ASC) AS rank
+  FROM counted)
+SELECT lang, bigram, n_occurrences, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""

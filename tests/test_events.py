@@ -74,3 +74,46 @@ def test_event_rollup_levels(spark, sf_dir):
         assert r.day_epoch == -1
         assert per_type[r.event_type] == r.n_events
     assert subtotals.n_events.sum() == grand.iloc[0].n_events
+
+
+def test_burst_counts_band_semantics(spark):
+    w = events.BURST_WINDOW_US
+    rows = [
+        # user 7: events at 0, w (inclusive edge), 2w+1 (outside both)
+        _ev(1, 7, 0), _ev(2, 7, w),
+        _ev(3, 7, 2 * w + 1),
+        # user 9: isolated
+        _ev(4, 9, 0),
+    ]
+    out = {r.event_id: r.n_burst
+           for r in events.burst_counts(spark.createDataFrame(rows)).collect()}
+    # 1<->2 are exactly w apart (inclusive); 3 is w+1 from 2: also within
+    # its band?  t3 - t2 = w + 1 > w -> excluded.
+    assert out[1] == 1 and out[2] == 1
+    assert out[3] == 0
+    assert out[4] == 0
+    assert len(out) == 4
+
+
+def test_burst_counts_matches_naive(spark, sf_dir):
+    ev = corpus.load_events(spark, sf_dir).filter("event_id < 500")
+    got = {r.event_id: r.n_burst for r in events.burst_counts(ev).collect()}
+    pdf = ev.selectExpr("event_id", "user_id", "ts div 1000 AS tu").toPandas()
+    for _, a in pdf.iterrows():
+        n = ((pdf.user_id == a.user_id) & (pdf.event_id != a.event_id)
+             & ((pdf.tu - a.tu).abs() <= events.BURST_WINDOW_US)).sum()
+        assert got[a.event_id] == n
+
+
+def test_json_extract_stats_matches_pandas(spark, sf_dir):
+    import json
+    ev = corpus.load_events(spark, sf_dir)
+    got = (events.json_extract_stats(ev)
+           .orderBy("event_type").toPandas().set_index("event_type"))
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["k"] = pdf.props.map(lambda s: json.loads(s)["k"])
+    for et, grp in pdf.groupby("event_type"):
+        row = got.loc[et]
+        assert row.n_events == len(grp)
+        assert row.sum_k == grp.k.sum()
+        assert row.min_k == grp.k.min() and row.max_k == grp.k.max()

@@ -90,3 +90,15 @@ def test_planes_are_deterministic():
     assert p0 == similarity._plane(0)
     assert all(-1.0 <= x <= 1.0 for x in p0)
     assert similarity._plane(1) != p0
+
+
+def test_label_centroids_matches_numpy(spark, sf_dir):
+    emb = corpus.load_embeddings(spark, sf_dir)
+    got = similarity.label_centroids(emb).toPandas()
+    pdf = emb.toPandas()
+    for (label, dim), grp in got.groupby(["label", "dim"]):
+        vecs = np.stack(pdf[pdf.label == label].embedding.to_numpy())
+        exp = np.float32(vecs[:, dim].astype("float64").mean())
+        row = grp.iloc[0]
+        assert row.n_vectors == len(vecs)
+        assert abs(row.centroid - exp) < 2e-7 * max(1.0, abs(exp))

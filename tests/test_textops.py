@@ -98,3 +98,33 @@ def test_tfidf_top_terms_exact(spark):
         for rnk, (s, t) in enumerate(scores[:2], start=1):
             r = got[(d, rnk)]
             assert r.term == t and abs(r.tfidf - float(s)) < 1e-12
+
+
+def test_length_quantiles_interpolation(spark):
+    from pyspark.sql import Row
+    rows = [Row(doc_id=i, text="x", lang="en", source="s", n_chars=c)
+            for i, c in enumerate([10, 20, 30, 40])]
+    out = text.length_quantiles(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # linear interpolation over sorted [10,20,30,40]: p25 at idx 0.75
+    assert r.n_docs == 4
+    assert abs(r.p25_chars - 17.5) < 1e-9
+    assert abs(r.p50_chars - 25.0) < 1e-9
+    assert abs(r.p90_chars - 37.0) < 1e-9
+
+
+def test_top_bigrams_counts(spark):
+    from pyspark.sql import Row
+    rows = [
+        Row(doc_id=1, text="a b a b c", lang="en", source="s", n_chars=9),
+        Row(doc_id=2, text="a b", lang="en", source="s", n_chars=3),
+        Row(doc_id=3, text="solo", lang="fr", source="s", n_chars=4),
+    ]
+    out = text.top_bigrams(spark.createDataFrame(rows), k=2).collect()
+    en = {r.bigram: (r.n_occurrences, r.rank) for r in out if r.lang == "en"}
+    # "a b" occurs 3x (2 in doc1 + 1 in doc2), "b a" and "b c" once each;
+    # tie at rank 2 breaks lexicographically -> "b a".
+    assert en["a b"] == (3, 1)
+    assert en["b a"] == (1, 2)
+    assert not [r for r in out if r.lang == "fr"]  # 1 token -> no bigram

@@ -32,7 +32,11 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk"}
 # the dup-subgraph label table on a dirty corpus), so no side is
 # guaranteed broadcastable at 100 TB; AQE demotes to broadcast at
 # runtime whenever the build side turns out small.
-SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters"}
+SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
+          # band self-join: both sides ARE the events fact table (probe
+          # explodes 3 buckets/row; restore-join left side is the fact) —
+          # no broadcastable side exists at 100 TB.
+          "e6_burst_counts"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -42,7 +46,8 @@ HEADLINE = [
     "ann_ivf_topk", "t5_vocab_stats", "t6_tfidf_top_terms",
     "t7_stratified_sample",
     "e1_windowed_agg", "e3_top_users_salted", "e4_asof_join",
-    "e5_event_rollup",
+    "e5_event_rollup", "e6_burst_counts", "e7_json_extract_stats",
+    "t8_length_quantiles", "t9_top_bigrams", "emb1_label_centroids",
     "pipeline_corpus_clean",
 ]
 
