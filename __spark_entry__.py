@@ -454,6 +454,19 @@ def _q_top_bigrams(spark, sf_dir):
     return text.top_bigrams(corpus.load_documents(spark, sf_dir))
 
 
+
+def _q_cluster_reps(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.cluster_representatives(corpus.load_documents(spark, sf_dir))
+
+
+def _q_contamination(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.contamination(corpus.load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -508,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_simhash_pairs": _q_simhash,
         "d5_embedding_neardup": _q_embedding_neardup,
         "d6_neardup_clusters": _q_neardup_clusters,
+        "d7_cluster_representatives": _q_cluster_reps,
+        "t10_contamination": _q_contamination,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -688,6 +703,8 @@ def oracle_sql() -> dict[str, str]:
         "d4_simhash_pairs": dedup.simhash_oracle_sql(),
         "d5_embedding_neardup": dedup.embedding_neardup_oracle_sql(),
         "d6_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
+        "d7_cluster_representatives": dedup.cluster_representatives_oracle_sql(),
+        "t10_contamination": dedup.contamination_oracle_sql(),
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),

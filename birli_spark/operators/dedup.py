@@ -418,3 +418,89 @@ csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM asg GROUP BY cluster_id
 SELECT a.doc_id, a.cluster_id, c.cluster_size,
   a.doc_id <> a.cluster_id AS is_dupe
 FROM asg a JOIN csz c USING (cluster_id)"""
+
+
+def cluster_representatives(docs: DataFrame,
+                            threshold: float = 0.5) -> DataFrame:
+    """D7 — the dedup *policy* layer: inside every transitive near-dup
+    cluster (D6), keep exactly one document — the highest quality score,
+    ties broken by lowest doc_id — and mark the rest dropped.
+
+    This is the step a curation pipeline actually ships: D3/D6 find the
+    duplicate structure, this picks the survivors. One extra shuffle on
+    cluster_id (a window rank over the cluster assignment joined to the
+    per-doc quality projection); the quality score fuses into the
+    corpus scan, and the iteration cost stays inside D6's dup-subgraph
+    label propagation.
+    """
+    from birli_spark.operators import text as textops
+    asg = neardup_clusters(docs, threshold).select("doc_id", "cluster_id")
+    q = textops._stats_exprs(X.SPARK)["quality_score"]
+    scored = docs.select("doc_id", F.expr(q).alias("quality_score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    return (asg.join(scored, "doc_id")
+            .withColumn("keep", F.row_number().over(w) == F.lit(1))
+            .select("doc_id", "cluster_id", "quality_score", "keep"))
+
+
+def cluster_representatives_oracle_sql(threshold: float = 0.5) -> str:
+    from birli_spark.operators import text as textops
+    q = textops._stats_exprs(X.DUCK)["quality_score"]
+    return f"""
+WITH RECURSIVE {_minhash_lsh_ctes(threshold)},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+lbl AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+  FROM reach GROUP BY u),
+asg AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lbl l USING (doc_id)),
+scored AS (SELECT doc_id, {q} AS quality_score FROM documents)
+SELECT a.doc_id, a.cluster_id, s.quality_score,
+  ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                     ORDER BY s.quality_score DESC, a.doc_id ASC) = 1 AS keep
+FROM asg a JOIN scored s USING (doc_id)"""
+
+
+CONTAM_BENCH_MAX_ID = 5
+
+
+def contamination(docs: DataFrame, n: int = SHINGLE_N,
+                  bench_max_id: int = CONTAM_BENCH_MAX_ID) -> DataFrame:
+    """T10 — benchmark-contamination scan: flag corpus documents that
+    share any n-token shingle with a (small) benchmark/eval set, with
+    the shared-shingle count as evidence. Stand-in benchmark here:
+    documents with ``doc_id < bench_max_id``.
+
+    Scale shape: the benchmark shingle set is tiny by construction, so
+    it **broadcasts**; the corpus side is a pure projection + explode
+    feeding a broadcast hash join — no corpus shuffle at all until the
+    per-doc count aggregate (which only sees the matching rows).
+    """
+    sh = _shingle_table(docs, n)
+    bench = (sh.filter(F.col("doc_id") < bench_max_id)
+             .select("s").distinct())
+    return (sh.filter(F.col("doc_id") >= bench_max_id)
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_shingles")))
+
+
+def contamination_oracle_sql(n: int = SHINGLE_N,
+                             bench_max_id: int = CONTAM_BENCH_MAX_ID) -> str:
+    return f"""
+WITH {_duck_shingle_cte(n)},
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < {bench_max_id})
+SELECT c.doc_id, COUNT(*) AS n_shared_shingles
+FROM sh c JOIN bench b USING (s)
+WHERE c.doc_id >= {bench_max_id}
+GROUP BY c.doc_id"""

@@ -189,3 +189,37 @@ def test_connected_components_random_graph(spark):
         [Row(doc_a=int(a), doc_b=int(b)) for a, b in sorted(edges)])
     got = {r.u: r.lbl for r in dedup.connected_components(pairs).collect()}
     assert got == _py_components(60, sorted(edges))
+
+
+def test_cluster_representatives_keeps_best_quality(spark):
+    # doc0 ~ doc1 near-dups (one token changed); doc0 swaps "dog" for a
+    # repeated stopword -> lower uniq_ratio & higher stop_ratio -> lower
+    # quality, so the keeper must be doc1 despite the higher doc_id
+    texts = [BASE.replace("dog", "and"),
+             BASE,
+             "one two three four five six seven eight nine ten"]
+    docs = _mk_docs(spark, texts)
+    out = {r.doc_id: r
+           for r in dedup.cluster_representatives(docs, 0.5).collect()}
+    assert len(out) == 3
+    assert out[0].cluster_id == 0 and out[1].cluster_id == 0
+    assert out[0].quality_score < out[1].quality_score
+    assert out[1].keep and not out[0].keep
+    assert out[2].keep  # singleton keeps itself
+
+
+def test_contamination_counts_shared_shingles(spark):
+    # benchmark = doc_id < 5; doc 7 copies doc 1's text -> shares all
+    # shingles; doc 8 shares none
+    texts = ["bench doc zero has some words in it today",
+             BASE, "b2 b2 b2", "b3 b3 b3", "b4 b4 b4",
+             "five distinct words entirely fresh",
+             "six other tokens nothing shared",
+             BASE,
+             "totally disjoint vocabulary everywhere"]
+    docs = _mk_docs(spark, texts)
+    out = {r.doc_id: r.n_shared_shingles
+           for r in dedup.contamination(docs).collect()}
+    n_shingles = len(BASE.split()) - dedup.SHINGLE_N + 1
+    assert out[7] == n_shingles
+    assert 8 not in out and 5 not in out and 6 not in out

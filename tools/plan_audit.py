@@ -33,6 +33,8 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk"}
 # guaranteed broadcastable at 100 TB; AQE demotes to broadcast at
 # runtime whenever the build side turns out small.
 SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
+          # D6's corpus-scale joins plus the corpus×corpus quality join
+          "d7_cluster_representatives",
           # band self-join: both sides ARE the events fact table (probe
           # explodes 3 buckets/row; restore-join left side is the fact) —
           # no broadcastable side exists at 100 TB.
@@ -47,6 +49,7 @@ HEADLINE = [
     "t7_stratified_sample",
     "e1_windowed_agg", "e3_top_users_salted", "e4_asof_join",
     "e5_event_rollup", "e6_burst_counts", "e7_json_extract_stats",
+    "d7_cluster_representatives", "t10_contamination",
     "t8_length_quantiles", "t9_top_bigrams", "emb1_label_centroids",
     "pipeline_corpus_clean",
 ]
