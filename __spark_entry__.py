@@ -467,6 +467,14 @@ def _q_contamination(spark, sf_dir):
     return dedup.contamination(corpus.load_documents(spark, sf_dir))
 
 
+
+def _q_resize_media(spark, sf_dir):
+    from birli_spark.operators import multimodal
+    from birli_spark.sources import corpus
+    return multimodal.resize_media(
+        multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -538,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb1_label_centroids": _q_label_centroids,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
+        "mm_resize": _q_resize_media,
         "pipeline_corpus_clean": _q_corpus_clean,
     }
 
@@ -720,5 +729,6 @@ def oracle_sql() -> dict[str, str]:
         "emb1_label_centroids": similarity.label_centroids_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
+        "mm_resize": multimodal.resize_media_oracle_sql(),
         "pipeline_corpus_clean": corpus_clean.clean_corpus_oracle_sql(),
     }

@@ -123,3 +123,73 @@ SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
   CAST(FLOOR(CAST(n_bytes AS DOUBLE) * unnest(generate_series(0, n_frames - 1))
        / n_frames) AS INT) AS frame_off
 FROM media"""
+
+
+RESIZE_BOX = 32  # fit-within target box (declared dims are 16..79)
+
+_RESIZE_SCHEMA = ("doc_id long, width int, height int, target_w int, "
+                  "target_h int, resized_bytes int, resized_md5 string")
+
+
+def resize_media(media: DataFrame, box: int = RESIZE_BOX) -> DataFrame:
+    """Resize stage plumbing: compute fit-within-box target dimensions
+    (aspect preserved) and emit a deterministic "resized" payload — the
+    prefix of the source bytes, length scaled by the area ratio — plus
+    its content hash. A real implementation swaps the byte-slice for a
+    PIL/libvips resample (:func:`decode_image` stub); schema, Arrow
+    batching, and the no-shuffle narrow-pass shape are the real thing.
+
+    All arithmetic is integer or IEEE-double (identical across engines);
+    the binary column never shuffles — one ``mapInPandas`` over the scan.
+    """
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("float64")
+            h = pdf["height"].astype("float64")
+            scale = (box / w).combine(box / h, min).combine(
+                pd.Series(1.0, index=pdf.index), min)
+            tw = (w * scale).map(int).clip(lower=1)
+            th = (h * scale).map(int).clip(lower=1)
+            n = pdf["media"].map(len)
+            k = (n * tw * th) // (pdf["width"] * pdf["height"])
+            sliced = [bytes(b)[:int(m)] for b, m in zip(pdf["media"], k)]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "target_w": tw.astype("int32"),
+                "target_h": th.astype("int32"),
+                "resized_bytes": k.astype("int32"),
+                "resized_md5": [hashlib.md5(s).hexdigest() for s in sliced],
+            })
+
+    return media.mapInPandas(do_resize, schema=_RESIZE_SCHEMA)
+
+
+def resize_media_oracle_sql(box: int = RESIZE_BOX) -> str:
+    """Payload is the utf-8 text (ASCII corpus), so the byte-slice hash
+    is ``md5(substr(text, 1, k))`` SQL-side."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+    CAST(16 + doc_id % 64 AS INT) AS width,
+    CAST(16 + (doc_id * 7) % 64 AS INT) AS height,
+    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+  FROM documents),
+s AS (
+  SELECT *, LEAST(CAST({box} AS DOUBLE) / width,
+                  CAST({box} AS DOUBLE) / height,
+                  CAST(1 AS DOUBLE)) AS scale
+  FROM m),
+t AS (
+  SELECT *, GREATEST(CAST(FLOOR(width * scale) AS INT), 1) AS target_w,
+            GREATEST(CAST(FLOOR(height * scale) AS INT), 1) AS target_h
+  FROM s)
+SELECT doc_id, width, height, target_w, target_h,
+  CAST((n_bytes * target_w * target_h) // (width * height) AS INT)
+    AS resized_bytes,
+  md5(substr(text, 1,
+      CAST((n_bytes * target_w * target_h) // (width * height) AS INT)))
+    AS resized_md5
+FROM t"""

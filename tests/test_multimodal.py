@@ -43,3 +43,21 @@ def test_decode_stub_is_gated(spark):
         pytest.skip("PIL present; stub path not applicable")
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_resize_media_fit_box_and_slice(spark, sf_dir):
+    import hashlib
+    docs = corpus.load_documents(spark, sf_dir).filter("doc_id < 40")
+    media = multimodal.attach_media(docs)
+    out = {r.doc_id: r for r in multimodal.resize_media(media).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    box = multimodal.RESIZE_BOX
+    for did, r in out.items():
+        scale = min(box / r.width, box / r.height, 1.0)
+        assert r.target_w == max(1, int(r.width * scale))
+        assert r.target_h == max(1, int(r.height * scale))
+        assert r.target_w <= box and r.target_h <= box
+        payload = texts[did].encode()
+        k = len(payload) * r.target_w * r.target_h // (r.width * r.height)
+        assert r.resized_bytes == k
+        assert r.resized_md5 == hashlib.md5(payload[:k]).hexdigest()
