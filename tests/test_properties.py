@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -110,3 +111,65 @@ def test_session_transition_split_invariant(evs, cut):
     pd.testing.assert_frame_equal(
         whole.reset_index(drop=True), split.reset_index(drop=True),
         check_dtype=False)
+
+# -- A1 averaging semantics: weighted mean of unflagged samples, plain-mean
+#    fallback for all-flagged cells, weight = (signed) contributing sum --
+
+avg_cells = st.lists(
+    st.tuples(st.integers(0, 3),                       # t
+              st.integers(0, 3),                       # chan
+              st.floats(-50, 50, allow_nan=False),     # xx_re value
+              st.floats(0.5, 4.0),                     # |weight|
+              st.booleans()),                          # flagged
+    min_size=1, max_size=24)
+
+
+@settings(max_examples=12, deadline=None)
+@given(avg_cells, st.integers(1, 3), st.integers(1, 3))
+def test_averaging_matches_numpy(spark, cells, avg_t, avg_f):
+    from pyspark.sql import Row
+    from birli_spark.operators import averaging
+    rows = [Row(t=t, chan=c, bl=0, ant1=0, ant2=1,
+                xx_re=v, xx_im=0.0, xy_re=0.0, xy_im=0.0,
+                yx_re=0.0, yx_im=0.0, yy_re=0.0, yy_im=0.0,
+                weight=-w if fl else w, flag=fl)
+            for t, c, v, w, fl in cells]
+    out = {(r.t_out, r.chan_out): r
+           for r in averaging.average_time_freq(
+               spark.createDataFrame(rows), avg_t, avg_f).collect()}
+    blocks = {}
+    for t, c, v, w, fl in cells:
+        blocks.setdefault((t // avg_t, c // avg_f), []).append((v, w, fl))
+    assert set(out) == set(blocks)
+    for key, samples in blocks.items():
+        got = out[key]
+        unflagged = [(v, w) for v, w, fl in samples if not fl]
+        if unflagged:
+            wsum = sum(w for _, w in unflagged)
+            exp = sum(v * w for v, w in unflagged) / wsum
+            assert not got.flag
+            assert got.weight == pytest.approx(wsum, rel=1e-6)
+        else:
+            exp = sum(v for v, _, _ in samples) / len(samples)
+            assert got.flag
+            assert got.weight == pytest.approx(
+                -sum(w for _, w, _ in samples), rel=1e-6)
+        assert got.xx_re == pytest.approx(exp, rel=1e-5, abs=1e-5)
+        assert got.n_samples == len(samples)
+
+
+# -- shingle construction: count and content invariants --
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.sampled_from("ab cd ef gh ij kl".split()),
+                min_size=0, max_size=12))
+def test_shingle_count_invariant(spark, tokens):
+    from birli_spark.operators import dedup
+    from pyspark.sql import Row
+    text = " ".join(tokens)
+    docs = spark.createDataFrame([Row(doc_id=0, text=text)])
+    got = sorted(r.s for r in dedup._shingle_table(docs).collect())
+    n = dedup.SHINGLE_N
+    exp = sorted({" ".join(tokens[i:i + n])
+                  for i in range(max(0, len(tokens) - n + 1))})
+    assert got == exp
