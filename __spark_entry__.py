@@ -475,6 +475,13 @@ def _q_resize_media(spark, sf_dir):
         multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
 
 
+
+def _q_trailing_bursts(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.trailing_burst_counts(corpus.load_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -541,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e4_asof_join": _q_asof_join,
         "e6_burst_counts": _q_burst_counts,
         "e7_json_extract_stats": _q_json_extract_stats,
+        "e8_trailing_bursts": _q_trailing_bursts,
         "t9_top_bigrams": _q_top_bigrams,
         "t8_length_quantiles": _q_length_quantiles,
         "emb1_label_centroids": _q_label_centroids,
@@ -724,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "e4_asof_join": asof.asof_oracle_sql(),
         "e6_burst_counts": events.burst_counts_oracle_sql(),
         "e7_json_extract_stats": events.json_extract_stats_oracle_sql(),
+        "e8_trailing_bursts": events.trailing_burst_oracle_sql(),
         "t9_top_bigrams": text.top_bigrams_oracle_sql(),
         "t8_length_quantiles": text.length_quantiles_oracle_sql(),
         "emb1_label_centroids": similarity.label_centroids_oracle_sql(),

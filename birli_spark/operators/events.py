@@ -281,3 +281,36 @@ SELECT event_type, COUNT(*) AS n_events, SUM(k) AS sum_k,
   MIN(k) AS min_k, MAX(k) AS max_k,
   {f32('CAST(SUM(k) AS DOUBLE) / COUNT(*)')} AS avg_k
 FROM e GROUP BY event_type"""
+
+
+def trailing_burst_counts(events: DataFrame,
+                          window_us: int = BURST_WINDOW_US) -> DataFrame:
+    """Causal variant of :func:`burst_counts`: per event, the count of
+    *preceding* same-user events within ``(t - window_us, t]`` — the
+    form a streaming detector can compute incrementally
+    (:mod:`birli_spark.streaming.burst` is the stateful twin).
+
+    One window pass with a **RANGE frame** on the integer micro-epoch:
+    partition by user, order by time, frame = ``window_us PRECEDING ..
+    CURRENT ROW``. RANGE frames include timestamp peers symmetrically in
+    both engines, so the count is frame-determined (no tie-order
+    sensitivity); subtracting 1 removes the row itself.
+    """
+    return (events
+            .select("event_id", "user_id", F.expr(TS_US_SPARK).alias("tu"))
+            .withColumn(
+                "n_trailing",
+                F.count("*").over(
+                    Window.partitionBy("user_id").orderBy("tu")
+                    .rangeBetween(-window_us, 0)) - F.lit(1))
+            .select("event_id", "n_trailing"))
+
+
+def trailing_burst_oracle_sql(window_us: int = BURST_WINDOW_US) -> str:
+    return f"""
+WITH e AS (SELECT event_id, user_id, {TS_US_DUCK} AS tu FROM events)
+SELECT event_id,
+  COUNT(*) OVER (PARTITION BY user_id ORDER BY tu
+                 RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW) - 1
+    AS n_trailing
+FROM e"""

@@ -49,7 +49,7 @@ HEADLINE = [
     "t7_stratified_sample",
     "e1_windowed_agg", "e3_top_users_salted", "e4_asof_join",
     "e5_event_rollup", "e6_burst_counts", "e7_json_extract_stats",
-    "d7_cluster_representatives", "t10_contamination",
+    "d7_cluster_representatives", "t10_contamination", "e8_trailing_bursts",
     "t8_length_quantiles", "t9_top_bigrams", "emb1_label_centroids",
     "pipeline_corpus_clean",
 ]
