@@ -482,6 +482,13 @@ def _q_trailing_bursts(spark, sf_dir):
     return events.trailing_burst_counts(corpus.load_events(spark, sf_dir))
 
 
+
+def _q_redact(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.redact(corpus.load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -538,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_neardup_clusters": _q_neardup_clusters,
         "d7_cluster_representatives": _q_cluster_reps,
         "t10_contamination": _q_contamination,
+        "t11_redact": _q_redact,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -722,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "d6_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
         "d7_cluster_representatives": dedup.cluster_representatives_oracle_sql(),
         "t10_contamination": dedup.contamination_oracle_sql(),
+        "t11_redact": text.redact_oracle_sql(),
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),

@@ -372,3 +372,39 @@ ranked AS (
   FROM counted)
 SELECT lang, bigram, n_occurrences, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}"""
+
+
+#: denylist for the redaction pass — stands in for PII patterns (emails,
+#: phone numbers), which the synthetic corpus doesn't contain; the
+#: pattern machinery (regexp_count + global regexp_replace, both
+#: JVM-side) is exactly what a real PII scrub uses.
+REDACT_TOKENS = ("the", "and", "of", "to", "in")
+REDACT_PATTERN = r"\b(" + "|".join(REDACT_TOKENS) + r")\b"
+REDACT_WITH = "<REDACTED>"
+
+
+def redact(docs: DataFrame) -> DataFrame:
+    """T11 — redaction pass: replace every denylisted-token occurrence,
+    reporting the per-document match count and the content hash of the
+    scrubbed text. Pure narrow projection (two regex expressions fused
+    into the scan) — zero shuffle; a PII scrub at 100 TB is exactly this
+    shape with heavier patterns.
+    """
+    # Column-API regex calls (not F.expr): a SQL string literal would
+    # eat the \b escapes
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(REDACT_PATTERN)).cast("int")
+         .alias("n_redacted"),
+        F.md5(F.regexp_replace("text", REDACT_PATTERN, REDACT_WITH))
+         .alias("redacted_md5"))
+
+
+def redact_oracle_sql() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS INT)
+    AS n_redacted,
+  md5(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_WITH}', 'g'))
+    AS redacted_md5
+FROM documents"""

@@ -128,3 +128,19 @@ def test_top_bigrams_counts(spark):
     assert en["a b"] == (3, 1)
     assert en["b a"] == (1, 2)
     assert not [r for r in out if r.lang == "fr"]  # 1 token -> no bigram
+
+
+def test_redact_counts_and_scrubs(spark):
+    from pyspark.sql import Row
+    import hashlib
+    rows = [Row(doc_id=0, text="the cat and the dog of thine",
+                lang="en", source="s", n_chars=28),
+            Row(doc_id=1, text="nothing matches here",
+                lang="en", source="s", n_chars=20)]
+    out = {r.doc_id: r for r in text.redact(spark.createDataFrame(rows)).collect()}
+    assert out[0].n_redacted == 4        # the, and, the, of — not "thine"
+    exp = "<REDACTED> cat <REDACTED> <REDACTED> dog <REDACTED> thine"
+    assert out[0].redacted_md5 == hashlib.md5(exp.encode()).hexdigest()
+    assert out[1].n_redacted == 0
+    assert out[1].redacted_md5 == hashlib.md5(
+        b"nothing matches here").hexdigest()
