@@ -36,9 +36,13 @@ HEADLINE = [
     # brute pairwise cosine, streaming-shaped groupBy)
     "d3_minhash_lsh",
     "d6_neardup_clusters",
+    "d7_cluster_representatives",
     "d5_embedding_neardup",
     "ann_lsh_topk",
+    "t10_contamination",
     "e1_windowed_agg",
+    "e6_burst_counts",
+    "e8_trailing_bursts",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1_van_vleck",
