@@ -489,6 +489,24 @@ def _q_redact(spark, sf_dir):
     return text.redact(corpus.load_documents(spark, sf_dir))
 
 
+def _q_repetition(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.repetition_stats(corpus.load_documents(spark, sf_dir))
+
+
+def _q_retention(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.retention_cohorts(corpus.load_events(spark, sf_dir))
+
+
+def _q_funnel(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.funnel(corpus.load_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -557,6 +575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_burst_counts": _q_burst_counts,
         "e7_json_extract_stats": _q_json_extract_stats,
         "e8_trailing_bursts": _q_trailing_bursts,
+        "e9_retention": _q_retention,
+        "e10_funnel": _q_funnel,
+        "t12_repetition": _q_repetition,
         "t9_top_bigrams": _q_top_bigrams,
         "t8_length_quantiles": _q_length_quantiles,
         "emb1_label_centroids": _q_label_centroids,
@@ -742,6 +763,9 @@ def oracle_sql() -> dict[str, str]:
         "e6_burst_counts": events.burst_counts_oracle_sql(),
         "e7_json_extract_stats": events.json_extract_stats_oracle_sql(),
         "e8_trailing_bursts": events.trailing_burst_oracle_sql(),
+        "e9_retention": events.retention_oracle_sql(),
+        "e10_funnel": events.funnel_oracle_sql(),
+        "t12_repetition": text.repetition_oracle_sql(),
         "t9_top_bigrams": text.top_bigrams_oracle_sql(),
         "t8_length_quantiles": text.length_quantiles_oracle_sql(),
         "emb1_label_centroids": similarity.label_centroids_oracle_sql(),

@@ -60,6 +60,11 @@ def arr_min(d: str, arr: str) -> str:
     return f"{fn}({arr})"
 
 
+def arr_max(d: str, arr: str) -> str:
+    fn = "array_max" if d == SPARK else "list_max"
+    return f"{fn}({arr})"
+
+
 def seq(d: str, lo: str, hi: str) -> str:
     """Integer sequence [lo..hi], EMPTY when hi < lo in both dialects.
 

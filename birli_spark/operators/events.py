@@ -314,3 +314,96 @@ SELECT event_id,
                  RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW) - 1
     AS n_trailing
 FROM e"""
+
+
+US_PER_DAY = 86_400_000_000
+
+#: ordered-funnel stages over event_type; a user "reaches" stage k when the
+#: first occurrences of stages 1..k are monotonically non-decreasing in time
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """E9 — classic cohort retention: cohort = each user's first active
+    UTC day; count distinct users still active at each day offset.
+
+    Plan: distinct (user, day) first — one shuffle that collapses the fact
+    table to at most users×days rows — then the cohort day via a window
+    over user_id (no join), then the final small aggregate. At 100 TB the
+    distinct's map-side partial aggregation does the heavy lifting; the
+    window input is user-day sized, orders of magnitude smaller.
+    """
+    day = f"CAST(FLOOR({TS_US_SPARK} / {US_PER_DAY}) AS BIGINT)"
+    days = events.select("user_id", F.expr(day).alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    return (days
+            .withColumn("cohort_day", F.min("day").over(w))
+            .groupBy("cohort_day",
+                     F.expr("day - cohort_day").alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+def retention_oracle_sql() -> str:
+    return f"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+    CAST(FLOOR({TS_US_DUCK} / {US_PER_DAY}) AS BIGINT) AS day
+  FROM events),
+cohorted AS (
+  SELECT user_id, day,
+    MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM days)
+SELECT cohort_day, day - cohort_day AS day_offset,
+  COUNT(DISTINCT user_id) AS n_users
+FROM cohorted GROUP BY 1, 2"""
+
+
+def funnel(events: DataFrame) -> DataFrame:
+    """E10 — ordered conversion funnel over ``FUNNEL_STAGES``: one
+    conditional-min aggregate per user (single shuffle on user_id with
+    map-side partials), then a driver-sized stack of per-stage counts.
+    """
+    mins = [F.min(F.when(F.col("event_type") == s,
+                         F.expr(TS_US_SPARK))).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STAGES)]
+    per_user = events.groupBy("user_id").agg(*mins)
+    conds = []
+    for i in range(len(FUNNEL_STAGES)):
+        c = F.col("t0").isNotNull()
+        for j in range(1, i + 1):
+            c = c & (F.col(f"t{j}") >= F.col(f"t{j - 1}"))
+        conds.append(c)
+    counts = per_user.agg(*[
+        F.sum(c.cast("long")).alias(f"n{i}") for i, c in enumerate(conds)])
+    stack_args = ", ".join(
+        f"{i + 1}, '{s}', n{i}" for i, s in enumerate(FUNNEL_STAGES))
+    return counts.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack_args}) "
+        f"AS (stage_idx, stage, n_users)")
+
+
+def funnel_oracle_sql() -> str:
+    mins = ",\n    ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN {TS_US_DUCK} END) AS t{i}"
+        for i, s in enumerate(FUNNEL_STAGES))
+    conds = []
+    for i in range(len(FUNNEL_STAGES)):
+        parts = ["t0 IS NOT NULL"] + [
+            f"t{j} >= t{j - 1}" for j in range(1, i + 1)]
+        conds.append(" AND ".join(parts))
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS n{i}"
+        for i, c in enumerate(conds))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS stage_idx, '{s}' AS stage, n{i} AS n_users "
+        f"FROM counts" for i, s in enumerate(FUNNEL_STAGES))
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+    {mins}
+  FROM events GROUP BY user_id),
+counts AS (
+  SELECT
+    {sums}
+  FROM per_user)
+{rows}"""

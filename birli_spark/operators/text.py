@@ -408,3 +408,51 @@ SELECT doc_id,
   md5(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_WITH}', 'g'))
     AS redacted_md5
 FROM documents"""
+
+
+def _dup_frac(d: str, n: int) -> str:
+    """Fraction of n-token shingles that are repeats of an earlier shingle
+    in the same document (Gopher-style repetition signal): 1 − distinct/total,
+    0.0 for documents too short to have any shingle."""
+    sh = X.shingles(d, X.toks(d), n)
+    m = X.size(d, sh)
+    uniq = X.size(d, X.distinct(d, sh))
+    return (f"CASE WHEN {m} > 0 THEN CAST(1 AS DOUBLE) "
+            f"- CAST({uniq} AS DOUBLE) / CAST({m} AS DOUBLE) "
+            f"ELSE CAST(0 AS DOUBLE) END")
+
+
+def _rep_exprs(d: str) -> dict[str, str]:
+    t = X.toks(d)
+    n = X.size(d, t)
+    counts = X.ltransform(
+        d, X.distinct(d, t),
+        f"x -> {X.size(d, X.lfilter(d, t, 'w -> w = x'))}")
+    top_frac = (f"CAST({X.arr_max(d, counts)} AS DOUBLE) "
+                f"/ CAST({n} AS DOUBLE)")
+    return {
+        "n_tokens": f"CAST({n} AS INT)",
+        "top_token_frac": f32(top_frac),
+        "dup_bigram_frac": f32(_dup_frac(d, 2)),
+        "dup_trigram_frac": f32(_dup_frac(d, 3)),
+    }
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """T12 — within-document repetition signals (the Gopher quality-filter
+    family: most-frequent-token share, duplicate bi-/tri-gram share).
+
+    Pure narrow projection over the scan — no shuffle, no UDF; the
+    per-row cost is O(distinct_tokens × tokens) string compares, bounded
+    by document length, and whole-stage-codegens at 100 TB. Fractions are
+    f32-demoted so distributed evaluation hash-matches the oracle.
+    """
+    e = _rep_exprs(X.SPARK)
+    return docs.select(
+        "doc_id", *[F.expr(v).alias(k) for k, v in e.items()])
+
+
+def repetition_oracle_sql() -> str:
+    e = _rep_exprs(X.DUCK)
+    cols = ",\n  ".join(f"{v} AS {k}" for k, v in e.items())
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"

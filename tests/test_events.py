@@ -117,3 +117,34 @@ def test_json_extract_stats_matches_pandas(spark, sf_dir):
         assert row.n_events == len(grp)
         assert row.sum_k == grp.k.sum()
         assert row.min_k == grp.k.min() and row.max_k == grp.k.max()
+
+
+def test_retention_cohorts_semantics(spark):
+    day = events.US_PER_DAY // US  # seconds in a day, as µs helper below
+    rows = [
+        _ev(1, 1, 0),                       # user 1: day 0 (cohort 0)
+        _ev(2, 1, 2 * day * US),            # ... active day 2 -> offset 2
+        _ev(3, 1, 2 * day * US + 5),        # same day, dedup
+        _ev(4, 2, day * US),                # user 2: cohort day 1
+        _ev(5, 2, day * US + 3),            # same day
+    ]
+    out = {(r.cohort_day, r.day_offset): r.n_users
+           for r in events.retention_cohorts(
+               spark.createDataFrame(rows)).collect()}
+    assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_funnel_requires_stage_order(spark):
+    rows = [
+        # user 1 completes the whole funnel in order
+        _ev(1, 1, 0, typ="signup"), _ev(2, 1, 10, typ="view"),
+        _ev(3, 1, 20, typ="click"), _ev(4, 1, 30, typ="purchase"),
+        # user 2 purchases BEFORE clicking -> drops at click->purchase
+        _ev(5, 2, 0, typ="signup"), _ev(6, 2, 10, typ="view"),
+        _ev(7, 2, 30, typ="click"), _ev(8, 2, 20, typ="purchase"),
+        # user 3 never signs up -> not even stage 1
+        _ev(9, 3, 0, typ="view"), _ev(10, 3, 10, typ="purchase"),
+    ]
+    out = {r.stage: r.n_users
+           for r in events.funnel(spark.createDataFrame(rows)).collect()}
+    assert out == {"signup": 2, "view": 2, "click": 2, "purchase": 1}

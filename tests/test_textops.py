@@ -144,3 +144,24 @@ def test_redact_counts_and_scrubs(spark):
     assert out[1].n_redacted == 0
     assert out[1].redacted_md5 == hashlib.md5(
         b"nothing matches here").hexdigest()
+
+
+def test_repetition_stats_exact(spark):
+    from pyspark.sql import Row
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b a", lang="en", source="s", n_chars=9),
+        Row(doc_id=2, text="x y z", lang="en", source="s", n_chars=5),
+        Row(doc_id=3, text="w", lang="en", source="s", n_chars=1),
+    ])
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    r1 = out[1]  # tokens a,b,a,b,a; bigrams ab,ba,ab,ba; trigrams aba,bab,aba
+    assert r1.n_tokens == 5
+    assert abs(r1.top_token_frac - 3 / 5) < 1e-6
+    assert abs(r1.dup_bigram_frac - 2 / 4) < 1e-6
+    assert abs(r1.dup_trigram_frac - 1 / 3) < 1e-6
+    r2 = out[2]  # all distinct
+    assert r2.dup_bigram_frac == 0.0 and r2.dup_trigram_frac == 0.0
+    r3 = out[3]  # single token: no shingles at all -> 0.0 guards
+    assert r3.n_tokens == 1
+    assert r3.dup_bigram_frac == 0.0 and r3.dup_trigram_frac == 0.0
+    assert r3.top_token_frac == 1.0
