@@ -327,20 +327,25 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     """E9 — classic cohort retention: cohort = each user's first active
     UTC day; count distinct users still active at each day offset.
 
-    Plan: distinct (user, day) first — one shuffle that collapses the fact
-    table to at most users×days rows — then the cohort day via a window
-    over user_id (no join), then the final small aggregate. At 100 TB the
-    distinct's map-side partial aggregation does the heavy lifting; the
-    window input is user-day sized, orders of magnitude smaller.
+    Plan: one shuffle on user_id collapsing the fact table to a per-user
+    sorted day set (collect_set partial-aggregates map-side and is bounded
+    by the calendar — days, not events), then explode + the final small
+    aggregate (second shuffle). Each user contributes at most one row per
+    (cohort, offset), so a plain COUNT(*) is the distinct-user count — no
+    count-distinct expansion needed. Two shuffles total vs. the naive
+    distinct → window → count-distinct chain's three.
     """
     day = f"CAST(FLOOR({TS_US_SPARK} / {US_PER_DAY}) AS BIGINT)"
-    days = events.select("user_id", F.expr(day).alias("day")).distinct()
-    w = Window.partitionBy("user_id")
-    return (days
-            .withColumn("cohort_day", F.min("day").over(w))
+    per_user = (events
+                .select("user_id", F.expr(day).alias("day"))
+                .groupBy("user_id")
+                .agg(F.sort_array(F.collect_set("day")).alias("days")))
+    return (per_user
+            .select(F.col("days")[0].alias("cohort_day"),
+                    F.explode("days").alias("day"))
             .groupBy("cohort_day",
                      F.expr("day - cohort_day").alias("day_offset"))
-            .agg(F.countDistinct("user_id").alias("n_users")))
+            .agg(F.count("*").alias("n_users")))
 
 
 def retention_oracle_sql() -> str:

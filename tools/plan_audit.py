@@ -52,6 +52,7 @@ HEADLINE = [
     "d7_cluster_representatives", "t10_contamination", "e8_trailing_bursts",
     "t8_length_quantiles", "t9_top_bigrams", "emb1_label_centroids",
     "pipeline_corpus_clean",
+    "e9_retention", "e10_funnel", "t12_repetition",
 ]
 
 
