@@ -25,6 +25,7 @@ from birli_spark.operators import (
     corpus_clean,
     calibration,
     chunking,
+    clustering,
     corrections,
     dedup,
     describe,
@@ -507,6 +508,12 @@ def _q_funnel(spark, sf_dir):
     return events.funnel(corpus.load_events(spark, sf_dir))
 
 
+def _q_kmeans(spark, sf_dir):
+    from birli_spark.operators import clustering
+    from birli_spark.sources import corpus
+    return clustering.kmeans(corpus.load_embeddings(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -581,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_top_bigrams": _q_top_bigrams,
         "t8_length_quantiles": _q_length_quantiles,
         "emb1_label_centroids": _q_label_centroids,
+        "emb2_kmeans": _q_kmeans,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
         "mm_resize": _q_resize_media,
@@ -769,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "t9_top_bigrams": text.top_bigrams_oracle_sql(),
         "t8_length_quantiles": text.length_quantiles_oracle_sql(),
         "emb1_label_centroids": similarity.label_centroids_oracle_sql(),
+        "emb2_kmeans": clustering.kmeans_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
         "mm_resize": multimodal.resize_media_oracle_sql(),

@@ -24,8 +24,9 @@ from birli_spark.session import get_spark  # noqa: E402
 
 # Queries whose plan legitimately contains a broadcast nested-loop join:
 # the join side is broadcast-sized by construction (ANN query sets, IVF
-# centroid tables), so N×M stays bounded by the broadcast side.
-BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk"}
+# centroid tables, k-means' single collapsed-centroid row), so N×M stays
+# bounded by the broadcast side.
+BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb2_kmeans"}
 
 # Queries where a sort-merge join is the RIGHT plan: both sides scale
 # with the fact/corpus table (per-doc stats joins, anti-join drop sets,
@@ -52,7 +53,7 @@ HEADLINE = [
     "d7_cluster_representatives", "t10_contamination", "e8_trailing_bursts",
     "t8_length_quantiles", "t9_top_bigrams", "emb1_label_centroids",
     "pipeline_corpus_clean",
-    "e9_retention", "e10_funnel", "t12_repetition",
+    "e9_retention", "e10_funnel", "t12_repetition", "emb2_kmeans",
 ]
 
 
