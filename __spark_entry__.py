@@ -34,6 +34,7 @@ from birli_spark.operators import (
     multimodal,
     occupancy,
     picket,
+    quantization,
     selection,
     similarity,
     text,
@@ -514,6 +515,18 @@ def _q_kmeans(spark, sf_dir):
     return clustering.kmeans(corpus.load_embeddings(spark, sf_dir))
 
 
+def _q_quantize(spark, sf_dir):
+    from birli_spark.operators import quantization
+    from birli_spark.sources import corpus
+    return quantization.quantize_stats(corpus.load_embeddings(spark, sf_dir))
+
+
+def _q_cross_source_overlap(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.cross_source_overlap(corpus.load_documents(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -589,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_length_quantiles": _q_length_quantiles,
         "emb1_label_centroids": _q_label_centroids,
         "emb2_kmeans": _q_kmeans,
+        "emb3_quantize": _q_quantize,
+        "d8_cross_source_overlap": _q_cross_source_overlap,
         "mm_media_features": _q_media_features,
         "mm_frame_sample": _q_frame_sample,
         "mm_resize": _q_resize_media,
@@ -778,6 +793,8 @@ def oracle_sql() -> dict[str, str]:
         "t8_length_quantiles": text.length_quantiles_oracle_sql(),
         "emb1_label_centroids": similarity.label_centroids_oracle_sql(),
         "emb2_kmeans": clustering.kmeans_oracle_sql(),
+        "emb3_quantize": quantization.quantize_oracle_sql(),
+        "d8_cross_source_overlap": dedup.cross_source_overlap_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
         "mm_resize": multimodal.resize_media_oracle_sql(),

@@ -504,3 +504,62 @@ SELECT c.doc_id, COUNT(*) AS n_shared_shingles
 FROM sh c JOIN bench b USING (s)
 WHERE c.doc_id >= {bench_max_id}
 GROUP BY c.doc_id"""
+
+
+OVERLAP_SHINGLE_N = 8
+
+
+def cross_source_overlap(docs: DataFrame,
+                         n: int = OVERLAP_SHINGLE_N) -> DataFrame:
+    """D8 — provenance overlap matrix: for every source pair, how many
+    n-token shingle instances they share (the duplicate-content heat map
+    a crawl-curation pipeline uses to pick which sources to drop).
+
+    Plan: the (source, shingle-md5) distinct set is one shuffle with
+    map-side partials; per-shingle source sets collapse via collect_set
+    (bounded by the source count — a small dimension, not the corpus),
+    pairs are generated in-row by a nested transform, and the final
+    count is a tiny aggregate over ≤ sources² keys. No corpus×corpus
+    join anywhere; the only fact-scale shuffle carries md5 digests, not
+    text.
+    """
+    sh = X.distinct(X.SPARK, X.shingles(X.SPARK, X.toks(X.SPARK), n))
+    per = (docs
+           .select("source", F.explode(F.expr(sh)).alias("s"))
+           .select("source", F.md5("s").alias("h"))
+           .distinct())
+    pairs = ("flatten(transform(srcs, (a, i) -> "
+             "transform(slice(srcs, i + 2, size(srcs)), "
+             "b -> concat(a, '#', b))))")
+    return (per
+            .groupBy("h")
+            .agg(F.expr("array_sort(collect_set(source))").alias("srcs"))
+            .select(F.explode(F.expr(pairs)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n_shared_shingles"))
+            .select(F.expr("element_at(split(pair, '#'), 1)")
+                    .alias("source_a"),
+                    F.expr("element_at(split(pair, '#'), 2)")
+                    .alias("source_b"),
+                    "n_shared_shingles"))
+
+
+def cross_source_overlap_oracle_sql(n: int = OVERLAP_SHINGLE_N) -> str:
+    sh = X.distinct(X.DUCK, X.shingles(X.DUCK, X.toks(X.DUCK), n))
+    return f"""
+WITH per AS (
+  SELECT DISTINCT source, md5(s) AS h
+  FROM (SELECT source, unnest({sh}) AS s FROM documents)),
+sets AS (
+  SELECT h, list_sort(list(DISTINCT source)) AS srcs FROM per GROUP BY h),
+pairs AS (
+  SELECT unnest(flatten(list_transform(
+    generate_series(1, len(srcs) - 1),
+    i -> list_transform(srcs[i + 1:],
+                        b -> srcs[i] || '#' || b)))) AS pair
+  FROM sets),
+counted AS (
+  SELECT pair, COUNT(*) AS n_shared_shingles FROM pairs GROUP BY pair)
+SELECT string_split(pair, '#')[1] AS source_a,
+  string_split(pair, '#')[2] AS source_b, n_shared_shingles
+FROM counted"""
