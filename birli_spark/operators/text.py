@@ -172,21 +172,27 @@ def source_quality_rollup(docs: DataFrame) -> DataFrame:
     aggregate. One partial-aggregating groupBy; the quality score is the
     same per-row projection as :func:`token_stats`, fused into the scan."""
     q = _stats_exprs(X.SPARK)["quality_score"]
-    scored = docs.select("source", "lang", "n_chars", F.expr(q).alias("q"))
+    # AVG over doubles is partial-merge-order dependent (flaky vs the
+    # oracle); sum integer ticks instead — BIGINT addition commutes.
+    qt = f"CAST(round(({q}) * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
+    scored = docs.select("source", "lang", "n_chars", F.expr(qt).alias("qt"))
     return (scored.groupBy("source", "lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
-                 F.expr(f32("AVG(q)")).alias("avg_quality"),
+                 F.expr(f32("CAST(SUM(qt) AS DOUBLE) / COUNT(*) "
+                            "/ CAST(1000000000 AS DOUBLE)"))
+                  .alias("avg_quality"),
                  F.expr(f32("CAST(percentile(n_chars, 0.5) AS DOUBLE)"))
                   .alias("median_chars")))
 
 
 def source_quality_rollup_oracle_sql() -> str:
     q = _stats_exprs(X.DUCK)["quality_score"]
+    qt = f"CAST(round(({q}) * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
     return f"""
-WITH scored AS (SELECT source, lang, n_chars, {q} AS q FROM documents)
+WITH scored AS (SELECT source, lang, n_chars, {qt} AS qt FROM documents)
 SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-  {f32('AVG(q)')} AS avg_quality,
+  {f32('CAST(SUM(qt) AS DOUBLE) / COUNT(*) / CAST(1000000000 AS DOUBLE)')} AS avg_quality,
   {f32('CAST(quantile_cont(n_chars, 0.5) AS DOUBLE)')} AS median_chars
 FROM scored GROUP BY source, lang"""
 
