@@ -328,33 +328,50 @@ WHERE {cos} >= {tau!r}"""
 # ------------------------------------------- transitive clusters (D6) ---
 
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Distributed min-label propagation over an undirected edge list
-    ``(doc_a, doc_b)`` → ``(u, lbl)``: every vertex labeled with the min
-    vertex id of its connected component. Per round: one shuffle-join of
-    edges to labels + one partial-aggregating min-groupBy; stops when a
-    round changes no label (rounds = graph diameter). `localCheckpoint`
-    truncates the growing lineage each round so plans stay O(1).
-    Vertices absent from ``pairs`` are absent from the result (fill
-    singletons with a left join + coalesce at the call site)."""
+    """Distributed min-label propagation **with pointer doubling** over an
+    undirected edge list ``(doc_a, doc_b)`` → ``(u, lbl)``: every vertex
+    labeled with the min vertex id of its connected component. Per round:
+    one shuffle-join of edges to labels + one partial-aggregating
+    min-groupBy (neighbor propagation), then a label-to-label self-join
+    that shortcuts ``lbl(u) := lbl(lbl(u))`` — so remaining chain depth
+    halves every round and convergence takes O(log diameter) rounds, not
+    O(diameter). Stops when a round changes no label; raises
+    ``RuntimeError`` if ``max_iter`` rounds pass without convergence
+    (silently returning partial labels would split long-chain
+    components). `localCheckpoint` truncates the growing lineage each
+    round so plans stay O(1). Vertices absent from ``pairs`` are absent
+    from the result (fill singletons with a left join + coalesce at the
+    call site)."""
     edges = (pairs.union(pairs.select("doc_b", "doc_a"))
              .toDF("u", "v")
              .persist(StorageLevel.MEMORY_AND_DISK))
     labels = (edges.select("u").distinct()
               .withColumn("lbl", F.col("u")).localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         prop = (edges
                 .join(labels.withColumnsRenamed({"u": "v", "lbl": "vlbl"}), "v")
                 .groupBy("u").agg(F.min("vlbl").alias("plbl")))
-        new = (labels.join(prop, "u", "left")
-               .select("u", F.least("lbl", F.coalesce("plbl", "lbl"))
-                       .alias("lbl"))
+        half = (labels.join(prop, "u", "left")
+                .select("u", F.least("lbl", F.coalesce("plbl", "lbl"))
+                        .alias("lbl")))
+        # pointer doubling: labels are vertex ids, so look my label's own
+        # label up in the same relation and jump straight to it
+        hop = half.select(F.col("u").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = (half.join(hop, "lbl", "left")
+               .select("u", F.coalesce("lbl2", "lbl").alias("lbl"))
                .localCheckpoint())
         changed = (new.join(labels.withColumnsRenamed({"lbl": "old"}), "u")
                    .filter(F.col("lbl") != F.col("old")).limit(1).count())
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist(blocking=False)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "labels would be incomplete (component split)")
     return labels
 
 

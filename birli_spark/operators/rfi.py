@@ -53,29 +53,41 @@ def _sumthreshold_1d(img: np.ndarray, flags: np.ndarray, m: int, chi: float) -> 
 
 
 def sumthreshold_mask(img: np.ndarray, base_sensitivity: float = 6.0,
-                      existing: np.ndarray | None = None) -> np.ndarray:
+                      existing: np.ndarray | None = None,
+                      valid: np.ndarray | None = None) -> np.ndarray:
     """SumThreshold over a 2-D (time × chan) amplitude image → boolean mask.
 
     chi_1 = base_sensitivity * sigma_MAD; both directions per window length.
+    ``valid`` marks cells that actually hold a sample: the median/MAD noise
+    estimate is computed over valid cells ONLY (a placeholder 0.0 in absent
+    cells would deflate sigma and over-flag sparse baselines), and absent
+    cells are treated like already-flagged samples inside the window sums
+    (they contribute chi, not their placeholder). Absent cells are never
+    reported flagged.
     """
     img = np.asarray(img, dtype=np.float64)
-    med = np.median(img)
-    mad = np.median(np.abs(img - med))
+    present = (np.ones(img.shape, dtype=bool) if valid is None
+               else np.asarray(valid, dtype=bool))
+    prior = np.zeros(img.shape, dtype=bool) if existing is None else existing
+    vals = img[present]
+    if vals.size == 0:
+        return prior.copy()
+    med = np.median(vals)
+    mad = np.median(np.abs(vals - med))
     sigma = 1.4826 * mad
     if sigma == 0.0 or not np.isfinite(sigma):
         # flat image: anything different from the median is interference
-        flags = img != med
-        return flags if existing is None else (flags | existing)
-    flags = np.zeros(img.shape, dtype=bool) if existing is None else existing.copy()
+        return ((img != med) & present) | prior
+    work = prior | ~present
     resid = img - med
     chi1 = base_sensitivity * sigma
     for m in WINDOWS:
         chi = chi1 / (RHO ** np.log2(m))
-        _sumthreshold_1d(resid, flags, m, chi)                 # time direction
-        ft = flags.T.copy()
+        _sumthreshold_1d(resid, work, m, chi)                  # time direction
+        ft = work.T.copy()
         _sumthreshold_1d(resid.T.copy(), ft, m, chi)           # freq direction
-        flags |= ft.T
-    return flags
+        work |= ft.T
+    return (work & present) | prior
 
 
 def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
@@ -101,11 +113,14 @@ def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
         re = (pdf["xx_re"].to_numpy() + pdf["yy_re"].to_numpy()) / 2.0
         im = (pdf["xx_im"].to_numpy() + pdf["yy_im"].to_numpy()) / 2.0
         img[rows, cs] = np.hypot(re, im)
+        present = np.zeros(img.shape, dtype=bool)
+        present[rows, cs] = True
         prior = np.zeros(img.shape, dtype=bool)
         prior[rows, cs] = pdf["flag"].to_numpy(dtype=bool)
         mask = sumthreshold_mask(
             img, base_sensitivity,
-            existing=prior if re_apply_existing else None)
+            existing=prior if re_apply_existing else None,
+            valid=present)
         out = pdf.copy()
         detected = mask[rows, cs]
         out["flag"] = (pdf["flag"].to_numpy(dtype=bool) | detected) \

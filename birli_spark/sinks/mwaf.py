@@ -59,36 +59,57 @@ def _bintable_hdu(extname: str, coldefs: list[tuple[str, str]],
     return fc.pad_block(b"".join(cards)) + fc.pad_block(rows, b"\x00")
 
 
-def _dense_flags(pdf: pd.DataFrame,
-                 n_chans: int) -> tuple[np.ndarray, int, int]:
+def _dense_flags(pdf: pd.DataFrame, n_chans: int, nscans: int,
+                 nbl: int) -> np.ndarray:
     """Dense boolean matrix over the full (t, bl) grid, t-major (the
     reference's row order, src/io/mwaf.rs:451-495); absent cells are
     unflagged. t and bl must be 0-based dense indices — like the
     reference's timestep/baseline indices — so read-back can reconstruct
     (t, bl) from the row number alone."""
-    nscans = int(pdf["t"].max()) + 1 if len(pdf) else 0
-    nbl = int(pdf["bl"].max()) + 1 if len(pdf) else 0
     mat = np.zeros((nscans * nbl, n_chans), dtype=bool)
-    rows = pdf["t"].to_numpy() * nbl + pdf["bl"].to_numpy()
-    mat[rows, pdf["fc"].to_numpy()] |= pdf["flag"].to_numpy(dtype=bool)
-    return mat, nscans, nbl
+    t = pdf["t"].to_numpy()
+    bl = pdf["bl"].to_numpy()
+    fcs = pdf["fc"].to_numpy()
+    if len(pdf):
+        if t.max() >= nscans or bl.max() >= nbl or fcs.max() >= n_chans:
+            raise ValueError(
+                f"flag cell out of grid: max(t)={t.max()} (nscans={nscans}),"
+                f" max(bl)={bl.max()} (nbl={nbl}),"
+                f" max(fc)={fcs.max()} (n_chans={n_chans})")
+    mat[t * nbl + bl, fcs] |= pdf["flag"].to_numpy(dtype=bool)
+    return mat
 
 
 def write_mwaf_set(flags: DataFrame, out_dir: str,
                    template: str = "Flagfile%%.mwaf", digits: int = 2,
                    obsid: int = 0, gps_start: float = 0.0,
-                   software: str = "birli_spark") -> list[str]:
+                   software: str = "birli_spark",
+                   n_chans: int | None = None, nscans: int | None = None,
+                   nbl: int | None = None) -> list[str]:
     """Write one .mwaf FITS per coarse channel. ``flags`` needs columns
-    (t, bl, cc, fc, flag); duplicate cells OR together."""
+    (t, bl, cc, fc, flag); duplicate cells OR together.
+
+    Grid dimensions come from observation metadata when given (the
+    reference's FlagFileSet carries them in its header context,
+    src/io/mwaf.rs:263-349) so every per-coarse-channel file shares one
+    (nscans, nbl, n_chans) grid even when a channel's trailing timesteps
+    or baselines have no rows. When omitted they are inferred from the
+    GLOBAL index maxima (+1) across all coarse channels — never
+    per-channel, and never from distinct counts, so sparse fine-channel
+    indices can't mispack."""
     os.makedirs(out_dir, exist_ok=True)
     cell = (flags.groupBy("t", "bl", "cc", "fc")
             .agg(F.max("flag").alias("flag")))
-    n_chans = cell.agg(F.countDistinct("fc")).collect()[0][0]
+    if n_chans is None or nscans is None or nbl is None:
+        mx = cell.agg(F.max("fc"), F.max("t"), F.max("bl")).collect()[0]
+        n_chans = n_chans if n_chans is not None else int(mx[0]) + 1
+        nscans = nscans if nscans is not None else int(mx[1]) + 1
+        nbl = nbl if nbl is not None else int(mx[2]) + 1
     paths = []
     for cc_row in sorted(r.cc for r in cell.select("cc").distinct().collect()):
         pdf = (cell.filter(F.col("cc") == cc_row)
                .select("t", "bl", "fc", "flag").toPandas())
-        mat, nscans, nbl = _dense_flags(pdf, n_chans)
+        mat = _dense_flags(pdf, n_chans, nscans, nbl)
         packed = np.packbits(mat, axis=1, bitorder="big")
         primary = fc.pad_block(b"".join([
             fc.card("SIMPLE", True), fc.card("BITPIX", 8),

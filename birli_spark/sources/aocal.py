@@ -64,11 +64,17 @@ def read_mwaocal(path: str) -> tuple[np.ndarray, list[float]]:
         n = tb * tiles * chans * 2 * npol
         data = np.frombuffer(f.read(8 * n), dtype="<f8", count=n)
     sols = data.reshape(tb, tiles, chans, 2 * npol)
-    # best-effort timeblock starts, exactly the reference's reconstruction
-    # (src/io/aocal.rs:117-139)
+    # best-effort timeblock starts, exactly the reference's match arms
+    # (src/io/aocal.rs:119-138): 0.0 encodes "absent"
     if start_gps == 0.0 and end_gps == 0.0:
         times: list[float] = []
-    elif end_gps == 0.0 or start_gps == end_gps:
+    elif start_gps == 0.0:
+        # (None, Some) — the reference panics on this invalid state
+        raise ValueError(
+            f"{path}: start GPS absent but end GPS = {end_gps}")
+    elif end_gps == 0.0 or start_gps == end_gps or tb == 1:
+        # single known instant (or a single timeblock, where "evenly
+        # spaced" would divide by tb - 1 == 0)
         times = [start_gps]
     else:
         step = (end_gps - start_gps) / (tb - 1)

@@ -7,6 +7,7 @@ import hashlib
 import itertools
 
 import numpy as np
+import pytest
 from pyspark.sql import Row
 
 from birli_spark.operators import dedup
@@ -160,6 +161,19 @@ def test_connected_components_vs_union_find(spark):
         [Row(doc_a=a, doc_b=b) for a, b in shuffled])
     got = {r.u: r.lbl for r in dedup.connected_components(pairs).collect()}
     assert got == _py_components(70, edges)
+
+
+def test_connected_components_pointer_doubling_long_chain(spark):
+    # chain of diameter 40: plain min-propagation needs ~40 rounds, the
+    # pointer-doubling variant O(log d) — must converge well under that
+    edges = [(i, i + 1) for i in range(100, 140)]
+    pairs = spark.createDataFrame([Row(doc_a=a, doc_b=b) for a, b in edges])
+    got = {r.u: r.lbl
+           for r in dedup.connected_components(pairs, max_iter=10).collect()}
+    assert got == {v: 100 for v in range(100, 141)}
+    # and an impossible budget raises instead of returning split labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
 
 
 def test_minhash_bucket_cap_drops_hot_bucket(spark):

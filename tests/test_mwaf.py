@@ -53,6 +53,32 @@ def test_mwaf_roundtrip(spark, sf_dir, tmp_path):
         * (int(cell.agg(F.max("bl")).collect()[0][0]) + 1))
 
 
+def test_explicit_dims_uniform_grid(spark, tmp_path):
+    # cc=0 has a row at (t=2, bl=1); cc=1's last rows stop at (t=0, bl=0).
+    # With metadata-supplied dims both files must still share one grid, and
+    # read-back must reconstruct identical (t, bl) coordinates per file.
+    rows = [(2, 1, 0, 3, True), (0, 0, 1, 0, True)]
+    df = spark.createDataFrame(rows, ["t", "bl", "cc", "fc", "flag"])
+    out = str(tmp_path / "m")
+    paths = mwaf.write_mwaf_set(df, out, n_chans=8, nscans=3, nbl=2)
+    hdrs = [mwaf.read_mwaf(p)[0] for p in paths]
+    assert [(h["NSCANS"], h["NBL"], h["NCHANS"]) for h in hdrs] == [(3, 2, 8)] * 2
+    back = mwaf.read_mwaf_set(spark, out)
+    assert back.count() == 2 * 3 * 2 * 8
+    flagged = {(r.t, r.bl, r.cc, r.fc)
+               for r in back.filter("flag").collect()}
+    assert flagged == {(2, 1, 0, 3), (0, 0, 1, 0)}
+
+    # inferred dims (no metadata) use GLOBAL maxima: same uniform grid
+    paths2 = mwaf.write_mwaf_set(df, str(tmp_path / "m2"))
+    hdrs2 = [mwaf.read_mwaf(p)[0] for p in paths2]
+    assert [(h["NSCANS"], h["NBL"]) for h in hdrs2] == [(3, 2)] * 2
+
+    # cells outside a metadata-declared grid are an error, not a mispack
+    with pytest.raises(Exception):
+        mwaf.write_mwaf_set(df, str(tmp_path / "m3"), n_chans=2)
+
+
 def test_bit_packing_msb_first(spark, tmp_path):
     # single flagged cell at fc=0 must set the MSB of the first byte
     rows = [(0, 0, 0, f, f == 0) for f in range(8)]

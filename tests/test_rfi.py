@@ -41,6 +41,27 @@ def test_flat_image_unflagged():
     assert not sumthreshold_mask(img).any()
 
 
+def test_sparse_image_sigma_from_present_cells_only():
+    # Half the grid has no samples (placeholder 0.0). If those zeros
+    # leaked into the median/MAD the sigma would be wildly inflated by
+    # the bimodal {0, ~10} distribution — and with mostly-absent rows
+    # deflated medians over-flag ordinary samples.
+    rng = np.random.default_rng(11)
+    img = np.zeros((64, 64))
+    valid = np.zeros((64, 64), dtype=bool)
+    valid[:, ::2] = True  # only even channels sampled
+    img[valid] = rng.normal(10.0, 1.0, size=valid.sum())
+    img[32, 32] = 1e6  # one genuine spike (chan 32 is sampled)
+    mask = sumthreshold_mask(img, valid=valid)
+    assert mask[32, 32]
+    assert not mask[~valid].any()          # absent cells never flagged
+    assert mask.sum() < 20                 # ordinary samples survive
+    # and the degenerate empty image returns the prior untouched
+    none = sumthreshold_mask(np.zeros((4, 4)),
+                             valid=np.zeros((4, 4), dtype=bool))
+    assert not none.any()
+
+
 def test_spark_operator_minimal(spark):
     """Relational analogue of reference test_flag_jones_array_minimal
     (src/flags.rs:808-846): spike at (t=32, chan=32) on baseline (0,1);

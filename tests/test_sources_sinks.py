@@ -35,6 +35,14 @@ def test_mwaocal_timestamp_reconstruction(tmp_path):
     assert aocal.read_mwaocal(path)[1] == []
     aocal.write_mwaocal(path, sols, start_gps=50.0, end_gps=150.0)
     assert aocal.read_mwaocal(path)[1] == [50.0, 100.0, 150.0]
+    # single timeblock with distinct start/end: no div-by-zero, one start
+    one = np.zeros((1, 1, 1, 8))
+    aocal.write_mwaocal(path, one, start_gps=50.0, end_gps=150.0)
+    assert aocal.read_mwaocal(path)[1] == [50.0]
+    # (start absent, end present) is the reference's panic arm
+    aocal.write_mwaocal(path, sols, start_gps=0.0, end_gps=150.0)
+    with pytest.raises(ValueError, match="start GPS absent"):
+        aocal.read_mwaocal(path)
 
 
 def test_mwaocal_rejects_bad_magic(tmp_path):
