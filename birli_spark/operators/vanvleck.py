@@ -147,8 +147,17 @@ def sighat_prime(sigma: np.ndarray) -> np.ndarray:
 def van_vleck_autos(sighat_vals: np.ndarray) -> np.ndarray:
     """Vectorized Newton inversion of sighat; non-converged values pass
     through unchanged (src/van_vleck.rs:333-361): tol 1e-12, max 100
-    iterations, stop when guess <= 0.5."""
-    s = np.asarray(sighat_vals, dtype=np.float64)
+    iterations, stop when guess <= 0.5.
+
+    The solve is a pure function of the sighat value, and 4+4-bit
+    correlator powers live on a tiny discrete lattice — so solve each
+    DISTINCT value once and scatter (bit-identical results, the sort
+    costs O(M log M) against ~1000 transcendentals per Newton solve)."""
+    s_in = np.asarray(sighat_vals, dtype=np.float64)
+    uniq, inv = np.unique(s_in, return_inverse=True)
+    if uniq.size < s_in.size:
+        return van_vleck_autos(uniq)[inv]
+    s = s_in
     guess = s.copy()
     with np.errstate(invalid="ignore", divide="ignore"):
         delta = sighat(guess) - s
@@ -235,20 +244,39 @@ def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
     idx_all = np.flatnonzero(solvable)
     if idx_all.size == 0:
         return out
+    # The solve is a pure function of (|khat|, sigma1, sigma2) — and the
+    # inputs of a Van Vleck correction are 4+4-bit quantized correlator
+    # accumulations on a discrete lattice, with sigmas drawn from the
+    # (tiny) per-antenna auto table. Distinct triples are a small
+    # fraction of the rows, so solve each triple ONCE and scatter:
+    # results are bit-identical, and the lexsort costs O(M log M)
+    # against ~1000 transcendentals per saved Newton solve.
+    ka_s, s1_s, s2_s = ka[idx_all], s1[idx_all], s2[idx_all]
+    order = np.lexsort((s2_s, s1_s, ka_s))
+    a_, b_, c_ = ka_s[order], s1_s[order], s2_s[order]
+    first = np.empty(order.size, dtype=bool)
+    first[0] = True
+    first[1:] = ((a_[1:] != a_[:-1]) | (b_[1:] != b_[:-1])
+                 | (c_[1:] != c_[:-1]))
+    uinv = np.empty(order.size, dtype=np.int64)
+    uinv[order] = np.cumsum(first) - 1
+    uka, us1, us2 = a_[first], b_[first], c_[first]
+    urho = np.empty(uka.size)
+    uacc = np.zeros(uka.size, dtype=bool)
     # chunk the solve: the Simpson grids are (M, 11, 7, 7) f64 temporaries
     # (~4.3 KB/element/iteration), so an unchunked 80k-element batch (10k
     # Arrow rows x 8 fused components) would churn ~350 MB per Newton
     # step. 8192-element chunks cap peak temporaries at ~35 MB per worker
     # regardless of Arrow batch size — elements are independent, results
     # identical.
-    for lo in range(0, idx_all.size, 8192):
-        idx = idx_all[lo:lo + 8192]
-        x = _K[None, :] / s1[idx, None]                    # (M, 7)
-        y = _K[None, :] / s2[idx, None]
+    for lo in range(0, uka.size, 8192):
+        sl = slice(lo, min(lo + 8192, uka.size))
+        x = _K[None, :] / us1[sl, None]                    # (M, 7)
+        y = _K[None, :] / us2[sl, None]
         xy, sq = _grids(x, y)
-        g = guess[idx]
-        target = ka[idx]
+        target = uka[sl]
         with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+            g = target / (us1[sl] * us2[sl])
             integral, gp = _corrcorrect_simp(g, xy, sq)
             delta = integral - target
             active = (np.abs(delta) > 1e-12) & np.isfinite(delta)
@@ -263,9 +291,12 @@ def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
                 active &= (np.abs(delta) > 1e-12) & np.isfinite(delta)
         # non-converged after 100 iterations → passthrough khat
         # (unwrap_or, src/van_vleck.rs:764-768); others accept the rho
-        done = ~active
-        upd = idx[done]
-        out[upd] = (sign[idx] * g)[done] * s1[upd] * s2[upd]
+        urho[sl] = g
+        uacc[sl] = ~active
+    rho = urho[uinv]
+    acc = uacc[uinv]
+    upd = idx_all[acc]
+    out[upd] = sign[upd] * rho[acc] * s1[upd] * s2[upd]
     return out
 
 
