@@ -462,3 +462,112 @@ def repetition_oracle_sql() -> str:
     e = _rep_exprs(X.DUCK)
     cols = ",\n  ".join(f"{v} AS {k}" for k, v in e.items())
     return f"SELECT doc_id,\n  {cols}\nFROM documents"
+
+
+# ------------------------------------- composite quality filter (T13) ---
+
+#: Gopher-style keep/drop thresholds (Rae et al. 2021 table A1 spirit,
+#: tuned to the synthetic corpus ranges). Each rule is a named boolean so
+#: the output explains WHY a document was dropped.
+QF_RULES: tuple[tuple[str, str], ...] = (
+    ("ok_min_tokens", "{n_tokens} >= 10"),
+    ("ok_max_tokens", "{n_tokens} <= 5000"),
+    ("ok_mean_len", "({mean_token_len}) >= CAST(2 AS DOUBLE) "
+                    "AND ({mean_token_len}) <= CAST(12 AS DOUBLE)"),
+    ("ok_stopwords", "({stopword_ratio}) >= CAST(0.01 AS DOUBLE)"),
+    ("ok_uniq", "({uniq_ratio}) >= CAST(0.3 AS DOUBLE)"),
+    ("ok_top_token", "({top_token_frac}) <= CAST(0.2 AS DOUBLE)"),
+    ("ok_dup_trigram", "({dup_trigram_frac}) <= CAST(0.3 AS DOUBLE)"),
+)
+
+
+def _qf_exprs(d: str) -> dict[str, str]:
+    parts = dict(_stats_exprs(d))
+    parts.update(_rep_exprs(d))
+    out = {name: tmpl.format(**parts) for name, tmpl in QF_RULES}
+    out["keep"] = " AND ".join(f"({e})" for e in out.values())
+    return out
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """T13 — the composite Gopher-style document filter: every rule as a
+    named boolean plus the conjunction ``keep``.
+
+    Like T1/T12 this is a pure per-row projection (no shuffle, no UDF,
+    whole-stage codegen over the scan); at 100 TB the downstream corpus
+    write is ``.filter("keep")`` which pushes straight into the scan. The
+    rule columns make the filter auditable — per-source drop-reason
+    rollups are one groupBy away."""
+    e = _qf_exprs(X.SPARK)
+    return docs.select(
+        "doc_id", *[F.expr(v).alias(k) for k, v in e.items()])
+
+
+def quality_filter_oracle_sql() -> str:
+    e = _qf_exprs(X.DUCK)
+    cols = ",\n  ".join(f"{v} AS {k}" for k, v in e.items())
+    return f"SELECT doc_id,\n  {cols}\nFROM documents"
+
+
+# --------------------------------- unigram-LM cross-entropy score (T14) ---
+
+def _tok_table(d: str) -> str:
+    """(doc_id, tok) long stream: explode/unnest of the whitespace split."""
+    if d == X.SPARK:
+        return (f"SELECT doc_id, explode({X.toks(X.SPARK)}) AS tok "
+                f"FROM {{docs}}")
+    return (f"SELECT doc_id, unnest({X.toks(X.DUCK)}) AS tok "
+            f"FROM documents")
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """T14 — corpus-unigram cross-entropy per document: train a unigram
+    LM on the corpus itself (P(w) = count(w)/total) and score every doc by
+    average ``-log2 P(token)`` (bits/token). Low bits = templated/common
+    text, high bits = rare-token soup; both tails are the classic
+    perplexity-style quality cut.
+
+    Plan shape at 100 TB: the token stream is a narrow flatMap off the
+    scan (never materialized); the LM is one map-side-combined groupBy
+    down to vocab size (millions of rows, ~MBs — broadcastable); scoring
+    re-streams tokens, broadcast-joins the LM, and reduces per doc with a
+    partial agg. Two scans of ``text``, one wide shuffle of (vocab) +
+    one of (doc_id) partial sums — no row-level state.
+
+    Determinism: per-token bits are demoted to integer nano-bit ticks
+    before the per-doc SUM (BIGINT addition commutes; double SUM order
+    doesn't), and the count ratio enters as exact integers.
+    """
+    exploded = docs.select("doc_id", F.explode(F.expr(X.toks(X.SPARK))).alias("tok"))
+    lm = exploded.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = exploded.count()
+    tick = ("CAST(round(log2(CAST(cnt AS DOUBLE)) * CAST(1000000000 AS "
+            "DOUBLE)) AS BIGINT)")
+    scored = (exploded
+              .join(F.broadcast(lm), "tok")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum(F.expr(tick)).alias("sum_ticks")))
+    bits = (f"CAST(log2(CAST({total} AS DOUBLE)) AS DOUBLE) "
+            f"- CAST(sum_ticks AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
+            f"/ CAST(1000000000 AS DOUBLE)")
+    return scored.select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.expr(f32(bits)).alias("bits_per_token"))
+
+
+def unigram_logprob_oracle_sql() -> str:
+    tick = ("CAST(round(log2(CAST(cnt AS DOUBLE)) * CAST(1000000000 AS "
+            "DOUBLE)) AS BIGINT)")
+    bits = ("CAST(log2(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)) AS DOUBLE) "
+            "- CAST(sum_ticks AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
+            "/ CAST(1000000000 AS DOUBLE)")
+    return f"""
+WITH toks AS ({_tok_table(X.DUCK)}),
+lm AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+scored AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM({tick}) AS sum_ticks
+  FROM toks t JOIN lm USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+  {f32(bits)} AS bits_per_token
+FROM scored"""
