@@ -18,28 +18,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
-                               StructType)
+                               StructType, TimestampNTZType)
 
 from birli_spark.functions.complex import f32
+from birli_spark.sources.corpus import with_ts_ns
 
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # nanos (read with nanosAsLong)
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+
+def events_schema(ts_type=TimestampNTZType()) -> StructType:
+    """Stream source schema. ``ts`` defaults to TIMESTAMP_NTZ (the driver
+    parquet's current physical type, microseconds); pass ``LongType()``
+    for nanos-as-long data. Either way the stream is normalized to int64
+    nanos by :func:`read_events_stream` via ``with_ts_ns``."""
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", ts_type),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+
+
+EVENTS_SCHEMA = events_schema()
+
+
+def _ts_is_timestamp(path: str) -> bool:
+    """Probe the parquet footer: True if ``ts`` is a (non-nano) timestamp
+    column, False for int64 / TIMESTAMP(NANOS) (nanosAsLong) data."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        t = pq.read_schema(path).field("ts").type
+        return pa.types.is_timestamp(t) and t.unit != "ns"
+    except Exception:
+        return True
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
-    micro-batch under availableNow; a production feed would be Kafka)."""
+    micro-batch under availableNow; a production feed would be Kafka).
+    Emits ``ts`` as int64 nanoseconds regardless of the file's physical
+    timestamp type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (spark.readStream
-            .schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir))
+    ts_type = (TimestampNTZType()
+               if _ts_is_timestamp(f"{sf_dir}/events.parquet")
+               else LongType())
+    return with_ts_ns(
+        spark.readStream
+        .schema(events_schema(ts_type))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir))
 
 
 def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -46,7 +46,10 @@ def test_windowed_agg_matches_pandas(spark, sf_dir):
     got = (events.windowed_agg(ev)
            .orderBy("event_type", "hour_epoch").toPandas())
     pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
-    pdf["hour_epoch"] = (pdf.ts.astype("int64") // (3600 * 10 ** 9)) * 3600
+    ts_ns = pdf.ts.astype("datetime64[ns]").astype("int64") \
+        if pd.api.types.is_datetime64_any_dtype(pdf.ts) \
+        else pdf.ts.astype("int64")
+    pdf["hour_epoch"] = (ts_ns // (3600 * 10 ** 9)) * 3600
     exp = (pdf.groupby(["event_type", "hour_epoch"])
            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
            .reset_index().sort_values(["event_type", "hour_epoch"]))

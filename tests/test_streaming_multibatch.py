@@ -28,10 +28,11 @@ def _split_source(sf_dir: str, out_dir: str) -> str:
 def test_two_batch_session_continuation(spark, sf_dir, tmp_path):
     src = _split_source(sf_dir, str(tmp_path / "events_split"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream
-              .schema(windows.EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1)
-              .parquet(src))
+    stream = corpus.with_ts_ns(
+        spark.readStream
+        .schema(windows.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src))
     out = sessions.sessionize_stream(stream)
     q = (out.writeStream.format("memory").queryName("mb_sessions")
          .outputMode("update")
