@@ -91,10 +91,14 @@ def shingle_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                           max_df: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard via the shared-shingle equi-join (pairs
     with zero overlap never materialize). ``max_df`` drops stop-shingles
-    to bound join fan-out on skewed corpora."""
-    # the shingle table feeds the candidate join (twice) AND the verify
-    # joins — persist so the scan+tokenize+explode runs once, not 4x
-    sh = _shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    to bound join fan-out on skewed corpora.
+
+    The shingle table feeds the candidate join (twice) and the verify
+    joins. It is deliberately NOT cached: tokenize+explode stays inside
+    whole-stage codegen and recomputes cheaply per use, while caching the
+    exploded table (several times the corpus size) costs an eager
+    materialization pass up front and evicts/spills at scale."""
+    sh = _shingle_table(docs)
     join_side = sh
     if max_df is not None:
         keep = (sh.groupBy("s").agg(F.count("*").alias("df"))
@@ -154,9 +158,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     boilerplate are already handled by D1, and near-dup recall for a
     pair only needs *one* of its shared band buckets to survive."""
     r = seeds // bands
-    # one persisted shingle table serves signature building AND the
-    # Jaccard verification — without it the corpus is re-tokenized 3x
-    sh = _shingle_table(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # uncached by design — see shingle_jaccard_pairs: re-tokenizing per
+    # use is codegen-cheap; caching the exploded table is not
+    sh = _shingle_table(docs)
     aggs = [F.min(F.expr(X.minhash16("s", k))).alias(f"h{k}")
             for k in range(seeds)]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -327,21 +331,78 @@ WHERE {cos} >= {tau!r}"""
 
 # ------------------------------------------- transitive clusters (D6) ---
 
-def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
-    """Distributed min-label propagation **with pointer doubling** over an
-    undirected edge list ``(doc_a, doc_b)`` → ``(u, lbl)``: every vertex
-    labeled with the min vertex id of its connected component. Per round:
-    one shuffle-join of edges to labels + one partial-aggregating
-    min-groupBy (neighbor propagation), then a label-to-label self-join
-    that shortcuts ``lbl(u) := lbl(lbl(u))`` — so remaining chain depth
-    halves every round and convergence takes O(log diameter) rounds, not
-    O(diameter). Stops when a round changes no label; raises
-    ``RuntimeError`` if ``max_iter`` rounds pass without convergence
-    (silently returning partial labels would split long-chain
-    components). `localCheckpoint` truncates the growing lineage each
-    round so plans stay O(1). Vertices absent from ``pairs`` are absent
-    from the result (fill singletons with a left join + coalesce at the
-    call site)."""
+#: below this many edges the component graph fits trivially on the driver
+#: and exact union-find beats N distributed rounds of job overhead — the
+#: same small-side runtime switch AQE makes for broadcast joins. The dup
+#: subgraph of even a 100 TB corpus is often under this; the distributed
+#: loop remains the unbounded path.
+CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _union_find_labels(edge_rows) -> list[tuple[int, int]]:
+    """Exact driver-side union-find: (u, min-id-of-component) per vertex.
+    Path-halving + union-by-min keeps it near-linear in edges."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:                       # union by min id -> min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(u, find(u)) for u in parent]
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 50,
+                         driver_max_edges: int = CC_DRIVER_MAX_EDGES
+                         ) -> DataFrame:
+    """Connected components over an undirected edge list
+    ``(doc_a, doc_b)`` → ``(u, lbl)``: every vertex labeled with the min
+    vertex id of its component.
+
+    Two physical strategies, picked at runtime by edge count (the graph
+    is already materialized by the caller's ``localCheckpoint``, so the
+    count is free):
+
+    - **small graph** (≤ ``driver_max_edges``): collect to the driver and
+      run exact union-find — the LSH pair graph of a deduplicated corpus
+      is a vanishing fraction of the corpus, and one collect beats many
+      rounds of whole-cluster job scheduling;
+    - **large graph**: distributed min-label propagation **with pointer
+      doubling**. Per round: one shuffle-join of edges to labels + one
+      partial-aggregating min-groupBy (neighbor propagation), then a
+      label-to-label self-join that shortcuts ``lbl(u) := lbl(lbl(u))``
+      — remaining chain depth halves every round, so convergence takes
+      O(log diameter) rounds, not O(diameter). Stops when a round
+      changes no label; raises ``RuntimeError`` if ``max_iter`` rounds
+      pass without convergence (silently returning partial labels would
+      split long-chain components). ``localCheckpoint`` truncates the
+      growing lineage each round so plans stay O(1).
+
+    Vertices absent from ``pairs`` are absent from the result (fill
+    singletons with a left join + coalesce at the call site)."""
+    if driver_max_edges:
+        # one job doubles as size probe and (if small) the edge fetch —
+        # limit+collect, NOT toLocalIterator (which walks partitions
+        # sequentially, one scheduling round-trip each)
+        head = pairs.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            labels = _union_find_labels((r[0], r[1]) for r in head)
+            return pairs.sparkSession.createDataFrame(
+                labels or [], "u long, lbl long")
     edges = (pairs.union(pairs.select("doc_b", "doc_a"))
              .toDF("u", "v")
              .persist(StorageLevel.MEMORY_AND_DISK))

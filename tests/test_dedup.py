@@ -159,8 +159,14 @@ def test_connected_components_vs_union_find(spark):
     shuffled = [edges[i] for i in perm]
     pairs = spark.createDataFrame(
         [Row(doc_a=a, doc_b=b) for a, b in shuffled])
+    exp = _py_components(70, edges)
+    # driver union-find path (small graph) and distributed label
+    # propagation (forced via driver_max_edges=0) must agree exactly
     got = {r.u: r.lbl for r in dedup.connected_components(pairs).collect()}
-    assert got == _py_components(70, edges)
+    assert got == exp
+    got_dist = {r.u: r.lbl for r in dedup.connected_components(
+        pairs, driver_max_edges=0).collect()}
+    assert got_dist == exp
 
 
 def test_connected_components_pointer_doubling_long_chain(spark):
@@ -169,11 +175,12 @@ def test_connected_components_pointer_doubling_long_chain(spark):
     edges = [(i, i + 1) for i in range(100, 140)]
     pairs = spark.createDataFrame([Row(doc_a=a, doc_b=b) for a, b in edges])
     got = {r.u: r.lbl
-           for r in dedup.connected_components(pairs, max_iter=10).collect()}
+           for r in dedup.connected_components(
+               pairs, max_iter=10, driver_max_edges=0).collect()}
     assert got == {v: 100 for v in range(100, 141)}
     # and an impossible budget raises instead of returning split labels
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iter=1)
+        dedup.connected_components(pairs, max_iter=1, driver_max_edges=0)
 
 
 def test_minhash_bucket_cap_drops_hot_bucket(spark):
@@ -201,8 +208,12 @@ def test_connected_components_random_graph(spark):
              if e[0] != e[1]}
     pairs = spark.createDataFrame(
         [Row(doc_a=int(a), doc_b=int(b)) for a, b in sorted(edges)])
+    exp = _py_components(60, sorted(edges))
     got = {r.u: r.lbl for r in dedup.connected_components(pairs).collect()}
-    assert got == _py_components(60, sorted(edges))
+    assert got == exp
+    got_dist = {r.u: r.lbl for r in dedup.connected_components(
+        pairs, driver_max_edges=0).collect()}
+    assert got_dist == exp
 
 
 def test_cluster_representatives_keeps_best_quality(spark):
