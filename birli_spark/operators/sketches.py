@@ -1,0 +1,121 @@
+"""Mergeable sketches for corpus-scale statistics — the "novel sketch"
+north-star operator family (the reference has none; SURVEY.md §2.8 lists
+no distinct aggregates at all).
+
+SK1: **KMV (k-minimum-values) distinct-count sketch** per group. The
+classic mergeable cardinality estimator (Bar-Yossef et al. 2002;
+Beyer et al. "On Synopses for Distinct-Value Estimation Under Multiset
+Operations", SIGMOD 2007): hash every element to [0, 1), keep the k
+smallest distinct hashes; with fewer than k values seen the sketch IS the
+exact distinct set, otherwise estimate D ≈ (k-1) / h_(k) where h_(k) is
+the k-th smallest hash.
+
+Why this instead of ``approx_count_distinct``: Spark's HLL++ estimate is
+engine-internal (not reproducible in DuckDB), so it can only be
+rows-only-checked. KMV over md5 is **deterministic and engine-agnostic**
+— both engines compute the identical k-minima and the identical
+estimate, so the oracle validates the sketch math itself, not just row
+counts. (``approx_count_distinct`` remains the right call when you don't
+need cross-engine determinism; this operator demonstrates the mergeable
+two-level-aggregation shape any such sketch uses.)
+
+Scale shape (100 TB): NO global distinct — that is the whole point.
+
+- stage 0: narrow projection (group, md5(token)) over the scan;
+- stage 1: ``groupBy(group, bucket)`` where bucket = first hex nibble —
+  ``collect_set`` dedups map-side (partial aggregation), per-bucket set
+  size ≈ D/16 per map partition; raise the bucket fan-out to bound
+  memory on hotter groups. Only per-bucket k-minima cross the shuffle;
+- stage 2: ``groupBy(group)`` merges bucket sketches: flatten, sort,
+  slice k — the canonical sketch-merge (associative, order-insensitive).
+
+Fixed-width lowercase md5 hex makes lexicographic order = numeric order,
+so ``array_sort`` + ``slice`` is the k-minima selection, and the
+estimate's hash fraction is the first 8 hex chars folded to an int64
+(identical folds in both dialects; one exact IEEE division each side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from birli_spark.functions import textsql as X
+
+KMV_K = 64
+#: 2^32 — first-8-hex-chars hash space, as an exact double
+_HEX32_SPACE = 4294967296.0
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hex32(d: str, col: str) -> str:
+    """First 8 hex chars of ``col`` folded to an int64, same fold both
+    dialects (hex→int built-ins differ across engines, a digit fold
+    doesn't)."""
+    if d == X.SPARK:
+        return (f"aggregate(sequence(1, 8), 0L, (acc, i) -> "
+                f"acc * 16L + CAST(instr('{_HEXDIGITS}', "
+                f"substr({col}, i, 1)) AS LONG) - 1L)")
+    return (f"list_reduce(list_prepend(0, list_transform("
+            f"generate_series(1, 8), i -> strpos('{_HEXDIGITS}', "
+            f"substr({col}, i, 1)) - 1)), (a, b) -> a * 16 + b)")
+
+
+def _estimate(d: str, merged: str, k: int) -> str:
+    """KMV estimate from the merged k-minima array: exact size when the
+    sketch saw everything, else (k-1) / h_(k)."""
+    nth = (f"element_at({merged}, {k})" if d == X.SPARK
+           else f"{merged}[{k}]")
+    sz = X.size(d, merged)
+    return (f"CASE WHEN {sz} < {k} THEN CAST({sz} AS DOUBLE) "
+            f"ELSE {k - 1} * {_HEX32_SPACE!r} / "
+            f"GREATEST({_hex32(d, nth)}, 1) END")
+
+
+def kmv_distinct_tokens(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    """SK1 — per-source distinct-token cardinality: KMV estimate next to
+    the exact count (the exact side is the validation baseline; at real
+    scale you ship only the sketch and skip its corpus-wide shuffle)."""
+    tok = (docs
+           .select("source", F.explode(F.expr(X.toks(X.SPARK))).alias("t"))
+           .filter(F.col("t") != "")
+           .select("source", F.md5("t").alias("h"),
+                   (F.expr(f"instr('{_HEXDIGITS}', substr(md5(t), 1, 1))")
+                    - F.lit(1)).alias("bucket")))
+    stage1 = (tok.groupBy("source", "bucket")
+              .agg(F.expr(f"slice(array_sort(collect_set(h)), 1, {k})")
+                   .alias("ks")))
+    merged = (stage1.groupBy("source")
+              .agg(F.expr(
+                  f"slice(array_sort(flatten(collect_list(ks))), 1, {k})")
+                  .alias("kmins")))
+    exact = (tok.groupBy("source")
+             .agg(F.countDistinct("h").alias("exact_distinct")))
+    return (merged
+            .join(F.broadcast(exact), "source")
+            .select("source", "exact_distinct",
+                    F.expr(_estimate(X.SPARK, "kmins", k))
+                    .alias("kmv_distinct")))
+
+
+def kmv_distinct_tokens_oracle_sql(k: int = KMV_K) -> str:
+    d = X.DUCK
+    return f"""
+WITH tok AS (
+  SELECT source, md5(t) AS h,
+    strpos('{_HEXDIGITS}', substr(md5(t), 1, 1)) - 1 AS bucket
+  FROM (SELECT source, unnest({X.toks(d)}) AS t FROM documents)
+  WHERE t <> ''),
+stage1 AS (
+  SELECT source, bucket, list_sort(list(DISTINCT h))[1:{k}] AS ks
+  FROM tok GROUP BY source, bucket),
+merged AS (
+  SELECT source, list_sort(flatten(list(ks)))[1:{k}] AS kmins
+  FROM stage1 GROUP BY source),
+exact AS (
+  SELECT source, COUNT(DISTINCT h) AS exact_distinct
+  FROM tok GROUP BY source)
+SELECT m.source, e.exact_distinct,
+  {_estimate(d, 'kmins', k)} AS kmv_distinct
+FROM merged m JOIN exact e USING (source)"""

@@ -1,0 +1,66 @@
+"""KMV distinct sketch: exact-path semantics on tiny vocabularies,
+estimate-path agreement with an independent python KMV, and DuckDB
+oracle identity (the estimate itself, not just row counts)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+from pyspark.sql import Row
+
+from birli_spark.operators import sketches
+from birli_spark.sources import corpus
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame([
+        Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+        for i, (s, t) in enumerate(rows)])
+
+
+def _py_kmv(tokens, k):
+    hs = sorted({hashlib.md5(t.encode()).hexdigest() for t in tokens})
+    if len(hs) < k:
+        return float(len(hs))
+    frac = max(int(hs[k - 1][:8], 16), 1)
+    return (k - 1) * 4294967296.0 / frac
+
+
+def test_kmv_exact_path_small_vocab(spark):
+    docs = _mk_docs(spark, [("a", "x y z x"), ("a", "y w"),
+                            ("b", "p q")])
+    out = {r.source: r for r in
+           sketches.kmv_distinct_tokens(docs, k=64).collect()}
+    assert out["a"].exact_distinct == 4      # x y z w
+    assert out["a"].kmv_distinct == 4.0      # sketch saw everything
+    assert out["b"].exact_distinct == 2
+    assert out["b"].kmv_distinct == 2.0
+
+
+def test_kmv_estimate_path_matches_python(spark):
+    # 500 distinct tokens >> k=16: the estimate path must engage and
+    # match an independently-computed KMV exactly (same md5, same k)
+    toks = [f"tok{i}" for i in range(500)]
+    text = " ".join(toks)
+    docs = _mk_docs(spark, [("a", text), ("a", " ".join(toks[:100]))])
+    out = sketches.kmv_distinct_tokens(docs, k=16).collect()[0]
+    assert out.exact_distinct == 500
+    exp = _py_kmv(toks, 16)
+    assert out.kmv_distinct == exp
+    # sanity: the estimate is in the right ballpark
+    assert 0.5 * 500 <= out.kmv_distinct <= 2.0 * 500
+
+
+def test_kmv_oracle_identity(spark, sf_dir):
+    got = (sketches.kmv_distinct_tokens(
+        corpus.load_documents(spark, sf_dir)).orderBy("source").toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    exp = (con.execute(sketches.kmv_distinct_tokens_oracle_sql())
+           .df().sort_values("source", ignore_index=True))
+    assert got.source.tolist() == exp.source.tolist()
+    assert got.exact_distinct.tolist() == exp.exact_distinct.tolist()
+    # bit-exact estimate across engines — the whole point of md5-KMV
+    assert got.kmv_distinct.tolist() == exp.kmv_distinct.tolist()
