@@ -54,6 +54,7 @@ HEADLINE = [
     "t8_length_quantiles", "t9_top_bigrams", "emb1_label_centroids",
     "pipeline_corpus_clean",
     "e9_retention", "e10_funnel", "t12_repetition", "emb2_kmeans",
+    "sk1_kmv_distinct",
 ]
 
 
