@@ -327,6 +327,12 @@ def _q_kmv_distinct(spark, sf_dir):
     return sketches.kmv_distinct_tokens(corpus.load_documents(spark, sf_dir))
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    from birli_spark.operators import sketches
+    from birli_spark.sources import corpus
+    return sketches.cms_heavy_hitters(corpus.load_documents(spark, sf_dir))
+
+
 def _q_stratified_sample(spark, sf_dir):
     from birli_spark.operators import corpus_clean
     from birli_spark.sources import corpus
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_source_rollup": _q_source_rollup,
         "t5_vocab_stats": _q_vocab_stats,
         "sk1_kmv_distinct": _q_kmv_distinct,
+        "sk2_cms_heavy_hitters": _q_cms_heavy_hitters,
         "t6_tfidf_top_terms": _q_tfidf,
         "t7_stratified_sample": _q_stratified_sample,
         "d1_exact_dedup": _q_exact_dedup,
@@ -773,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
         "t4_source_rollup": text.source_quality_rollup_oracle_sql(),
         "t5_vocab_stats": text.vocab_stats_oracle_sql(),
         "sk1_kmv_distinct": sketches.kmv_distinct_tokens_oracle_sql(),
+        "sk2_cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
         "t6_tfidf_top_terms": text.tfidf_oracle_sql(),
         "t7_stratified_sample": corpus_clean.stratified_sample_oracle_sql(),
         "d1_exact_dedup": dedup.exact_dedup_oracle_sql(),

@@ -99,6 +99,94 @@ def kmv_distinct_tokens(docs: DataFrame, k: int = KMV_K) -> DataFrame:
                     .alias("kmv_distinct")))
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 20
+
+
+def _cms_bucket(d: str, seed: str, tok: str, width: int) -> str:
+    """Counter column for (seed, token): md5 of "seed:token" folded to
+    int64, modulo the row width — identical arithmetic both dialects."""
+    concat = (f"concat(CAST({seed} AS STRING), ':', {tok})" if d == X.SPARK
+              else f"CAST({seed} AS VARCHAR) || ':' || {tok}")
+    return f"({_hex32(d, f'md5({concat})')} % {width})"
+
+
+def cms_heavy_hitters(docs: DataFrame, depth: int = CMS_DEPTH,
+                      width: int = CMS_WIDTH,
+                      top_k: int = CMS_TOP_K) -> DataFrame:
+    """SK2 — count-min sketch (Cormode & Muthukrishnan 2005) estimates
+    for the corpus's exact top-k tokens, next to their true counts.
+
+    The sketch is a depth×width counter matrix: every token increments
+    one counter per row (row = seed, column = hash(seed, token) mod
+    width); a point estimate is the MIN over rows, an overestimate by
+    construction (collisions only add). md5-derived buckets make every
+    counter — and therefore every estimate — bit-identical in DuckDB.
+
+    Scale shape: the token stream fans out ×depth (narrow explode), then
+    one partial-aggregated groupBy collapses to ≤ depth·width counter
+    rows per map partition before the shuffle — the sketch, not the
+    corpus, crosses the wire. The exact top-k side is the validation
+    baseline (same vocab-aggregate as T5); the estimate lookup joins the
+    tiny candidate×depth table to the broadcast counter matrix."""
+    seeds = f"sequence(0, {depth - 1})"
+    tok = (docs
+           .select(F.explode(F.expr(X.toks(X.SPARK))).alias("t"))
+           .filter(F.col("t") != ""))
+    fan = (f"transform({seeds}, s -> named_struct("
+           f"'seed', s, 'bucket', {_cms_bucket(X.SPARK, 's', 't', width)}))")
+    cms = (tok
+           .select(F.explode(F.expr(fan)).alias("sb"))
+           .groupBy(F.col("sb.seed").alias("seed"),
+                    F.col("sb.bucket").alias("bucket"))
+           .agg(F.count("*").alias("c")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("tf"), F.asc("t"))
+    top = (tok.groupBy("t").agg(F.count("*").alias("tf"))
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= top_k))
+    probes = (top
+              .select("t", "tf", "rank", F.explode(F.expr(seeds)).alias("seed"))
+              .withColumn("bucket", F.expr(
+                  _cms_bucket(X.SPARK, "seed", "t", width))))
+    return (probes
+            .join(F.broadcast(cms), ["seed", "bucket"])
+            .groupBy(F.col("t").alias("term"))
+            .agg(F.min("tf").alias("tf_exact"),
+                 F.min("rank").alias("rank"),
+                 F.min("c").alias("cms_estimate")))
+
+
+def cms_heavy_hitters_oracle_sql(depth: int = CMS_DEPTH,
+                                 width: int = CMS_WIDTH,
+                                 top_k: int = CMS_TOP_K) -> str:
+    d = X.DUCK
+    return f"""
+WITH tok AS (
+  SELECT t FROM (SELECT unnest({X.toks(d)}) AS t FROM documents)
+  WHERE t <> ''),
+fan AS (
+  SELECT t, unnest(generate_series(0, {depth - 1})) AS seed FROM tok),
+cms AS (
+  SELECT seed, {_cms_bucket(d, 'seed', 't', width)} AS bucket,
+    COUNT(*) AS c
+  FROM fan GROUP BY 1, 2),
+top AS (
+  SELECT t, COUNT(*) AS tf,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t ASC) AS rank
+  FROM tok GROUP BY t
+  QUALIFY rank <= {top_k}),
+probes AS (
+  SELECT top.t, top.tf, top.rank, f.seed,
+    {_cms_bucket(d, 'f.seed', 'top.t', width)} AS bucket
+  FROM top, (SELECT unnest(generate_series(0, {depth - 1})) AS seed) f)
+SELECT p.t AS term, MIN(p.tf) AS tf_exact, MIN(p.rank) AS rank,
+  MIN(c.c) AS cms_estimate
+FROM probes p JOIN cms c ON c.seed = p.seed AND c.bucket = p.bucket
+GROUP BY p.t"""
+
+
 def kmv_distinct_tokens_oracle_sql(k: int = KMV_K) -> str:
     d = X.DUCK
     return f"""

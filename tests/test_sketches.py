@@ -64,3 +64,31 @@ def test_kmv_oracle_identity(spark, sf_dir):
     assert got.exact_distinct.tolist() == exp.exact_distinct.tolist()
     # bit-exact estimate across engines — the whole point of md5-KMV
     assert got.kmv_distinct.tolist() == exp.kmv_distinct.tolist()
+
+
+def test_cms_overestimates_and_tracks_exact(spark):
+    # token "a" appears 50x, "b" 30x, others once — CMS min-estimate must
+    # be >= exact (collisions only add) and equal where no collision
+    text = " ".join(["a"] * 50 + ["b"] * 30 + [f"z{i}" for i in range(10)])
+    docs = _mk_docs(spark, [("s", text)])
+    out = {r.term: r for r in
+           sketches.cms_heavy_hitters(docs, top_k=5).collect()}
+    assert out["a"].tf_exact == 50 and out["a"].cms_estimate >= 50
+    assert out["b"].tf_exact == 30 and out["b"].cms_estimate >= 30
+    assert len(out) == 5
+    # with 4 independent rows of width 256 over a 12-term vocab, the min
+    # row is collision-free here
+    assert out["a"].cms_estimate == 50
+
+
+def test_cms_oracle_identity(spark, sf_dir):
+    got = (sketches.cms_heavy_hitters(
+        corpus.load_documents(spark, sf_dir)).orderBy("term").toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    exp = (con.execute(sketches.cms_heavy_hitters_oracle_sql())
+           .df().sort_values("term", ignore_index=True))
+    assert got.term.tolist() == exp.term.tolist()
+    assert got.tf_exact.tolist() == exp.tf_exact.tolist()
+    assert got.cms_estimate.tolist() == exp.cms_estimate.tolist()
