@@ -444,6 +444,12 @@ def _q_burst_counts(spark, sf_dir):
     return events.burst_counts(corpus.load_events(spark, sf_dir))
 
 
+def _q_attribution(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.attribution_pairs(corpus.load_events(spark, sf_dir))
+
+
 def _q_length_quantiles(spark, sf_dir):
     from birli_spark.operators import text
     from birli_spark.sources import corpus
@@ -608,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e5_event_rollup": _q_event_rollup,
         "e4_asof_join": _q_asof_join,
         "e6_burst_counts": _q_burst_counts,
+        "e11_attribution_window": _q_attribution,
         "e7_json_extract_stats": _q_json_extract_stats,
         "e8_trailing_bursts": _q_trailing_bursts,
         "e9_retention": _q_retention,
@@ -801,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "e5_event_rollup": events.event_rollup_oracle_sql(),
         "e4_asof_join": asof.asof_oracle_sql(),
         "e6_burst_counts": events.burst_counts_oracle_sql(),
+        "e11_attribution_window": events.attribution_pairs_oracle_sql(),
         "e7_json_extract_stats": events.json_extract_stats_oracle_sql(),
         "e8_trailing_bursts": events.trailing_burst_oracle_sql(),
         "e9_retention": events.retention_oracle_sql(),

@@ -251,6 +251,59 @@ FROM e a LEFT JOIN e b
 GROUP BY a.event_id"""
 
 
+ATTR_WINDOW_US = US_PER_HOUR
+
+
+def attribution_pairs(events: DataFrame,
+                      window_us: int = ATTR_WINDOW_US) -> DataFrame:
+    """E11 — bounded-interval attribution: every (click, view) pair by
+    the same user with the view at most ``window_us`` before the click
+    (inclusive). The *bounded* counterpart of the as-of join (E4): E4
+    keeps the single latest view over an unbounded past, this keeps all
+    views in a trailing window — the shape Structured Streaming's
+    stream-stream join can execute incrementally (state is bounded by
+    the window + watermark; see streaming/joins.py for the twin).
+
+    Batch plan: same bucketized band equi-join as burst_counts — clicks
+    probe their own and the previous ``window_us`` bucket, so the exact
+    interval predicate only filters a 2-bucket candidate set, never a
+    per-user cross product."""
+    base = events.withColumn("tu", F.expr(TS_US_SPARK))
+    clicks = (base.filter(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("tu").alias("click_tu")))
+    views = (base.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("tu").alias("view_tu"))
+             .withColumn("bkt", F.expr(f"view_tu div {window_us}")))
+    probe = clicks.withColumn(
+        "bkt", F.explode(F.expr(
+            f"array(click_tu div {window_us} - 1,"
+            f" click_tu div {window_us})")))
+    return (probe.join(views, (F.col("c_user") == F.col("v_user"))
+                       & (probe.bkt == views.bkt))
+            .filter((F.col("view_tu") >= F.col("click_tu") - window_us)
+                    & (F.col("view_tu") <= F.col("click_tu")))
+            .select(F.col("c_user").alias("user_id"),
+                    "click_id", "click_tu", "view_id", "view_tu"))
+
+
+def attribution_pairs_oracle_sql(window_us: int = ATTR_WINDOW_US) -> str:
+    """Direct interval join — correct at oracle scale; the engine
+    replaces it with the bucketed equi-join above."""
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, {TS_US_DUCK} AS tu FROM events)
+SELECT c.user_id, c.event_id AS click_id, c.tu AS click_tu,
+  v.event_id AS view_id, v.tu AS view_tu
+FROM e c JOIN e v
+  ON c.event_type = 'click' AND v.event_type = 'view'
+  AND c.user_id = v.user_id
+  AND v.tu BETWEEN c.tu - {window_us} AND c.tu"""
+
+
 def json_extract_stats(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
     column and aggregate it per event type — the schema-on-read shape of
