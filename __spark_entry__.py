@@ -351,6 +351,13 @@ def _q_ngram_jaccard(spark, sf_dir):
     return dedup.shingle_jaccard_pairs(corpus.load_documents(spark, sf_dir))
 
 
+def _q_containment(spark, sf_dir):
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.shingle_containment_pairs(
+        corpus.load_documents(spark, sf_dir))
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from birli_spark.operators import dedup
     from birli_spark.sources import corpus
@@ -598,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_stratified_sample": _q_stratified_sample,
         "d1_exact_dedup": _q_exact_dedup,
         "d2_ngram_jaccard": _q_ngram_jaccard,
+        "d9_containment": _q_containment,
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash_pairs": _q_simhash,
         "d5_embedding_neardup": _q_embedding_neardup,
@@ -792,6 +800,7 @@ def oracle_sql() -> dict[str, str]:
         "t7_stratified_sample": corpus_clean.stratified_sample_oracle_sql(),
         "d1_exact_dedup": dedup.exact_dedup_oracle_sql(),
         "d2_ngram_jaccard": dedup.shingle_jaccard_oracle_sql(),
+        "d9_containment": dedup.shingle_containment_oracle_sql(),
         "d3_minhash_lsh": dedup.minhash_lsh_oracle_sql(),
         "d4_simhash_pairs": dedup.simhash_oracle_sql(),
         "d5_embedding_neardup": dedup.embedding_neardup_oracle_sql(),

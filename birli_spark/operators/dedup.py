@@ -126,6 +126,67 @@ JOIN sz sb ON sb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold!r}"""
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def shingle_containment_pairs(docs: DataFrame,
+                              threshold: float = CONTAINMENT_THRESHOLD,
+                              max_df: int | None = None) -> DataFrame:
+    """D9 — asymmetric containment: ``C(A→B) = |A∩B| / |A|``, the
+    subset/quotation detector Jaccard structurally misses (a short doc
+    fully quoted inside a long one has tiny Jaccard but containment 1.0).
+    Emits candidate pairs where either direction reaches ``threshold``.
+
+    Same scale shape as D2: shared-shingle equi-join candidates (zero
+    overlap pairs never materialize, ``max_df`` bounds stop-shingle
+    fan-out), exact set arithmetic on the survivors. Containments are
+    single exact divisions of integers — oracle-identical."""
+    sh = _shingle_table(docs)
+    join_side = sh
+    if max_df is not None:
+        keep = (sh.groupBy("s").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("s"))
+        join_side = sh.join(keep, "s", "left_semi")
+    a = join_side.withColumnsRenamed({"doc_id": "doc_a"})
+    b = join_side.withColumnsRenamed({"doc_id": "doc_b"})
+    cand = (a.join(b, (a["s"] == b["s"]) & (a["doc_a"] < b["doc_b"]))
+            .select("doc_a", "doc_b").distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (cand
+             .join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
+             .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "s"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+                  "doc_a")
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+                  "doc_b")
+            .withColumn("cont_a_in_b", F.expr("CAST(i AS DOUBLE) / na"))
+            .withColumn("cont_b_in_a", F.expr("CAST(i AS DOUBLE) / nb"))
+            .filter(F.expr(f"GREATEST(cont_a_in_b, cont_b_in_a)"
+                           f" >= {threshold!r}"))
+            .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a"))
+
+
+def shingle_containment_oracle_sql(
+        threshold: float = CONTAINMENT_THRESHOLD) -> str:
+    return f"""
+WITH {_duck_shingle_cte()},
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  CAST(i AS DOUBLE) / sa.n AS cont_a_in_b,
+  CAST(i AS DOUBLE) / sb.n AS cont_b_in_a
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE GREATEST(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n)
+  >= {threshold!r}"""
+
+
 # ------------------------------------------------------- MinHash+LSH (D3) ---
 
 def minhash_signatures(docs: DataFrame,

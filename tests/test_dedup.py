@@ -248,3 +248,18 @@ def test_contamination_counts_shared_shingles(spark):
     n_shingles = len(BASE.split()) - dedup.SHINGLE_N + 1
     assert out[7] == n_shingles
     assert 8 not in out and 5 not in out and 6 not in out
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc1 = 30 unique tokens; doc0 = its first 6 tokens verbatim.
+    # Jaccard = 4/28 (tiny) but containment(doc0 in doc1) = 1.0
+    long_toks = [f"w{i}" for i in range(30)]
+    docs = _mk_docs(spark, [" ".join(long_toks[:6]), " ".join(long_toks)])
+    out = {(r.doc_a, r.doc_b): r
+           for r in dedup.shingle_containment_pairs(docs, 0.9).collect()}
+    assert (0, 1) in out
+    assert out[(0, 1)].cont_a_in_b == 1.0
+    assert out[(0, 1)].cont_b_in_a < 0.2
+    jac = {(r.doc_a, r.doc_b)
+           for r in dedup.shingle_jaccard_pairs(docs, 0.5).collect()}
+    assert (0, 1) not in jac
