@@ -35,6 +35,7 @@ from birli_spark.operators import (
     occupancy,
     picket,
     quantization,
+    relational,
     selection,
     similarity,
     sketches,
@@ -321,6 +322,21 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_order_revenue(spark, sf_dir):
+    from birli_spark.operators import relational
+    return relational.order_revenue(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_idle_customers(spark, sf_dir):
+    from birli_spark.operators import relational
+    return relational.idle_customers_by_nation(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+
 def _q_kmv_distinct(spark, sf_dir):
     from birli_spark.operators import sketches
     from birli_spark.sources import corpus
@@ -601,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_vocab_stats": _q_vocab_stats,
         "sk1_kmv_distinct": _q_kmv_distinct,
         "sk2_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "h1_order_revenue": _q_order_revenue,
+        "h2_idle_customers": _q_idle_customers,
         "t6_tfidf_top_terms": _q_tfidf,
         "t7_stratified_sample": _q_stratified_sample,
         "d1_exact_dedup": _q_exact_dedup,
@@ -796,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "t5_vocab_stats": text.vocab_stats_oracle_sql(),
         "sk1_kmv_distinct": sketches.kmv_distinct_tokens_oracle_sql(),
         "sk2_cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
+        "h1_order_revenue": relational.order_revenue_oracle_sql(),
+        "h2_idle_customers": relational.idle_customers_oracle_sql(),
         "t6_tfidf_top_terms": text.tfidf_oracle_sql(),
         "t7_stratified_sample": corpus_clean.stratified_sample_oracle_sql(),
         "d1_exact_dedup": dedup.exact_dedup_oracle_sql(),

@@ -1,0 +1,59 @@
+"""Constructed-case semantics for the general relational shapes (H1
+big-big join rollup, H2 anti-join nation rollup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from birli_spark.operators import relational
+
+
+def test_order_revenue_semantics(spark):
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+            o_totalprice=0.0, o_orderpriority="1-URGENT"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="F",
+            o_totalprice=0.0, o_orderpriority="1-URGENT"),
+        Row(o_orderkey=3, o_custkey=2, o_orderstatus="O",
+            o_totalprice=0.0, o_orderpriority="2-HIGH"),
+    ])
+    li = spark.createDataFrame([
+        Row(l_orderkey=1, l_quantity=2.0, l_extendedprice=100.0,
+            l_discount=0.10),
+        Row(l_orderkey=1, l_quantity=1.0, l_extendedprice=50.0,
+            l_discount=0.00),
+        Row(l_orderkey=2, l_quantity=9.0, l_extendedprice=999.0,
+            l_discount=0.50),                     # status F -> excluded
+        Row(l_orderkey=3, l_quantity=3.0, l_extendedprice=10.0,
+            l_discount=0.25),
+    ])
+    out = {r.o_orderpriority: r
+           for r in relational.order_revenue(orders, li).collect()}
+    u = out["1-URGENT"]
+    assert u.n_items == 2 and u.n_orders == 1
+    assert u.revenue == 140.0 and u.total_qty == 3      # 90 + 50
+    h = out["2-HIGH"]
+    assert h.n_items == 1 and h.revenue == 7.5
+
+
+def test_idle_customers_semantics(spark):
+    customer = spark.createDataFrame([
+        Row(c_custkey=1, c_name="a", c_nationkey=0, c_acctbal=10.50,
+            c_mktsegment="m"),
+        Row(c_custkey=2, c_name="b", c_nationkey=0, c_acctbal=1.25,
+            c_mktsegment="m"),
+        Row(c_custkey=3, c_name="c", c_nationkey=1, c_acctbal=-5.00,
+            c_mktsegment="m"),
+    ])
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="P",
+            o_totalprice=0.0, o_orderpriority="x"),   # cust 1 has pending
+        Row(o_orderkey=2, o_custkey=2, o_orderstatus="F",
+            o_totalprice=0.0, o_orderpriority="x"),   # cust 2: none pending
+    ])
+    nation = spark.createDataFrame([
+        Row(n_nationkey=0, n_name="A"), Row(n_nationkey=1, n_name="B")])
+    out = {r.n_name: r for r in relational.idle_customers_by_nation(
+        customer, orders, nation).collect()}
+    assert out["A"].n_idle == 1 and out["A"].idle_balance == 1.25
+    assert out["B"].n_idle == 1 and out["B"].idle_balance == -5.00
