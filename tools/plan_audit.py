@@ -39,7 +39,14 @@ SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
           # band self-join: both sides ARE the events fact table (probe
           # explodes 3 buckets/row; restore-join left side is the fact) —
           # no broadcastable side exists at 100 TB.
-          "e6_burst_counts"}
+          "e6_burst_counts",
+          # same band-join shape, clicks x views both fact-scale
+          "e11_attribution_window",
+          # shingle candidate/verify joins: both sides corpus-scale
+          "d9_containment",
+          # two fact tables co-keyed on orderkey; anti join against a
+          # fact-sized custkey set
+          "h1_order_revenue", "h2_idle_customers"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -54,7 +61,8 @@ HEADLINE = [
     "t8_length_quantiles", "t9_top_bigrams", "emb1_label_centroids",
     "pipeline_corpus_clean",
     "e9_retention", "e10_funnel", "t12_repetition", "emb2_kmeans",
-    "sk1_kmv_distinct",
+    "sk1_kmv_distinct", "sk2_cms_heavy_hitters", "e11_attribution_window",
+    "d9_containment", "h1_order_revenue", "h2_idle_customers",
 ]
 
 
