@@ -92,3 +92,22 @@ def test_cms_oracle_identity(spark, sf_dir):
     assert got.term.tolist() == exp.term.tolist()
     assert got.tf_exact.tolist() == exp.tf_exact.tolist()
     assert got.cms_estimate.tolist() == exp.cms_estimate.tolist()
+
+
+def test_hex32_fold_cross_engine_bulk(spark):
+    # the digit fold must equal int(hex[:8], 16) in BOTH engines — checked
+    # in bulk (200 random-ish md5 strings via md5 of counters)
+    import hashlib
+    from birli_spark.functions import textsql as X
+    from birli_spark.operators.sketches import _hex32
+    hs = [hashlib.md5(str(i).encode()).hexdigest() for i in range(200)]
+    exp = [int(h[:8], 16) for h in hs]
+    got_spark = [r.v for r in spark.createDataFrame(
+        [(h,) for h in hs], "h string")
+        .selectExpr(f"{_hex32(X.SPARK, 'h')} AS v").collect()]
+    assert got_spark == exp
+    con = duckdb.connect()
+    got_duck = [r[0] for r in con.execute(
+        "SELECT " + _hex32(X.DUCK, "h") + " FROM (SELECT unnest(?) AS h)",
+        [hs]).fetchall()]
+    assert got_duck == exp
