@@ -428,6 +428,12 @@ def _q_sessionize(spark, sf_dir):
     return events.sessionize(corpus.load_events(spark, sf_dir))
 
 
+def _q_sessionize_native(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.sessionize_native(corpus.load_events(spark, sf_dir))
+
+
 def _q_top_users_salted(spark, sf_dir):
     from birli_spark.operators import events
     from birli_spark.sources import corpus
@@ -636,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "e1_windowed_agg": _q_windowed_agg,
         "e2_sessionize": _q_sessionize,
+        "e2b_sessionize_native": _q_sessionize_native,
         "e3_top_users_salted": _q_top_users_salted,
         "e5_event_rollup": _q_event_rollup,
         "e4_asof_join": _q_asof_join,
@@ -833,6 +840,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),
         "e1_windowed_agg": events.windowed_agg_oracle_sql(),
         "e2_sessionize": events.sessionize_oracle_sql(),
+        # native session_window variant shares the islands-form oracle
+        "e2b_sessionize_native": events.sessionize_oracle_sql(),
         "e3_top_users_salted": events.top_users_oracle_sql(),
         "e5_event_rollup": events.event_rollup_oracle_sql(),
         "e4_asof_join": asof.asof_oracle_sql(),

@@ -86,6 +86,38 @@ def sessionize(events: DataFrame,
                  F.expr(f32("SUM(value)")).alias("sum_value")))
 
 
+def sessionize_native(events: DataFrame,
+                      gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """E2b — the same gap sessions via Spark's **native**
+    ``session_window`` operator (the built-in merging-window aggregate;
+    on a stream it runs incrementally with watermark-evicted state,
+    where the islands form of :func:`sessionize` cannot).
+
+    Boundary alignment (verified empirically, tested below): Spark
+    merges an event into the open session when its idle gap is
+    ``<= gap`` and splits on ``> gap`` — exactly the islands-form
+    boundary, so both share one oracle verbatim. Session numbering is
+    restored with a per-user ``row_number`` over session start — a
+    window over the (tiny) session table, not the events."""
+    base = (events
+            .withColumn("ts_us", F.expr(TS_US_SPARK))
+            .withColumn("tt", F.expr("timestamp_micros(ts_us)")))
+    per_session = (base
+                   .groupBy("user_id",
+                            F.session_window("tt", f"{gap_us} microseconds")
+                            .alias("win"))
+                   .agg(F.count("*").alias("n_events"),
+                        F.min("ts_us").alias("start_us"),
+                        F.max("ts_us").alias("end_us"),
+                        F.expr(f32("SUM(value)")).alias("sum_value")))
+    w = Window.partitionBy("user_id").orderBy("start_us")
+    return (per_session
+            .withColumn("session_seq",
+                        F.row_number().over(w).cast("long"))
+            .select("user_id", "session_seq", "n_events",
+                    "start_us", "end_us", "sum_value"))
+
+
 def top_users_salted(events: DataFrame, k: int = 10,
                      salt_n: int = 8) -> DataFrame:
     """Top-k users by event count/value via a **salted two-stage

@@ -151,3 +151,25 @@ def test_funnel_requires_stage_order(spark):
     out = {r.stage: r.n_users
            for r in events.funnel(spark.createDataFrame(rows)).collect()}
     assert out == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_sessionize_native_matches_islands(spark, sf_dir):
+    ev = corpus.load_events(spark, sf_dir)
+    a = (events.sessionize(ev)
+         .orderBy("user_id", "session_seq").toPandas())
+    b = (events.sessionize_native(ev)
+         .orderBy("user_id", "session_seq").toPandas())
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)
+
+
+def test_sessionize_native_boundary_inclusive(spark):
+    # events exactly GAP apart stay in ONE session in the islands form
+    # (split only on > GAP); the native session_window must match on
+    # both sides of the boundary
+    gap = events.SESSION_GAP_US
+    rows = [_ev(1, 5, 0), _ev(2, 5, gap), _ev(3, 5, 2 * gap + 1)]
+    out = events.sessionize_native(spark.createDataFrame(rows)).collect()
+    by_seq = {r.session_seq: r for r in out}
+    assert by_seq[1].n_events == 2           # diff == gap merges
+    assert by_seq[2].n_events == 1           # diff == gap+1 splits
