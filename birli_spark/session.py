@@ -40,7 +40,14 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # the fused correction chain codegens a >8KB projection method;
+        # without this flag HotSpot refuses to JIT it and the hot loop
+        # runs interpreted (CodeGenerator logs "too long to be JIT
+        # compiled"). On a cluster, set it in executor options too.
+        .config("spark.driver.extraJavaOptions",
+                "-Djava.io.tmpdir=/tmp -XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
