@@ -7,8 +7,10 @@ Spark shape: two bucket-join candidate stages and one per-row
 projection. Survivors are selected with **anti-joins** against the
 removal sets (exact-dupe doc_ids, near-dup doc_b's), so nothing
 materializes per surviving row but the final projection. At 100 TB the
-shingle table is the dominant intermediate; it is persisted once inside
-the LSH stage (operators/dedup.py).
+shingle table is the dominant intermediate; it is deliberately
+recomputed per consumer inside the LSH stage rather than cached
+(operators/dedup.py — codegen recompute beats materializing an
+exploded corpus-scale table).
 
 Removal policy (the standard pairwise one): for an exact group keep the
 minimum doc_id; for a near-dup pair (doc_a < doc_b) drop doc_b. A doc
