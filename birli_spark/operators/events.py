@@ -283,6 +283,42 @@ FROM e a LEFT JOIN e b
 GROUP BY a.event_id"""
 
 
+#: fixed pivot domain — a production pipeline pins this list (schema
+#: stability); unbounded pivots need a distinct-scan first
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_type_pivot(events: DataFrame,
+                     types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """E12 — per-day event counts pivoted to one column per event type
+    (the wide-format export shape for BI/feature tables).
+
+    ``groupBy().pivot(values=...)`` with explicit values compiles to a
+    single partial-aggregated hash aggregate of conditional counts — one
+    fact shuffle, no second pass to discover the column domain. The
+    oracle spells the same conditional aggregation (engine-agnostic
+    PIVOT form)."""
+    day = F.expr(f"CAST(FLOOR({TS_US_SPARK} / {US_PER_DAY}) * 86400"
+                 " AS BIGINT)")
+    return (events.withColumn("day_epoch", day)
+            .groupBy("day_epoch")
+            .pivot("event_type", list(types))
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, list(types)))
+
+
+def daily_type_pivot_oracle_sql(
+        types: tuple[str, ...] = EVENT_TYPES) -> str:
+    cols = ",\n  ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS \"{t}\""
+        for t in types)
+    return f"""
+SELECT CAST(FLOOR({TS_US_DUCK} / {US_PER_DAY}) * 86400 AS BIGINT)
+    AS day_epoch,
+  {cols}
+FROM events GROUP BY 1"""
+
+
 ATTR_WINDOW_US = US_PER_HOUR
 
 

@@ -173,3 +173,16 @@ def test_sessionize_native_boundary_inclusive(spark):
     by_seq = {r.session_seq: r for r in out}
     assert by_seq[1].n_events == 2           # diff == gap merges
     assert by_seq[2].n_events == 1           # diff == gap+1 splits
+
+
+def test_daily_type_pivot_semantics(spark):
+    day_us = events.US_PER_DAY
+    rows = [_ev(1, 1, 0, typ="click"), _ev(2, 1, 5, typ="click"),
+            _ev(3, 2, 10, typ="view"),
+            _ev(4, 1, day_us + 1, typ="purchase")]
+    out = {r.day_epoch: r for r in
+           events.daily_type_pivot(spark.createDataFrame(rows)).collect()}
+    d0, d1 = out[0], out[86400]
+    assert d0.click == 2 and d0.view == 1 and d0.purchase == 0
+    assert d1.purchase == 1 and d1.click == 0
+    assert d0.error == 0 and d0.signup == 0
