@@ -479,6 +479,12 @@ def _q_daily_type_pivot(spark, sf_dir):
     return events.daily_type_pivot(corpus.load_events(spark, sf_dir))
 
 
+def _q_daily_type_unpivot(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.daily_type_unpivot(corpus.load_events(spark, sf_dir))
+
+
 def _q_attribution(spark, sf_dir):
     from birli_spark.operators import events
     from birli_spark.sources import corpus
@@ -655,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_burst_counts": _q_burst_counts,
         "e11_attribution_window": _q_attribution,
         "e12_daily_type_pivot": _q_daily_type_pivot,
+        "e13_daily_type_unpivot": _q_daily_type_unpivot,
         "e7_json_extract_stats": _q_json_extract_stats,
         "e8_trailing_bursts": _q_trailing_bursts,
         "e9_retention": _q_retention,
@@ -855,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "e6_burst_counts": events.burst_counts_oracle_sql(),
         "e11_attribution_window": events.attribution_pairs_oracle_sql(),
         "e12_daily_type_pivot": events.daily_type_pivot_oracle_sql(),
+        "e13_daily_type_unpivot": events.daily_type_unpivot_oracle_sql(),
         "e7_json_extract_stats": events.json_extract_stats_oracle_sql(),
         "e8_trailing_bursts": events.trailing_burst_oracle_sql(),
         "e9_retention": events.retention_oracle_sql(),

@@ -319,6 +319,28 @@ SELECT CAST(FLOOR({TS_US_DUCK} / {US_PER_DAY}) * 86400 AS BIGINT)
 FROM events GROUP BY 1"""
 
 
+def daily_type_unpivot(events: DataFrame,
+                       types: tuple[str, ...] = EVENT_TYPES) -> DataFrame:
+    """E13 — melt the wide pivot back to long form (day, type, count)
+    via the native ``unpivot`` operator — the round-trip of E12,
+    densified: zero-count (day, type) combinations are explicit rows,
+    which the plain long-format aggregate never produces. Unpivot is a
+    per-row expand (no shuffle beyond E12's aggregate)."""
+    wide = daily_type_pivot(events, types)
+    return wide.unpivot(
+        ids=["day_epoch"], values=list(types),
+        variableColumnName="event_type", valueColumnName="n_events")
+
+
+def daily_type_unpivot_oracle_sql(
+        types: tuple[str, ...] = EVENT_TYPES) -> str:
+    cols = ", ".join(f'"{t}"' for t in types)
+    return f"""
+WITH wide AS ({daily_type_pivot_oracle_sql(types)})
+SELECT day_epoch, event_type, n_events
+FROM wide UNPIVOT INCLUDE NULLS (n_events FOR event_type IN ({cols}))"""
+
+
 ATTR_WINDOW_US = US_PER_HOUR
 
 
