@@ -226,6 +226,23 @@ def _q_gpubox_scan(spark, sf_dir):
     return gpubox.read_gpubox(spark, d + "/*.fits")
 
 
+def _q_gpubox_datasource(spark, sf_dir):
+    """Same scan through the registered Python DataSource
+    (spark.read.format('gpubox')) — shares s1b's oracle."""
+    import os
+    import tempfile
+    from birli_spark.sources import gpubox
+    d = os.path.join(tempfile.gettempdir(), "birli_spark_gpubox")
+    os.makedirs(d, exist_ok=True)
+    for cc in range(_GPUBOX_SHAPE["num_cc"]):
+        gpubox.write_gpubox(
+            os.path.join(d, f"gpubox_{cc:02d}.fits"), cc,
+            _GPUBOX_SHAPE["num_ants"], _GPUBOX_SHAPE["num_fine"],
+            _GPUBOX_SHAPE["num_timesteps"], obsid=1297526432)
+    gpubox.register_gpubox_source(spark)
+    return spark.read.format("gpubox").load(d + "/*.fits")
+
+
 def _q_aocal_scan(spark, sf_dir):
     import tempfile
     from birli_spark.sources import aocal
@@ -619,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_preprocess_full": _q_pipeline_full,
         "s3_antenna_dim": _q_antenna_dim,
         "s1b_gpubox_fits_scan": _q_gpubox_scan,
+        "s1c_gpubox_datasource": _q_gpubox_datasource,
         "s4_aocal_scan": _q_aocal_scan,
         "s5_o3_flag_roundtrip": _q_flag_roundtrip,
         "o3b_mwaf_roundtrip": _q_mwaf_roundtrip,
@@ -792,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_preprocess": pipeline.preprocess_oracle_sql(),
         "s3_antenna_dim": syn.ANTENNAS_SQL,
         "s1b_gpubox_fits_scan": gpubox.expected_grid_sql(**_GPUBOX_SHAPE),
+        "s1c_gpubox_datasource": gpubox.expected_grid_sql(**_GPUBOX_SHAPE),
         "s4_aocal_scan": syn.CALSOLS_SQL,
         "s5_o3_flag_roundtrip": (
             f"WITH {pipeline.flagged_vis_oracle_cte()} "

@@ -59,3 +59,16 @@ def test_missing_hdu_detectable(spark, tmp_path):
     df = gpubox.read_gpubox(spark, path)
     ts = sorted(r.t for r in df.select("t").distinct().collect())
     assert ts == [0, 1, 3]  # flag_missing_slabs (S2) fills the gap downstream
+
+def test_python_datasource_matches_mapinpandas(spark, gpubox_dir):
+    """spark.read.format("gpubox") — the registered Python DataSource —
+    must produce exactly the binaryFile+mapInPandas scan's rows, with
+    one input partition per file."""
+    gpubox.register_gpubox_source(spark)
+    via_ds = (spark.read.format("gpubox")
+              .load(gpubox_dir + "/*.fits"))
+    assert via_ds.rdd.getNumPartitions() == N_CC
+    a = (via_ds.orderBy("cc", "t", "bl", "fc").toPandas())
+    b = (gpubox.read_gpubox(spark, gpubox_dir + "/*.fits")
+         .orderBy("cc", "t", "bl", "fc").toPandas())
+    assert a.equals(b.astype(a.dtypes.to_dict()))
