@@ -269,6 +269,22 @@ def _q_mwaf_roundtrip(spark, sf_dir):
     return mwaf.read_mwaf_set(spark, out)
 
 
+def _q_mwaf_datasource(spark, sf_dir):
+    """Same read-back through the registered Python DataSource
+    (spark.read.format('mwaf')) — shares o3b's oracle."""
+    import tempfile
+    from birli_spark.sinks import mwaf
+    out = f"{tempfile.gettempdir()}/birli_spark_mwaf"
+    vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
+    mwaf.write_mwaf_set(vis, out, obsid=1254670392, gps_start=syn.GPS_START)
+    mwaf.register_mwaf_source(spark)
+    # align with o3b's BIGINT key columns so the shared oracle hashes
+    return (spark.read.format("mwaf").load(out)
+            .selectExpr("CAST(t AS BIGINT) AS t", "CAST(bl AS BIGINT) AS bl",
+                        "CAST(cc AS BIGINT) AS cc", "CAST(fc AS BIGINT) AS fc",
+                        "flag"))
+
+
 def _q_uvfits_rows(spark, sf_dir):
     from birli_spark.sinks import uvfits
     baked = pipeline.preprocess_baked(spark, sf_dir)
@@ -640,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_aocal_scan": _q_aocal_scan,
         "s5_o3_flag_roundtrip": _q_flag_roundtrip,
         "o3b_mwaf_roundtrip": _q_mwaf_roundtrip,
+        "o3c_mwaf_datasource": _q_mwaf_datasource,
         "o1_uvfits_rows": _q_uvfits_rows,
         "o2_ms_rows": _q_ms_rows,
         "p5_picket_ranges": _q_picket,
@@ -818,6 +835,24 @@ def oracle_sql() -> dict[str, str]:
         # mwaf bit-table = OR-reduced cells on the full dense (t, bl, chan)
         # grid; cells absent from the fact table read back unflagged
         "o3b_mwaf_roundtrip": (
+            f"WITH {pipeline.flagged_vis_oracle_cte()}, "
+            "cell AS (SELECT t, bl, cc, fc, MAX(flag) AS flag FROM flagged"
+            " GROUP BY t, bl, cc, fc), "
+            f"grid AS (SELECT t.t, b.bl, c.cc, f.fc FROM"
+            f" (SELECT unnest(generate_series(0, {syn.NUM_T - 1})) AS t) t"
+            f" CROSS JOIN (SELECT unnest(generate_series(0,"
+            f" {syn.NUM_ANTS * syn.NUM_ANTS - 1})) AS bl) b"
+            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_CC - 1}))"
+            f" AS cc) c"
+            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_FC - 1}))"
+            f" AS fc) f) "
+            "SELECT CAST(g.t AS BIGINT) AS t, CAST(g.bl AS BIGINT) AS bl,"
+            " CAST(g.cc AS BIGINT) AS cc, CAST(g.fc AS BIGINT) AS fc,"
+            " COALESCE(cell.flag, FALSE) AS flag"
+            " FROM grid g LEFT JOIN cell ON cell.t = g.t AND cell.bl = g.bl"
+            " AND cell.cc = g.cc AND cell.fc = g.fc"),
+        # DataSource read-back shares the bit-table oracle
+        "o3c_mwaf_datasource": (
             f"WITH {pipeline.flagged_vis_oracle_cte()}, "
             "cell AS (SELECT t, bl, cc, fc, MAX(flag) AS flag FROM flagged"
             " GROUP BY t, bl, cc, fc), "

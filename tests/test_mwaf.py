@@ -93,3 +93,17 @@ def test_bit_packing_msb_first(spark, tmp_path):
     _, off = fc_.parse_header(raw)
     hdr, off = fc_.parse_header(raw, off)
     assert raw[off] == 0b10000000
+
+def test_mwaf_datasource_matches_driver_read(spark, sf_dir, tmp_path):
+    """spark.read.format("mwaf") — one partition per flag file — must
+    equal the driver-side read_mwaf_set row set exactly."""
+    vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
+    out = str(tmp_path / "mwaf_ds")
+    mwaf.write_mwaf_set(vis, out, obsid=1254670392, gps_start=syn.GPS_START)
+    mwaf.register_mwaf_source(spark)
+    via_ds = spark.read.format("mwaf").load(out)
+    assert via_ds.rdd.getNumPartitions() == syn.NUM_CC
+    a = via_ds.orderBy("cc", "t", "bl", "fc").toPandas()
+    b = (mwaf.read_mwaf_set(spark, out)
+         .orderBy("cc", "t", "bl", "fc").toPandas())
+    assert a.astype(b.dtypes.to_dict()).equals(b)
