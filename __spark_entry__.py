@@ -370,6 +370,12 @@ def _q_idle_customers(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/nation.parquet"))
 
 
+def _q_rarity_stats(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.rarity_stats(corpus.load_documents(spark, sf_dir))
+
+
 def _q_kmv_distinct(spark, sf_dir):
     from birli_spark.operators import sketches
     from birli_spark.sources import corpus
@@ -670,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_vocab_stats": _q_vocab_stats,
         "sk1_kmv_distinct": _q_kmv_distinct,
         "sk2_cms_heavy_hitters": _q_cms_heavy_hitters,
+        "t13_rarity_stats": _q_rarity_stats,
         "h1_order_revenue": _q_order_revenue,
         "h2_idle_customers": _q_idle_customers,
         "t6_tfidf_top_terms": _q_tfidf,
@@ -889,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "t5_vocab_stats": text.vocab_stats_oracle_sql(),
         "sk1_kmv_distinct": sketches.kmv_distinct_tokens_oracle_sql(),
         "sk2_cms_heavy_hitters": sketches.cms_heavy_hitters_oracle_sql(),
+        "t13_rarity_stats": text.rarity_stats_oracle_sql(),
         "h1_order_revenue": relational.order_revenue_oracle_sql(),
         "h2_idle_customers": relational.idle_customers_oracle_sql(),
         "t6_tfidf_top_terms": text.tfidf_oracle_sql(),

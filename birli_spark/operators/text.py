@@ -237,6 +237,49 @@ SELECT term, tf_total, df, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {top_n}"""
 
 
+def rarity_stats(docs: DataFrame) -> DataFrame:
+    """T13 — per-document token-rarity profile against the corpus
+    vocabulary: how many token instances are hapax (df = 1), the summed
+    and maximum document frequency, and the distinct-token count. The
+    rare-token signal curation pipelines use next to length/stopword
+    quality scores — and all-integer outputs, so the oracle is exact
+    with no float-accumulation exposure.
+
+    Scale shape: explode tokens (narrow) → groupBy(term) df (term
+    cardinality crosses the shuffle, with map-side partials) → join the
+    df table back to the token stream on term → per-doc aggregate. The
+    vocabulary of a 100 TB corpus is *not* broadcast-sized, so the
+    term join is a correctly big-big sort-merge/AQE join; the per-doc
+    aggregate reuses nothing wider than (doc_id, df) rows."""
+    tok = (docs.select(
+        "doc_id", F.explode(F.expr(X.toks(X.SPARK))).alias("term"))
+        .filter(F.col("term") != ""))
+    df_tab = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    return (tok.join(df_tab, "term")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.countDistinct("term").alias("n_distinct"),
+                 F.sum(F.expr("CAST(df = 1 AS BIGINT)")).alias("n_hapax"),
+                 F.sum("df").alias("sum_df"),
+                 F.max("df").alias("max_df")))
+
+
+def rarity_stats_oracle_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents),
+t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term)
+SELECT doc_id, COUNT(*) AS n_tokens,
+  COUNT(DISTINCT t.term) AS n_distinct,
+  SUM(CAST(df = 1 AS BIGINT)) AS n_hapax,
+  SUM(df) AS sum_df, MAX(df) AS max_df
+FROM t JOIN dfs ON t.term = dfs.term
+GROUP BY doc_id"""
+
+
 TFIDF_TOP_K = 3
 
 

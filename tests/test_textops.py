@@ -165,3 +165,21 @@ def test_repetition_stats_exact(spark):
     assert r3.n_tokens == 1
     assert r3.dup_bigram_frac == 0.0 and r3.dup_trigram_frac == 0.0
     assert r3.top_token_frac == 1.0
+
+
+def test_rarity_stats_constructed(spark):
+    from pyspark.sql import Row
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="apple banana apple"),
+        Row(doc_id=1, text="banana cherry"),
+    ])
+    from birli_spark.operators import text as textops
+    out = {r.doc_id: r for r in textops.rarity_stats(docs).collect()}
+    # df: apple=1 (doc0 only), banana=2, cherry=1
+    d0 = out[0]
+    assert d0.n_tokens == 3 and d0.n_distinct == 2
+    assert d0.n_hapax == 2          # two "apple" instances, df=1
+    assert d0.sum_df == 1 + 2 + 1   # apple, banana, apple
+    assert d0.max_df == 2
+    d1 = out[1]
+    assert d1.n_hapax == 1 and d1.max_df == 2 and d1.sum_df == 3
