@@ -46,7 +46,9 @@ SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
           "d9_containment",
           # two fact tables co-keyed on orderkey; anti join against a
           # fact-sized custkey set
-          "h1_order_revenue", "h2_idle_customers"}
+          "h1_order_revenue", "h2_idle_customers",
+          # term-df join: corpus vocabulary is not broadcast-sized
+          "t13_rarity_stats"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -63,6 +65,7 @@ HEADLINE = [
     "e9_retention", "e10_funnel", "t12_repetition", "emb2_kmeans",
     "sk1_kmv_distinct", "sk2_cms_heavy_hitters", "e11_attribution_window",
     "d9_containment", "h1_order_revenue", "h2_idle_customers",
+    "e2b_sessionize_native", "e12_daily_type_pivot", "t13_rarity_stats",
 ]
 
 
