@@ -498,6 +498,13 @@ def _q_media_features(spark, sf_dir):
         multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
 
 
+def _q_audio_stats(spark, sf_dir):
+    from birli_spark.operators import multimodal
+    from birli_spark.sources import corpus
+    return multimodal.audio_waveform_stats(
+        multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
+
+
 def _q_frame_sample(spark, sf_dir):
     from birli_spark.operators import multimodal
     from birli_spark.sources import corpus
@@ -716,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb3_quantize": _q_quantize,
         "d8_cross_source_overlap": _q_cross_source_overlap,
         "mm_media_features": _q_media_features,
+        "mm_audio_stats": _q_audio_stats,
         "mm_frame_sample": _q_frame_sample,
         "mm_resize": _q_resize_media,
         "pipeline_corpus_clean": _q_corpus_clean,
@@ -937,6 +945,7 @@ def oracle_sql() -> dict[str, str]:
         "emb3_quantize": quantization.quantize_oracle_sql(),
         "d8_cross_source_overlap": dedup.cross_source_overlap_oracle_sql(),
         "mm_media_features": multimodal.media_features_oracle_sql(),
+        "mm_audio_stats": multimodal.audio_waveform_stats_oracle_sql(),
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
         "mm_resize": multimodal.resize_media_oracle_sql(),
         "pipeline_corpus_clean": corpus_clean.clean_corpus_oracle_sql(),

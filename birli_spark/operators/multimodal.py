@@ -125,6 +125,60 @@ SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx,
 FROM media"""
 
 
+_AUDIO_SCHEMA = ("doc_id long, n_samples int, sum_amp long, max_abs int, "
+                 "n_zero_cross long")
+
+#: synthetic PCM centering: byte value minus this = signed amplitude
+_PCM_CENTER = 64
+
+
+def audio_waveform_stats(media: DataFrame) -> DataFrame:
+    """Audio-modality stage: interpret the payload as 8-bit PCM samples
+    (centered at {_PCM_CENTER}) and extract waveform statistics —
+    sample count, summed amplitude, peak, zero crossings. A real
+    implementation swaps the byte interpretation for an audio decode
+    (soundfile/librosa, absent here); the numpy-vectorized
+    ``mapInPandas`` pass, schema, and no-shuffle shape are the real
+    thing. All-integer outputs make the oracle exact (ASCII corpus ⇒
+    byte i == codepoint of char i)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                s = (np.frombuffer(bytes(payload), dtype=np.uint8)
+                     .astype(np.int64) - _PCM_CENTER)
+                crossings = int((s[:-1] * s[1:] < 0).sum()) if len(s) > 1 \
+                    else 0
+                rows.append((int(doc_id), len(s), int(s.sum()),
+                             int(np.abs(s).max()) if len(s) else 0,
+                             crossings))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "sum_amp", "max_abs",
+                "n_zero_cross"])
+
+    return media.mapInPandas(stats, schema=_AUDIO_SCHEMA)
+
+
+def audio_waveform_stats_oracle_sql() -> str:
+    c = _PCM_CENTER
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) + 1),
+                   i -> unicode(substr(text, i, 1)) - {c}) AS amp
+  FROM documents)
+SELECT doc_id,
+  CAST(len(amp) AS INT) AS n_samples,
+  CAST(list_sum(amp) AS BIGINT) AS sum_amp,
+  CAST(list_max(list_transform(amp, x -> abs(x))) AS INT) AS max_abs,
+  CAST(COALESCE(list_sum(list_transform(range(2, len(amp) + 1),
+       i -> CAST(amp[i - 1] * amp[i] < 0 AS BIGINT))), 0) AS BIGINT)
+    AS n_zero_cross
+FROM s"""
+
+
 RESIZE_BOX = 32  # fit-within target box (declared dims are 16..79)
 
 _RESIZE_SCHEMA = ("doc_id long, width int, height int, target_w int, "

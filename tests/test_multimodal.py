@@ -61,3 +61,19 @@ def test_resize_media_fit_box_and_slice(spark, sf_dir):
         k = len(payload) * r.target_w * r.target_h // (r.width * r.height)
         assert r.resized_bytes == k
         assert r.resized_md5 == hashlib.md5(payload[:k]).hexdigest()
+
+
+def test_audio_waveform_stats_constructed(spark):
+    from pyspark.sql import Row
+    import numpy as np
+    from birli_spark.operators import multimodal
+    # "@" = 64 = PCM zero; "A" = +1, "?" = -1 -> crossings between them
+    docs = spark.createDataFrame([Row(doc_id=0, text="A?A?@A")])
+    media = multimodal.attach_media(docs)
+    out = multimodal.audio_waveform_stats(media).collect()[0]
+    s = np.frombuffer(b"A?A?@A", dtype=np.uint8).astype(int) - 64
+    assert out.n_samples == 6
+    assert out.sum_amp == int(s.sum())
+    assert out.max_abs == 1
+    # sign products: (1,-1),(-1,1),(1,-1),(-1,0),(0,1) -> 3 crossings
+    assert out.n_zero_cross == 3
