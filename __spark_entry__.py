@@ -31,6 +31,7 @@ from birli_spark.operators import (
     describe,
     events,
     flags,
+    layout,
     multimodal,
     occupancy,
     picket,
@@ -633,6 +634,44 @@ def _q_cross_source_overlap(spark, sf_dir):
     return dedup.cross_source_overlap(corpus.load_documents(spark, sf_dir))
 
 
+def _q_quality_filter(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.quality_filter(corpus.load_documents(spark, sf_dir))
+
+
+def _q_unigram_logprob(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.unigram_logprob(corpus.load_documents(spark, sf_dir))
+
+
+def _q_hll_distinct(spark, sf_dir):
+    from birli_spark.operators import sketches
+    from birli_spark.sources import corpus
+    return sketches.hll_distinct_tokens(corpus.load_documents(spark, sf_dir))
+
+
+def _q_type_dow_sets(spark, sf_dir):
+    from birli_spark.operators import events
+    from birli_spark.sources import corpus
+    return events.type_dow_grouping_sets(corpus.load_events(spark, sf_dir))
+
+
+def _q_region_top_suppliers(spark, sf_dir):
+    from birli_spark.operators import relational
+    return relational.region_top_suppliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"))
+
+
+def _q_zorder_layout(spark, sf_dir):
+    from birli_spark.operators import layout
+    return layout.zorder_layout_stats(syn.load_vis(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_vis_scan": _q_vis_scan,
@@ -727,6 +766,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_frame_sample,
         "mm_resize": _q_resize_media,
         "pipeline_corpus_clean": _q_corpus_clean,
+        "t14_quality_filter": _q_quality_filter,
+        "t15_unigram_logprob": _q_unigram_logprob,
+        "sk3_hll_distinct": _q_hll_distinct,
+        "e14_type_dow_sets": _q_type_dow_sets,
+        "h3_region_top_suppliers": _q_region_top_suppliers,
+        "l1_zorder_layout": _q_zorder_layout,
     }
 
 
@@ -949,4 +994,11 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": multimodal.sample_frames_oracle_sql(),
         "mm_resize": multimodal.resize_media_oracle_sql(),
         "pipeline_corpus_clean": corpus_clean.clean_corpus_oracle_sql(),
+        "t14_quality_filter": text.quality_filter_oracle_sql(),
+        "t15_unigram_logprob": text.unigram_logprob_oracle_sql(),
+        "sk3_hll_distinct": sketches.hll_distinct_tokens_oracle_sql(),
+        "e14_type_dow_sets": events.type_dow_grouping_sets_oracle_sql(),
+        "h3_region_top_suppliers": relational.region_top_suppliers_oracle_sql(),
+        "l1_zorder_layout": _with_vis(
+            layout.zorder_layout_oracle_select("vis")),
     }

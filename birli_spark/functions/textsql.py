@@ -133,6 +133,63 @@ def simhash16(d: str, hashes_col: str) -> str:
             f"b -> {vote}, (1 << b), 0))) AS INT)")
 
 
+def log2fix_duck_sql(inner: str, cnt: str, out: str, keep: list[str],
+                     nbits: int = 24) -> str:
+    """DuckDB side of the **deterministic fixed-point log2**:
+    ``floor-ish(log2(cnt) * 2**nbits)`` as BIGINT, bit-identical across
+    engines.
+
+    ``log2`` from libm is NOT correctly rounded, and Java's and DuckDB's
+    implementations differ in the last ulps — rounding such a value to
+    ticks can flip across engines, which is exactly the hash-flap class
+    the round-1 ``t4`` fix was about. This helper sidesteps libm: the
+    classic binary-digit algorithm (normalize m = cnt / 2^b into [1, 2),
+    then repeatedly square; each "≥ 2 → halve" decision emits one
+    fractional bit) uses ONLY IEEE-exact-rounded ``*`` and exact
+    power-of-two scaling, so every engine computes the identical BIGINT.
+    The result is within 2^-(nbits-4) of true log2 — perfect for scoring.
+
+    Emitted as ``nbits`` nested subqueries, one squaring step each — NOT
+    a single-SELECT lateral-alias chain: both Spark's analyzer and
+    DuckDB's binder resolve lateral aliases by substitution, which goes
+    exponential over a 24-step recurrence. Subquery outputs are real
+    columns, so the tree stays linear. (Spark side:
+    ``operators.text._log2fix_ticks`` — the same steps as withColumns.)
+    Apply to an already-aggregated (vocab-sized) relation only;
+    ``cnt`` must be a BIGINT ≥ 1 (< 2^53)."""
+    cols = ", ".join([*keep, cnt])
+    q = (f"SELECT {cols}, CAST(length(bin({cnt})) - 1 AS INT) AS __b "
+         f"FROM ({inner})")
+    q = (f"SELECT *, CAST({cnt} AS DOUBLE) / "
+         f"CAST((CAST(1 AS BIGINT) << __b) AS DOUBLE) AS __m, "
+         f"CAST(0 AS BIGINT) AS __a FROM ({q})")
+    for _ in range(nbits):
+        q = (f"SELECT * EXCLUDE (__m, __a), "
+             f"CASE WHEN __m * __m >= 2.0 THEN __m * __m * 0.5 "
+             f"ELSE __m * __m END AS __m, "
+             f"__a * 2 + CASE WHEN __m * __m >= 2.0 THEN 1 ELSE 0 END AS __a "
+             f"FROM ({q})")
+    sel = ", ".join(keep) + ", " if keep else ""
+    return (f"SELECT {sel}CAST(__b AS BIGINT) * {1 << nbits} + __a AS {out} "
+            f"FROM ({q})")
+
+
+def log2fix_py(cnt: int, nbits: int = 24) -> int:
+    """The same algorithm in Python (floats ARE IEEE doubles, ``*`` is
+    exact-rounded): use to embed a literal for a driver-known count."""
+    b = cnt.bit_length() - 1
+    m = cnt / (1 << b)
+    acc = 0
+    for _ in range(nbits):
+        m *= m
+        if m >= 2.0:
+            m *= 0.5
+            acc = acc * 2 + 1
+        else:
+            acc *= 2
+    return b * (1 << nbits) + acc
+
+
 def dot(d: str, a: str, b: str) -> str:
     """Sequential-fold double dot product of two float arrays — bit-identical
     across engines (Spark ``aggregate`` fold == DuckDB ``list_dot_product``

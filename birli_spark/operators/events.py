@@ -555,3 +555,47 @@ counts AS (
     {sums}
   FROM per_user)
 {rows}"""
+
+
+# ------------------------------- grouping sets (E14, beyond ROLLUP/CUBE) ---
+
+def type_dow_grouping_sets(events: DataFrame) -> DataFrame:
+    """E14 — multi-level report via **explicit GROUPING SETS**:
+    ``((event_type, dow), (event_type), (dow))`` — per-cell leaves plus
+    BOTH one-dimension margins but no grand total, a set list neither
+    ROLLUP (no (dow) margin) nor CUBE (adds the unwanted ()) expresses.
+    Uses the native ``DataFrame.groupingSets`` API (Spark 4).
+
+    Like E5 this is ONE partial-aggregating shuffle — each map task emits
+    partials for every set — versus three separate aggregations + union.
+    ``dow`` is integer epoch-day mod 7 (engine-agnostic; no locale-
+    dependent dayofweek). Sentinel-coalesced keys + grouping_id keep the
+    output NULL-free for deterministic cross-engine hashing."""
+    dow = F.expr(f"CAST(FLOOR({TS_US_SPARK} / {US_PER_DAY}) % 7 AS INT)")
+    base = events.withColumn("dow", dow)
+    return (base
+            .groupingSets([["event_type", "dow"], ["event_type"], ["dow"]],
+                          "event_type", "dow")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(f32("SUM(value)")).alias("sum_value"),
+                 F.grouping_id().alias("gid"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("dow", F.lit(-1)).alias("dow"),
+                    F.col("gid").cast("int").alias("gid"),
+                    "n_events", "sum_value"))
+
+
+def type_dow_grouping_sets_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_type,
+    CAST(FLOOR({TS_US_DUCK} / {US_PER_DAY}) % 7 AS INT) AS dow,
+    value
+  FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+  COALESCE(dow, -1) AS dow,
+  CAST(GROUPING(event_type, dow) AS INT) AS gid,
+  COUNT(*) AS n_events,
+  {f32('SUM(value)')} AS sum_value
+FROM base
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))"""

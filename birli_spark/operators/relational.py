@@ -83,3 +83,58 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE c_custkey NOT IN
   (SELECT o_custkey FROM orders WHERE o_orderstatus = '{status}')
 GROUP BY n_name"""
+
+
+def region_top_suppliers(lineitem: DataFrame, supplier: DataFrame,
+                         nation: DataFrame, region: DataFrame,
+                         k: int = 3) -> DataFrame:
+    """H3 — top-k suppliers by revenue within each region: the classic
+    **star-schema join chain + per-group ranking**. The supplier→nation→
+    region dimension chain is collapsed FIRST (three broadcast-sized
+    tables joined driver-free), then the single fact scan broadcast-joins
+    that one composite dim — at 100 TB the plan is one fact pass with one
+    broadcast hash join, a partial-aggregated groupBy(suppkey), and a
+    window ranking over the tiny aggregate (suppliers, not line items).
+
+    Revenue sums run over exact ticks (see module header); ranking ties
+    break on suppkey so row_number is deterministic."""
+    from pyspark.sql import Window
+
+    dim = (supplier
+           .join(F.broadcast(nation),
+                 supplier["s_nationkey"] == nation["n_nationkey"])
+           .join(F.broadcast(region),
+                 nation["n_regionkey"] == region["r_regionkey"])
+           .select("s_suppkey", "s_name", "n_name", "r_name"))
+    per_supp = (lineitem
+                .join(F.broadcast(dim),
+                      lineitem["l_suppkey"] == dim["s_suppkey"])
+                .groupBy("r_name", "n_name", "s_suppkey", "s_name")
+                .agg(F.count("*").alias("n_items"),
+                     F.sum(F.expr(_REV_TICKS)).alias("rev_ticks")))
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("rev_ticks"), F.asc("s_suppkey"))
+    return (per_supp
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("r_name", "n_name", "s_suppkey", "s_name", "rank",
+                    "n_items",
+                    (F.col("rev_ticks") / F.lit(10000.0)).alias("revenue")))
+
+
+def region_top_suppliers_oracle_sql(k: int = 3) -> str:
+    return f"""
+WITH per_supp AS (
+  SELECT r_name, n_name, s_suppkey, s_name,
+    COUNT(*) AS n_items, SUM({_REV_TICKS}) AS rev_ticks
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3, 4)
+SELECT r_name, n_name, s_suppkey, s_name,
+  ROW_NUMBER() OVER (PARTITION BY r_name
+                     ORDER BY rev_ticks DESC, s_suppkey ASC) AS rank,
+  n_items, rev_ticks / 10000.0 AS revenue
+FROM per_supp
+QUALIFY rank <= {k}"""

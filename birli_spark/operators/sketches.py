@@ -187,6 +187,118 @@ FROM probes p JOIN cms c ON c.seed = p.seed AND c.bucket = p.bucket
 GROUP BY p.t"""
 
 
+HLL_M = 256                      # 2^8 buckets (p = 8)
+#: alpha_256 = 0.7213 / (1 + 1.079/256) (Flajolet et al. 2007, HLL paper)
+_HLL_ALPHA = repr(0.7213 / (1 + 1.079 / 256))
+_HLL_RHO_CAP = 54               # 256 buckets x 2^54 max = 2^62 < int64 max
+#: 2^54 as an exact double literal (empty-bucket register contribution)
+_HLL_UNIT = float(1 << _HLL_RHO_CAP)
+
+
+def _hll_bucket(d: str, h: str) -> str:
+    """First two hex chars of the md5 → bucket 0..255."""
+    fn = "instr" if d == X.SPARK else "strpos"
+    d1 = f"({fn}('{_HEXDIGITS}', substr({h}, 1, 1)) - 1)"
+    d2 = f"({fn}('{_HEXDIGITS}', substr({h}, 2, 1)) - 1)"
+    return f"({d1} * 16 + {d2})"
+
+
+def _hll_rho(d: str, h: str) -> str:
+    """rho = 1 + number of leading zero BITS of the remaining 120 hash
+    bits (hex chars 3..32). Zero hex digits are stripped with an anchored
+    regexp (identical regex semantics both engines); the first nonzero
+    digit's leading zeros come from a 4-way CASE. All-integer."""
+    fn = "instr" if d == X.SPARK else "strpos"
+    nz = f"regexp_replace(substr({h}, 3, 30), '^0+', '')"
+    zeros = f"(30 - length({nz}))"
+    lead = f"({fn}('{_HEXDIGITS}', substr({nz}, 1, 1)) - 1)"
+    lz = (f"CASE WHEN length({nz}) = 0 THEN 4 WHEN {lead} >= 8 THEN 0 "
+          f"WHEN {lead} >= 4 THEN 1 WHEN {lead} >= 2 THEN 2 ELSE 3 END")
+    return f"LEAST(4 * {zeros} + {lz} + 1, {_HLL_RHO_CAP})"
+
+
+def _hll_estimate(d: str, s: str) -> str:
+    """Raw HLL estimate alpha_m * m^2 / sum(2^-rho_j), with the register
+    sum carried as the exact BIGINT ``s`` = sum(2^(56 - rho_j)) — integer
+    addition commutes, so partial-aggregation order can't flap the hash;
+    the only float ops are one division and two multiplications, written
+    with the identical expression tree in both dialects."""
+    return (f"CAST({_HLL_ALPHA} AS DOUBLE) * {float(HLL_M * HLL_M)!r} * "
+            f"({_HLL_UNIT!r} / CAST({s} AS DOUBLE))")
+
+
+def hll_distinct_tokens(docs: DataFrame) -> DataFrame:
+    """SK3 — HyperLogLog distinct-token cardinality per source, next to
+    the exact count (Flajolet, Fusy, Gandouet & Meunier, "HyperLogLog:
+    the analysis of a near-optimal cardinality estimation algorithm",
+    AofA 2007 — the algorithm behind ``approx_count_distinct``).
+
+    Same cross-engine-determinism rationale as SK1: Spark's HLL++ is
+    engine-internal, so this md5-derived register file is reproducible in
+    DuckDB and the oracle validates the estimates themselves. Differences
+    from KMV: O(m) fixed state per group (vs O(k) hashes), registers are
+    MAX-mergeable (the canonical union-able sketch), and the estimate
+    needs only the register SUM — carried here as exact integers.
+
+    Scale shape (100 TB): stage 1 ``groupBy(source, bucket)`` MAX-reduces
+    map-side to ≤ 256 register rows per source per partition; stage 2
+    merges registers with another MAX and folds them into one BIGINT.
+    Only register rows cross the shuffle. The raw estimate is emitted
+    without the small-range linear-counting branch (it needs libm ``ln``;
+    ``v_nonempty`` is exposed so a client can apply it) — fine for the
+    >2.5m-cardinality regime sources live in."""
+    tok = (docs
+           .select("source", F.explode(F.expr(X.toks(X.SPARK))).alias("t"))
+           .filter(F.col("t") != "")
+           .select("source", F.md5("t").alias("h")))
+    regs = (tok
+            .select("source",
+                    F.expr(_hll_bucket(X.SPARK, "h")).alias("bucket"),
+                    F.expr(_hll_rho(X.SPARK, "h")).alias("rho"))
+            .groupBy("source", "bucket")
+            .agg(F.max("rho").alias("mj")))
+    merged = (regs.groupBy("source")
+              .agg(F.count("*").alias("v_nonempty"),
+                   F.sum(F.expr(
+                       f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - mj)"))
+                   .alias("s_present")))
+    s_total = (f"s_present + CAST({HLL_M} - v_nonempty AS BIGINT) * "
+               f"CAST({1 << _HLL_RHO_CAP} AS BIGINT)")
+    exact = (tok.groupBy("source")
+             .agg(F.countDistinct("h").alias("exact_distinct")))
+    return (merged
+            .join(F.broadcast(exact), "source")
+            .select("source", "exact_distinct",
+                    F.col("v_nonempty").cast("int").alias("v_nonempty"),
+                    F.expr(_hll_estimate(X.SPARK, f"({s_total})"))
+                    .alias("hll_estimate")))
+
+
+def hll_distinct_tokens_oracle_sql() -> str:
+    d = X.DUCK
+    s_total = (f"s_present + CAST({HLL_M} - v_nonempty AS BIGINT) * "
+               f"CAST({1 << _HLL_RHO_CAP} AS BIGINT)")
+    return f"""
+WITH tok AS (
+  SELECT source, md5(t) AS h
+  FROM (SELECT source, unnest({X.toks(d)}) AS t FROM documents)
+  WHERE t <> ''),
+regs AS (
+  SELECT source, {_hll_bucket(d, 'h')} AS bucket,
+    MAX({_hll_rho(d, 'h')}) AS mj
+  FROM tok GROUP BY 1, 2),
+merged AS (
+  SELECT source, COUNT(*) AS v_nonempty,
+    SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - mj)) AS s_present
+  FROM regs GROUP BY source),
+exact AS (
+  SELECT source, COUNT(DISTINCT h) AS exact_distinct FROM tok GROUP BY source)
+SELECT m.source, e.exact_distinct,
+  CAST(m.v_nonempty AS INT) AS v_nonempty,
+  {_hll_estimate(d, f'({s_total})')} AS hll_estimate
+FROM merged m JOIN exact e USING (source)"""
+
+
 def kmv_distinct_tokens_oracle_sql(k: int = KMV_K) -> str:
     d = X.DUCK
     return f"""

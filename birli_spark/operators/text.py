@@ -507,7 +507,7 @@ def repetition_oracle_sql() -> str:
     return f"SELECT doc_id,\n  {cols}\nFROM documents"
 
 
-# ------------------------------------- composite quality filter (T13) ---
+# ------------------------------------- composite quality filter (T14) ---
 
 #: Gopher-style keep/drop thresholds (Rae et al. 2021 table A1 spirit,
 #: tuned to the synthetic corpus ranges). Each rule is a named boolean so
@@ -533,7 +533,7 @@ def _qf_exprs(d: str) -> dict[str, str]:
 
 
 def quality_filter(docs: DataFrame) -> DataFrame:
-    """T13 — the composite Gopher-style document filter: every rule as a
+    """T14 — the composite Gopher-style document filter: every rule as a
     named boolean plus the conjunction ``keep``.
 
     Like T1/T12 this is a pure per-row projection (no shuffle, no UDF,
@@ -552,7 +552,7 @@ def quality_filter_oracle_sql() -> str:
     return f"SELECT doc_id,\n  {cols}\nFROM documents"
 
 
-# --------------------------------- unigram-LM cross-entropy score (T14) ---
+# --------------------------------- unigram-LM cross-entropy score (T15) ---
 
 def _tok_table(d: str) -> str:
     """(doc_id, tok) long stream: explode/unnest of the whitespace split."""
@@ -563,8 +563,39 @@ def _tok_table(d: str) -> str:
             f"FROM documents")
 
 
+#: fractional bits of the fixed-point log2 ticks (X.log2fix_cols)
+_LM_NBITS = 24
+
+
+def _log2fix_ticks(df: DataFrame, cnt: str, out: str,
+                   nbits: int = _LM_NBITS) -> DataFrame:
+    """Spark-side fixed-point log2 (see X.log2fix_cols for the algorithm
+    and the determinism rationale). The oracle's single-SELECT lateral
+    chain trips Spark's analyzer iteration cap at 24 bits, so here each
+    squaring step is its own projection node; Catalyst's CollapseProject
+    keeps non-cheap duplicated refs un-inlined, so the plan stays linear
+    and whole-stage codegen fuses the steps anyway."""
+    df = (df
+          .withColumn("__b", F.expr(f"CAST(length(bin({cnt})) - 1 AS INT)"))
+          .withColumn("__m", F.expr(
+              f"CAST({cnt} AS DOUBLE) / "
+              f"CAST(shiftleft(CAST(1 AS BIGINT), __b) AS DOUBLE)"))
+          .withColumn("__a", F.expr("CAST(0 AS BIGINT)")))
+    for _ in range(nbits):
+        df = (df
+              .withColumn("__s", F.expr("__m * __m"))
+              .withColumn("__m", F.expr(
+                  "CASE WHEN __s >= 2.0 THEN __s * 0.5 ELSE __s END"))
+              .withColumn("__a", F.expr(
+                  "__a * 2 + CASE WHEN __s >= 2.0 THEN 1 ELSE 0 END")))
+    return (df
+            .withColumn(out, F.expr(
+                f"CAST(__b AS BIGINT) * {1 << nbits} + __a"))
+            .drop("__b", "__m", "__a", "__s"))
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
-    """T14 — corpus-unigram cross-entropy per document: train a unigram
+    """T15 — corpus-unigram cross-entropy per document: train a unigram
     LM on the corpus itself (P(w) = count(w)/total) and score every doc by
     average ``-log2 P(token)`` (bits/token). Low bits = templated/common
     text, high bits = rare-token soup; both tails are the classic
@@ -577,39 +608,46 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     partial agg. Two scans of ``text``, one wide shuffle of (vocab) +
     one of (doc_id) partial sums — no row-level state.
 
-    Determinism: per-token bits are demoted to integer nano-bit ticks
-    before the per-doc SUM (BIGINT addition commutes; double SUM order
-    doesn't), and the count ratio enters as exact integers.
+    Determinism: libm ``log2`` differs across engines in the last ulps,
+    so per-token bits come from the **fixed-point log2**
+    (:func:`birli_spark.functions.textsql.log2fix_cols` — IEEE-exact
+    squaring, bit-identical everywhere), computed once per vocab row and
+    summed per doc as exact BIGINT ticks.
     """
     exploded = docs.select("doc_id", F.explode(F.expr(X.toks(X.SPARK))).alias("tok"))
-    lm = exploded.groupBy("tok").agg(F.count("*").alias("cnt"))
+    lm = _log2fix_ticks(
+        exploded.groupBy("tok").agg(F.count("*").alias("cnt")),
+        "cnt", "ticks").select("tok", "ticks")
     total = exploded.count()
-    tick = ("CAST(round(log2(CAST(cnt AS DOUBLE)) * CAST(1000000000 AS "
-            "DOUBLE)) AS BIGINT)")
+    total_ticks = X.log2fix_py(total, _LM_NBITS)
     scored = (exploded
               .join(F.broadcast(lm), "tok")
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_tokens"),
-                   F.sum(F.expr(tick)).alias("sum_ticks")))
-    bits = (f"CAST(log2(CAST({total} AS DOUBLE)) AS DOUBLE) "
-            f"- CAST(sum_ticks AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
-            f"/ CAST(1000000000 AS DOUBLE)")
+                   F.sum("ticks").alias("sum_ticks")))
+    bits = (f"(CAST({total_ticks} AS DOUBLE) "
+            f"- CAST(sum_ticks AS DOUBLE) / CAST(n_tokens AS DOUBLE)) "
+            f"/ CAST({1 << _LM_NBITS} AS DOUBLE)")
     return scored.select(
         "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
         F.expr(f32(bits)).alias("bits_per_token"))
 
 
 def unigram_logprob_oracle_sql() -> str:
-    tick = ("CAST(round(log2(CAST(cnt AS DOUBLE)) * CAST(1000000000 AS "
-            "DOUBLE)) AS BIGINT)")
-    bits = ("CAST(log2(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)) AS DOUBLE) "
-            "- CAST(sum_ticks AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
-            "/ CAST(1000000000 AS DOUBLE)")
+    bits = (f"(CAST((SELECT ticks FROM tot) AS DOUBLE) "
+            f"- CAST(sum_ticks AS DOUBLE) / CAST(n_tokens AS DOUBLE)) "
+            f"/ CAST({1 << _LM_NBITS} AS DOUBLE)")
+    lm_sql = X.log2fix_duck_sql(
+        "SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok",
+        "cnt", "ticks", ["tok"], _LM_NBITS)
+    tot_sql = X.log2fix_duck_sql(
+        "SELECT COUNT(*) AS c FROM toks", "c", "ticks", [], _LM_NBITS)
     return f"""
 WITH toks AS ({_tok_table(X.DUCK)}),
-lm AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+lm AS ({lm_sql}),
+tot AS ({tot_sql}),
 scored AS (
-  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM({tick}) AS sum_ticks
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(lm.ticks) AS sum_ticks
   FROM toks t JOIN lm USING (tok) GROUP BY t.doc_id)
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
   {f32(bits)} AS bits_per_token
