@@ -66,6 +66,8 @@ HEADLINE = [
     "sk1_kmv_distinct", "sk2_cms_heavy_hitters", "e11_attribution_window",
     "d9_containment", "h1_order_revenue", "h2_idle_customers",
     "e2b_sessionize_native", "e12_daily_type_pivot", "t13_rarity_stats",
+    "sk3_hll_distinct", "e14_type_dow_sets", "h3_region_top_suppliers",
+    "l1_zorder_layout", "t14_quality_filter", "t15_unigram_logprob",
 ]
 
 
