@@ -37,6 +37,7 @@ from birli_spark.operators import (
     picket,
     quantization,
     relational,
+    search,
     selection,
     similarity,
     sketches,
@@ -354,6 +355,24 @@ def _q_tfidf(spark, sf_dir):
     from birli_spark.operators import text
     from birli_spark.sources import corpus
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    from birli_spark.operators import clustering
+    from birli_spark.sources import corpus
+    return clustering.semantic_dedup(corpus.load_embeddings(spark, sf_dir))
+
+
+def _q_inverted_index(spark, sf_dir):
+    from birli_spark.operators import search
+    from birli_spark.sources import corpus
+    return search.inverted_index(corpus.load_documents(spark, sf_dir))
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from birli_spark.operators import search
+    from birli_spark.sources import corpus
+    return search.bm25_topk(corpus.load_documents(spark, sf_dir), spark)
 
 
 def _q_order_revenue(spark, sf_dir):
@@ -772,6 +791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e14_type_dow_sets": _q_type_dow_sets,
         "h3_region_top_suppliers": _q_region_top_suppliers,
         "l1_zorder_layout": _q_zorder_layout,
+        "i1_inverted_index": _q_inverted_index,
+        "i2_bm25_topk": _q_bm25_topk,
+        "d10_semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -1001,4 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "h3_region_top_suppliers": relational.region_top_suppliers_oracle_sql(),
         "l1_zorder_layout": _with_vis(
             layout.zorder_layout_oracle_select("vis")),
+        "i1_inverted_index": search.inverted_index_oracle_sql(),
+        "i2_bm25_topk": search.bm25_topk_oracle_sql(),
+        "d10_semantic_dedup": clustering.semantic_dedup_oracle_sql(),
     }

@@ -104,8 +104,59 @@ def kmeans(emb: DataFrame, k: int = K_CLUSTERS,
                     "centroid", "n_vectors", "inertia"))
 
 
-def kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
-                      dim: int = EMB_DIM) -> str:
+def assignments(emb: DataFrame, k: int = K_CLUSTERS,
+                iters: int = KMEANS_ITERS) -> DataFrame:
+    """Final cluster assignment (vec_id, embedding, xx, cell, d2) after
+    ``iters`` Lloyd iterations — the shared front half of :func:`kmeans`
+    and :func:`semantic_dedup`."""
+    n = emb.select("vec_id", "embedding",
+                   F.expr(X.dot(X.SPARK, "embedding", "embedding"))
+                   .alias("xx"))
+    cent = (n.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("c_emb"),
+                    F.col("xx").alias("cc")))
+    for _ in range(iters):
+        cent = _update(_assign(n, cent))
+    return _assign(n, cent)
+
+
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup(emb: DataFrame, k: int = K_CLUSTERS,
+                   iters: int = KMEANS_ITERS,
+                   tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """D10 — SemDeDup (Abbas et al. 2023): cluster the embedding space,
+    then mark near-duplicates **within each cluster only** — a vector is
+    dropped when an earlier (smaller vec_id) same-cluster vector has
+    cosine ≥ tau, so exactly one representative of each ε-neighborhood
+    chain survives deterministically.
+
+    Scale shape: the O(N²) pairwise cosine of :func:`~.dedup.
+    embedding_neardup` becomes Σ|cluster|² — the self-join is an
+    **equi-join on the cluster id**, so candidate pairs co-locate by
+    cluster and nothing crosses clusters; with balanced k-means cells
+    this is N²/k work and shuffles only (vec_id, cell, nrm)-width rows.
+    The final keep/drop is a groupBy(vec) count + one left join back."""
+    asg = (assignments(emb, k, iters)
+           .withColumn("nrm", F.expr("SQRT(xx)")))
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = (f"{X.dot(X.SPARK, 'a.embedding', 'b.embedding')}"
+           f" / (a.nrm * b.nrm)")
+    dropped = (a.join(b, F.expr("a.cell = b.cell AND a.vec_id > b.vec_id"))
+               .filter(F.expr(cos) >= tau)
+               .groupBy(F.expr("a.vec_id").alias("vec_id"))
+               .agg(F.count("*").alias("n_dups")))
+    return (asg.join(dropped, "vec_id", "left")
+            .select("vec_id", F.col("cell").cast("int").alias("cluster"),
+                    F.expr("n_dups IS NULL").alias("keep"),
+                    F.coalesce("n_dups", F.lit(0)).alias("n_dups")))
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> str:
+    """WITH-chain through ``assign_{iters}`` (the final assignment) —
+    shared by the kmeans and semantic-dedup oracles."""
     d2 = (f"n.xx - 2 * {X.dot(X.DUCK, 'n.embedding', 'c.c_emb')}"
           f" + c.cc")
     mean = f32(f"SUM(CAST(embedding[d.dim + 1] AS DOUBLE)) / COUNT(*)")
@@ -139,7 +190,12 @@ n AS (SELECT vec_id, embedding,
       FROM embeddings),
 cent_0 AS (
   SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c_emb, xx AS cc
-  FROM n WHERE vec_id < {k}),{steps},{assign(iters)},
+  FROM n WHERE vec_id < {k}),{steps},{assign(iters)}"""
+
+
+def kmeans_oracle_sql(k: int = K_CLUSTERS, iters: int = KMEANS_ITERS,
+                      dim: int = EMB_DIM) -> str:
+    return f"""{_kmeans_ctes(k, iters, dim)},
 stats AS (
   SELECT cell AS cid, COUNT(*) AS n_vectors, {f32('SUM(d2)')} AS inertia
   FROM assign_{iters} GROUP BY cell)
@@ -148,3 +204,23 @@ SELECT CAST(c.cid AS INT) AS cluster, d.dim,
 FROM cent_{iters} c
 JOIN stats s ON s.cid = c.cid
 CROSS JOIN (SELECT CAST(dim AS INT) AS dim FROM dims) d"""
+
+
+def semantic_dedup_oracle_sql(k: int = K_CLUSTERS,
+                              iters: int = KMEANS_ITERS,
+                              dim: int = EMB_DIM,
+                              tau: float = SEMDEDUP_TAU) -> str:
+    cos = (f"{X.dot(X.DUCK, 'a.embedding', 'b.embedding')}"
+           f" / (a.nrm * b.nrm)")
+    return f"""{_kmeans_ctes(k, iters, dim)},
+asg AS (SELECT vec_id, embedding, cell, SQRT(xx) AS nrm
+        FROM assign_{iters}),
+dropped AS (
+  SELECT a.vec_id, COUNT(*) AS n_dups
+  FROM asg a JOIN asg b
+    ON a.cell = b.cell AND a.vec_id > b.vec_id
+  WHERE {cos} >= {tau!r}
+  GROUP BY a.vec_id)
+SELECT asg.vec_id, CAST(asg.cell AS INT) AS cluster,
+  d.n_dups IS NULL AS keep, COALESCE(d.n_dups, 0) AS n_dups
+FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id"""

@@ -1,0 +1,204 @@
+"""Full-text retrieval over the ``documents`` table — the search family
+of the training-data pipeline (an inverted index is how a 100 TB corpus
+answers "which documents mention X" without a full scan, and BM25 is the
+standard lexical ranker used for retrieval-based decontamination and
+RAG-corpus curation).
+
+Reference analogue: none — the reference is a fixed signal-processing
+batch pipeline; SURVEY.md §2.8 lists this family as beyond-reference.
+
+Scale shapes:
+
+- :func:`inverted_index` — postings are **sharded by doc_id** so no
+  single (term, postings) row can exceed a task: at 100 TB a stopword's
+  posting list is billions of entries; `shard = doc_id % NUM_SHARDS`
+  bounds every row to corpus/NUM_SHARDS and makes the index build a
+  single map-side-combined groupBy((term, shard)). Readers prune shards
+  by doc-range and merge per-term rows (posting strings are sorted, so
+  the merge is a k-way concatenation).
+- :func:`bm25_topk` — the query set is a literal broadcast; the corpus
+  side is two narrow scans (term frequencies + doc lengths) with one
+  partial-aggregated groupBy(doc) reduction. Nothing corpus-sized ever
+  sorts: top-k per query ranks the aggregated candidate set only.
+
+Determinism (the repo's cross-engine rules): every corpus reduction that
+crosses a shuffle is an exact BIGINT sum — BM25 per-term scores are
+converted to 2^-20 ticks before the per-doc SUM — and the idf's log2
+comes from the fixed-point binary-digit algorithm
+(:func:`birli_spark.functions.textsql.log2fix_duck_sql`), never libm, so
+Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from birli_spark.functions import textsql as X
+
+NUM_SHARDS = 8
+
+#: BM25 constants (Robertson k1/b defaults; exactly-representable doubles
+#: are not required — both engines parse the same literal to the same bits)
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+_NBITS = 24
+#: idf ratio is scaled by 2^20 before the integer log2
+_RSCALE = 1 << 20
+#: per-term score → ticks scale (2^20)
+_TSCALE = 1 << 20
+
+#: fixed query workload: (query_id, term) — broadcast-sized by definition
+QUERIES = [
+    (0, "hash"), (0, "join"),
+    (1, "window"), (1, "agg"), (1, "sort"),
+    (2, "stream"), (2, "batch"),
+    (3, "customer"), (3, "query"), (3, "fast"),
+]
+
+
+def _tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) — narrow explode off the scan + one
+    map-side-combined groupBy."""
+    return (docs
+            .select("doc_id", F.explode(F.expr(X.toks(X.SPARK))).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf")))
+
+
+_TF_CTE = """tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term <> '' GROUP BY doc_id, term)"""
+
+
+def inverted_index(docs: DataFrame,
+                   num_shards: int = NUM_SHARDS) -> DataFrame:
+    """I1 — doc-sharded inverted index: one row per (term, shard) with
+    the shard's document count, total term frequency, and the posting
+    list serialized as a sorted ``doc:tf`` string (strings hash exactly
+    across engines; a production sink would store the equivalent
+    ``array<struct<doc,tf>>``)."""
+    tf = _tf(docs).withColumn("shard",
+                              (F.col("doc_id") % num_shards).cast("int"))
+    return (tf.groupBy("term", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("tf").alias("tf_total"),
+                 F.expr("concat_ws(',', transform("
+                        "array_sort(collect_list(struct(doc_id, tf))), "
+                        "s -> concat(s.doc_id, ':', s.tf)))")
+                 .alias("postings")))
+
+
+def inverted_index_oracle_sql(num_shards: int = NUM_SHARDS) -> str:
+    return f"""
+WITH {_TF_CTE}
+SELECT term, CAST(doc_id % {num_shards} AS INT) AS shard,
+  COUNT(*) AS n_docs, SUM(tf) AS tf_total,
+  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term, shard"""
+
+
+def bm25_topk(docs: DataFrame, spark, k: int = 10) -> DataFrame:
+    """I2 — BM25 top-k documents per query: broadcast the literal query
+    terms onto the (doc, term, tf) table, score each hit with the Lucene
+    idf ``log2(1 + (N − df + 0.5)/(df + 0.5))`` times
+    ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``, reduce per (query, doc)
+    as exact ticks, rank inside each query.
+
+    The idf ratio (one exact-rounded division of identical operands) is
+    scaled to an integer and fed to the fixed-point log2; the chain runs
+    on the query-term-pruned vocab table only. avgdl is an in-plan 1-row
+    aggregate (broadcast), never a collect."""
+    from birli_spark.operators.text import _log2fix_ticks
+    q = spark.createDataFrame(QUERIES, "query_id INT, term STRING")
+    tf = _tf(docs)
+    dl = (docs.select("doc_id",
+                      F.expr(f"{X.size(X.SPARK, X.toks(X.SPARK))}")
+                      .alias("dl")))
+    n_total = (dl.agg(F.sum("dl").alias("tot"),
+                      F.count("*").alias("n")))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # the query-term semi join prunes the vocab table before the log2 chain
+    dfq = (dft.join(F.broadcast(q.select("term").distinct()), "term")
+           .join(F.broadcast(n_total)))
+    r = ("1.0 + (CAST(n - df AS DOUBLE) + 0.5) / "
+         "(CAST(df AS DOUBLE) + 0.5)")
+    dfq = dfq.withColumn(
+        "__ri", F.expr(f"CAST(ROUND(({r}) * {_RSCALE}.0) AS BIGINT)"))
+    dfq = _log2fix_ticks(dfq, "__ri", "__lg", _NBITS)
+    idf = dfq.select(
+        "term",
+        F.expr(f"__lg - CAST(20 AS BIGINT) * {1 << _NBITS}")
+        .alias("idf_ticks"))
+
+    score = (f"(CAST(idf_ticks AS DOUBLE) / {1 << _NBITS}.0) * "
+             f"(CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0)) / "
+             f"(CAST(tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + "
+             f"{BM25_B} * (CAST(dl AS DOUBLE) / "
+             f"(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))")
+    hits = (tf.join(F.broadcast(q), "term")
+            .join(dl, "doc_id")
+            .join(F.broadcast(n_total))
+            .join(F.broadcast(idf), "term")
+            .withColumn("score_ticks",
+                        F.expr(f"CAST(ROUND(({score}) * {_TSCALE}.0) "
+                               f"AS BIGINT)")))
+    per_doc = (hits.groupBy("query_id", "doc_id")
+               .agg(F.count("*").alias("n_hit"),
+                    F.sum("score_ticks").alias("ticks")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ticks"), F.asc("doc_id"))
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "n_hit",
+                    F.expr(f"CAST(ticks AS DOUBLE) / {_TSCALE}.0")
+                    .alias("score")))
+
+
+def bm25_topk_oracle_sql(k: int = 10) -> str:
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, t in QUERIES)
+    r = ("1.0 + (CAST(n - df AS DOUBLE) + 0.5) / "
+         "(CAST(df AS DOUBLE) + 0.5)")
+    idf_inner = f"""
+SELECT d.term, CAST(ROUND(({r}) * {_RSCALE}.0) AS BIGINT) AS __ri
+FROM dft d, ntot"""
+    idf_sql = X.log2fix_duck_sql(
+        f"SELECT term, __ri FROM ({idf_inner})", "__ri", "__lg", ["term"],
+        _NBITS)
+    score = (f"(CAST(i.idf_ticks AS DOUBLE) / {1 << _NBITS}.0) * "
+             f"(CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)) / "
+             f"(CAST(tf.tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + "
+             f"{BM25_B} * (CAST(dl.dl AS DOUBLE) / "
+             f"(CAST(ntot.tot AS DOUBLE) / CAST(ntot.n AS DOUBLE)))))")
+    return f"""
+WITH {_TF_CTE},
+q(query_id, term) AS (VALUES {qvals}),
+dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl
+       FROM documents),
+ntot AS (SELECT SUM(dl) AS tot, COUNT(*) AS n FROM dl),
+dft AS (SELECT tf.term, COUNT(*) AS df FROM tf
+        JOIN (SELECT DISTINCT term FROM q) qt ON tf.term = qt.term
+        GROUP BY tf.term),
+idf AS (SELECT term, __lg - CAST(20 AS BIGINT) * {1 << _NBITS} AS idf_ticks
+        FROM ({idf_sql})),
+hits AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(ROUND(({score}) * {_TSCALE}.0) AS BIGINT) AS score_ticks
+  FROM tf
+  JOIN q ON tf.term = q.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf i ON tf.term = i.term
+  CROSS JOIN ntot),
+per_doc AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_hit, SUM(score_ticks) AS ticks
+  FROM hits GROUP BY query_id, doc_id)
+SELECT query_id, doc_id,
+  ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ticks DESC, doc_id ASC) AS rank,
+  n_hit, CAST(ticks AS DOUBLE) / {_TSCALE}.0 AS score
+FROM per_doc
+QUALIFY rank <= {k}"""

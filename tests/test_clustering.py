@@ -62,3 +62,32 @@ def test_kmeans_singleton_cluster_survives(spark):
     out = clustering.kmeans(spark.createDataFrame(rows), k=2, iters=2).collect()
     pops = {r.cluster: r.n_vectors for r in out}
     assert pops == {0: 3, 1: 1}
+
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    # blob members are near-identical (cos > 0.95) -> exactly one
+    # survivor per cluster; earliest vec_id wins
+    df = spark.createDataFrame(_two_blobs()).repartition(5)
+    out = clustering.semantic_dedup(df, k=2, iters=2, tau=0.95).collect()
+    assert len(out) == 12
+    kept = sorted(r.vec_id for r in out if r.keep)
+    assert kept == [0, 1]
+    by_id = {r.vec_id: r for r in out}
+    # dropped rows count their earlier same-cluster neighbors
+    assert by_id[10].n_dups == 5 and by_id[11].n_dups == 5
+    assert all(by_id[v].n_dups == 0 for v in kept)
+
+
+def test_semantic_dedup_keeps_cross_cluster_twins(spark):
+    # identical vectors in DIFFERENT clusters are both kept: SemDeDup
+    # only compares within a cell (the scale bargain under test)
+    rows = [_emb(0, [1.0, 0, 0, 0]), _emb(1, [-1.0, 0, 0, 0]),
+            _emb(2, [1.0, 0, 0, 0]), _emb(3, [-1.0, 0, 0, 0])]
+    out = clustering.semantic_dedup(
+        spark.createDataFrame(rows), k=2, iters=1, tau=0.99).collect()
+    kept = sorted(r.vec_id for r in out if r.keep)
+    assert kept == [0, 1]
+    rows2 = [_emb(0, [1.0, 0, 0, 0]), _emb(1, [-1.0, 0, 0, 0])]
+    out2 = clustering.semantic_dedup(
+        spark.createDataFrame(rows2), k=2, iters=1, tau=0.99).collect()
+    assert all(r.keep for r in out2)

@@ -1,0 +1,76 @@
+"""Semantic tests for the search/retrieval operators: BM25 scores and
+posting lists are recomputed independently in Python (math.log2 within
+tolerance; exact postings), not just cross-checked against the SQL
+oracle the driver runs."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from birli_spark.operators import search
+from birli_spark.sources import corpus
+
+
+def _docs(spark, sf_dir, n=40):
+    df = corpus.load_documents(spark, sf_dir).filter(f"doc_id < {n}")
+    pdf = df.orderBy("doc_id").toPandas()
+    toks = {int(r.doc_id): r.text.strip().split(" ")
+            for _, r in pdf.iterrows()}
+    return df, toks
+
+
+def test_inverted_index_postings_match_python(spark, sf_dir):
+    df, toks = _docs(spark, sf_dir)
+    got = search.inverted_index(df).toPandas()
+    # rebuild the expected sharded postings
+    exp: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for did, ts in toks.items():
+        for term, tf in Counter(t for t in ts if t).items():
+            exp.setdefault((term, did % search.NUM_SHARDS), []).append(
+                (did, tf))
+    assert len(got) == len(exp)
+    for _, row in got.iterrows():
+        plist = sorted(exp[(row.term, row.shard)])
+        assert row.n_docs == len(plist)
+        assert row.tf_total == sum(tf for _, tf in plist)
+        assert row.postings == ",".join(f"{d}:{tf}" for d, tf in plist)
+
+
+def test_bm25_ranks_match_python(spark, sf_dir):
+    df, toks = _docs(spark, sf_dir, n=60)
+    got = search.bm25_topk(df, spark, k=5).toPandas()
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = Counter()
+    for ts in toks.values():
+        dfreq.update(set(ts) - {""})
+    k1, b = 1.2, 0.75
+
+    def score(did: int, terms: list[str]) -> float:
+        tf = Counter(t for t in toks[did] if t)
+        s = 0.0
+        for t in terms:
+            if tf[t] == 0:
+                continue
+            idf = math.log2(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            dl = len(toks[did])
+            s += idf * tf[t] * (k1 + 1) / (tf[t] + k1 * (1 - b + b * dl / avgdl))
+        return s
+
+    queries: dict[int, list[str]] = {}
+    for qid, term in search.QUERIES:
+        queries.setdefault(qid, []).append(term)
+    for qid, terms in queries.items():
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert len(sub) == 5
+        # Spark's winner must be within fp tolerance of python's best
+        best = max(score(d, terms) for d in toks)
+        assert abs(score(int(sub.iloc[0].doc_id), terms) - best) < 1e-6
+        # reported scores track the python recomputation (ticks round)
+        for _, r in sub.iterrows():
+            assert abs(r.score - score(int(r.doc_id), terms)) < 1e-4
+        # ranks strictly ordered by reported score then doc_id
+        svals = list(sub.score)
+        assert all(svals[i] >= svals[i + 1] - 1e-12
+                   for i in range(len(svals) - 1))
