@@ -357,6 +357,17 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_bloom_membership(spark, sf_dir):
+    return sketches.bloom_membership(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"))
+
+
+def _q_hist_quantiles(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return sketches.hist_quantiles(corpus.load_documents(spark, sf_dir))
+
+
 def _q_semantic_dedup(spark, sf_dir):
     from birli_spark.operators import clustering
     from birli_spark.sources import corpus
@@ -794,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i1_inverted_index": _q_inverted_index,
         "i2_bm25_topk": _q_bm25_topk,
         "d10_semantic_dedup": _q_semantic_dedup,
+        "sk4_bloom_membership": _q_bloom_membership,
+        "sk5_hist_quantiles": _q_hist_quantiles,
     }
 
 
@@ -1026,4 +1039,6 @@ def oracle_sql() -> dict[str, str]:
         "i1_inverted_index": search.inverted_index_oracle_sql(),
         "i2_bm25_topk": search.bm25_topk_oracle_sql(),
         "d10_semantic_dedup": clustering.semantic_dedup_oracle_sql(),
+        "sk4_bloom_membership": sketches.bloom_membership_oracle_sql(),
+        "sk5_hist_quantiles": sketches.hist_quantiles_oracle_sql(),
     }

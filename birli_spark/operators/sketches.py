@@ -37,7 +37,7 @@ estimate's hash fraction is the first 8 hex chars folded to an int64
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from birli_spark.functions import textsql as X
@@ -319,3 +319,197 @@ exact AS (
 SELECT m.source, e.exact_distinct,
   {_estimate(d, 'kmins', k)} AS kmv_distinct
 FROM merged m JOIN exact e USING (source)"""
+
+
+# --------------------------------------------- SK4: Bloom membership ---
+
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def _bloom_bit(d: str, j: int, key: str, m: int = BLOOM_M) -> str:
+    """Bit position of hash function j for an integer key: md5 of
+    'b<j>:<key>' folded to int64, modulo the filter width."""
+    concat = (f"concat('b{j}:', CAST({key} AS STRING))" if d == X.SPARK
+              else f"'b{j}:' || CAST({key} AS VARCHAR)")
+    return f"({_hex32(d, f'md5({concat})')} % {m})"
+
+
+def bloom_membership(orders: DataFrame, customer: DataFrame,
+                     m: int = BLOOM_M, kh: int = BLOOM_K) -> DataFrame:
+    """SK4 — deterministic Bloom filter per order priority: build one
+    m-bit filter over each priority's distinct customer keys, probe ALL
+    customers against every filter, and report the exact false-positive
+    accounting (possible because the truth set is computable at test
+    scale).
+
+    This is the engine's own **runtime-filter** shape (Spark 3.3+ injects
+    the same construct as `InjectRuntimeFilter` bloom pruning): at 100 TB
+    the filter build is a *bounded-state* aggregation — at most m bit
+    positions survive per group no matter how many rows stream in
+    (collect_set dedups map-side) — and the probe side is a broadcast of
+    ≤ groups × m/8 bytes against the big table, turning a shuffle join
+    into a scan-local prefilter with a quantified FP rate.
+
+    md5-derived bit positions are integers, so Spark and DuckDB build
+    bit-identical filters and the oracle checks the FP counts themselves.
+    """
+    bits_arr = ", ".join(
+        f"CAST({_bloom_bit(X.SPARK, j, 'o_custkey', m)} AS INT)"
+        for j in range(kh))
+    members = orders.select("o_orderpriority", "o_custkey").distinct()
+    filt = (members
+            .select("o_orderpriority", F.explode(
+                F.expr(f"array({bits_arr})")).alias("bit"))
+            .groupBy("o_orderpriority")
+            .agg(F.expr("array_sort(collect_set(bit))").alias("bits")))
+    probe_pred = " AND ".join(
+        f"array_contains(bits, CAST({_bloom_bit(X.SPARK, j, 'c_custkey', m)}"
+        f" AS INT))" for j in range(kh))
+    probed = (customer.select("c_custkey")
+              .join(F.broadcast(filt))
+              .withColumn("maybe", F.expr(probe_pred)))
+    truth = members.select(
+        "o_orderpriority", F.col("o_custkey").alias("c_custkey"),
+        F.lit(True).alias("is_member"))
+    return (probed
+            .join(truth, ["o_orderpriority", "c_custkey"], "left")
+            .groupBy("o_orderpriority")
+            .agg(F.expr("MAX(size(bits))").alias("n_bits_set"),
+                 F.count("*").alias("n_probed"),
+                 F.sum(F.expr("CAST(maybe AS BIGINT)")).alias("n_maybe"),
+                 F.sum(F.expr("CAST(is_member IS NOT NULL AS BIGINT)"))
+                 .alias("n_members"),
+                 F.sum(F.expr(
+                     "CAST(maybe AND is_member IS NULL AS BIGINT)"))
+                 .alias("false_positives")))
+
+
+def bloom_membership_oracle_sql(m: int = BLOOM_M, kh: int = BLOOM_K) -> str:
+    d = X.DUCK
+    bits_rows = " UNION ALL ".join(
+        f"SELECT o_orderpriority, o_custkey, "
+        f"CAST({_bloom_bit(d, j, 'o_custkey', m)} AS INT) AS bit FROM members"
+        for j in range(kh))
+    probe_pred = " AND ".join(
+        f"list_contains(bits, CAST({_bloom_bit(d, j, 'c_custkey', m)}"
+        f" AS INT))" for j in range(kh))
+    return f"""
+WITH members AS (
+  SELECT DISTINCT o_orderpriority, o_custkey FROM orders),
+bitrows AS ({bits_rows}),
+filt AS (
+  SELECT o_orderpriority, list_sort(list(DISTINCT bit)) AS bits
+  FROM bitrows GROUP BY o_orderpriority),
+probed AS (
+  SELECT f.o_orderpriority, c.c_custkey, f.bits,
+    ({probe_pred}) AS maybe
+  FROM customer c CROSS JOIN filt f),
+joined AS (
+  SELECT p.*, m.o_custkey IS NOT NULL AS is_member
+  FROM probed p LEFT JOIN members m
+    ON p.o_orderpriority = m.o_orderpriority
+   AND p.c_custkey = m.o_custkey)
+SELECT o_orderpriority,
+  MAX(len(bits)) AS n_bits_set,
+  COUNT(*) AS n_probed,
+  SUM(CAST(maybe AS BIGINT)) AS n_maybe,
+  SUM(CAST(is_member AS BIGINT)) AS n_members,
+  SUM(CAST(maybe AND NOT is_member AS BIGINT)) AS false_positives
+FROM joined GROUP BY o_orderpriority"""
+
+
+# ------------------------------------ SK5: histogram quantile sketch ---
+
+HIST_LO = 0
+HIST_HI = 4096
+HIST_BINS = 64
+HIST_PS = (0.5, 0.9, 0.99)
+
+
+def hist_quantiles(docs: DataFrame, lo: int = HIST_LO, hi: int = HIST_HI,
+                   nbins: int = HIST_BINS,
+                   ps: tuple = HIST_PS) -> DataFrame:
+    """SK5 — fixed-bin histogram quantile sketch over document lengths,
+    next to the exact percentile it approximates.
+
+    The histogram is the simplest *mergeable* quantile summary: per-bin
+    counts are plain SUMs, so a 100 TB corpus reduces map-side to ≤ nbins
+    rows per partition and the estimate runs on a table of nbins rows —
+    no corpus-wide sort, unlike the exact percentile computed alongside
+    as the error baseline. Estimation: for target rank p·N, find the
+    first bin whose cumulative count reaches it and interpolate linearly
+    inside the bin (deterministic: one division of identical operands).
+    """
+    w = (hi - lo) / nbins
+    binx = (f"LEAST(CAST({nbins - 1} AS INT), GREATEST(0, "
+            f"CAST(FLOOR((CAST(n_chars AS DOUBLE) - {lo}) / {w!r}) AS INT)))")
+    bins = (docs.select(F.expr(binx).alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("cnt")))
+    wspec = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (bins.withColumn("cum", F.sum("cnt").over(wspec))
+           .withColumn("cumb", F.expr("cum - cnt")))
+    n_tot = docs.agg(F.count("*").alias("n"))
+    pdf_ = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in ps)
+    p_rows = (n_tot.select(
+        F.explode(F.expr(f"array({pdf_})")).alias("p"), "n")
+        .withColumn("target", F.expr("p * CAST(n AS DOUBLE)")))
+    est = (f"{lo} + {w!r} * (CAST(bin AS DOUBLE) + "
+           f"(target - CAST(cumb AS DOUBLE)) / CAST(cnt AS DOUBLE))")
+    picked = (p_rows.join(cum, F.expr("CAST(cum AS DOUBLE) >= target"))
+              .groupBy("p", "n", "target")
+              .agg(F.expr("MIN(struct(bin, cnt, cum, cumb))").alias("s"))
+              .select("p", "n",
+                      F.col("s.bin").alias("bin"), "target",
+                      F.expr("s.cnt AS cnt"), F.expr("s.cumb AS cumb")))
+    from birli_spark.functions.complex import f32
+    out = picked.withColumn("hist_q", F.expr(f32(est)))
+    exact = docs.agg(*[
+        F.expr(f32(f"CAST(percentile(n_chars, {p!r}) AS DOUBLE)"))
+        .alias(f"x{i}") for i, p in enumerate(ps)])
+    exact_long = exact.select(F.explode(F.expr(
+        "array(" + ", ".join(
+            f"struct(CAST({p!r} AS DOUBLE) AS p, x{i} AS exact_q)"
+            for i, p in enumerate(ps)) + ")")).alias("e")).select("e.*")
+    return (out.join(F.broadcast(exact_long), "p")
+            .select("p", F.col("bin").cast("int").alias("bin"),
+                    "hist_q", "exact_q"))
+
+
+def hist_quantiles_oracle_sql(lo: int = HIST_LO, hi: int = HIST_HI,
+                              nbins: int = HIST_BINS,
+                              ps: tuple = HIST_PS) -> str:
+    from birli_spark.functions.complex import f32
+    w = (hi - lo) / nbins
+    binx = (f"LEAST(CAST({nbins - 1} AS INT), GREATEST(0, "
+            f"CAST(FLOOR((CAST(n_chars AS DOUBLE) - {lo}) / {w!r}) AS INT)))")
+    pvals = ", ".join(f"CAST({p!r} AS DOUBLE)" for p in ps)
+    est = (f"{lo} + {w!r} * (CAST(bin AS DOUBLE) + "
+           f"(target - CAST(cumb AS DOUBLE)) / CAST(cnt AS DOUBLE))")
+    exact_rows = " UNION ALL ".join(
+        f"SELECT CAST({p!r} AS DOUBLE) AS p, "
+        f"{f32(f'CAST(quantile_cont(n_chars, {p!r}) AS DOUBLE)')} AS exact_q"
+        f" FROM documents" for p in ps)
+    return f"""
+WITH bins AS (
+  SELECT {binx} AS bin, COUNT(*) AS cnt FROM documents GROUP BY 1),
+cum AS (
+  SELECT bin, cnt,
+    SUM(cnt) OVER (ORDER BY bin) AS cum,
+    SUM(cnt) OVER (ORDER BY bin) - cnt AS cumb
+  FROM bins),
+ntot AS (SELECT COUNT(*) AS n FROM documents),
+prows AS (
+  SELECT p, n, p * CAST(n AS DOUBLE) AS target
+  FROM (SELECT unnest([{pvals}]) AS p), ntot),
+est AS (
+  SELECT p, bin, target, cnt, cumb FROM (
+    SELECT p, bin, target, cnt, cumb,
+      ROW_NUMBER() OVER (PARTITION BY p ORDER BY bin) AS rn
+    FROM prows JOIN cum ON CAST(cum AS DOUBLE) >= target)
+  WHERE rn = 1),
+exact AS ({exact_rows})
+SELECT est.p, CAST(bin AS INT) AS bin,
+  {f32(est)} AS hist_q, exact.exact_q
+FROM est JOIN exact ON est.p = exact.p"""

@@ -111,3 +111,48 @@ def test_hex32_fold_cross_engine_bulk(spark):
         "SELECT " + _hex32(X.DUCK, "h") + " FROM (SELECT unnest(?) AS h)",
         [hs]).fetchall()]
     assert got_duck == exp
+
+
+def test_bloom_membership_semantics(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = sketches.bloom_membership(orders, customer).toPandas()
+    n_cust = customer.count()
+    members = {p: set(r.o_custkey for r in rows.itertuples())
+               for p, rows in orders.select(
+                   "o_orderpriority", "o_custkey").toPandas().groupby(
+                   "o_orderpriority")}
+    assert set(got.o_orderpriority) == set(members)
+    for _, r in got.iterrows():
+        # no false negatives, FP accounting closes, bounded filter
+        assert r.n_probed == n_cust
+        assert r.n_members == len(
+            members[r.o_orderpriority] & set(
+                x.c_custkey for x in customer.select(
+                    "c_custkey").collect()))
+        assert r.n_maybe >= r.n_members
+        assert r.false_positives == r.n_maybe - r.n_members
+        assert 0 < r.n_bits_set <= sketches.BLOOM_M
+
+
+def test_bloom_fp_rate_reasonable(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = sketches.bloom_membership(orders, customer).toPandas()
+    # m=4096, k=3, n<=~1500 members -> theoretical FP < ~20%; require
+    # the filter actually filters (not everything "maybe")
+    for _, r in got.iterrows():
+        non_members = r.n_probed - r.n_members
+        if non_members > 20:
+            assert r.false_positives / non_members < 0.5
+
+
+def test_hist_quantiles_close_to_exact(spark, sf_dir):
+    from birli_spark.sources import corpus
+    docs = corpus.load_documents(spark, sf_dir)
+    got = sketches.hist_quantiles(docs).toPandas().sort_values("p")
+    assert list(got.p) == [0.5, 0.9, 0.99]
+    w = (sketches.HIST_HI - sketches.HIST_LO) / sketches.HIST_BINS
+    for _, r in got.iterrows():
+        # estimate within one bin width of the exact percentile
+        assert abs(r.hist_q - r.exact_q) <= w + 1e-6
