@@ -357,6 +357,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_phash_neardup(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return multimodal.phash_neardup(
+        multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
+
+
 def _q_bloom_membership(spark, sf_dir):
     return sketches.bloom_membership(
         spark.read.parquet(f"{sf_dir}/orders.parquet"),
@@ -807,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_semantic_dedup": _q_semantic_dedup,
         "sk4_bloom_membership": _q_bloom_membership,
         "sk5_hist_quantiles": _q_hist_quantiles,
+        "mm_phash_neardup": _q_phash_neardup,
     }
 
 
@@ -1041,4 +1048,5 @@ def oracle_sql() -> dict[str, str]:
         "d10_semantic_dedup": clustering.semantic_dedup_oracle_sql(),
         "sk4_bloom_membership": sketches.bloom_membership_oracle_sql(),
         "sk5_hist_quantiles": sketches.hist_quantiles_oracle_sql(),
+        "mm_phash_neardup": multimodal.phash_neardup_oracle_sql(),
     }

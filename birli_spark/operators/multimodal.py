@@ -247,3 +247,115 @@ SELECT doc_id, width, height, target_w, target_h,
       CAST((n_bytes * target_w * target_h) // (width * height) AS INT)))
     AS resized_md5
 FROM t"""
+
+
+# ------------------------------------- perceptual-hash image dedup ---
+
+PHASH_BITS = 64
+PHASH_BANDS = 4
+#: banded-LSH completeness bound: hamming < bands guarantees a shared band
+PHASH_MAX_HAM = 3
+
+_PHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def phash_signatures(media: DataFrame) -> DataFrame:
+    """64-bit average-hash of the media payload, split into 4×16-bit
+    bands: interpret the first 64 payload bytes as an 8×8 grayscale
+    block (zero-padded; a real pipeline would decode + downsample via
+    :func:`decode_image`), set bit i when pixel i exceeds the block
+    mean (strict, scaled integer compare — no division), and pack bits
+    16j..16j+15 into band j. Vectorized numpy over Arrow batches; the
+    binary column never shuffles."""
+    import numpy as np
+    from collections.abc import Iterator as _It
+
+    def sig(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.zeros((len(pdf), PHASH_BITS), dtype=np.int64)
+            for r, payload in enumerate(pdf["media"]):
+                b = np.frombuffer(bytes(payload)[:PHASH_BITS],
+                                  dtype=np.uint8).astype(np.int64)
+                mat[r, :len(b)] = b
+            bits = (mat * PHASH_BITS
+                    > mat.sum(axis=1, keepdims=True)).astype(np.int64)
+            w = 1 << np.arange(16, dtype=np.int64)
+            out = {"doc_id": pdf["doc_id"]}
+            for j in range(PHASH_BANDS):
+                out[f"b{j}"] = (bits[:, 16 * j:16 * (j + 1)] * w).sum(
+                    axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sig, schema=_PHASH_SCHEMA)
+
+
+def phash_neardup(media: DataFrame,
+                  max_ham: int = PHASH_MAX_HAM) -> DataFrame:
+    """MM5 — perceptual-hash near-duplicate image pairs: banded-LSH
+    candidate join over the 16-bit bands, then exact Hamming verify.
+
+    Scale shape: with hamming ≤ max_ham < PHASH_BANDS, two near-dup
+    hashes MUST agree on ≥ 1 whole band (pigeonhole), so the candidate
+    set is an **equi-join on (band_idx, band_value)** — the corpus
+    shuffles 4 small int rows per asset, never pairwise. The verify is
+    ``bit_count(xor)`` per band, summed — integer-exact, so the oracle
+    checks the pairs and distances themselves."""
+    sigs = phash_signatures(media)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.expr("array(b0, b1, b2, b3)")).alias("j", "band"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  F.expr("a.j = b.j AND a.band = b.band "
+                         "AND a.doc_id < b.doc_id"))
+            .select(F.expr("a.doc_id").alias("doc_a"),
+                    F.expr("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"b{j}").alias(f"a{j}")
+                       for j in range(PHASH_BANDS)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"b{j}").alias(f"bb{j}")
+                       for j in range(PHASH_BANDS)])
+    ham = " + ".join(f"bit_count(a{j} ^ bb{j})"
+                     for j in range(PHASH_BANDS))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("hamming", F.expr(f"CAST({ham} AS INT)"))
+            .filter(F.col("hamming") <= max_ham)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def phash_neardup_oracle_sql(max_ham: int = PHASH_MAX_HAM) -> str:
+    """SQL twin over the utf-8 payload (ASCII corpus ⇒ byte i ==
+    codepoint of char i; beyond-length bytes are the zero padding)."""
+    codes = (f"list_transform(range(1, {PHASH_BITS} + 1), "
+             f"i -> GREATEST(unicode(substr(text, i, 1)), 0))")
+    band = ("CAST(list_sum(list_transform(range(1, 17), "
+            "i -> CAST(codes[16 * {j} + i] * {nb} > tot AS BIGINT) "
+            "* (CAST(1 AS BIGINT) << (i - 1)))) AS INT)")
+    band_cols = ", ".join(
+        band.format(j=j, nb=PHASH_BITS) + f" AS b{j}"
+        for j in range(PHASH_BANDS))
+    ham = " + ".join(f"bit_count(xor(CAST(a.b{j} AS BIGINT), "
+                     f"CAST(b.b{j} AS BIGINT)))"
+                     for j in range(PHASH_BANDS))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS j, b{j} AS band FROM sigs"
+        for j in range(PHASH_BANDS))
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {codes} AS codes FROM documents),
+tots AS (
+  SELECT doc_id, codes, list_sum(codes) AS tot FROM raw),
+sigs AS (
+  SELECT doc_id, {band_cols} FROM tots),
+bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b, CAST({ham} AS INT) AS hamming
+FROM cand c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+WHERE ({ham}) <= {max_ham}"""

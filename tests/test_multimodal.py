@@ -77,3 +77,34 @@ def test_audio_waveform_stats_constructed(spark):
     assert out.max_abs == 1
     # sign products: (1,-1),(-1,1),(1,-1),(-1,0),(0,1) -> 3 crossings
     assert out.n_zero_cross == 3
+
+
+def _phash_py(payload: bytes) -> list[int]:
+    head = list(payload[:64]) + [0] * max(0, 64 - len(payload))
+    tot = sum(head)
+    bits = [1 if v * 64 > tot else 0 for v in head]
+    return [sum(bits[16 * j + i] << i for i in range(16)) for j in range(4)]
+
+
+def test_phash_signatures_match_python(spark, sf_dir):
+    docs = corpus.load_documents(spark, sf_dir).filter("doc_id < 10")
+    media = multimodal.attach_media(docs)
+    got = {r.doc_id: [r.b0, r.b1, r.b2, r.b3]
+           for r in multimodal.phash_signatures(media).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        assert got[row.doc_id] == _phash_py(row.text.encode())
+
+
+def test_phash_neardup_plants_pair(spark):
+    from pyspark.sql import Row
+    base = "x" * 30 + "Z" * 34          # strong bit pattern
+    tweaked = base[:5] + "y" + base[6:]  # one byte changed -> tiny hamming
+    far = ("ab" * 32)                    # alternating -> different hash
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=base), Row(doc_id=1, text=tweaked),
+        Row(doc_id=2, text=far)])
+    media = multimodal.attach_media(docs)
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in multimodal.phash_neardup(media).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs
