@@ -357,6 +357,18 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_pricing_summary(spark, sf_dir):
+    return relational.pricing_summary(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_shipping_priority(spark, sf_dir):
+    return relational.shipping_priority(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_phash_neardup(spark, sf_dir):
     from birli_spark.sources import corpus
     return multimodal.phash_neardup(
@@ -814,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk4_bloom_membership": _q_bloom_membership,
         "sk5_hist_quantiles": _q_hist_quantiles,
         "mm_phash_neardup": _q_phash_neardup,
+        "h4_pricing_summary": _q_pricing_summary,
+        "h5_shipping_priority": _q_shipping_priority,
     }
 
 
@@ -1049,4 +1063,6 @@ def oracle_sql() -> dict[str, str]:
         "sk4_bloom_membership": sketches.bloom_membership_oracle_sql(),
         "sk5_hist_quantiles": sketches.hist_quantiles_oracle_sql(),
         "mm_phash_neardup": multimodal.phash_neardup_oracle_sql(),
+        "h4_pricing_summary": relational.pricing_summary_oracle_sql(),
+        "h5_shipping_priority": relational.shipping_priority_oracle_sql(),
     }

@@ -138,3 +138,102 @@ SELECT r_name, n_name, s_suppkey, s_name,
   n_items, rev_ticks / 10000.0 AS revenue
 FROM per_supp
 QUALIFY rank <= {k}"""
+
+
+_Q1_CUTOFF = "1998-09-01 00:00:00"
+#: charge has 6 decimal places (price 2 x disc 2 x tax 2)
+_CHARGE_TICKS = ("CAST(ROUND(l_extendedprice * (1.0 - l_discount) "
+                 "* (1.0 + l_tax) * 1000000.0) AS BIGINT)")
+_PRICE_TICKS = "CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)"
+_DISC_TICKS = "CAST(ROUND(l_discount * 100.0) AS BIGINT)"
+
+
+def pricing_summary(lineitem: DataFrame,
+                    cutoff: str = _Q1_CUTOFF) -> DataFrame:
+    """H4 — the TPC-H Q1 shape: scan-heavy single aggregate over the
+    biggest fact table, grouped by two low-cardinality flags. The one
+    shuffle carries ≤ 6 groups × partials (map-side combine does all the
+    work); every money sum runs in exact integer ticks so the rollup is
+    accumulation-order-proof, with one exact division at the end."""
+    f = lineitem.filter(F.expr(f"l_shipdate <= TIMESTAMP '{cutoff}'"))
+    return (f.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+                 .alias("sum_qty"),
+                 (F.sum(F.expr(_PRICE_TICKS)) / F.lit(100.0))
+                 .alias("sum_base_price"),
+                 (F.sum(F.expr(_REV_TICKS)) / F.lit(10000.0))
+                 .alias("sum_disc_price"),
+                 (F.sum(F.expr(_CHARGE_TICKS)) / F.lit(1000000.0))
+                 .alias("sum_charge"),
+                 (F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+                  / F.count("*").cast("double")).alias("avg_qty"),
+                 (F.sum(F.expr(_PRICE_TICKS))
+                  / (F.count("*") * F.lit(100.0))).alias("avg_price"),
+                 (F.sum(F.expr(_DISC_TICKS))
+                  / (F.count("*") * F.lit(100.0))).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def pricing_summary_oracle_sql(cutoff: str = _Q1_CUTOFF) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  SUM({_PRICE_TICKS}) / 100.0 AS sum_base_price,
+  SUM({_REV_TICKS}) / 10000.0 AS sum_disc_price,
+  SUM({_CHARGE_TICKS}) / 1000000.0 AS sum_charge,
+  SUM(CAST(l_quantity AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  SUM({_PRICE_TICKS}) / (COUNT(*) * 100.0) AS avg_price,
+  SUM({_DISC_TICKS}) / (COUNT(*) * 100.0) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cutoff}'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+_Q3_DATE = "1996-03-15 00:00:00"
+
+
+def shipping_priority(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, segment: str = "BUILDING",
+                      date: str = _Q3_DATE, k: int = 10) -> DataFrame:
+    """H5 — the TPC-H Q3 shape: selective dim filter (market segment)
+    broadcast-semi-joined into orders, date predicates pushed to both
+    fact scans, revenue rollup keyed on the join key's own table side
+    (order grain), global top-k.
+
+    Scale notes: the segment-filtered customer key set broadcasts; the
+    orders⋈lineitem join is the big-big co-keyed join (bucketed layout
+    co-locates it at 100 TB); the top-k is a driver-sized limit over the
+    aggregated order grain, not a full sort of lineitem."""
+    cust = customer.filter(F.col("c_mktsegment") == segment) \
+                   .select("c_custkey")
+    o = (orders.filter(F.expr(f"o_orderdate < TIMESTAMP '{date}'"))
+         .join(F.broadcast(cust),
+               orders["o_custkey"] == cust["c_custkey"]))
+    li = lineitem.filter(F.expr(f"l_shipdate > TIMESTAMP '{date}'"))
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(F.expr(_REV_TICKS)).alias("rev_ticks"))
+            .orderBy(F.desc("rev_ticks"), F.asc("o_orderkey"))
+            .limit(k)
+            .select("o_orderkey",
+                    (F.col("rev_ticks") / F.lit(10000.0)).alias("revenue"),
+                    "o_orderdate", "o_orderpriority"))
+
+
+def shipping_priority_oracle_sql(segment: str = "BUILDING",
+                                 date: str = _Q3_DATE,
+                                 k: int = 10) -> str:
+    return f"""
+SELECT o_orderkey,
+  SUM({_REV_TICKS}) / 10000.0 AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{segment}'
+  AND o_orderdate < TIMESTAMP '{date}'
+  AND l_shipdate > TIMESTAMP '{date}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM({_REV_TICKS}) DESC, o_orderkey ASC
+LIMIT {k}"""

@@ -57,3 +57,35 @@ def test_idle_customers_semantics(spark):
         customer, orders, nation).collect()}
     assert out["A"].n_idle == 1 and out["A"].idle_balance == 1.25
     assert out["B"].n_idle == 1 and out["B"].idle_balance == -5.00
+
+
+def test_pricing_summary_python_recompute(spark, sf_dir):
+    from birli_spark.operators import relational
+    import pandas as pd
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = (relational.pricing_summary(li)
+           .orderBy("l_returnflag", "l_linestatus").toPandas())
+    pdf = li.toPandas()
+    pdf = pdf[pdf.l_shipdate <= pd.Timestamp("1998-09-01")]
+    for _, r in got.iterrows():
+        sub = pdf[(pdf.l_returnflag == r.l_returnflag)
+                  & (pdf.l_linestatus == r.l_linestatus)]
+        assert r.count_order == len(sub)
+        assert r.sum_qty == int(sub.l_quantity.sum())
+        assert abs(r.sum_base_price - sub.l_extendedprice.sum()) < 1e-4
+        disc = (sub.l_extendedprice * (1 - sub.l_discount)).sum()
+        assert abs(r.sum_disc_price - disc) < 1e-3
+        assert abs(r.avg_qty - sub.l_quantity.mean()) < 1e-9
+
+
+def test_shipping_priority_topk(spark, sf_dir):
+    from birli_spark.operators import relational
+    got = relational.shipping_priority(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), k=5).toPandas()
+    assert len(got) <= 5
+    # descending revenue, deterministic tie-break
+    revs = list(got.revenue)
+    assert revs == sorted(revs, reverse=True)
+    assert got.o_orderkey.is_unique
