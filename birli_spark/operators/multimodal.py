@@ -300,29 +300,26 @@ def phash_neardup(media: DataFrame,
     shuffles 4 small int rows per asset, never pairwise. The verify is
     ``bit_count(xor)`` per band, summed — integer-exact, so the oracle
     checks the pairs and distances themselves."""
-    sigs = phash_signatures(media)
+    # one UDF pass total: signatures are cached and the full 4-band
+    # vector rides through the explode, so the candidate equi-join needs
+    # no rejoin against the signature table (and no recompute per side)
+    from pyspark.storagelevel import StorageLevel
+    sigs = phash_signatures(media).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sigs.select(
-        "doc_id",
+        "doc_id", "b0", "b1", "b2", "b3",
         F.posexplode(F.expr("array(b0, b1, b2, b3)")).alias("j", "band"))
-    cand = (bands.alias("a")
+    ham = " + ".join(f"bit_count(a.b{j} ^ b.b{j})"
+                     for j in range(PHASH_BANDS))
+    return (bands.alias("a")
             .join(bands.alias("b"),
                   F.expr("a.j = b.j AND a.band = b.band "
                          "AND a.doc_id < b.doc_id"))
             .select(F.expr("a.doc_id").alias("doc_a"),
-                    F.expr("b.doc_id").alias("doc_b"))
-            .distinct())
-    sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                     *[F.col(f"b{j}").alias(f"a{j}")
-                       for j in range(PHASH_BANDS)])
-    sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                     *[F.col(f"b{j}").alias(f"bb{j}")
-                       for j in range(PHASH_BANDS)])
-    ham = " + ".join(f"bit_count(a{j} ^ bb{j})"
-                     for j in range(PHASH_BANDS))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("hamming", F.expr(f"CAST({ham} AS INT)"))
+                    F.expr("b.doc_id").alias("doc_b"),
+                    F.expr(f"CAST({ham} AS INT)").alias("hamming"))
             .filter(F.col("hamming") <= max_ham)
-            .select("doc_a", "doc_b", "hamming"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.min("hamming").alias("hamming")))
 
 
 def phash_neardup_oracle_sql(max_ham: int = PHASH_MAX_HAM) -> str:

@@ -26,7 +26,13 @@ from birli_spark.session import get_spark  # noqa: E402
 # the join side is broadcast-sized by construction (ANN query sets, IVF
 # centroid tables, k-means' single collapsed-centroid row), so N×M stays
 # bounded by the broadcast side.
-BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb2_kmeans"}
+BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb2_kmeans",
+           # kmeans centroid-row joins (same collapsed single-row build
+           # side as emb2_kmeans)
+           "d10_semantic_dedup",
+           # 1-row corpus-total / tiny p-literal / ≤groups-filter build
+           # sides — bounded by construction
+           "i2_bm25_topk", "sk4_bloom_membership", "sk5_hist_quantiles"}
 
 # Queries where a sort-merge join is the RIGHT plan: both sides scale
 # with the fact/corpus table (per-doc stats joins, anti-join drop sets,
@@ -48,7 +54,10 @@ SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
           # fact-sized custkey set
           "h1_order_revenue", "h2_idle_customers",
           # term-df join: corpus vocabulary is not broadcast-sized
-          "t13_rarity_stats"}
+          "t13_rarity_stats",
+          # within-cell pair self-join + drop-set join-back: both sides
+          # corpus-scale (AQE demotes the drop set when it shrinks)
+          "d10_semantic_dedup"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -68,6 +77,9 @@ HEADLINE = [
     "e2b_sessionize_native", "e12_daily_type_pivot", "t13_rarity_stats",
     "sk3_hll_distinct", "e14_type_dow_sets", "h3_region_top_suppliers",
     "l1_zorder_layout", "t14_quality_filter", "t15_unigram_logprob",
+    "i1_inverted_index", "i2_bm25_topk", "d10_semantic_dedup",
+    "sk4_bloom_membership", "sk5_hist_quantiles", "mm_phash_neardup",
+    "h4_pricing_summary", "h5_shipping_priority",
 ]
 
 
@@ -131,7 +143,11 @@ def audit(name: str, plan: str) -> list[str]:
     if any(x.strip() for x in m):
         notes.append("parquet filter pushdown")
     n_partial = len(re.findall(r"HashAggregate.*\n.*Functions \[\d+\]: \[partial", plan)) \
-        or plan.count("partial_")
+        or plan.count("partial_") \
+        or len(re.findall(  # distinct-style: two HashAggregates around an
+            # Exchange with no agg functions (partial dedup IS map-side)
+            r"HashAggregate[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*HashAggregate",
+            plan))
     if "HashAggregate" in plan:
         notes.append("partial+final hash aggregation"
                      if n_partial else "WARN aggregate without partial phase")
