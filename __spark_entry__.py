@@ -357,6 +357,23 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_type_transitions(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return events.type_transitions(corpus.load_events(spark, sf_dir))
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.bpe_pair_stats(corpus.load_documents(spark, sf_dir))
+
+
+def _q_chunk_udtf(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.chunk_documents(corpus.load_documents(spark, sf_dir), spark)
+
+
 def _q_pricing_summary(spark, sf_dir):
     return relational.pricing_summary(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
@@ -828,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_neardup": _q_phash_neardup,
         "h4_pricing_summary": _q_pricing_summary,
         "h5_shipping_priority": _q_shipping_priority,
+        "e15_type_transitions": _q_type_transitions,
+        "t16_bpe_pairs": _q_bpe_pairs,
+        "t17_chunk_udtf": _q_chunk_udtf,
     }
 
 
@@ -1065,4 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_phash_neardup": multimodal.phash_neardup_oracle_sql(),
         "h4_pricing_summary": relational.pricing_summary_oracle_sql(),
         "h5_shipping_priority": relational.shipping_priority_oracle_sql(),
+        "e15_type_transitions": events.type_transitions_oracle_sql(),
+        "t16_bpe_pairs": text.bpe_pair_stats_oracle_sql(),
+        "t17_chunk_udtf": text.chunk_documents_oracle_sql(),
     }

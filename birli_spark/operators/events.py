@@ -599,3 +599,43 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
   {f32('SUM(value)')} AS sum_value
 FROM base
 GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow))"""
+
+
+def type_transitions(events: DataFrame) -> DataFrame:
+    """E15 — user-journey Markov transitions: for each user's
+    time-ordered event sequence, count (from_type → to_type) edges and
+    attach the per-source-state total so downstream can normalize to
+    transition probabilities (kept as exact integers here; one division
+    client-side yields P(to|from)).
+
+    Plan shape: one window (lag) partitioned by user — the only shuffle
+    of event-grain rows — then a low-cardinality (type×type) aggregate
+    that map-side combines to ≤ |types|² rows. The transition matrix of
+    a 100 TB event log is KBs."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr(TS_US_SPARK), F.col("event_id"))
+    edges = (events
+             .withColumn("from_type", F.lag("event_type").over(w))
+             .filter(F.col("from_type").isNotNull())
+             .groupBy("from_type", F.col("event_type").alias("to_type"))
+             .agg(F.count("*").alias("n_edges")))
+    totals = (edges.groupBy("from_type")
+              .agg(F.sum("n_edges").alias("n_from")))
+    return edges.join(F.broadcast(totals), "from_type")
+
+
+def type_transitions_oracle_sql() -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id
+                          ORDER BY {TS_US_DUCK}, event_id) AS from_type
+  FROM events),
+edges AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS n_edges
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, event_type),
+totals AS (
+  SELECT from_type, SUM(n_edges) AS n_from FROM edges GROUP BY from_type)
+SELECT e.from_type, e.to_type, e.n_edges, t.n_from
+FROM edges e JOIN totals t USING (from_type)"""

@@ -652,3 +652,120 @@ scored AS (
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
   {f32(bits)} AS bits_per_token
 FROM scored"""
+
+
+BPE_TOP_N = 50
+
+
+def bpe_pair_stats(docs: DataFrame, top_n: int = BPE_TOP_N) -> DataFrame:
+    """T16 — the counting step of BPE tokenizer training: frequency of
+    every adjacent character pair, aggregated corpus-wide, top-N merge
+    candidates.
+
+    The BPE trick that makes this scale: pair counts are computed over
+    the **distinct-word table weighted by word frequency**, never over
+    the raw token stream — the corpus collapses to vocab size in one
+    map-side-combined groupBy before any character-level work happens.
+    At 100 TB the char-pair explode touches millions of vocab rows, not
+    trillions of tokens. All-integer output; ties rank by pair text."""
+    from pyspark.sql import Window
+    words = (docs
+             .select(F.explode(F.expr(X.toks(X.SPARK))).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("wfreq")))
+    pairs = (words
+             .select("wfreq", F.explode(F.expr(X.ltransform(
+                 X.SPARK, X.seq(X.SPARK, "1", "length(word) - 1"),
+                 "i -> substr(word, i, 2)"))).alias("pair"))
+             .groupBy("pair")
+             .agg(F.count("*").alias("n_words"),
+                  F.sum("wfreq").alias("total_count")))
+    w = Window.orderBy(F.desc("total_count"), F.asc("pair"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n))
+
+
+def bpe_pair_stats_oracle_sql(top_n: int = BPE_TOP_N) -> str:
+    return f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wfreq FROM (
+    SELECT unnest({X.toks(X.DUCK)}) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+pairs AS (
+  SELECT pair, COUNT(*) AS n_words, SUM(wfreq) AS total_count FROM (
+    SELECT wfreq, unnest(list_transform(range(1, length(word)),
+                                        i -> substr(word, i, 2))) AS pair
+    FROM words)
+  GROUP BY pair)
+SELECT pair, n_words, total_count,
+  ROW_NUMBER() OVER (ORDER BY total_count DESC, pair ASC) AS rank
+FROM pairs
+QUALIFY rank <= {top_n}"""
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(docs: DataFrame, spark,
+                    size: int = CHUNK_SIZE,
+                    stride: int = CHUNK_STRIDE) -> DataFrame:
+    """T17 — RAG-style document chunking as a **Python UDTF** (the
+    table-function API surface): each document yields overlapping
+    token windows of ``size`` tokens every ``stride`` (the final window
+    is the first one reaching the document end; short docs yield one).
+
+    The UDTF runs as a lateral join — a controlled explode whose output
+    grain is chunks, the same narrow no-shuffle shape as the built-in
+    ``explode`` operators; rows never come back to the driver. (The
+    built-in-function composition in :func:`fingerprint` shows the
+    pure-SQL equivalent; this variant exists to cover the UDTF API with
+    an operator whose per-row logic is genuinely iterative.) Chunk text
+    hashes (md5) keep the oracle compact."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("doc_id bigint, chunk_idx int, n_tokens int, "
+                      "chunk_md5 string"))
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            import hashlib
+            toks = [t for t in text.strip().split(" ") if t != ""]
+            n = len(toks)
+            start = idx = 0
+            while True:
+                piece = toks[start:start + size]
+                yield (doc_id, idx,
+                       len(piece),
+                       hashlib.md5(" ".join(piece).encode()).hexdigest())
+                if start + size >= n:
+                    break
+                start += stride
+                idx += 1
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs.createOrReplaceTempView("__chunk_docs_in")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5 "
+        "FROM __chunk_docs_in, LATERAL chunk_doc(doc_id, text) c")
+
+
+def chunk_documents_oracle_sql(size: int = CHUNK_SIZE,
+                               stride: int = CHUNK_STRIDE) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter({X.toks(X.DUCK)}, x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+idx AS (
+  SELECT doc_id, toks, n,
+    unnest(generate_series(0,
+      CASE WHEN n <= {size} THEN 0
+           ELSE CAST(CEIL(CAST(n - {size} AS DOUBLE) / {stride}) AS INT)
+      END)) AS chunk_idx
+  FROM n)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  CAST(LEAST({size}, n - chunk_idx * {stride}) AS INT) AS n_tokens,
+  md5(array_to_string(
+    toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {size}], ' '))
+    AS chunk_md5
+FROM idx"""

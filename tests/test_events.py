@@ -186,3 +186,24 @@ def test_daily_type_pivot_semantics(spark):
     assert d0.click == 2 and d0.view == 1 and d0.purchase == 0
     assert d1.purchase == 1 and d1.click == 0
     assert d0.error == 0 and d0.signup == 0
+
+
+def test_type_transitions_match_python(spark, sf_dir):
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from birli_spark.sources import corpus
+    ev = corpus.load_events(spark, sf_dir)
+    got = events.type_transitions(ev).toPandas()
+    pdf = ev.select("user_id", "event_id", "event_type",
+                    F.expr(events.TS_US_SPARK).alias("us")).toPandas()
+    pdf = pdf.sort_values(["user_id", "us", "event_id"])
+    edges = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        types = list(grp.event_type)
+        for a, b in zip(types, types[1:]):
+            edges[(a, b)] += 1
+    assert len(got) == len(edges)
+    for _, r in got.iterrows():
+        assert edges[(r.from_type, r.to_type)] == r.n_edges
+        assert r.n_from == sum(v for (f, _), v in edges.items()
+                               if f == r.from_type)

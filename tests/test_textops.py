@@ -183,3 +183,44 @@ def test_rarity_stats_constructed(spark):
     assert d0.max_df == 2
     d1 = out[1]
     assert d1.n_hapax == 1 and d1.max_df == 2 and d1.sum_df == 3
+
+
+def test_bpe_pairs_match_python(spark, sf_dir):
+    from collections import Counter
+    docs, pdf = _docs_pdf(spark, sf_dir, n=500)
+    got = text.bpe_pair_stats(docs, top_n=20).toPandas()
+    wfreq = Counter()
+    for _, row in pdf.iterrows():
+        wfreq.update(t for t in row["text"].strip().split(" ") if t)
+    totals, nwords = Counter(), Counter()
+    for w, c in wfreq.items():
+        for i in range(len(w) - 1):
+            pass
+        for p in {w[i:i + 2] for i in range(len(w) - 1)}:
+            nwords[p] += 1
+        for i in range(len(w) - 1):
+            totals[w[i:i + 2]] += c
+    exp = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.pair, r.total_count) for _, r in got.iterrows()] == exp
+    for _, r in got.iterrows():
+        assert r.n_words == nwords[r.pair]
+
+
+def test_chunk_udtf_windows(spark, sf_dir):
+    import hashlib
+    docs, pdf = _docs_pdf(spark, sf_dir, n=15)
+    got = text.chunk_documents(docs, spark).toPandas()
+    for _, row in pdf.iterrows():
+        toks = [t for t in row["text"].strip().split(" ") if t]
+        sub = got[got.doc_id == row.doc_id].sort_values("chunk_idx")
+        starts = list(range(0, max(len(toks) - text.CHUNK_SIZE, 0) + 1,
+                            text.CHUNK_STRIDE))
+        if starts[-1] + text.CHUNK_SIZE < len(toks):
+            starts.append(starts[-1] + text.CHUNK_STRIDE)
+        assert list(sub.chunk_idx) == list(range(len(starts)))
+        for i, s in enumerate(starts):
+            piece = toks[s:s + text.CHUNK_SIZE]
+            r = sub.iloc[i]
+            assert r.n_tokens == len(piece)
+            assert r.chunk_md5 == hashlib.md5(
+                " ".join(piece).encode()).hexdigest()

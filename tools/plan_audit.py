@@ -80,6 +80,7 @@ HEADLINE = [
     "i1_inverted_index", "i2_bm25_topk", "d10_semantic_dedup",
     "sk4_bloom_membership", "sk5_hist_quantiles", "mm_phash_neardup",
     "h4_pricing_summary", "h5_shipping_priority",
+    "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
 ]
 
 
