@@ -357,6 +357,11 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_pq_codes(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return quantization.pq_codes(corpus.load_embeddings(spark, sf_dir))
+
+
 def _q_type_transitions(spark, sf_dir):
     from birli_spark.sources import corpus
     return events.type_transitions(corpus.load_events(spark, sf_dir))
@@ -848,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_type_transitions": _q_type_transitions,
         "t16_bpe_pairs": _q_bpe_pairs,
         "t17_chunk_udtf": _q_chunk_udtf,
+        "emb4_pq_codes": _q_pq_codes,
     }
 
 
@@ -1088,4 +1094,5 @@ def oracle_sql() -> dict[str, str]:
         "e15_type_transitions": events.type_transitions_oracle_sql(),
         "t16_bpe_pairs": text.bpe_pair_stats_oracle_sql(),
         "t17_chunk_udtf": text.chunk_documents_oracle_sql(),
+        "emb4_pq_codes": quantization.pq_codes_oracle_sql(),
     }

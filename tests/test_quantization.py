@@ -38,3 +38,41 @@ def test_quantize_matches_numpy(spark, sf_dir):
         assert g.q_md5 == hashlib.md5(
             ",".join(str(int(c)) for c in q).encode()).hexdigest()
         assert g.n_clipped == int((np.abs(q) == 127).sum())
+
+
+def test_pq_codes_match_numpy(spark, sf_dir):
+    import numpy as np
+    from birli_spark.operators import quantization as qz
+    from birli_spark.sources import corpus
+    emb = corpus.load_embeddings(spark, sf_dir)
+    got = qz.pq_codes(emb).orderBy("vec_id").toPandas()
+    pdf = emb.orderBy("vec_id").toPandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64)
+                     for v in pdf.embedding])
+    cb = vecs[:qz.PQ_K]
+    M, S = qz.PQ_M, qz.PQ_SUB
+    for r, v in zip(got.itertuples(), vecs):
+        codes, err, nz = [], 0.0, 0
+        for m in range(M):
+            sub = v[m * S:(m + 1) * S]
+            d2 = ((cb[:, m * S:(m + 1) * S] - sub) ** 2).sum(axis=1)
+            kbest = int(np.argmin(d2))   # np.argmin = first min = tie on k
+            codes.append(str(kbest))
+            err += float(d2[kbest])
+            nz += int(d2[kbest] == 0.0)
+        assert r.pq_code == ",".join(codes)
+        assert abs(r.sq_err - err) < 1e-4 * max(err, 1.0)
+        assert r.n_exact_sub == nz
+
+
+def test_pq_codebook_vectors_self_code(spark, sf_dir):
+    from birli_spark.operators import quantization as qz
+    from birli_spark.sources import corpus
+    emb = corpus.load_embeddings(spark, sf_dir)
+    got = (qz.pq_codes(emb).filter(f"vec_id < {qz.PQ_K}")
+           .orderBy("vec_id").toPandas())
+    # every codebook vector reconstructs itself exactly
+    for r in got.itertuples():
+        assert r.sq_err == 0.0
+        assert r.n_exact_sub == qz.PQ_M
+        assert r.pq_code == ",".join([str(r.vec_id)] * qz.PQ_M)

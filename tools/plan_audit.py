@@ -27,9 +27,9 @@ from birli_spark.session import get_spark  # noqa: E402
 # centroid tables, k-means' single collapsed-centroid row), so N×M stays
 # bounded by the broadcast side.
 BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb2_kmeans",
-           # kmeans centroid-row joins (same collapsed single-row build
-           # side as emb2_kmeans)
-           "d10_semantic_dedup",
+           # kmeans/codebook centroid-row joins (same collapsed
+           # single-row build side as emb2_kmeans)
+           "d10_semantic_dedup", "emb4_pq_codes",
            # 1-row corpus-total / tiny p-literal / ≤groups-filter build
            # sides — bounded by construction
            "i2_bm25_topk", "sk4_bloom_membership", "sk5_hist_quantiles"}
@@ -81,6 +81,7 @@ HEADLINE = [
     "sk4_bloom_membership", "sk5_hist_quantiles", "mm_phash_neardup",
     "h4_pricing_summary", "h5_shipping_priority",
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
+    "emb4_pq_codes",
 ]
 
 
