@@ -357,6 +357,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.pmi_collocations(corpus.load_documents(spark, sf_dir))
+
+
 def _q_pq_codes(spark, sf_dir):
     from birli_spark.sources import corpus
     return quantization.pq_codes(corpus.load_embeddings(spark, sf_dir))
@@ -854,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_bpe_pairs": _q_bpe_pairs,
         "t17_chunk_udtf": _q_chunk_udtf,
         "emb4_pq_codes": _q_pq_codes,
+        "t18_pmi_collocations": _q_pmi_collocations,
     }
 
 
@@ -1095,4 +1102,5 @@ def oracle_sql() -> dict[str, str]:
         "t16_bpe_pairs": text.bpe_pair_stats_oracle_sql(),
         "t17_chunk_udtf": text.chunk_documents_oracle_sql(),
         "emb4_pq_codes": quantization.pq_codes_oracle_sql(),
+        "t18_pmi_collocations": text.pmi_collocations_oracle_sql(),
     }

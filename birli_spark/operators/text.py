@@ -769,3 +769,110 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
     toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {size}], ' '))
     AS chunk_md5
 FROM idx"""
+
+
+PMI_MIN_COUNT = 20
+PMI_TOP_N = 40
+_PMI_NBITS = 24
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = PMI_MIN_COUNT,
+                     top_n: int = PMI_TOP_N) -> DataFrame:
+    """T18 — collocation mining by pointwise mutual information:
+    ``PMI(a,b) = log2(N·c(ab) / (c(a)·c(b)))`` over adjacent token
+    pairs, ranked after a minimum-count cut (the classic phrase-mining
+    score; high-PMI pairs become single tokens in phrase-aware
+    vocabularies).
+
+    Exactness: every count is an integer, and log2 of a product/ratio
+    decomposes into ±fixed-point-log2 of the integer factors —
+    ``ticks = lg(c_ab) + lg(N) − lg(c_a) − lg(c_b)`` — so the score is
+    a BIGINT, bit-identical across engines, with zero float ops.
+
+    Scale shape: unigram and bigram tables are map-side-combined
+    groupBys (vocab- and bigram-vocab-sized); the min-count cut prunes
+    the bigram table BEFORE its two broadcast joins against the unigram
+    table, and the four log2 chains run only on surviving collocations.
+    The rank window sees a filtered aggregate, never the corpus."""
+    from pyspark.sql import Window
+    t = X.toks(X.SPARK)
+    n = X.size(X.SPARK, t)
+    uni = (docs.select(F.explode(F.expr(t)).alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy("tok").agg(F.count("*").alias("c")))
+    bigrams = (f"transform(IF({n} >= 2, sequence(1, {n} - 1), "
+               f"CAST(array() AS ARRAY<INT>)), "
+               f"i -> concat({t}[i - 1], ' ', {t}[i]))")
+    bi = (docs.select(F.explode(F.expr(bigrams)).alias("pair"))
+          .groupBy("pair").agg(F.count("*").alias("c_ab"))
+          .filter(F.col("c_ab") >= min_count))
+    n_tot = (docs.select(F.explode(F.expr(t)).alias("tok"))
+             .filter(F.col("tok") != "")
+             .agg(F.count("*").alias("n")))
+    j = (bi
+         .withColumn("a", F.expr("split(pair, ' ')[0]"))
+         .withColumn("b", F.expr("split(pair, ' ')[1]"))
+         .join(F.broadcast(uni.select(F.col("tok").alias("a"),
+                                      F.col("c").alias("c_a"))), "a")
+         .join(F.broadcast(uni.select(F.col("tok").alias("b"),
+                                      F.col("c").alias("c_b"))), "b")
+         .join(F.broadcast(n_tot)))
+    j = _log2fix_ticks(j, "c_ab", "lg_ab", _PMI_NBITS)
+    j = _log2fix_ticks(j, "n", "lg_n", _PMI_NBITS)
+    j = _log2fix_ticks(j, "c_a", "lg_a", _PMI_NBITS)
+    j = _log2fix_ticks(j, "c_b", "lg_b", _PMI_NBITS)
+    j = j.withColumn("pmi_ticks",
+                     F.expr("lg_ab + lg_n - lg_a - lg_b"))
+    w = Window.orderBy(F.desc("pmi_ticks"), F.asc("pair"))
+    return (j.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select("pair", "c_ab", "c_a", "c_b", "pmi_ticks", "rank"))
+
+
+def pmi_collocations_oracle_sql(min_count: int = PMI_MIN_COUNT,
+                                top_n: int = PMI_TOP_N) -> str:
+    t = X.toks(X.DUCK)
+    nt = X.size(X.DUCK, t)
+    # the log2 chain consumes its cnt column, so counts that must
+    # survive to the output ride along under *_k aliases
+    base = """
+SELECT bi.pair, bi.c_ab, bi.c_ab AS c_ab_k, ua.c AS c_a, ua.c AS c_a_k,
+  ub.c AS c_b, ub.c AS c_b_k, nt.n AS n
+FROM bi
+JOIN uni ua ON string_split(bi.pair, ' ')[1] = ua.tok
+JOIN uni ub ON string_split(bi.pair, ' ')[2] = ub.tok
+CROSS JOIN ntot nt"""
+    q = X.log2fix_duck_sql(
+        base, "c_ab", "lg_ab",
+        ["pair", "c_ab_k", "c_a", "c_a_k", "c_b", "c_b_k", "n"], _PMI_NBITS)
+    q = X.log2fix_duck_sql(
+        f"SELECT * FROM ({q})", "n", "lg_n",
+        ["pair", "c_ab_k", "c_a", "c_a_k", "c_b", "c_b_k", "lg_ab"],
+        _PMI_NBITS)
+    q = X.log2fix_duck_sql(
+        f"SELECT * FROM ({q})", "c_a", "lg_a",
+        ["pair", "c_ab_k", "c_a_k", "c_b", "c_b_k", "lg_ab", "lg_n"],
+        _PMI_NBITS)
+    q = X.log2fix_duck_sql(
+        f"SELECT * FROM ({q})", "c_b", "lg_b",
+        ["pair", "c_ab_k", "c_a_k", "c_b_k", "lg_ab", "lg_n", "lg_a"],
+        _PMI_NBITS)
+    return f"""
+WITH tok AS (
+  SELECT unnest({t}) AS tok FROM documents),
+uni AS (SELECT tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY tok),
+bi AS (
+  SELECT pair, COUNT(*) AS c_ab FROM (
+    SELECT ts[i] || ' ' || ts[i + 1] AS pair
+    FROM (SELECT {t} AS ts, {nt} AS ntk FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, ntk - 1)) AS i) g
+    WHERE ntk >= 2)
+  GROUP BY pair HAVING COUNT(*) >= {min_count}),
+ntot AS (SELECT COUNT(*) AS n FROM tok WHERE tok <> ''),
+scored AS ({q})
+SELECT pair, c_ab_k AS c_ab, c_a_k AS c_a, c_b_k AS c_b,
+  lg_ab + lg_n - lg_a - lg_b AS pmi_ticks,
+  ROW_NUMBER() OVER (ORDER BY lg_ab + lg_n - lg_a - lg_b DESC,
+                     pair ASC) AS rank
+FROM scored
+QUALIFY rank <= {top_n}"""

@@ -224,3 +224,29 @@ def test_chunk_udtf_windows(spark, sf_dir):
             assert r.n_tokens == len(piece)
             assert r.chunk_md5 == hashlib.md5(
                 " ".join(piece).encode()).hexdigest()
+
+
+def test_pmi_collocations_match_python(spark, sf_dir):
+    import math
+    from collections import Counter
+    docs, pdf = _docs_pdf(spark, sf_dir, n=500)
+    got = text.pmi_collocations(docs, min_count=20, top_n=15).toPandas()
+    uni, bi = Counter(), Counter()
+    n_tot = 0
+    for _, row in pdf.iterrows():
+        toks = row["text"].strip().split(" ")
+        toks_nz = [t for t in toks if t]
+        uni.update(toks_nz)
+        n_tot += len(toks_nz)
+        bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    assert len(got) == 15
+    prev = None
+    for _, r in got.iterrows():
+        assert bi[r.pair] == r.c_ab and r.c_ab >= 20
+        a, b = r.pair.split(" ")
+        assert uni[a] == r.c_a and uni[b] == r.c_b
+        pmi_ref = math.log2(n_tot * r.c_ab / (r.c_a * r.c_b))
+        assert abs(r.pmi_ticks / (1 << 24) - pmi_ref) < 1e-4
+        if prev is not None:
+            assert r.pmi_ticks <= prev
+        prev = r.pmi_ticks

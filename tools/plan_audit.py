@@ -32,7 +32,8 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb2_kmeans",
            "d10_semantic_dedup", "emb4_pq_codes",
            # 1-row corpus-total / tiny p-literal / ≤groups-filter build
            # sides — bounded by construction
-           "i2_bm25_topk", "sk4_bloom_membership", "sk5_hist_quantiles"}
+           "i2_bm25_topk", "sk4_bloom_membership", "sk5_hist_quantiles",
+           "t18_pmi_collocations"}
 
 # Queries where a sort-merge join is the RIGHT plan: both sides scale
 # with the fact/corpus table (per-doc stats joins, anti-join drop sets,
@@ -81,7 +82,7 @@ HEADLINE = [
     "sk4_bloom_membership", "sk5_hist_quantiles", "mm_phash_neardup",
     "h4_pricing_summary", "h5_shipping_priority",
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
-    "emb4_pq_codes",
+    "emb4_pq_codes", "t18_pmi_collocations",
 ]
 
 
