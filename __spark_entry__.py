@@ -357,6 +357,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_small_quantity_revenue(spark, sf_dir):
+    return relational.small_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
 def _q_pmi_collocations(spark, sf_dir):
     from birli_spark.operators import text
     from birli_spark.sources import corpus
@@ -861,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t17_chunk_udtf": _q_chunk_udtf,
         "emb4_pq_codes": _q_pq_codes,
         "t18_pmi_collocations": _q_pmi_collocations,
+        "h6_small_quantity_revenue": _q_small_quantity_revenue,
     }
 
 
@@ -1103,4 +1110,6 @@ def oracle_sql() -> dict[str, str]:
         "t17_chunk_udtf": text.chunk_documents_oracle_sql(),
         "emb4_pq_codes": quantization.pq_codes_oracle_sql(),
         "t18_pmi_collocations": text.pmi_collocations_oracle_sql(),
+        "h6_small_quantity_revenue":
+            relational.small_quantity_revenue_oracle_sql(),
     }

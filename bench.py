@@ -43,6 +43,15 @@ HEADLINE = [
     "e1_windowed_agg",
     "e6_burst_counts",
     "e8_trailing_bursts",
+    # round-2 additions: the new scale-sensitive shapes (BM25 retrieval,
+    # cluster-scoped SemDeDup, banded pHash dedup, Q1/Q3 relational,
+    # bloom probe)
+    "i2_bm25_topk",
+    "d10_semantic_dedup",
+    "mm_phash_neardup",
+    "h4_pricing_summary",
+    "h5_shipping_priority",
+    "sk4_bloom_membership",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1_van_vleck",

@@ -190,6 +190,54 @@ WHERE l_shipdate <= TIMESTAMP '{cutoff}'
 GROUP BY l_returnflag, l_linestatus"""
 
 
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = "Brand#4") -> DataFrame:
+    """H6 — the TPC-H Q17 shape: **per-group aggregate joined back to
+    the fact** (a decorrelated correlated subquery). For each part of
+    one brand, compute its average order quantity, then sum the revenue
+    of line items below 20% of that average — the "small-lot" revenue.
+
+    Scale notes: the brand filter broadcasts the pruned part-key set
+    into the fact scan FIRST, so the per-part average aggregates only
+    the brand's rows; the join-back is keyed on the same partkey the
+    aggregate produced (AQE broadcasts the aggregate — ≤ brand-part
+    cardinality rows). The 0.2·avg threshold compares exact tick ratios:
+    ``50 · qty·cnt < 10 · sum_qty`` rearranged to integers, so no float
+    division crosses the predicate."""
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(F.broadcast(pk),
+                       lineitem["l_partkey"] == pk["p_partkey"])
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+                     .alias("sum_qty"),
+                     F.count("*").alias("cnt")))
+    j = li.join(per_part, li["l_partkey"] == per_part["pk"])
+    # l_quantity < 0.2 * (sum_qty / cnt)  <=>  5 * qty * cnt < sum_qty
+    small = j.filter(F.expr(
+        "5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty"))
+    return small.agg(
+        F.count("*").alias("n_small_lots"),
+        (F.sum(F.expr(_PRICE_TICKS)) / F.lit(100.0)).alias("total_price"),
+        F.countDistinct("l_partkey").alias("n_parts"))
+
+
+def small_quantity_revenue_oracle_sql(brand: str = "Brand#4") -> str:
+    return f"""
+WITH li AS (
+  SELECT l.* FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = '{brand}'),
+per_part AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+    COUNT(*) AS cnt
+  FROM li GROUP BY l_partkey)
+SELECT COUNT(*) AS n_small_lots,
+  SUM({_PRICE_TICKS}) / 100.0 AS total_price,
+  COUNT(DISTINCT l_partkey) AS n_parts
+FROM li JOIN per_part ON li.l_partkey = per_part.pk
+WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty"""
+
+
 _Q3_DATE = "1996-03-15 00:00:00"
 
 

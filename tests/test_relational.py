@@ -89,3 +89,25 @@ def test_shipping_priority_topk(spark, sf_dir):
     revs = list(got.revenue)
     assert revs == sorted(revs, reverse=True)
     assert got.o_orderkey.is_unique
+
+
+def test_small_quantity_revenue_python_recompute(spark, sf_dir):
+    from birli_spark.operators import relational
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    brand_keys = set(r.p_partkey for r in pt.filter(
+        "p_brand = 'Brand#4'").collect())
+    sub = li[li.l_partkey.isin(brand_keys)]
+    stats = sub.groupby("l_partkey").l_quantity.agg(["sum", "count"])
+    n_small, price, parts = 0, 0.0, set()
+    for r in sub.itertuples():
+        s, c = stats.loc[r.l_partkey]
+        if 5 * r.l_quantity * c < s:
+            n_small += 1
+            price += r.l_extendedprice
+            parts.add(r.l_partkey)
+    got = relational.small_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), pt).collect()[0]
+    assert got.n_small_lots == n_small
+    assert abs(got.total_price - price) < 1e-4
+    assert got.n_parts == len(parts)

@@ -58,7 +58,10 @@ SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
           "t13_rarity_stats",
           # within-cell pair self-join + drop-set join-back: both sides
           # corpus-scale (AQE demotes the drop set when it shrinks)
-          "d10_semantic_dedup"}
+          "d10_semantic_dedup",
+          # per-part aggregate join-back: the aggregate side scales with
+          # the brand's part cardinality (AQE demotes when it shrinks)
+          "h6_small_quantity_revenue"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -82,7 +85,7 @@ HEADLINE = [
     "sk4_bloom_membership", "sk5_hist_quantiles", "mm_phash_neardup",
     "h4_pricing_summary", "h5_shipping_priority",
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
-    "emb4_pq_codes", "t18_pmi_collocations",
+    "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
 ]
 
 
