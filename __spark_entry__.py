@@ -357,6 +357,11 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_user_ewma(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return events.user_ewma(corpus.load_events(spark, sf_dir))
+
+
 def _q_small_quantity_revenue(spark, sf_dir):
     return relational.small_quantity_revenue(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
@@ -868,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb4_pq_codes": _q_pq_codes,
         "t18_pmi_collocations": _q_pmi_collocations,
         "h6_small_quantity_revenue": _q_small_quantity_revenue,
+        "e16_user_ewma": _q_user_ewma,
     }
 
 
@@ -1112,4 +1118,5 @@ def oracle_sql() -> dict[str, str]:
         "t18_pmi_collocations": text.pmi_collocations_oracle_sql(),
         "h6_small_quantity_revenue":
             relational.small_quantity_revenue_oracle_sql(),
+        "e16_user_ewma": events.user_ewma_oracle_sql(),
     }

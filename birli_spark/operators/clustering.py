@@ -139,8 +139,12 @@ def semantic_dedup(emb: DataFrame, k: int = K_CLUSTERS,
     cluster and nothing crosses clusters; with balanced k-means cells
     this is N²/k work and shuffles only (vec_id, cell, nrm)-width rows.
     The final keep/drop is a groupBy(vec) count + one left join back."""
+    # three consumers (both self-join sides + the join-back) — persist so
+    # the kmeans iteration chain runs once, not three times
+    from pyspark.storagelevel import StorageLevel
     asg = (assignments(emb, k, iters)
-           .withColumn("nrm", F.expr("SQRT(xx)")))
+           .withColumn("nrm", F.expr("SQRT(xx)"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     a, b = asg.alias("a"), asg.alias("b")
     cos = (f"{X.dot(X.SPARK, 'a.embedding', 'b.embedding')}"
            f" / (a.nrm * b.nrm)")

@@ -639,3 +639,58 @@ totals AS (
   SELECT from_type, SUM(n_edges) AS n_from FROM edges GROUP BY from_type)
 SELECT e.from_type, e.to_type, e.n_edges, t.n_from
 FROM edges e JOIN totals t USING (from_type)"""
+
+
+EWMA_ALPHA = "0.125"  # 1/8 — exactly representable
+
+
+def user_ewma(events: DataFrame) -> DataFrame:
+    """E16 — per-user exponentially weighted moving average of event
+    values, in event-time order: ``ewma ← α·v + (1−α)·ewma`` seeded with
+    the first value.
+
+    A recurrence can't be a window aggregate (each step needs the
+    previous *result*), but it IS a sequential fold — so the per-user
+    event list is assembled with one ``collect_list`` + ``array_sort``
+    (struct order = (ts, event_id) = deterministic) and folded in one
+    ``aggregate`` expression. Same fold, same IEEE ops in DuckDB's
+    ``list_reduce`` ⇒ bit-identical, no f32 hedging needed.
+
+    Scale: one shuffle on user_id; per-user state is that user's events
+    (the same bound as any per-user window); the fold is JVM-side
+    codegen, not a UDF. For unbounded per-user history you'd switch to
+    the streaming twin shape (carry the EWMA as O(1) state)."""
+    a = EWMA_ALPHA
+    lst = ("array_sort(collect_list(struct(ts_us, event_id, "
+           "CAST(value AS DOUBLE) AS v)))")
+    fold = (f"aggregate(slice(evs, 2, size(evs) - 1), evs[0].v, "
+            f"(acc, e) -> {a} * e.v + (1.0 - {a}) * acc)")
+    return (events
+            .selectExpr("user_id", "event_id", "(ts div 1000) AS ts_us",
+                        "value")
+            .groupBy("user_id")
+            .agg(F.expr(lst).alias("evs"))
+            .select("user_id",
+                    F.expr("size(evs)").alias("n_events"),
+                    F.expr("evs[0].v").alias("first_value"),
+                    F.expr(f"CASE WHEN size(evs) = 1 THEN evs[0].v "
+                           f"ELSE {fold} END").alias("ewma")))
+
+
+def user_ewma_oracle_sql() -> str:
+    a = EWMA_ALPHA
+    return f"""
+WITH ev AS (
+  SELECT user_id, {TS_US_DUCK} AS ts_us, event_id,
+    CAST(value AS DOUBLE) AS v
+  FROM events),
+grouped AS (
+  SELECT user_id,
+    list(v ORDER BY ts_us, event_id) AS vs
+  FROM ev GROUP BY user_id)
+SELECT user_id, CAST(len(vs) AS INT) AS n_events,
+  vs[1] AS first_value,
+  CASE WHEN len(vs) = 1 THEN vs[1]
+       ELSE list_reduce(vs, (acc, v) -> {a} * v + (1.0 - {a}) * acc)
+  END AS ewma
+FROM grouped"""

@@ -357,7 +357,11 @@ def bloom_membership(orders: DataFrame, customer: DataFrame,
     bits_arr = ", ".join(
         f"CAST({_bloom_bit(X.SPARK, j, 'o_custkey', m)} AS INT)"
         for j in range(kh))
-    members = orders.select("o_orderpriority", "o_custkey").distinct()
+    # two consumers (filter build + truth join) — persist the distinct
+    # member set so the orders scan/shuffle runs once
+    from pyspark.storagelevel import StorageLevel
+    members = (orders.select("o_orderpriority", "o_custkey").distinct()
+               .persist(StorageLevel.MEMORY_AND_DISK))
     filt = (members
             .select("o_orderpriority", F.explode(
                 F.expr(f"array({bits_arr})")).alias("bit"))

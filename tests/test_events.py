@@ -207,3 +207,23 @@ def test_type_transitions_match_python(spark, sf_dir):
         assert edges[(r.from_type, r.to_type)] == r.n_edges
         assert r.n_from == sum(v for (f, _), v in edges.items()
                                if f == r.from_type)
+
+
+def test_user_ewma_matches_python(spark, sf_dir):
+    from birli_spark.sources import corpus
+    from pyspark.sql import functions as F
+    ev = corpus.load_events(spark, sf_dir)
+    got = events.user_ewma(ev).toPandas().set_index("user_id")
+    pdf = (ev.select("user_id", "event_id", "value",
+                     F.expr(events.TS_US_SPARK).alias("us"))
+           .toPandas().sort_values(["user_id", "us", "event_id"]))
+    a = float(events.EWMA_ALPHA)
+    for uid, grp in pdf.groupby("user_id"):
+        vals = list(grp.value)
+        ew = vals[0]
+        for v in vals[1:]:
+            ew = a * v + (1 - a) * ew
+        r = got.loc[uid]
+        assert r.n_events == len(vals)
+        assert r.first_value == vals[0]
+        assert abs(r.ewma - ew) < 1e-12

@@ -86,6 +86,7 @@ HEADLINE = [
     "h4_pricing_summary", "h5_shipping_priority",
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
     "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
+    "e16_user_ewma",
 ]
 
 
