@@ -357,6 +357,11 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_rerank_topk(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return similarity.rerank_topk(corpus.load_embeddings(spark, sf_dir))
+
+
 def _q_user_ewma(spark, sf_dir):
     from birli_spark.sources import corpus
     return events.user_ewma(corpus.load_events(spark, sf_dir))
@@ -874,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t18_pmi_collocations": _q_pmi_collocations,
         "h6_small_quantity_revenue": _q_small_quantity_revenue,
         "e16_user_ewma": _q_user_ewma,
+        "ann_rerank_topk": _q_rerank_topk,
     }
 
 
@@ -1119,4 +1125,5 @@ def oracle_sql() -> dict[str, str]:
         "h6_small_quantity_revenue":
             relational.small_quantity_revenue_oracle_sql(),
         "e16_user_ewma": events.user_ewma_oracle_sql(),
+        "ann_rerank_topk": similarity.rerank_topk_oracle_sql(),
     }

@@ -252,3 +252,82 @@ SELECT label, CAST(d.dim AS INT) AS dim, COUNT(*) AS n_vectors,
     AS centroid
 FROM embeddings, dims d
 GROUP BY label, d.dim"""
+
+
+PREFIX_DIM = 16
+RERANK_CAND = 50
+
+
+def rerank_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
+                prefix: int = PREFIX_DIM,
+                cand: int = RERANK_CAND) -> DataFrame:
+    """EMB5 — two-stage coarse→rerank ANN (the Matryoshka/production
+    retrieval shape): stage 1 scores every corpus vector with only the
+    first ``prefix`` dims (4× less arithmetic and — with truncated
+    storage — 4× less I/O) and keeps ``cand`` candidates per query;
+    stage 2 reranks just those with the full-dimension cosine.
+
+    Scale: stage 1 is the brute pass with a narrower vector (at 100 TB
+    the prefix column would be stored separately so the scan reads 16
+    floats, not 64); stage 2 touches cand×queries rows — negligible.
+    Output marks each hit's coarse rank so recall-vs-full is auditable.
+    Fully deterministic: ties break on vec_id at both stages."""
+    pfx = f"slice(embedding, 1, {prefix})"
+    n = emb.select(
+        "vec_id", "embedding",
+        F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"),
+        F.expr(pfx).alias("p_emb"),
+        F.expr(X.norm(X.SPARK, pfx)).alias("p_nrm"))
+    q = (n.filter(F.col("vec_id") < n_queries)
+         .withColumnsRenamed({"vec_id": "qid", "embedding": "q_emb",
+                              "nrm": "q_nrm", "p_emb": "qp_emb",
+                              "p_nrm": "qp_nrm"}))
+    cos_p = f"{X.dot(X.SPARK, 'qp_emb', 'p_emb')} / (qp_nrm * p_nrm)"
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc("cos_p"), F.asc("vec_id"))
+    coarse = (n.join(F.broadcast(q), F.expr("vec_id <> qid"))
+              .withColumn("cos_p", F.expr(cos_p))
+              .withColumn("coarse_rank", F.row_number().over(wp))
+              .filter(F.col("coarse_rank") <= cand))
+    cos = f"{X.dot(X.SPARK, 'q_emb', 'embedding')} / (q_nrm * nrm)"
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (coarse
+            .withColumn("cos", F.expr(cos))
+            .withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id", "cos", "rank",
+                    F.col("coarse_rank").cast("int").alias("coarse_rank")))
+
+
+def rerank_topk_oracle_sql(k: int = 5, n_queries: int = 8,
+                           prefix: int = PREFIX_DIM,
+                           cand: int = RERANK_CAND) -> str:
+    pfx = lambda col: f"{col}[1:{prefix}]"
+    cos_p = (f"{X.dot(X.DUCK, pfx('q.embedding'), pfx('c.embedding'))}"
+             f" / (q.p_nrm * c.p_nrm)")
+    cos = f"{X.dot(X.DUCK, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+    {X.norm(X.DUCK, 'embedding')} AS nrm,
+    {X.norm(X.DUCK, f'embedding[1:{prefix}]')} AS p_nrm
+  FROM embeddings),
+coarse AS (
+  SELECT qid, vec_id, nrm, q_nrm, coarse_rank FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS vec_id, c.nrm, q.nrm AS q_nrm,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY {cos_p} DESC, c.vec_id ASC)
+        AS coarse_rank
+    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries})
+  WHERE coarse_rank <= {cand}),
+reranked AS (
+  SELECT co.qid, co.vec_id, {cos} AS cos, co.coarse_rank,
+    ROW_NUMBER() OVER (PARTITION BY co.qid
+                       ORDER BY {cos} DESC, co.vec_id ASC) AS rank
+  FROM coarse co
+  JOIN n q ON q.vec_id = co.qid
+  JOIN n c ON c.vec_id = co.vec_id)
+SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank,
+  CAST(coarse_rank AS INT) AS coarse_rank
+FROM reranked WHERE rank <= {k}"""

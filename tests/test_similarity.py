@@ -102,3 +102,34 @@ def test_label_centroids_matches_numpy(spark, sf_dir):
         row = grp.iloc[0]
         assert row.n_vectors == len(vecs)
         assert abs(row.centroid - exp) < 2e-7 * max(1.0, abs(exp))
+
+
+def test_rerank_recall_vs_brute(spark, sf_dir):
+    from birli_spark.operators import similarity
+    from birli_spark.sources import corpus
+    emb = corpus.load_embeddings(spark, sf_dir)
+    brute = {(r.qid, r.rank): r.vec_id
+             for r in similarity.brute_topk(emb, k=5).collect()}
+    rer = {(r.qid, r.rank): r for r in
+           similarity.rerank_topk(emb, k=5).collect()}
+    assert set(r[0] for r in rer) == set(b[0] for b in brute)
+    # conditional exactness: within each query the reranked order must be
+    # the true full-cosine order of the surviving candidates — i.e. the
+    # final cosines are the brute cosines (synthetic random embeddings
+    # have weakly-correlated prefixes, so absolute recall is data-poor
+    # here; the SHAPE — coarse prune then exact rerank — is under test)
+    import numpy as np
+    pdf = emb.orderBy("vec_id").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    for r in rer.values():
+        a, b = vecs[r.qid], vecs[r.vec_id]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos - true_cos) < 1e-9
+        assert 1 <= r.coarse_rank <= similarity.RERANK_CAND
+    for qid in set(r[0] for r in rer):
+        ranks = sorted(rr.rank for key, rr in rer.items() if key[0] == qid)
+        coss = [rr.cos for key, rr in sorted(rer.items())
+                if key[0] == qid]
+        assert ranks == [1, 2, 3, 4, 5]
+        assert coss == sorted(coss, reverse=True)

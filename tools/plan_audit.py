@@ -26,7 +26,8 @@ from birli_spark.session import get_spark  # noqa: E402
 # the join side is broadcast-sized by construction (ANN query sets, IVF
 # centroid tables, k-means' single collapsed-centroid row), so N×M stays
 # bounded by the broadcast side.
-BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "emb2_kmeans",
+BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+           "ann_rerank_topk", "emb2_kmeans",
            # kmeans/codebook centroid-row joins (same collapsed
            # single-row build side as emb2_kmeans)
            "d10_semantic_dedup", "emb4_pq_codes",
@@ -86,7 +87,7 @@ HEADLINE = [
     "h4_pricing_summary", "h5_shipping_priority",
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
     "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
-    "e16_user_ewma",
+    "e16_user_ewma", "ann_rerank_topk",
 ]
 
 
