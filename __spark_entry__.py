@@ -357,6 +357,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_scene_cuts(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return multimodal.scene_cuts(
+        multimodal.attach_media(corpus.load_documents(spark, sf_dir)))
+
+
 def _q_rerank_topk(spark, sf_dir):
     from birli_spark.sources import corpus
     return similarity.rerank_topk(corpus.load_embeddings(spark, sf_dir))
@@ -880,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h6_small_quantity_revenue": _q_small_quantity_revenue,
         "e16_user_ewma": _q_user_ewma,
         "ann_rerank_topk": _q_rerank_topk,
+        "mm_scene_cuts": _q_scene_cuts,
     }
 
 
@@ -1126,4 +1133,5 @@ def oracle_sql() -> dict[str, str]:
             relational.small_quantity_revenue_oracle_sql(),
         "e16_user_ewma": events.user_ewma_oracle_sql(),
         "ann_rerank_topk": similarity.rerank_topk_oracle_sql(),
+        "mm_scene_cuts": multimodal.scene_cuts_oracle_sql(),
     }

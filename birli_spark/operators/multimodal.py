@@ -356,3 +356,75 @@ FROM cand c
 JOIN sigs a ON a.doc_id = c.doc_a
 JOIN sigs b ON b.doc_id = c.doc_b
 WHERE ({ham}) <= {max_ham}"""
+
+
+# ----------------------------------------- video scene-cut detection ---
+
+FRAME_BYTES = 16
+SCENE_CUT_THRESHOLD = 320  # sum of abs byte deltas over one frame
+
+_SCENE_SCHEMA = ("doc_id long, n_frames int, n_cuts int, first_cut int, "
+                 "max_delta int")
+
+
+def scene_cuts(media: DataFrame,
+               frame_bytes: int = FRAME_BYTES,
+               threshold: int = SCENE_CUT_THRESHOLD) -> DataFrame:
+    """MM6 — video-modality scene-cut detection: interpret the payload
+    as consecutive ``frame_bytes``-byte frames and flag a cut wherever
+    the summed absolute byte delta between adjacent frames exceeds the
+    threshold (a real pipeline swaps the byte delta for a decoded-frame
+    histogram distance — :func:`decode_image` stub). Vectorized numpy
+    over Arrow batches; the binary column never shuffles; output is one
+    summary row per asset. All-integer, so the oracle is exact."""
+    import numpy as np
+    from collections.abc import Iterator as _It
+
+    def detect(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nf = len(b) // frame_bytes
+                if nf < 2:
+                    rows.append((int(doc_id), nf, 0, -1, 0))
+                    continue
+                frames = b[:nf * frame_bytes].astype(np.int64).reshape(
+                    nf, frame_bytes)
+                deltas = np.abs(np.diff(frames, axis=0)).sum(axis=1)
+                cuts = np.flatnonzero(deltas > threshold)
+                rows.append((int(doc_id), nf, int(cuts.size),
+                             int(cuts[0] + 1) if cuts.size else -1,
+                             int(deltas.max())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "n_cuts", "first_cut", "max_delta"])
+
+    return media.mapInPandas(detect, schema=_SCENE_SCHEMA)
+
+
+def scene_cuts_oracle_sql(frame_bytes: int = FRAME_BYTES,
+                          threshold: int = SCENE_CUT_THRESHOLD) -> str:
+    """SQL twin over the utf-8 payload (ASCII corpus ⇒ byte == code)."""
+    fb = frame_bytes
+    delta = (f"list_sum(list_transform(range(1, {fb} + 1), "
+             f"i -> abs(codes[f * {fb} + i] - codes[(f - 1) * {fb} + i])))")
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) + 1),
+                   i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))
+      AS codes,
+    CAST(length(text) // {fb} AS INT) AS n_frames
+  FROM documents),
+deltas AS (
+  SELECT doc_id, n_frames, f, {delta} AS delta
+  FROM raw, LATERAL unnest(generate_series(1, n_frames - 1)) AS g(f)
+  WHERE n_frames >= 2)
+SELECT r.doc_id, r.n_frames,
+  CAST(COALESCE(SUM(CAST(d.delta > {threshold} AS INT)), 0) AS INT)
+    AS n_cuts,
+  CAST(COALESCE(MIN(CASE WHEN d.delta > {threshold} THEN d.f END), -1)
+    AS INT) AS first_cut,
+  CAST(COALESCE(MAX(d.delta), 0) AS INT) AS max_delta
+FROM raw r LEFT JOIN deltas d USING (doc_id)
+GROUP BY r.doc_id, r.n_frames"""

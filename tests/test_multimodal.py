@@ -108,3 +108,22 @@ def test_phash_neardup_plants_pair(spark):
              for r in multimodal.phash_neardup(media).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_scene_cuts_constructed(spark):
+    from pyspark.sql import Row
+    fb = multimodal.FRAME_BYTES
+    # frame A of 'a's, frame B of 'z's: delta = 16 * 25 = 400 > 320 (cut);
+    # frame C of 'y's: delta = 16 -> no cut; 5 trailing bytes ignored
+    text = "a" * fb + "z" * fb + "y" * fb + "tail!"
+    docs = spark.createDataFrame([Row(doc_id=0, text=text),
+                                  Row(doc_id=1, text="short")])
+    media = multimodal.attach_media(docs)
+    out = {r.doc_id: r for r in multimodal.scene_cuts(media).collect()}
+    r = out[0]
+    assert r.n_frames == 3
+    assert r.n_cuts == 1 and r.first_cut == 1
+    assert r.max_delta == 16 * 25
+    s = out[1]                       # < 2 frames -> no deltas
+    assert s.n_frames == 0 and s.n_cuts == 0
+    assert s.first_cut == -1 and s.max_delta == 0

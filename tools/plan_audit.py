@@ -87,7 +87,7 @@ HEADLINE = [
     "h4_pricing_summary", "h5_shipping_priority",
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
     "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
-    "e16_user_ewma", "ann_rerank_topk",
+    "e16_user_ewma", "ann_rerank_topk", "mm_scene_cuts",
 ]
 
 
