@@ -51,3 +51,26 @@ def test_corpus_example_end_to_end(tmp_path):
     # survivors of the pairwise policy may still carry a cluster_id of a
     # removed doc, but every doc_id is unique
     assert curated.count() == curated.select("doc_id").distinct().count()
+
+
+def test_search_example_end_to_end(tmp_path):
+    sys.modules.pop("examples.search_pipeline", None)
+    mod = runpy.run_path("examples/search_pipeline.py")
+    import birli_spark.session as sess
+    spark = sess.get_spark("birli_spark_tests")
+    real_stop = spark.stop
+    try:
+        spark.stop = lambda: None
+        result = mod["main"](out_dir=str(tmp_path / "search"))
+    finally:
+        spark.stop = real_stop
+    assert result["n_docs"] == 500
+    assert result["n_index_rows"] > 0
+    assert result["n_bm25_hits"] == 40      # 4 queries x k=10
+    assert result["n_pq_rows"] == 500
+    assert result["n_rerank_hits"] == 40    # 8 queries x k=5
+    # sharded layout on disk: one directory per posting shard
+    import os
+    shards = [d for d in os.listdir(tmp_path / "search" / "index")
+              if d.startswith("shard=")]
+    assert len(shards) == 8
