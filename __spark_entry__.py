@@ -357,6 +357,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_source_pagerank(spark, sf_dir):
+    from birli_spark.operators import graph
+    from birli_spark.sources import corpus
+    return graph.source_pagerank(corpus.load_documents(spark, sf_dir))
+
+
 def _q_scene_cuts(spark, sf_dir):
     from birli_spark.sources import corpus
     return multimodal.scene_cuts(
@@ -887,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e16_user_ewma": _q_user_ewma,
         "ann_rerank_topk": _q_rerank_topk,
         "mm_scene_cuts": _q_scene_cuts,
+        "g1_source_pagerank": _q_source_pagerank,
     }
 
 
@@ -1134,4 +1141,10 @@ def oracle_sql() -> dict[str, str]:
         "e16_user_ewma": events.user_ewma_oracle_sql(),
         "ann_rerank_topk": similarity.rerank_topk_oracle_sql(),
         "mm_scene_cuts": multimodal.scene_cuts_oracle_sql(),
+        "g1_source_pagerank": _graph_oracle(),
     }
+
+
+def _graph_oracle() -> str:
+    from birli_spark.operators import graph
+    return graph.source_pagerank_oracle_sql()
