@@ -357,6 +357,11 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_hll_windowed(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return sketches.hll_windowed_users(corpus.load_events(spark, sf_dir))
+
+
 def _q_source_pagerank(spark, sf_dir):
     from birli_spark.operators import graph
     from birli_spark.sources import corpus
@@ -894,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rerank_topk": _q_rerank_topk,
         "mm_scene_cuts": _q_scene_cuts,
         "g1_source_pagerank": _q_source_pagerank,
+        "sk6_hll_windowed": _q_hll_windowed,
     }
 
 
@@ -1142,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_rerank_topk": similarity.rerank_topk_oracle_sql(),
         "mm_scene_cuts": multimodal.scene_cuts_oracle_sql(),
         "g1_source_pagerank": _graph_oracle(),
+        "sk6_hll_windowed": sketches.hll_windowed_users_oracle_sql(),
     }
 
 

@@ -517,3 +517,132 @@ exact AS ({exact_rows})
 SELECT est.p, CAST(bin AS INT) AS bin,
   {f32(est)} AS hist_q, exact.exact_q
 FROM est JOIN exact ON est.p = exact.p"""
+
+
+# ---------------------------- SK6: sliding-window distinct (HLL merge) ---
+
+WIN_HOURS = 6
+_US_PER_HOUR = 3_600_000_000
+_LC_NBITS = 24
+_LC_RSCALE = 1 << 20
+#: ln(2) — the same literal parses to the same double in both engines
+_LN2 = 0.6931471805599453
+
+
+def hll_windowed_users(events: DataFrame,
+                       win_hours: int = WIN_HOURS) -> DataFrame:
+    """SK6 — distinct users over a trailing ``win_hours``-hour window,
+    per hour, estimated by **merging per-hour HLL register files** —
+    next to the exact windowed distinct it replaces.
+
+    This is the query shape where sketches earn their keep: exact
+    sliding-window COUNT(DISTINCT) re-touches every event in the window
+    for every window (6× read amplification here, unbounded for long
+    windows), while the sketch path reduces each hour once to ≤ m
+    register rows and merges trailing windows with a register MAX — the
+    mergeability property in action. The hour×register table is tiny, so
+    the merge is a broadcast band join (at unbounded history it becomes
+    the e6-style bucketed band equi-join).
+
+    Unlike SK3 (whose sources sit in the large-cardinality regime), the
+    small hourly windows here need HLL's **linear-counting branch**:
+    when the raw estimate falls under 2.5·m, use ``m·ln(m/V₀)`` (V₀ =
+    empty buckets). ``ln`` comes from the fixed-point log2 times an
+    exact ln2 literal — no libm — so the corrected estimates stay
+    bit-identical across engines like everything else here."""
+    from birli_spark.operators.text import _log2fix_ticks
+    d = X.SPARK
+    ev = events.selectExpr(
+        f"(ts div 1000) div {_US_PER_HOUR} AS hour",
+        "md5(CAST(user_id AS STRING)) AS h")
+    regs = (ev
+            .select("hour",
+                    F.expr(_hll_bucket(d, "h")).alias("bucket"),
+                    F.expr(_hll_rho(d, "h")).alias("rho"))
+            .groupBy("hour", "bucket")
+            .agg(F.max("rho").alias("mj")))
+    hours = events.selectExpr(
+        f"(ts div 1000) div {_US_PER_HOUR} AS out_hour").distinct()
+    merged = (regs.join(F.broadcast(hours),
+                        F.expr(f"hour BETWEEN out_hour - {win_hours - 1} "
+                               f"AND out_hour"))
+              .groupBy("out_hour", "bucket")
+              .agg(F.max("mj").alias("mj"))
+              .groupBy("out_hour")
+              .agg(F.count("*").alias("v_nonempty"),
+                   F.sum(F.expr(
+                       f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_CAP} - mj)"))
+                   .alias("s_present")))
+    s_total = (f"s_present + CAST({HLL_M} - v_nonempty AS BIGINT) * "
+               f"CAST({1 << _HLL_RHO_CAP} AS BIGINT)")
+    exact = (ev.join(F.broadcast(hours),
+                     F.expr(f"hour BETWEEN out_hour - {win_hours - 1} "
+                            f"AND out_hour"))
+             .groupBy("out_hour")
+             .agg(F.countDistinct("h").alias("exact_distinct")))
+    # linear-counting correction: ri = round((m / V0) * 2^20) -> fixed-
+    # point log2 -> ln via exact ln2 multiply; guarded for V0 = 0
+    withm = merged.withColumn("__ri", F.expr(
+        f"CASE WHEN v_nonempty >= {HLL_M} THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(ROUND(CAST({HLL_M} AS DOUBLE) / "
+        f"CAST({HLL_M} - v_nonempty AS DOUBLE) * {_LC_RSCALE}.0) "
+        f"AS BIGINT) END"))
+    withm = _log2fix_ticks(withm, "__ri", "__lg", _LC_NBITS)
+    raw = _hll_estimate(d, f"({s_total})")
+    lc = (f"CAST({HLL_M} AS DOUBLE) * {_LN2!r} * "
+          f"((CAST(__lg AS DOUBLE) / {1 << _LC_NBITS}.0) - 20.0)")
+    corrected = (f"CASE WHEN v_nonempty < {HLL_M} "
+                 f"AND ({raw}) <= 2.5 * {HLL_M} THEN {lc} "
+                 f"ELSE ({raw}) END")
+    return (withm
+            .join(exact, "out_hour")
+            .select(F.col("out_hour").alias("hour"), "exact_distinct",
+                    F.col("v_nonempty").cast("int").alias("v_nonempty"),
+                    F.expr(corrected).alias("hll_estimate")))
+
+
+def hll_windowed_users_oracle_sql(win_hours: int = WIN_HOURS) -> str:
+    d = X.DUCK
+    s_total = (f"s_present + CAST({HLL_M} - v_nonempty AS BIGINT) * "
+               f"CAST({1 << _HLL_RHO_CAP} AS BIGINT)")
+    return f"""
+WITH ev AS (
+  SELECT epoch_us(ts) // {_US_PER_HOUR} AS hour,
+    md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events),
+regs AS (
+  SELECT hour, {_hll_bucket(d, 'h')} AS bucket,
+    MAX({_hll_rho(d, 'h')}) AS mj
+  FROM ev GROUP BY 1, 2),
+hours AS (SELECT DISTINCT hour AS out_hour FROM ev),
+winregs AS (
+  SELECT o.out_hour, r.bucket, MAX(r.mj) AS mj
+  FROM regs r JOIN hours o
+    ON r.hour BETWEEN o.out_hour - {win_hours - 1} AND o.out_hour
+  GROUP BY o.out_hour, r.bucket),
+merged AS (
+  SELECT out_hour, COUNT(*) AS v_nonempty,
+    SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - mj)) AS s_present
+  FROM winregs GROUP BY out_hour),
+exact AS (
+  SELECT o.out_hour, COUNT(DISTINCT e.h) AS exact_distinct
+  FROM ev e JOIN hours o
+    ON e.hour BETWEEN o.out_hour - {win_hours - 1} AND o.out_hour
+  GROUP BY o.out_hour),
+withri AS (
+  SELECT *, CASE WHEN v_nonempty >= {HLL_M} THEN CAST(1 AS BIGINT)
+    ELSE CAST(ROUND(CAST({HLL_M} AS DOUBLE) /
+         CAST({HLL_M} - v_nonempty AS DOUBLE) * {_LC_RSCALE}.0) AS BIGINT)
+    END AS __ri
+  FROM merged),
+withlg AS ({X.log2fix_duck_sql(
+    "SELECT out_hour, v_nonempty, s_present, __ri FROM withri",
+    "__ri", "__lg", ["out_hour", "v_nonempty", "s_present"], _LC_NBITS)})
+SELECT m.out_hour AS hour, e.exact_distinct,
+  CAST(m.v_nonempty AS INT) AS v_nonempty,
+  CASE WHEN m.v_nonempty < {HLL_M}
+    AND ({_hll_estimate(d, f'({s_total})')}) <= 2.5 * {HLL_M}
+  THEN CAST({HLL_M} AS DOUBLE) * {_LN2!r} *
+    ((CAST(m.__lg AS DOUBLE) / {1 << _LC_NBITS}.0) - 20.0)
+  ELSE ({_hll_estimate(d, f'({s_total})')}) END AS hll_estimate
+FROM withlg m JOIN exact e USING (out_hour)"""

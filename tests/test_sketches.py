@@ -156,3 +156,32 @@ def test_hist_quantiles_close_to_exact(spark, sf_dir):
     for _, r in got.iterrows():
         # estimate within one bin width of the exact percentile
         assert abs(r.hist_q - r.exact_q) <= w + 1e-6
+
+
+def test_hll_windowed_estimates_track_exact(spark, sf_dir):
+    from birli_spark.sources import corpus
+    ev = corpus.load_events(spark, sf_dir)
+    got = sketches.hll_windowed_users(ev).toPandas()
+    assert len(got) > 0
+    # estimates within the usual HLL error envelope (1.04/sqrt(256) ~ 6.5%,
+    # allow 4 sigma) of the exact windowed distinct
+    for r in got.itertuples():
+        assert r.exact_distinct > 0
+        assert 0 < r.v_nonempty <= sketches.HLL_M
+        rel = abs(r.hll_estimate - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.26, (r.hour, r.hll_estimate, r.exact_distinct)
+
+
+def test_hll_windowed_window_is_trailing(spark):
+    from pyspark.sql import Row
+    h = sketches._US_PER_HOUR * 1000  # ns per hour
+    # user 1 only in hour 0; window 6 -> hours 0..5 include it, hour 6 not
+    rows = [Row(event_id=1, ts=0, user_id=1, event_type="x",
+                value=1.0, props="{}"),
+            Row(event_id=2, ts=6 * h, user_id=2, event_type="x",
+                value=1.0, props="{}")]
+    out = {r.hour: r.exact_distinct for r in
+           sketches.hll_windowed_users(
+               spark.createDataFrame(rows)).collect()}
+    assert out[0] == 1
+    assert out[6] == 1   # hour 0 fell out of the trailing window

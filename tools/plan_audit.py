@@ -36,7 +36,9 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            "i2_bm25_topk", "sk4_bloom_membership", "sk5_hist_quantiles",
            "t18_pmi_collocations",
            # 1-row node-count cross joins inside the rank recurrence
-           "g1_source_pagerank"}
+           "g1_source_pagerank",
+           # broadcast hour-list band joins (hours = bounded dim)
+           "sk6_hll_windowed"}
 
 # Queries where a sort-merge join is the RIGHT plan: both sides scale
 # with the fact/corpus table (per-doc stats joins, anti-join drop sets,
@@ -67,7 +69,10 @@ SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
           "h6_small_quantity_revenue",
           # rank/contrib joins: node- and edge-sized relations that scale
           # with the graph, co-partitioned on the key across iterations
-          "g1_source_pagerank"}
+          "g1_source_pagerank",
+          # sketch/exact side join: both sides hour-grain (scale with
+          # history; AQE demotes when small)
+          "sk6_hll_windowed"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -93,7 +98,7 @@ HEADLINE = [
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
     "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
     "e16_user_ewma", "ann_rerank_topk", "mm_scene_cuts",
-    "g1_source_pagerank",
+    "g1_source_pagerank", "sk6_hll_windowed",
 ]
 
 
