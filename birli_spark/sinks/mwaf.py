@@ -109,35 +109,96 @@ def write_mwaf_set(flags: DataFrame, out_dir: str,
     for cc_row in sorted(r.cc for r in cell.select("cc").distinct().collect()):
         pdf = (cell.filter(F.col("cc") == cc_row)
                .select("t", "bl", "fc", "flag").toPandas())
-        mat = _dense_flags(pdf, n_chans, nscans, nbl)
-        packed = np.packbits(mat, axis=1, bitorder="big")
-        primary = fc.pad_block(b"".join([
-            fc.card("SIMPLE", True), fc.card("BITPIX", 8),
-            fc.card("NAXIS", 0),
-            fc.card("VERSION", VERSION), fc.card("OBSID", obsid),
-            fc.card("GPSSTART", gps_start), fc.card("NCHANS", n_chans),
-            fc.card("NSCANS", nscans), fc.card("NBL", nbl),
-            fc.card("CC_IDX", cc_row), fc.card("SOFTWARE", software),
-            fc.end_card()]))
-        flags_hdu = _bintable_hdu(
-            "FLAGS", [("FLAGS", f"{n_chans}X")], packed.tobytes(),
-            n_rows=mat.shape[0], row_bytes=packed.shape[1])
-        occ = mat.sum(axis=0)
-        # NOTE: np.int32(x).astype('>i4') silently keeps native byte order
-        # for 0-d scalars — 1-element arrays honor the big-endian dtype
-        ch_rows = b"".join(
-            np.array([i], dtype=">i4").tobytes()
-            + np.array([occ[i]], dtype=">i8").tobytes()
-            + np.array([occ[i] / mat.shape[0]], dtype=">f8").tobytes()
-            for i in range(n_chans))
-        ch_hdu = _bintable_hdu(
-            "CH_OCC", [("Index", "1J"), ("Count", "1K"), ("Occupancy", "1D")],
-            ch_rows, n_rows=n_chans, row_bytes=20)
+        blob = _mwaf_file_bytes(pdf, cc_row, n_chans, nscans, nbl,
+                                obsid, gps_start, software)
         path = os.path.join(out_dir, expand_template(template, cc_row, digits))
         with open(path, "wb") as f:
-            f.write(primary + flags_hdu + ch_hdu)
+            f.write(blob)
         paths.append(path)
     return paths
+
+
+def _mwaf_file_bytes(pdf: pd.DataFrame, cc: int, n_chans: int, nscans: int,
+                     nbl: int, obsid: int, gps_start: float,
+                     software: str) -> bytes:
+    """The complete FITS byte image of one coarse channel's flag file —
+    shared by the driver-loop writer and the distributed writer, so the
+    two produce byte-identical files."""
+    mat = _dense_flags(pdf, n_chans, nscans, nbl)
+    packed = np.packbits(mat, axis=1, bitorder="big")
+    primary = fc.pad_block(b"".join([
+        fc.card("SIMPLE", True), fc.card("BITPIX", 8),
+        fc.card("NAXIS", 0),
+        fc.card("VERSION", VERSION), fc.card("OBSID", obsid),
+        fc.card("GPSSTART", gps_start), fc.card("NCHANS", n_chans),
+        fc.card("NSCANS", nscans), fc.card("NBL", nbl),
+        fc.card("CC_IDX", cc), fc.card("SOFTWARE", software),
+        fc.end_card()]))
+    flags_hdu = _bintable_hdu(
+        "FLAGS", [("FLAGS", f"{n_chans}X")], packed.tobytes(),
+        n_rows=mat.shape[0], row_bytes=packed.shape[1])
+    occ = mat.sum(axis=0)
+    # NOTE: np.int32(x).astype('>i4') silently keeps native byte order
+    # for 0-d scalars — 1-element arrays honor the big-endian dtype
+    ch_rows = b"".join(
+        np.array([i], dtype=">i4").tobytes()
+        + np.array([occ[i]], dtype=">i8").tobytes()
+        + np.array([occ[i] / mat.shape[0]], dtype=">f8").tobytes()
+        for i in range(n_chans))
+    ch_hdu = _bintable_hdu(
+        "CH_OCC", [("Index", "1J"), ("Count", "1K"), ("Occupancy", "1D")],
+        ch_rows, n_rows=n_chans, row_bytes=20)
+    return primary + flags_hdu + ch_hdu
+
+
+def write_mwaf_set_distributed(flags: DataFrame, out_dir: str,
+                               template: str = "Flagfile%%.mwaf",
+                               digits: int = 2, obsid: int = 0,
+                               gps_start: float = 0.0,
+                               software: str = "birli_spark",
+                               n_chans: int | None = None,
+                               nscans: int | None = None,
+                               nbl: int | None = None) -> DataFrame:
+    """Distributed mwaf writer: one **executor-side** task per coarse
+    channel packs and writes its own FITS file (the reference itself
+    writes gpubox files in parallel, src/io/mwaf.rs:399-407) — no
+    per-channel ``toPandas`` round-trips through the driver, so write
+    bandwidth scales with channels × executors against a shared
+    filesystem. Produces byte-identical files to :func:`write_mwaf_set`
+    (same :func:`_mwaf_file_bytes`); returns the manifest DataFrame
+    (cc, path, n_rows, file_md5) — an action on it performs the write.
+
+    Grid dimensions must be supplied for a fully single-pass plan; when
+    omitted they cost one extra aggregate over the cell table, like the
+    driver-loop writer."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+    cell = (flags.groupBy("t", "bl", "cc", "fc")
+            .agg(F.max("flag").alias("flag")))
+    if n_chans is None or nscans is None or nbl is None:
+        mx = cell.agg(F.max("fc"), F.max("t"), F.max("bl")).collect()[0]
+        n_chans = n_chans if n_chans is not None else int(mx[0]) + 1
+        nscans = nscans if nscans is not None else int(mx[1]) + 1
+        nbl = nbl if nbl is not None else int(mx[2]) + 1
+    nch, nsc, nb = n_chans, nscans, nbl
+
+    def write_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cc,) = key
+        blob = _mwaf_file_bytes(pdf, int(cc), nch, nsc, nb,
+                                obsid, gps_start, software)
+        path = os.path.join(out_dir, expand_template(template, int(cc),
+                                                     digits))
+        with open(path, "wb") as f:
+            f.write(blob)
+        return pd.DataFrame([{
+            "cc": int(cc), "path": path, "n_rows": nsc * nb,
+            "file_md5": hashlib.md5(blob).hexdigest(),
+        }])
+
+    return (cell.groupBy("cc").applyInPandas(
+        write_one, schema="cc int, path string, n_rows long, "
+                          "file_md5 string"))
 
 
 def read_mwaf(path: str) -> tuple[dict, np.ndarray, pd.DataFrame]:

@@ -107,3 +107,23 @@ def test_mwaf_datasource_matches_driver_read(spark, sf_dir, tmp_path):
     b = (mwaf.read_mwaf_set(spark, out)
          .orderBy("cc", "t", "bl", "fc").toPandas())
     assert a.astype(b.dtypes.to_dict()).equals(b)
+
+
+def test_distributed_writer_byte_identical(spark, sf_dir, tmp_path):
+    import hashlib
+    import os
+    flags = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)) \
+        .select("t", "bl", "cc", "fc", "flag")
+    d1 = str(tmp_path / "driver")
+    d2 = str(tmp_path / "dist")
+    paths = mwaf.write_mwaf_set(flags, d1)
+    manifest = {r.cc: r for r in
+                mwaf.write_mwaf_set_distributed(flags, d2).collect()}
+    assert len(paths) == len(manifest)
+    for p in paths:
+        name = os.path.basename(p)
+        blob = open(p, "rb").read()
+        dist_blob = open(os.path.join(d2, name), "rb").read()
+        assert blob == dist_blob
+        cc = int(name.replace("Flagfile", "").replace(".mwaf", ""))
+        assert manifest[cc].file_md5 == hashlib.md5(blob).hexdigest()
