@@ -357,6 +357,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_series_neardup(spark, sf_dir):
+    from birli_spark.operators import timeseries
+    from birli_spark.sources import corpus
+    return timeseries.series_neardup(corpus.load_events(spark, sf_dir))
+
+
 def _q_hll_windowed(spark, sf_dir):
     from birli_spark.sources import corpus
     return sketches.hll_windowed_users(corpus.load_events(spark, sf_dir))
@@ -900,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scene_cuts": _q_scene_cuts,
         "g1_source_pagerank": _q_source_pagerank,
         "sk6_hll_windowed": _q_hll_windowed,
+        "ts1_series_neardup": _q_series_neardup,
     }
 
 
@@ -1149,7 +1156,13 @@ def oracle_sql() -> dict[str, str]:
         "mm_scene_cuts": multimodal.scene_cuts_oracle_sql(),
         "g1_source_pagerank": _graph_oracle(),
         "sk6_hll_windowed": sketches.hll_windowed_users_oracle_sql(),
+        "ts1_series_neardup": _timeseries_oracle(),
     }
+
+
+def _timeseries_oracle() -> str:
+    from birli_spark.operators import timeseries
+    return timeseries.series_neardup_oracle_sql()
 
 
 def _graph_oracle() -> str:

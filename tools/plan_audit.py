@@ -98,7 +98,7 @@ HEADLINE = [
     "e15_type_transitions", "t16_bpe_pairs", "t17_chunk_udtf",
     "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
     "e16_user_ewma", "ann_rerank_topk", "mm_scene_cuts",
-    "g1_source_pagerank", "sk6_hll_windowed",
+    "g1_source_pagerank", "sk6_hll_windowed", "ts1_series_neardup",
 ]
 
 
