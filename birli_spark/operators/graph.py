@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from birli_spark.functions import textsql as X
 from birli_spark.operators.dedup import OVERLAP_SHINGLE_N
 
 PR_ITERS = 5
@@ -86,7 +85,11 @@ def source_pagerank(docs: DataFrame, iters: int = PR_ITERS,
 
 def source_pagerank_oracle_sql(iters: int = PR_ITERS,
                                n: int = OVERLAP_SHINGLE_N) -> str:
-    sh = X.distinct(X.DUCK, X.shingles(X.DUCK, X.toks(X.DUCK), n))
+    # the overlap-edge derivation embeds the D8 oracle verbatim (one
+    # source of truth — the Spark side reuses cross_source_overlap the
+    # same way)
+    from birli_spark.operators.dedup import cross_source_overlap_oracle_sql
+    ov_sql = cross_source_overlap_oracle_sql(n)
     jump = (f"(CAST({PR_ONE} AS BIGINT) * {PR_D_DEN - PR_D_NUM} "
             f"// {PR_D_DEN}) // n_nodes")
     steps = []
@@ -101,22 +104,8 @@ ranks_{i + 1} AS (
     {jump} + ({PR_D_NUM} * COALESCE(c.contrib, 0)) // {PR_D_DEN} AS r
   FROM ranks_{i} r LEFT JOIN contrib_{i} c ON r.source = c.dst)""")
     return f"""
-WITH per AS (
-  SELECT DISTINCT source, md5(s) AS h
-  FROM (SELECT source, unnest({sh}) AS s FROM documents)),
-sets AS (
-  SELECT h, list_sort(list(DISTINCT source)) AS srcs FROM per GROUP BY h),
-pairs AS (
-  SELECT unnest(flatten(list_transform(
-    generate_series(1, len(srcs) - 1),
-    i -> list_transform(srcs[i + 1:],
-                        b -> srcs[i] || '#' || b)))) AS pair
-  FROM sets),
-ov AS (
-  SELECT string_split(pair, '#')[1] AS source_a,
-    string_split(pair, '#')[2] AS source_b,
-    COUNT(*) AS w
-  FROM pairs GROUP BY pair),
+WITH ov AS (
+  SELECT source_a, source_b, n_shared_shingles AS w FROM ({ov_sql})),
 edges AS (
   SELECT source_a AS src, source_b AS dst, CAST(w AS BIGINT) AS w FROM ov
   UNION ALL

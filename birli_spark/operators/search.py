@@ -121,10 +121,13 @@ def bm25_topk(docs: DataFrame, spark, k: int = 10) -> DataFrame:
                       .alias("dl")))
     n_total = (dl.agg(F.sum("dl").alias("tot"),
                       F.count("*").alias("n")))
-    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # the query-term semi join prunes the vocab table before the log2 chain
-    dfq = (dft.join(F.broadcast(q.select("term").distinct()), "term")
-           .join(F.broadcast(n_total)))
+    # prune to query terms BEFORE the df aggregate: per-term counts are
+    # unaffected by dropping other terms' rows, and the shuffle carries
+    # query-term rows instead of the whole vocabulary
+    qt = F.broadcast(q.select("term").distinct())
+    dft = (tf.join(qt, "term")
+           .groupBy("term").agg(F.count("*").alias("df")))
+    dfq = dft.join(F.broadcast(n_total))
     r = ("1.0 + (CAST(n - df AS DOUBLE) + 0.5) / "
          "(CAST(df AS DOUBLE) + 0.5)")
     dfq = dfq.withColumn(

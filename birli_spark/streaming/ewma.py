@@ -8,6 +8,12 @@ re-reads it). Each micro-batch folds its time-ordered values into the
 carried EWMA with the identical ``α·v + (1−α)·acc`` recurrence, so the
 final snapshot per user equals the batch fold exactly (same operations
 in the same order — IEEE determinism, not tolerance).
+
+**Ordering assumption**: exact parity holds only when micro-batches
+arrive in per-user event-time order (true for this repo's availableNow
+file source). An out-of-order feed needs a watermark-delayed reorder
+buffer upstream — an EWMA folds values in time order by definition and
+a late value cannot be retro-folded into the carried state.
 """
 
 from __future__ import annotations

@@ -18,26 +18,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (LongType, StringType, StructField,
-                               StructType)
 
 from birli_spark.operators.sketches import (HIST_BINS, HIST_HI, HIST_LO,
                                             HIST_PS)
-
-DOCS_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
-    StructField("text", StringType()),
-    StructField("lang", StringType()),
-    StructField("source", StringType()),
-    StructField("n_chars", LongType()),
-])
-
-
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (spark.readStream
-            .schema(DOCS_SCHEMA)
-            .option("pathGlobFilter", "documents.parquet")
-            .parquet(sf_dir))
+# one source of truth for the documents stream source (schema drift in a
+# caller-supplied file-source schema silently reads nulls)
+from birli_spark.streaming.dedup import (DOCS_SCHEMA,  # noqa: F401
+                                         read_documents_stream)
 
 
 def hist_stream(stream: DataFrame, lo: int = HIST_LO, hi: int = HIST_HI,
@@ -72,9 +59,9 @@ def quantiles_from_bins(bins: DataFrame, lo: int = HIST_LO,
     return (p_rows.join(cum, F.expr("CAST(cum AS DOUBLE) >= target"))
             .groupBy("p", "target")
             .agg(F.expr("MIN(struct(bin, cnt, cum, cumb))").alias("s"))
-            .select("p", F.col("s.bin").cast("int").alias("bin"),
+            .select("p", "target",
+                    F.col("s.bin").cast("int").alias("bin"),
                     F.expr("s.cnt AS cnt"), F.expr("s.cumb AS cumb"))
-            .join(F.broadcast(p_rows.select("p", "target", "n")), "p")
             .withColumn("hist_q", F.expr(f32(est)))
             .select("p", "bin", "hist_q"))
 

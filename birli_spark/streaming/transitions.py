@@ -10,6 +10,14 @@ matrix is a tiny additive aggregate over the emitted edge rows
 operator's counts because edge emission is append-only and disjoint
 across batches.
 
+**Ordering assumption**: batch parity holds only when micro-batches
+arrive in per-user event-time order (true for this repo's availableNow
+file source, whose files are time-ordered). A feed that can deliver a
+user's later events in an earlier micro-batch needs a watermark-delayed
+reorder buffer upstream — the carried ``last_type`` cannot be spliced
+retroactively. (The funnel twin is order-insensitive — min-merge — and
+has no such requirement.)
+
 Scale: state shards by user; counts never re-read prior batches. The
 matrix aggregation input is (users × types²) rows per batch at worst,
 already far below event grain.
