@@ -357,6 +357,18 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_upsert_documents(spark, sf_dir):
+    from birli_spark.operators import merge
+    from birli_spark.sources import corpus
+    return merge.upsert_documents(corpus.load_documents(spark, sf_dir))
+
+
+def _q_scd2_user_type(spark, sf_dir):
+    from birli_spark.operators import merge
+    from birli_spark.sources import corpus
+    return merge.scd2_user_type(corpus.load_events(spark, sf_dir))
+
+
 def _q_series_neardup(spark, sf_dir):
     from birli_spark.operators import timeseries
     from birli_spark.sources import corpus
@@ -907,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_source_pagerank": _q_source_pagerank,
         "sk6_hll_windowed": _q_hll_windowed,
         "ts1_series_neardup": _q_series_neardup,
+        "m1_upsert": _q_upsert_documents,
+        "m2_scd2_history": _q_scd2_user_type,
     }
 
 
@@ -1157,12 +1171,20 @@ def oracle_sql() -> dict[str, str]:
         "g1_source_pagerank": _graph_oracle(),
         "sk6_hll_windowed": sketches.hll_windowed_users_oracle_sql(),
         "ts1_series_neardup": _timeseries_oracle(),
+        "m1_upsert": _merge_oracles()[0],
+        "m2_scd2_history": _merge_oracles()[1],
     }
 
 
 def _timeseries_oracle() -> str:
     from birli_spark.operators import timeseries
     return timeseries.series_neardup_oracle_sql()
+
+
+def _merge_oracles() -> tuple[str, str]:
+    from birli_spark.operators import merge
+    return (merge.upsert_documents_oracle_sql(),
+            merge.scd2_user_type_oracle_sql())
 
 
 def _graph_oracle() -> str:

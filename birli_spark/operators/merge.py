@@ -1,0 +1,132 @@
+"""CDC / table-maintenance shapes — MERGE-style upsert and an SCD2
+(slowly-changing-dimension) history build, expressed as plain
+DataFrame plans (the rewrite Delta/Iceberg's MERGE INTO lowers to; this
+engine targets vanilla parquet, so the rewrite IS the operator).
+
+Scale notes:
+
+- :func:`upsert_documents` — MERGE = one **full outer co-keyed join**
+  of base vs updates; at 100 TB both sides shuffle on the key unless
+  the base is bucketed on it (the same co-location argument as H1), and
+  engines like Delta prune untouched files first — here the updates
+  side is derived, so the join is the honest cost. Row-level action
+  tags (update/insert/keep) make the result auditable.
+- :func:`scd2_user_type` — SCD2 = sessionized history: consecutive
+  same-value runs collapse via the gaps-and-islands window, each run
+  becoming one versioned row with ``valid_from/valid_to`` (open runs
+  get NULL valid_to). One shuffle on the entity key; windows never see
+  more than one entity's rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from birli_spark.operators.events import TS_US_DUCK, TS_US_SPARK
+
+#: deterministic synthetic CDC batch: every 7th doc changes, every 13th
+#: spawns a brand-new doc id above the base range
+UPD_MOD = 7
+INS_MOD = 13
+INS_OFFSET = 100_000
+
+
+def _updates(docs: DataFrame) -> DataFrame:
+    changed = (docs.filter(F.expr(f"doc_id % {UPD_MOD} = 0"))
+               .select("doc_id", F.expr("upper(text)").alias("text"),
+                       "lang", "source"))
+    inserted = (docs.filter(F.expr(f"doc_id % {INS_MOD} = 0"))
+                .select((F.col("doc_id") + INS_OFFSET).alias("doc_id"),
+                        F.expr("concat('new ', text)").alias("text"),
+                        "lang", "source"))
+    return changed.union(inserted)
+
+
+def upsert_documents(docs: DataFrame) -> DataFrame:
+    """M1 — MERGE INTO as a full outer join: update matched rows,
+    insert unmatched update rows, keep the rest; every output row tags
+    its action. Text rides as md5 so the audit table stays narrow."""
+    base = docs.select("doc_id", "text", "lang", "source")
+    upd = _updates(docs)
+    b, u = base.alias("b"), upd.alias("u")
+    j = b.join(u, F.expr("b.doc_id = u.doc_id"), "full_outer")
+    return (j.select(
+        F.expr("COALESCE(u.doc_id, b.doc_id)").alias("doc_id"),
+        F.expr("CASE WHEN u.doc_id IS NULL THEN 'keep' "
+               "WHEN b.doc_id IS NULL THEN 'insert' "
+               "ELSE 'update' END").alias("action"),
+        F.expr("md5(COALESCE(u.text, b.text))").alias("text_md5"),
+        F.expr("length(COALESCE(u.text, b.text))").alias("n_chars"),
+        F.expr("COALESCE(u.source, b.source)").alias("source")))
+
+
+def upsert_documents_oracle_sql() -> str:
+    return f"""
+WITH upd AS (
+  SELECT doc_id, upper(text) AS text, lang, source FROM documents
+  WHERE doc_id % {UPD_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {INS_OFFSET} AS doc_id, 'new ' || text AS text,
+    lang, source
+  FROM documents WHERE doc_id % {INS_MOD} = 0)
+SELECT COALESCE(u.doc_id, b.doc_id) AS doc_id,
+  CASE WHEN u.doc_id IS NULL THEN 'keep'
+       WHEN b.doc_id IS NULL THEN 'insert'
+       ELSE 'update' END AS action,
+  md5(COALESCE(u.text, b.text)) AS text_md5,
+  length(COALESCE(u.text, b.text)) AS n_chars,
+  COALESCE(u.source, b.source) AS source
+FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id"""
+
+
+def scd2_user_type(events: DataFrame) -> DataFrame:
+    """M2 — SCD2 history of each user's event type: consecutive
+    same-type events collapse into one versioned validity interval
+    (gaps-and-islands); the latest interval stays open (NULL
+    valid_to)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = (events
+            .selectExpr("user_id", "event_id", "event_type",
+                        f"{TS_US_SPARK} AS ts_us")
+            .withColumn("prev_type", F.lag("event_type").over(w))
+            .withColumn("is_new", F.expr(
+                "CAST(prev_type IS NULL "
+                "OR prev_type <> event_type AS INT)"))
+            .withColumn("version", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    runs = (base.groupBy("user_id", "version")
+            .agg(F.min_by("event_type", "ts_us").alias("event_type"),
+                 F.min("ts_us").alias("valid_from"),
+                 F.count("*").alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return (runs
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select("user_id", F.col("version").cast("int").alias("version"),
+                    "event_type", "valid_from", "valid_to", "n_events"))
+
+
+def scd2_user_type_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, {TS_US_DUCK} AS ts_us,
+    LAG(event_type) OVER w AS prev_type,
+    CAST(LAG(event_type) OVER w IS NULL
+         OR LAG(event_type) OVER w <> event_type AS INT) AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY {TS_US_DUCK}, event_id)),
+vers AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS version
+  FROM base),
+runs AS (
+  SELECT user_id, version,
+    MIN_BY(event_type, ts_us) AS event_type,
+    MIN(ts_us) AS valid_from, COUNT(*) AS n_events
+  FROM vers GROUP BY user_id, version)
+SELECT user_id, CAST(version AS INT) AS version, event_type,
+  valid_from,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+    AS valid_to,
+  n_events
+FROM runs"""

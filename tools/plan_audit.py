@@ -72,7 +72,10 @@ SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
           "g1_source_pagerank",
           # sketch/exact side join: both sides hour-grain (scale with
           # history; AQE demotes when small)
-          "sk6_hll_windowed"}
+          "sk6_hll_windowed",
+          # MERGE full-outer join: base and CDC batch both table-scale
+          # (bucketing co-locates at 100 TB; no broadcastable side)
+          "m1_upsert"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -99,6 +102,7 @@ HEADLINE = [
     "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
     "e16_user_ewma", "ann_rerank_topk", "mm_scene_cuts",
     "g1_source_pagerank", "sk6_hll_windowed", "ts1_series_neardup",
+    "m1_upsert", "m2_scd2_history",
 ]
 
 
