@@ -50,13 +50,13 @@ _HEXDIGITS = "0123456789abcdef"
 
 
 def _hex32(d: str, col: str) -> str:
-    """First 8 hex chars of ``col`` folded to an int64, same fold both
-    dialects (hex→int built-ins differ across engines, a digit fold
-    doesn't)."""
+    """First 8 hex chars of ``col`` as an int64. Spark has a native
+    base-16 ``conv`` (one codegen call; equality with the digit fold is
+    asserted in tests); DuckDB lacks a clean hex→int, so its side stays
+    the explicit digit fold — the VALUES are identical either way, which
+    is all cross-engine hashing needs."""
     if d == X.SPARK:
-        return (f"aggregate(sequence(1, 8), 0L, (acc, i) -> "
-                f"acc * 16L + CAST(instr('{_HEXDIGITS}', "
-                f"substr({col}, i, 1)) AS LONG) - 1L)")
+        return f"CAST(conv(substr({col}, 1, 8), 16, 10) AS BIGINT)"
     return (f"list_reduce(list_prepend(0, list_transform("
             f"generate_series(1, 8), i -> strpos('{_HEXDIGITS}', "
             f"substr({col}, i, 1)) - 1)), (a, b) -> a * 16 + b)")
