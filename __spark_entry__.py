@@ -357,6 +357,12 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _q_clean_index(spark, sf_dir):
+    from birli_spark.operators import search
+    from birli_spark.sources import corpus
+    return search.clean_index_pipeline(corpus.load_documents(spark, sf_dir))
+
+
 def _q_upsert_documents(spark, sf_dir):
     from birli_spark.operators import merge
     from birli_spark.sources import corpus
@@ -921,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts1_series_neardup": _q_series_neardup,
         "m1_upsert": _q_upsert_documents,
         "m2_scd2_history": _q_scd2_user_type,
+        "pipeline_clean_index": _q_clean_index,
     }
 
 
@@ -1173,6 +1180,7 @@ def oracle_sql() -> dict[str, str]:
         "ts1_series_neardup": _timeseries_oracle(),
         "m1_upsert": _merge_oracles()[0],
         "m2_scd2_history": _merge_oracles()[1],
+        "pipeline_clean_index": search.clean_index_pipeline_oracle_sql(),
     }
 
 

@@ -67,12 +67,16 @@ def _tf(docs: DataFrame) -> DataFrame:
             .agg(F.count("*").alias("tf")))
 
 
-_TF_CTE = """tok AS (
+def _tf_cte(table: str = "documents") -> str:
+    return f"""tok AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
-  FROM documents),
+  FROM {table}),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok
   WHERE term <> '' GROUP BY doc_id, term)"""
+
+
+_TF_CTE = _tf_cte()
 
 
 def inverted_index(docs: DataFrame,
@@ -93,9 +97,11 @@ def inverted_index(docs: DataFrame,
                  .alias("postings")))
 
 
-def inverted_index_oracle_sql(num_shards: int = NUM_SHARDS) -> str:
+def inverted_index_oracle_sql(num_shards: int = NUM_SHARDS,
+                              table: str = "documents",
+                              extra_ctes: str = "") -> str:
     return f"""
-WITH {_TF_CTE}
+WITH {extra_ctes}{_tf_cte(table)}
 SELECT term, CAST(doc_id % {num_shards} AS INT) AS shard,
   COUNT(*) AS n_docs, SUM(tf) AS tf_total,
   string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
@@ -205,3 +211,25 @@ SELECT query_id, doc_id,
   n_hit, CAST(ticks AS DOUBLE) / {_TSCALE}.0 AS score
 FROM per_doc
 QUALIFY rank <= {k}"""
+
+
+def clean_index_pipeline(docs: DataFrame) -> DataFrame:
+    """PIPELINE — curate-then-index: drop exact/near duplicates and
+    low-quality documents (:func:`~birli_spark.operators.corpus_clean.
+    clean_corpus`), then build the sharded inverted index over the
+    survivors only — the end-to-end offline path of a search corpus
+    (indexing rejects is pure waste at 100 TB; the semi join pushes the
+    survivor filter into the index build's first scan)."""
+    from birli_spark.operators.corpus_clean import clean_corpus
+    survivors = clean_corpus(docs).select("doc_id")
+    kept = docs.join(survivors, "doc_id", "semi")
+    return inverted_index(kept)
+
+
+def clean_index_pipeline_oracle_sql(num_shards: int = NUM_SHARDS) -> str:
+    from birli_spark.operators.corpus_clean import clean_corpus_oracle_sql
+    extra = (f"kept AS (\n  SELECT d.* FROM documents d\n"
+             f"  WHERE d.doc_id IN (SELECT doc_id FROM "
+             f"({clean_corpus_oracle_sql()}))),\n")
+    return inverted_index_oracle_sql(num_shards, table="kept",
+                                     extra_ctes=extra)

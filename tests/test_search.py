@@ -74,3 +74,17 @@ def test_bm25_ranks_match_python(spark, sf_dir):
         svals = list(sub.score)
         assert all(svals[i] >= svals[i + 1] - 1e-12
                    for i in range(len(svals) - 1))
+
+
+def test_clean_index_pipeline_drops_rejects(spark, sf_dir):
+    from birli_spark.operators import corpus_clean
+    docs = corpus.load_documents(spark, sf_dir)
+    idx = search.clean_index_pipeline(docs).toPandas()
+    survivors = set(r.doc_id for r in
+                    corpus_clean.clean_corpus(docs).collect())
+    indexed = set()
+    for _, row in idx.iterrows():
+        for entry in row.postings.split(","):
+            indexed.add(int(entry.split(":")[0]))
+    assert indexed <= survivors
+    assert len(indexed) == len(survivors)   # every survivor has tokens

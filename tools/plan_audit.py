@@ -45,7 +45,8 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
 # the dup-subgraph label table on a dirty corpus), so no side is
 # guaranteed broadcastable at 100 TB; AQE demotes to broadcast at
 # runtime whenever the build side turns out small.
-SMJ_OK = {"pipeline_corpus_clean", "d6_neardup_clusters",
+SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
+          "d6_neardup_clusters",
           # D6's corpus-scale joins plus the corpus×corpus quality join
           "d7_cluster_representatives",
           # band self-join: both sides ARE the events fact table (probe
@@ -102,7 +103,7 @@ HEADLINE = [
     "emb4_pq_codes", "t18_pmi_collocations", "h6_small_quantity_revenue",
     "e16_user_ewma", "ann_rerank_topk", "mm_scene_cuts",
     "g1_source_pagerank", "sk6_hll_windowed", "ts1_series_neardup",
-    "m1_upsert", "m2_scd2_history",
+    "m1_upsert", "m2_scd2_history", "pipeline_clean_index",
 ]
 
 
