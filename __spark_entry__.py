@@ -357,6 +357,38 @@ def _q_tfidf(spark, sf_dir):
     return text.tfidf_top_terms(corpus.load_documents(spark, sf_dir))
 
 
+def _stream_tmp(spark, prefix):
+    import tempfile
+    import uuid
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+                   tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+    return name
+
+
+def _q_stream_funnel(spark, sf_dir):
+    """Streaming funnel, oracle-checked against the BATCH funnel SQL —
+    the strongest batch/stream parity statement the driver can record."""
+    from birli_spark.streaming import funnel as sfunnel
+    updates = sfunnel.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_funnel"))
+    return sfunnel.funnel_counts_from_updates(updates)
+
+
+def _q_stream_transitions(spark, sf_dir):
+    from birli_spark.streaming import transitions as strans
+    updates = strans.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_trans"))
+    return strans.transition_matrix_from_updates(updates)
+
+
+def _q_stream_ewma(spark, sf_dir):
+    from birli_spark.streaming import ewma as sewma
+    updates = sewma.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_ewma"))
+    return sewma.latest_snapshots(updates)
+
+
 def _q_clean_index(spark, sf_dir):
     from birli_spark.operators import search
     from birli_spark.sources import corpus
@@ -928,6 +960,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_upsert": _q_upsert_documents,
         "m2_scd2_history": _q_scd2_user_type,
         "pipeline_clean_index": _q_clean_index,
+        # streaming twins, oracle-checked against the BATCH oracles:
+        # the driver itself verifies batch/stream parity
+        "st1_stream_funnel": _q_stream_funnel,
+        "st2_stream_transitions": _q_stream_transitions,
+        "st3_stream_ewma": _q_stream_ewma,
     }
 
 
@@ -1181,6 +1218,9 @@ def oracle_sql() -> dict[str, str]:
         "m1_upsert": _merge_oracles()[0],
         "m2_scd2_history": _merge_oracles()[1],
         "pipeline_clean_index": search.clean_index_pipeline_oracle_sql(),
+        "st1_stream_funnel": events.funnel_oracle_sql(),
+        "st2_stream_transitions": events.type_transitions_oracle_sql(),
+        "st3_stream_ewma": events.user_ewma_oracle_sql(),
     }
 
 
