@@ -251,8 +251,10 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
         if ctx.mwaf_out:
             from birli_spark.sinks import mwaf
             flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
-            result["mwaf_files"] = len(mwaf.write_mwaf_set(
-                flagged, ctx.mwaf_out, gps_start=syn.GPS_START))
+            # distributed writer: one executor task per coarse channel
+            # (byte-identical to the driver-loop writer)
+            result["mwaf_files"] = mwaf.write_mwaf_set_distributed(
+                flagged, ctx.mwaf_out, gps_start=syn.GPS_START).count()
         if ctx.flag_parquet_out:
             from birli_spark.sinks import flagsink
             flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
