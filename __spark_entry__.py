@@ -366,6 +366,11 @@ def _stream_tmp(spark, prefix):
     return name
 
 
+def _q_fuzzy_names(spark, sf_dir):
+    return relational.fuzzy_name_pairs(
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
 def _q_stream_funnel(spark, sf_dir):
     """Streaming funnel, oracle-checked against the BATCH funnel SQL —
     the strongest batch/stream parity statement the driver can record."""
@@ -965,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_stream_funnel": _q_stream_funnel,
         "st2_stream_transitions": _q_stream_transitions,
         "st3_stream_ewma": _q_stream_ewma,
+        "h7_fuzzy_names": _q_fuzzy_names,
     }
 
 
@@ -1221,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "st1_stream_funnel": events.funnel_oracle_sql(),
         "st2_stream_transitions": events.type_transitions_oracle_sql(),
         "st3_stream_ewma": events.user_ewma_oracle_sql(),
+        "h7_fuzzy_names": relational.fuzzy_name_pairs_oracle_sql(),
     }
 
 

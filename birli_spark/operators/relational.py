@@ -285,3 +285,47 @@ WHERE c_mktsegment = '{segment}'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY SUM({_REV_TICKS}) DESC, o_orderkey ASC
 LIMIT {k}"""
+
+
+FUZZY_MAX_DIST = 3
+
+
+def fuzzy_name_pairs(part: DataFrame,
+                     max_dist: int = FUZZY_MAX_DIST) -> DataFrame:
+    """H7 — fuzzy string-match join: distinct part names that are
+    near-misses of each other (edit distance ≤ ``max_dist``), the
+    entity-resolution shape (catalog dedup, vendor-name matching).
+
+    Scale shape: never the N² name product — candidates block on the
+    name's last token (the noun), an equi-join, so comparisons are
+    Σ|block|²; the levenshtein verify runs only inside blocks. Edit
+    distance is integer and identical across engines, so the oracle
+    checks distances exactly. The distinct-name table is vocab-sized
+    (map-side-combined groupBy), not row-count-sized."""
+    names = (part.groupBy("p_name")
+             .agg(F.count("*").alias("n_parts"))
+             .withColumn("block", F.expr(
+                 "element_at(split(p_name, ' '), -1)")))
+    a, b = names.alias("a"), names.alias("b")
+    return (a.join(b, F.expr("a.block = b.block AND a.p_name < b.p_name"))
+            .withColumn("dist", F.expr("levenshtein(a.p_name, b.p_name)"))
+            .filter(F.col("dist") <= max_dist)
+            .select(F.expr("a.p_name").alias("name_a"),
+                    F.expr("b.p_name").alias("name_b"),
+                    "dist",
+                    F.expr("a.n_parts").alias("n_parts_a"),
+                    F.expr("b.n_parts").alias("n_parts_b")))
+
+
+def fuzzy_name_pairs_oracle_sql(max_dist: int = FUZZY_MAX_DIST) -> str:
+    return f"""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts,
+    string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  levenshtein(a.p_name, b.p_name) AS dist,
+  a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}"""

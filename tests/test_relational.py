@@ -111,3 +111,33 @@ def test_small_quantity_revenue_python_recompute(spark, sf_dir):
     assert got.n_small_lots == n_small
     assert abs(got.total_price - price) < 1e-4
     assert got.n_parts == len(parts)
+
+
+def test_fuzzy_name_pairs_match_python(spark, sf_dir):
+    from birli_spark.operators import relational
+    pt = spark.read.parquet(f"{sf_dir}/part.parquet")
+    got = {(r.name_a, r.name_b): r.dist
+           for r in relational.fuzzy_name_pairs(pt).collect()}
+
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+        return d(len(a), len(b))
+
+    names = [r.p_name for r in pt.select("p_name").distinct().collect()]
+    exp = {}
+    for i, a in enumerate(sorted(names)):
+        for b in sorted(names)[i + 1:]:
+            if a.split(" ")[-1] != b.split(" ")[-1]:
+                continue
+            dd = lev(a, b)
+            if dd <= relational.FUZZY_MAX_DIST:
+                exp[(a, b)] = dd
+    assert got == exp
