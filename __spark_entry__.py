@@ -366,6 +366,11 @@ def _stream_tmp(spark, prefix):
     return name
 
 
+def _q_weighted_sample(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return corpus_clean.weighted_sample(corpus.load_documents(spark, sf_dir))
+
+
 def _q_fuzzy_names(spark, sf_dir):
     return relational.fuzzy_name_pairs(
         spark.read.parquet(f"{sf_dir}/part.parquet"))
@@ -971,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st2_stream_transitions": _q_stream_transitions,
         "st3_stream_ewma": _q_stream_ewma,
         "h7_fuzzy_names": _q_fuzzy_names,
+        "t20_weighted_sample": _q_weighted_sample,
     }
 
 
@@ -1228,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
         "st2_stream_transitions": events.type_transitions_oracle_sql(),
         "st3_stream_ewma": events.user_ewma_oracle_sql(),
         "h7_fuzzy_names": relational.fuzzy_name_pairs_oracle_sql(),
+        "t20_weighted_sample": corpus_clean.weighted_sample_oracle_sql(),
     }
 
 

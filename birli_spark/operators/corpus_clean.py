@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from birli_spark.functions import textsql as X
 from birli_spark.operators import dedup, text
 
 QUALITY_MIN = 0.55
@@ -122,3 +123,58 @@ SELECT doc_id, lang, source,
        substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
 FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < ({_rate_case('duck')})"""
+
+
+PRIORITY_SAMPLE_K = 50
+
+
+def weighted_sample(docs: DataFrame,
+                    k: int = PRIORITY_SAMPLE_K) -> DataFrame:
+    """T20 — deterministic weighted sampling without replacement
+    (priority sampling, Duffield/Lund/Thorup JACM'07): each document
+    draws a reproducible pseudo-uniform ``u`` from md5(doc_id) and gets
+    priority ``u / w`` with weight = document length; the k smallest
+    priorities form the sample, so long documents are proportionally
+    favored but every document keeps a nonzero chance.
+
+    Determinism: u is the exact integer hash fraction (the sketch
+    family's hex fold / 2^32 — one exact-rounded division), the
+    priority is one more exact-rounded division, and the top-k is a
+    rank with doc_id tie-break — all bit-identical cross-engine, unlike
+    engine RNG sampling (``TABLESAMPLE``/``rand()`` are not
+    reproducible across engines or even partitionings).
+
+    Scale shape: a narrow projection plus one global top-k — rank via
+    window over the k-filterable aggregate; at 100 TB you'd replace the
+    single window with a per-partition top-k + merge (the classic
+    distributed selection), which AQE's partial TakeOrdered already
+    approximates for plain ORDER BY LIMIT."""
+    from pyspark.sql import Window
+    from birli_spark.operators.sketches import _hex32
+    u = (f"CAST({_hex32(X.SPARK, 'md5(CAST(doc_id AS STRING))')} AS DOUBLE)"
+         f" / 4294967296.0")
+    prio = f"({u}) / CAST(n_chars AS DOUBLE)"
+    w = Window.orderBy(F.asc("priority"), F.asc("doc_id"))
+    return (docs
+            .select("doc_id", "source", "n_chars",
+                    F.expr(prio).alias("priority"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("doc_id", "source", "n_chars", "priority",
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def weighted_sample_oracle_sql(k: int = PRIORITY_SAMPLE_K) -> str:
+    from birli_spark.operators.sketches import _hex32
+    u = (f"CAST({_hex32(X.DUCK, 'md5(CAST(doc_id AS VARCHAR))')} AS DOUBLE)"
+         f" / 4294967296.0")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+    ({u}) / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents)
+SELECT doc_id, source, n_chars, priority,
+  CAST(ROW_NUMBER() OVER (ORDER BY priority ASC, doc_id ASC) AS INT)
+    AS rank
+FROM scored
+QUALIFY rank <= {k}"""

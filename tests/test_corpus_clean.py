@@ -61,3 +61,22 @@ def test_rate_to_hex_thresholds():
     assert corpus_clean._rate_to_hex(0.0) == "00000000"
     assert corpus_clean._rate_to_hex(1.0) == "g"
     assert "ffffffff" < "g"  # the keep-everything sentinel really keeps all
+
+
+def test_weighted_sample_priority_math(spark, sf_dir):
+    import hashlib
+    from birli_spark.operators import corpus_clean
+    from birli_spark.sources import corpus
+    docs = corpus.load_documents(spark, sf_dir)
+    got = corpus_clean.weighted_sample(docs, k=20).toPandas()
+    pdf = docs.select("doc_id", "n_chars").toPandas()
+    prios = {}
+    for r in pdf.itertuples():
+        u = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) \
+            / 4294967296.0
+        prios[r.doc_id] = u / r.n_chars
+    exp = sorted(prios, key=lambda d: (prios[d], d))[:20]
+    assert got.doc_id.tolist() == exp
+    assert got["rank"].tolist() == list(range(1, 21))
+    # long docs are favored: the sample's mean length beats the corpus's
+    assert got.n_chars.mean() > pdf.n_chars.mean()

@@ -104,7 +104,7 @@ HEADLINE = [
     "e16_user_ewma", "ann_rerank_topk", "mm_scene_cuts",
     "g1_source_pagerank", "sk6_hll_windowed", "ts1_series_neardup",
     "m1_upsert", "m2_scd2_history", "pipeline_clean_index",
-    "h7_fuzzy_names",
+    "h7_fuzzy_names", "t20_weighted_sample",
 ]
 
 
