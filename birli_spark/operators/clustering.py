@@ -77,11 +77,9 @@ def _update(assigned: DataFrame) -> DataFrame:
             .withColumn("cc", F.expr(X.dot(X.SPARK, "c_emb", "c_emb"))))
 
 
-def kmeans(emb: DataFrame, k: int = K_CLUSTERS,
-           iters: int = KMEANS_ITERS) -> DataFrame:
-    """K1 — k-means cluster profile after ``iters`` Lloyd iterations:
-    one row per (cluster, dim) with the centroid component, cluster
-    population and f32-demoted inertia (sum of member d²)."""
+def _lloyd(emb: DataFrame, k: int,
+           iters: int) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd's core: (final centroids, final assignment)."""
     n = emb.select("vec_id", "embedding",
                    F.expr(X.dot(X.SPARK, "embedding", "embedding"))
                    .alias("xx"))
@@ -91,7 +89,15 @@ def kmeans(emb: DataFrame, k: int = K_CLUSTERS,
                     F.col("xx").alias("cc")))
     for _ in range(iters):
         cent = _update(_assign(n, cent))
-    final = _assign(n, cent)
+    return cent, _assign(n, cent)
+
+
+def kmeans(emb: DataFrame, k: int = K_CLUSTERS,
+           iters: int = KMEANS_ITERS) -> DataFrame:
+    """K1 — k-means cluster profile after ``iters`` Lloyd iterations:
+    one row per (cluster, dim) with the centroid component, cluster
+    population and f32-demoted inertia (sum of member d²)."""
+    cent, final = _lloyd(emb, k, iters)
     stats = (final.groupBy(F.col("cell").alias("cid"))
              .agg(F.count("*").alias("n_vectors"),
                   F.expr(f32("SUM(d2)")).alias("inertia")))
@@ -109,16 +115,7 @@ def assignments(emb: DataFrame, k: int = K_CLUSTERS,
     """Final cluster assignment (vec_id, embedding, xx, cell, d2) after
     ``iters`` Lloyd iterations — the shared front half of :func:`kmeans`
     and :func:`semantic_dedup`."""
-    n = emb.select("vec_id", "embedding",
-                   F.expr(X.dot(X.SPARK, "embedding", "embedding"))
-                   .alias("xx"))
-    cent = (n.filter(F.col("vec_id") < k)
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("c_emb"),
-                    F.col("xx").alias("cc")))
-    for _ in range(iters):
-        cent = _update(_assign(n, cent))
-    return _assign(n, cent)
+    return _lloyd(emb, k, iters)[1]
 
 
 SEMDEDUP_TAU = 0.35

@@ -150,12 +150,16 @@ def weighted_sample(docs: DataFrame,
     distributed selection), which AQE's partial TakeOrdered already
     approximates for plain ORDER BY LIMIT."""
     from pyspark.sql import Window
-    from birli_spark.operators.sketches import _hex32
+    from birli_spark.operators.sketches import _HEX32_SPACE, _hex32
     u = (f"CAST({_hex32(X.SPARK, 'md5(CAST(doc_id AS STRING))')} AS DOUBLE)"
-         f" / 4294967296.0")
+         f" / {_HEX32_SPACE!r}")
     prio = f"({u}) / CAST(n_chars AS DOUBLE)"
     w = Window.orderBy(F.asc("priority"), F.asc("doc_id"))
     return (docs
+            # zero-weight rows have zero inclusion probability by
+            # definition (and a NULL priority would rank NULLS FIRST in
+            # Spark but NULLS LAST in DuckDB)
+            .filter(F.col("n_chars") > 0)
             .select("doc_id", "source", "n_chars",
                     F.expr(prio).alias("priority"))
             .withColumn("rank", F.row_number().over(w))
@@ -165,14 +169,14 @@ def weighted_sample(docs: DataFrame,
 
 
 def weighted_sample_oracle_sql(k: int = PRIORITY_SAMPLE_K) -> str:
-    from birli_spark.operators.sketches import _hex32
+    from birli_spark.operators.sketches import _HEX32_SPACE, _hex32
     u = (f"CAST({_hex32(X.DUCK, 'md5(CAST(doc_id AS VARCHAR))')} AS DOUBLE)"
-         f" / 4294967296.0")
+         f" / {_HEX32_SPACE!r}")
     return f"""
 WITH scored AS (
   SELECT doc_id, source, n_chars,
     ({u}) / CAST(n_chars AS DOUBLE) AS priority
-  FROM documents)
+  FROM documents WHERE n_chars > 0)
 SELECT doc_id, source, n_chars, priority,
   CAST(ROW_NUMBER() OVER (ORDER BY priority ASC, doc_id ASC) AS INT)
     AS rank

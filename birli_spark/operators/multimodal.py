@@ -171,8 +171,9 @@ WITH s AS (
   FROM documents)
 SELECT doc_id,
   CAST(len(amp) AS INT) AS n_samples,
-  CAST(list_sum(amp) AS BIGINT) AS sum_amp,
-  CAST(list_max(list_transform(amp, x -> abs(x))) AS INT) AS max_abs,
+  CAST(COALESCE(list_sum(amp), 0) AS BIGINT) AS sum_amp,
+  CAST(COALESCE(list_max(list_transform(amp, x -> abs(x))), 0) AS INT)
+    AS max_abs,
   CAST(COALESCE(list_sum(list_transform(range(2, len(amp) + 1),
        i -> CAST(amp[i - 1] * amp[i] < 0 AS BIGINT))), 0) AS BIGINT)
     AS n_zero_cross

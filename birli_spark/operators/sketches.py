@@ -141,7 +141,6 @@ def cms_heavy_hitters(docs: DataFrame, depth: int = CMS_DEPTH,
            .groupBy(F.col("sb.seed").alias("seed"),
                     F.col("sb.bucket").alias("bucket"))
            .agg(F.count("*").alias("c")))
-    from pyspark.sql import Window
     w = Window.orderBy(F.desc("tf"), F.asc("t"))
     top = (tok.groupBy("t").agg(F.count("*").alias("tf"))
            .withColumn("rank", F.row_number().over(w))
