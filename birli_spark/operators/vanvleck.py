@@ -279,7 +279,15 @@ def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
             g = target / (us1[sl] * us2[sl])
             integral, gp = _corrcorrect_simp(g, xy, sq)
             delta = integral - target
-            active = (np.abs(delta) > 1e-12) & np.isfinite(delta)
+            # a non-finite delta means the step overflowed (g escaped
+            # [0,1)) or gp hit zero — DIVERGED, never "converged". The
+            # reference reaches None via its iteration cap for the inf
+            # case (`while delta.abs() > tol` keeps spinning on inf,
+            # src/van_vleck.rs:721-729); for NaN it would exit the loop
+            # and emit garbage — passthrough is the safe spelling of
+            # both, and matches unwrap_or(khat) semantics.
+            bad = ~np.isfinite(delta)
+            active = (np.abs(delta) > 1e-12) & ~bad
             for _ in range(100):
                 if not active.any():
                     break
@@ -288,11 +296,12 @@ def van_vleck_crosses(khat: np.ndarray, sigma1: np.ndarray,
                     g[active], xy[active], sq[active])
                 delta[active] = integral_a - target[active]
                 gp[active] = gp_a
-                active &= (np.abs(delta) > 1e-12) & np.isfinite(delta)
-        # non-converged after 100 iterations → passthrough khat
-        # (unwrap_or, src/van_vleck.rs:764-768); others accept the rho
+                bad |= active & ~np.isfinite(delta)
+                active &= (np.abs(delta) > 1e-12) & ~bad
+        # still-active after 100 iterations (non-converged) or diverged
+        # → passthrough khat (unwrap_or, src/van_vleck.rs:764-768)
         urho[sl] = g
-        uacc[sl] = ~active
+        uacc[sl] = ~active & ~bad
     rho = urho[uinv]
     acc = uacc[uinv]
     upd = idx_all[acc]
@@ -390,7 +399,10 @@ def correct_van_vleck(vis: DataFrame, sample_scale: float,
                 khat_re = pdf_["xy_re"].to_numpy(dtype=np.float64)[am] / sample_scale
                 khat_im = pdf_["xy_im"].to_numpy(dtype=np.float64)[am] / sample_scale
                 # joint guard on re AND im (src/van_vleck.rs:248-259): if
-                # either component exceeds sigma_x*sigma_y both pass through
+                # either component exceeds sigma_x*sigma_y both pass
+                # through. Deliberately SIGNED compares — the reference's
+                # auto branch uses `khat_re > sigma_product` (no .abs()),
+                # unlike its cross branch which guards on khat.abs()
                 ok = ~((khat_re > prod) | (khat_im > prod))
                 m = int(ok.sum())
                 solved = van_vleck_crosses(

@@ -3,8 +3,9 @@
 ``%``-template (2 digits legacy / 3 MWAX, src/io/mwaf.rs:106-138), a
 primary header of observation metadata (src/io/mwaf.rs:263-349), a FLAGS
 bintable with one row per (timestep, baseline) and one **bit** per fine
-channel (src/io/mwaf.rs:424-495), and CH_OCC / BL_OCC occupancy
-bintables on finalise (src/io/mwaf.rs:528-628).
+channel (src/io/mwaf.rs:424-495), and CH_OCC + BL_OCC occupancy
+bintables on finalise (src/io/mwaf.rs:528-628; both written here,
+read back via :func:`read_occupancy`).
 
 This complements the parquet flag sink (sinks/flagsink.py — the
 cluster-native form): the mwaf writer is the interchange format so
@@ -98,8 +99,13 @@ def write_mwaf_set(flags: DataFrame, out_dir: str,
     per-channel, and never from distinct counts, so sparse fine-channel
     indices can't mispack."""
     os.makedirs(out_dir, exist_ok=True)
+    from pyspark.storagelevel import StorageLevel
+    # the loop below reads cell once per coarse channel (plus the dims
+    # and cc-list probes); persist so the upstream flag lineage — often
+    # the whole preprocessing pipeline — executes once, not ~cc+2 times
     cell = (flags.groupBy("t", "bl", "cc", "fc")
-            .agg(F.max("flag").alias("flag")))
+            .agg(F.max("flag").alias("flag"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     if n_chans is None or nscans is None or nbl is None:
         mx = cell.agg(F.max("fc"), F.max("t"), F.max("bl")).collect()[0]
         n_chans = n_chans if n_chans is not None else int(mx[0]) + 1
@@ -148,7 +154,39 @@ def _mwaf_file_bytes(pdf: pd.DataFrame, cc: int, n_chans: int, nscans: int,
     ch_hdu = _bintable_hdu(
         "CH_OCC", [("Index", "1J"), ("Count", "1K"), ("Occupancy", "1D")],
         ch_rows, n_rows=n_chans, row_bytes=20)
-    return primary + flags_hdu + ch_hdu
+    # per-baseline occupancy (reference BL_OCC, src/io/mwaf.rs:560-628):
+    # count of set flags per baseline across all (scan, chan) cells
+    bl_occ = mat.reshape(nscans, nbl, n_chans).sum(axis=(0, 2))
+    bl_cells = nscans * n_chans
+    bl_rows = b"".join(
+        np.array([b], dtype=">i4").tobytes()
+        + np.array([bl_occ[b]], dtype=">i8").tobytes()
+        + np.array([bl_occ[b] / bl_cells], dtype=">f8").tobytes()
+        for b in range(nbl))
+    bl_hdu = _bintable_hdu(
+        "BL_OCC", [("Index", "1J"), ("Count", "1K"), ("Occupancy", "1D")],
+        bl_rows, n_rows=nbl, row_bytes=20)
+    return primary + flags_hdu + ch_hdu + bl_hdu
+
+
+def read_occupancy(path: str) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """→ (CH_OCC, BL_OCC) occupancy tables of one .mwaf file."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    _, off = fc.parse_header(raw)
+    out = {}
+    occ_dtype = np.dtype([("Index", ">i4"), ("Count", ">i8"),
+                          ("Occupancy", ">f8")])
+    while off < len(raw):
+        hdr, off = fc.parse_header(raw, off)
+        size = fc.data_size_bytes(hdr)
+        data = raw[off:off + size]
+        off = fc.skip_data(off, hdr)
+        name = hdr.get("EXTNAME")
+        if name in ("CH_OCC", "BL_OCC"):
+            out[name] = pd.DataFrame(np.frombuffer(
+                data, dtype=occ_dtype, count=int(hdr["NAXIS2"])))
+    return out.get("CH_OCC"), out.get("BL_OCC")
 
 
 def write_mwaf_set_distributed(flags: DataFrame, out_dir: str,

@@ -90,10 +90,17 @@ PTYPES = ("UU", "VV", "WW", "BASELINE", "DATE")
 
 
 def write_uvfits(path: str, groups, n_chan: int, n_groups: int,
-                 object_name: str = "synthetic") -> None:
+                 object_name: str = "synthetic",
+                 jd_zero: float = GPS_EPOCH_JD) -> None:
     """Write random-groups UVFITS. ``groups`` iterates
     (u, v, w, bl_code, jd, data) with data shaped (n_chan, 4, 3) float —
-    e.g. from a DataFrame's ordered ``toLocalIterator``."""
+    e.g. from a DataFrame's ordered ``toLocalIterator``.
+
+    ``jd_zero`` becomes PZERO for the DATE param: a raw-f32 JD near
+    2.4e6 has ~0.25-day (6-hour) spacing, which would collapse every
+    timestep of a typical observation onto one or two values — storing
+    ``jd − jd_zero`` keeps second-level time resolution (the standard
+    random-groups convention; readers add PZERO back)."""
     cards = [
         _card("SIMPLE", True, "conforms to FITS standard"),
         _card("BITPIX", -32, "IEEE float32"),
@@ -110,14 +117,15 @@ def write_uvfits(path: str, groups, n_chan: int, n_groups: int,
     for i, pt in enumerate(PTYPES):
         cards.append(_card(f"PTYPE{i + 1}", pt))
         cards.append(_card(f"PSCAL{i + 1}", 1.0))
-        cards.append(_card(f"PZERO{i + 1}", 0.0))
+        cards.append(_card(f"PZERO{i + 1}",
+                           jd_zero if pt == "DATE" else 0.0))
     cards.append(f"{'END':<80}".encode("ascii"))
     with open(path, "wb") as f:
         f.write(_pad(b"".join(cards)))
         n = 0
         for u, v, w, bl_code, jd, data in groups:
             rec = np.empty(5 + n_chan * 4 * 3, dtype=">f4")
-            rec[:5] = (u, v, w, float(bl_code), jd)
+            rec[:5] = (u, v, w, float(bl_code), jd - jd_zero)
             rec[5:] = np.asarray(data, dtype=np.float64).reshape(-1)
             f.write(rec.tobytes())
             n += 1
@@ -159,7 +167,11 @@ def read_uvfits(path: str) -> tuple[dict, np.ndarray, np.ndarray]:
     per = 5 + n_chan * 4 * 3
     arr = np.frombuffer(raw, dtype=">f4", count=g * per,
                         offset=off).reshape(g, per)
-    return header, arr[:, :5].astype(np.float64), (
+    params = arr[:, :5].astype(np.float64)
+    # apply PZERO (random-groups convention): true value = stored + zero
+    for i in range(5):
+        params[:, i] += float(header.get(f"PZERO{i + 1}", 0.0))
+    return header, params, (
         arr[:, 5:].reshape(g, n_chan, 4, 3).astype(np.float64))
 
 

@@ -127,3 +127,22 @@ def test_distributed_writer_byte_identical(spark, sf_dir, tmp_path):
         assert blob == dist_blob
         cc = int(name.replace("Flagfile", "").replace(".mwaf", ""))
         assert manifest[cc].file_md5 == hashlib.md5(blob).hexdigest()
+
+
+def test_bl_occ_hdu_roundtrip(spark, sf_dir, tmp_path):
+    flags = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)) \
+        .select("t", "bl", "cc", "fc", "flag")
+    out = str(tmp_path / "occ")
+    paths = mwaf.write_mwaf_set(flags, out)
+    for p in paths:
+        primary, mat, ch_occ = mwaf.read_mwaf(p)
+        ch2, bl2 = mwaf.read_occupancy(p)
+        nbl = int(primary["NBL"])
+        nscans = int(primary["NSCANS"])
+        n_chans = int(primary["NCHANS"])
+        assert bl2 is not None and len(bl2) == nbl
+        exp = mat.reshape(nscans, nbl, n_chans).sum(axis=(0, 2))
+        assert bl2.Count.tolist() == exp.tolist()
+        import numpy as np
+        assert np.allclose(bl2.Occupancy, exp / (nscans * n_chans))
+        assert ch2.Count.tolist() == ch_occ.Count.tolist()

@@ -178,3 +178,18 @@ def test_describe_stats(spark, sf_dir):
     assert got["n_fine_chans"] == syn.NUM_CC * syn.NUM_FC
     assert got["n_rows"] == vis.count()
     assert got["est_vis_bytes"] == got["n_rows"] * describe.BYTES_PER_ROW
+
+def test_uvfits_date_keeps_second_resolution(tmp_path):
+    import numpy as np
+    from birli_spark.sinks import uvfits
+    # two groups 1 second apart near JD 2.44e6: raw f32 would collapse
+    # them (0.25-day ULP); PZERO must preserve the separation
+    jd0 = uvfits.GPS_EPOCH_JD + 12345.0 / 86400.0
+    groups = [(0.0, 0.0, 0.0, 257, jd0 + i / 86400.0,
+               np.zeros((2, 4, 3))) for i in range(2)]
+    path = str(tmp_path / "date.uvfits")
+    uvfits.write_uvfits(path, iter(groups), 2, 2)
+    header, params, _ = uvfits.read_uvfits(path)
+    dates = params[:, 4]
+    assert abs((dates[1] - dates[0]) * 86400.0 - 1.0) < 1e-3
+    assert abs(dates[0] - jd0) < 1e-4 / 86400.0 * 1e4  # absolute JD restored

@@ -112,3 +112,19 @@ def test_spark_operator_end_to_end(spark):
     assert got[(2, 2)]["xx_re"] == pytest.approx(np.float32(sighat_xx ** 2 * scale), rel=1e-7)
     assert got[(2, 2)]["xx_im"] == 7.0
     assert got[(0, 2)]["xx_re"] == 500.0
+
+
+def test_cross_solver_divergence_is_passthrough():
+    # tiny sigmas push the Newton step outside [0,1) (pdf overflow /
+    # zero derivative): diverged cells must pass khat through, never
+    # emit the garbage iterate (reference unwrap_or, van_vleck.rs:764)
+    import numpy as np
+    from birli_spark.operators import vanvleck as vv
+    sigmas = np.array([0.3, 0.2, 0.15, 0.5, 0.8])
+    khat = 0.9 * sigmas * sigmas
+    out = vv.van_vleck_crosses(khat, sigmas, sigmas)
+    assert np.isfinite(out).all()
+    # the pathological cells fall back to khat exactly
+    assert out[0] == khat[0] and out[1] == khat[1] and out[2] == khat[2]
+    # healthy cells actually get corrected (not passthrough)
+    assert out[3] != khat[3] and out[4] != khat[4]
