@@ -70,17 +70,41 @@ def _duck_shingle_cte(n: int = SHINGLE_N) -> str:
     return f"sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents)"
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame,
-                    threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs: |A∩B| / (|A| + |B| − |A∩B|)."""
+def _pair_set_stats(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, i, na, nb): exact intersection and set sizes for
+    candidate pairs — the shared verify core of the Jaccard, containment,
+    and MinHash operators."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (cand
              .join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
              .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "s"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
     return (inter
-            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
-            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
+                  "doc_a")
+            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
+                  "doc_b"))
+
+
+def _shingle_candidates(sh: DataFrame,
+                        max_df: int | None = None) -> DataFrame:
+    """Shared-shingle candidate pairs (doc_a < doc_b); ``max_df`` drops
+    stop-shingles before the self-join to bound fan-out."""
+    join_side = sh
+    if max_df is not None:
+        keep = (sh.groupBy("s").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("s"))
+        join_side = sh.join(keep, "s", "left_semi")
+    a = join_side.withColumnsRenamed({"doc_id": "doc_a"})
+    b = join_side.withColumnsRenamed({"doc_id": "doc_b"})
+    return (a.join(b, (a["s"] == b["s"]) & (a["doc_a"] < b["doc_b"]))
+            .select("doc_a", "doc_b").distinct())
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs: |A∩B| / (|A| + |B| − |A∩B|)."""
+    return (_pair_set_stats(cand, sh)
             .withColumn("jaccard",
                         F.expr("CAST(i AS DOUBLE) / (na + nb - i)"))
             .filter(F.col("jaccard") >= threshold)
@@ -99,16 +123,7 @@ def shingle_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     exploded table (several times the corpus size) costs an eager
     materialization pass up front and evicts/spills at scale."""
     sh = _shingle_table(docs)
-    join_side = sh
-    if max_df is not None:
-        keep = (sh.groupBy("s").agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_df).select("s"))
-        join_side = sh.join(keep, "s", "left_semi")
-    a = join_side.withColumnsRenamed({"doc_id": "doc_a"})
-    b = join_side.withColumnsRenamed({"doc_id": "doc_b"})
-    cand = (a.join(b, (a["s"] == b["s"]) & (a["doc_a"] < b["doc_b"]))
-            .select("doc_a", "doc_b").distinct())
-    return _verify_jaccard(cand, sh, threshold)
+    return _verify_jaccard(_shingle_candidates(sh, max_df), sh, threshold)
 
 
 def shingle_jaccard_oracle_sql(threshold: float = 0.5) -> str:
@@ -142,25 +157,7 @@ def shingle_containment_pairs(docs: DataFrame,
     fan-out), exact set arithmetic on the survivors. Containments are
     single exact divisions of integers — oracle-identical."""
     sh = _shingle_table(docs)
-    join_side = sh
-    if max_df is not None:
-        keep = (sh.groupBy("s").agg(F.count("*").alias("df"))
-                .filter(F.col("df") <= max_df).select("s"))
-        join_side = sh.join(keep, "s", "left_semi")
-    a = join_side.withColumnsRenamed({"doc_id": "doc_a"})
-    b = join_side.withColumnsRenamed({"doc_id": "doc_b"})
-    cand = (a.join(b, (a["s"] == b["s"]) & (a["doc_a"] < b["doc_b"]))
-            .select("doc_a", "doc_b").distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (cand
-             .join(sh.withColumnsRenamed({"doc_id": "doc_a"}), "doc_a")
-             .join(sh.withColumnsRenamed({"doc_id": "doc_b"}), ["doc_b", "s"])
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("i")))
-    return (inter
-            .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}),
-                  "doc_a")
-            .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}),
-                  "doc_b")
+    return (_pair_set_stats(_shingle_candidates(sh, max_df), sh)
             .withColumn("cont_a_in_b", F.expr("CAST(i AS DOUBLE) / na"))
             .withColumn("cont_b_in_a", F.expr("CAST(i AS DOUBLE) / nb"))
             .filter(F.expr(f"GREATEST(cont_a_in_b, cont_b_in_a)"
