@@ -89,6 +89,18 @@ def shingles(d: str, toks_expr: str, n: int) -> str:
     return ltransform(d, idx, lam)
 
 
+def bigrams(d: str, toks_expr: str) -> str:
+    """Adjacent token bigrams (space-joined); empty under 2 tokens —
+    the shared building block of the collocation operators."""
+    n = size(d, toks_expr)
+    idx = seq(d, "1", f"{n} - 1")
+    if d == SPARK:
+        lam = f"i -> concat({toks_expr}[i - 1], ' ', {toks_expr}[i])"
+    else:
+        lam = f"i -> ({toks_expr})[i] || ' ' || ({toks_expr})[i + 1]"
+    return ltransform(d, idx, lam)
+
+
 def minhash16(shingle_expr: str, seed: int) -> str:
     """Seeded 64-bit-equivalent minhash unit: first 16 hex chars of
     md5('<seed>#' || shingle). Fixed-width lowercase hex, so MIN() over

@@ -459,8 +459,6 @@ SELECT event_id,
 FROM e"""
 
 
-US_PER_DAY = 86_400_000_000
-
 #: ordered-funnel stages over event_type; a user "reaches" stage k when the
 #: first occurrences of stages 1..k are monotonically non-decreasing in time
 FUNNEL_STAGES = ("signup", "view", "click", "purchase")
@@ -666,7 +664,7 @@ def user_ewma(events: DataFrame) -> DataFrame:
     fold = (f"aggregate(slice(evs, 2, size(evs) - 1), evs[0].v, "
             f"(acc, e) -> {a} * e.v + (1.0 - {a}) * acc)")
     return (events
-            .selectExpr("user_id", "event_id", "(ts div 1000) AS ts_us",
+            .selectExpr("user_id", "event_id", f"{TS_US_SPARK} AS ts_us",
                         "value")
             .groupBy("user_id")
             .agg(F.expr(lst).alias("evs"))

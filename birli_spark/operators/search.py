@@ -69,7 +69,7 @@ def _tf(docs: DataFrame) -> DataFrame:
 
 def _tf_cte(table: str = "documents") -> str:
     return f"""tok AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  SELECT doc_id, unnest({X.toks(X.DUCK)}) AS term
   FROM {table}),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM tok
@@ -186,7 +186,7 @@ FROM dft d, ntot"""
     return f"""
 WITH {_TF_CTE},
 q(query_id, term) AS (VALUES {qvals}),
-dl AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS dl
+dl AS (SELECT doc_id, {X.size(X.DUCK, X.toks(X.DUCK))} AS dl
        FROM documents),
 ntot AS (SELECT SUM(dl) AS tot, COUNT(*) AS n FROM dl),
 dft AS (SELECT tf.term, COUNT(*) AS df FROM tf
@@ -206,8 +206,8 @@ per_doc AS (
   SELECT query_id, doc_id, COUNT(*) AS n_hit, SUM(score_ticks) AS ticks
   FROM hits GROUP BY query_id, doc_id)
 SELECT query_id, doc_id,
-  ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY ticks DESC, doc_id ASC) AS rank,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY ticks DESC, doc_id ASC) AS INT) AS rank,
   n_hit, CAST(ticks AS DOUBLE) / {_TSCALE}.0 AS score
 FROM per_doc
 QUALIFY rank <= {k}"""

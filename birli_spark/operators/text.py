@@ -224,7 +224,7 @@ def vocab_stats(docs: DataFrame, top_n: int = VOCAB_TOP_N) -> DataFrame:
 def vocab_stats_oracle_sql(top_n: int = VOCAB_TOP_N) -> str:
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  SELECT doc_id, unnest({X.toks(X.DUCK)}) AS term
   FROM documents),
 agg AS (
   SELECT term, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
@@ -266,9 +266,9 @@ def rarity_stats(docs: DataFrame) -> DataFrame:
 
 
 def rarity_stats_oracle_sql() -> str:
-    return """
+    return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  SELECT doc_id, unnest({X.toks(X.DUCK)}) AS term
   FROM documents),
 t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
 dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term)
@@ -317,7 +317,7 @@ def tfidf_oracle_sql(k: int = TFIDF_TOP_K) -> str:
     score = f32("CAST(tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / df)")
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+  SELECT doc_id, unnest({X.toks(X.DUCK)}) AS term
   FROM documents),
 tf AS (
   SELECT doc_id, term, COUNT(*) AS tf
@@ -384,13 +384,9 @@ def top_bigrams(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
     deterministic cross-engine.
     """
     from pyspark.sql import Window
-    t = X.toks(X.SPARK)
-    n = X.size(X.SPARK, t)
-    bigrams = (f"transform(IF({n} >= 2, sequence(1, {n} - 1), "
-               f"CAST(array() AS ARRAY<INT>)), "
-               f"i -> concat({t}[i - 1], ' ', {t}[i]))")
     counted = (docs
-               .select("lang", F.explode(F.expr(bigrams)).alias("bigram"))
+               .select("lang", F.explode(F.expr(
+                   X.bigrams(X.SPARK, X.toks(X.SPARK)))).alias("bigram"))
                .groupBy("lang", "bigram")
                .agg(F.count("*").alias("n_occurrences")))
     w = Window.partitionBy("lang").orderBy(
@@ -402,15 +398,10 @@ def top_bigrams(docs: DataFrame, k: int = BIGRAM_TOP_K) -> DataFrame:
 
 
 def top_bigrams_oracle_sql(k: int = BIGRAM_TOP_K) -> str:
-    t = X.toks(X.DUCK)
-    n = X.size(X.DUCK, t)
     return f"""
-WITH toks AS (
-  SELECT lang, {t} AS ts, {n} AS nt FROM documents),
-bigrams AS (
-  SELECT lang, ts[i] || ' ' || ts[i + 1] AS bigram
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, nt - 1)) AS i) g
-  WHERE nt >= 2),
+WITH bigrams AS (
+  SELECT lang, unnest({X.bigrams(X.DUCK, X.toks(X.DUCK))}) AS bigram
+  FROM documents),
 counted AS (
   SELECT lang, bigram, COUNT(*) AS n_occurrences
   FROM bigrams GROUP BY lang, bigram),
@@ -698,7 +689,8 @@ pairs AS (
     FROM words)
   GROUP BY pair)
 SELECT pair, n_words, total_count,
-  ROW_NUMBER() OVER (ORDER BY total_count DESC, pair ASC) AS rank
+  CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, pair ASC)
+    AS INT) AS rank
 FROM pairs
 QUALIFY rank <= {top_n}"""
 
@@ -796,19 +788,16 @@ def pmi_collocations(docs: DataFrame, min_count: int = PMI_MIN_COUNT,
     The rank window sees a filtered aggregate, never the corpus."""
     from pyspark.sql import Window
     t = X.toks(X.SPARK)
-    n = X.size(X.SPARK, t)
     uni = (docs.select(F.explode(F.expr(t)).alias("tok"))
            .filter(F.col("tok") != "")
            .groupBy("tok").agg(F.count("*").alias("c")))
-    bigrams = (f"transform(IF({n} >= 2, sequence(1, {n} - 1), "
-               f"CAST(array() AS ARRAY<INT>)), "
-               f"i -> concat({t}[i - 1], ' ', {t}[i]))")
-    bi = (docs.select(F.explode(F.expr(bigrams)).alias("pair"))
+    bi = (docs.select(F.explode(F.expr(
+              X.bigrams(X.SPARK, t))).alias("pair"))
           .groupBy("pair").agg(F.count("*").alias("c_ab"))
           .filter(F.col("c_ab") >= min_count))
-    n_tot = (docs.select(F.explode(F.expr(t)).alias("tok"))
-             .filter(F.col("tok") != "")
-             .agg(F.count("*").alias("n")))
+    # total tokens from the vocab-sized uni aggregate — not a third
+    # corpus scan (ReuseExchange shares uni's shuffle)
+    n_tot = uni.agg(F.sum("c").alias("n"))
     j = (bi
          .withColumn("a", F.expr("split(pair, ' ')[0]"))
          .withColumn("b", F.expr("split(pair, ' ')[1]"))
@@ -832,7 +821,6 @@ def pmi_collocations(docs: DataFrame, min_count: int = PMI_MIN_COUNT,
 def pmi_collocations_oracle_sql(min_count: int = PMI_MIN_COUNT,
                                 top_n: int = PMI_TOP_N) -> str:
     t = X.toks(X.DUCK)
-    nt = X.size(X.DUCK, t)
     # the log2 chain consumes its cnt column, so counts that must
     # survive to the output ride along under *_k aliases
     base = """
@@ -863,16 +851,13 @@ WITH tok AS (
 uni AS (SELECT tok, COUNT(*) AS c FROM tok WHERE tok <> '' GROUP BY tok),
 bi AS (
   SELECT pair, COUNT(*) AS c_ab FROM (
-    SELECT ts[i] || ' ' || ts[i + 1] AS pair
-    FROM (SELECT {t} AS ts, {nt} AS ntk FROM documents) d,
-         LATERAL (SELECT unnest(generate_series(1, ntk - 1)) AS i) g
-    WHERE ntk >= 2)
+    SELECT unnest({X.bigrams(X.DUCK, t)}) AS pair FROM documents)
   GROUP BY pair HAVING COUNT(*) >= {min_count}),
-ntot AS (SELECT COUNT(*) AS n FROM tok WHERE tok <> ''),
+ntot AS (SELECT SUM(c) AS n FROM uni),
 scored AS ({q})
 SELECT pair, c_ab_k AS c_ab, c_a_k AS c_a, c_b_k AS c_b,
   lg_ab + lg_n - lg_a - lg_b AS pmi_ticks,
-  ROW_NUMBER() OVER (ORDER BY lg_ab + lg_n - lg_a - lg_b DESC,
-                     pair ASC) AS rank
+  CAST(ROW_NUMBER() OVER (ORDER BY lg_ab + lg_n - lg_a - lg_b DESC,
+                          pair ASC) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {top_n}"""
