@@ -1010,8 +1010,9 @@ def oracle_sql() -> dict[str, str]:
             "CROSS JOIN (SELECT DISTINCT cc FROM visd) b), "
             "missing AS (SELECT e.t, e.cc FROM expected e LEFT JOIN present p "
             "ON e.t = p.t AND e.cc = p.cc WHERE p.t IS NULL), "
-            "skeleton AS (SELECT DISTINCT cc, fc, chan, freq_hz, bl, ant1, ant2, "
-            "weight FROM visd)"
+            "skeleton AS (SELECT cc, fc, chan, freq_hz, bl, ant1, ant2, "
+            "MIN(weight) AS weight FROM visd "
+            "GROUP BY cc, fc, chan, freq_hz, bl, ant1, ant2)"
         ),
     )
 

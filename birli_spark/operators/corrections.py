@@ -238,6 +238,11 @@ def _passband_fragments(gain: str) -> dict[str, str]:
 
 def fine_gain_rows(ultrafine_gains: list[float], num_fine: int,
                    center_symmetric: bool) -> list[tuple[int, float]]:
+    if len(ultrafine_gains) % num_fine:
+        raise ValueError(
+            f"ultrafine gain curve length {len(ultrafine_gains)} is not a "
+            f"multiple of num_fine={num_fine}; the scrunch would silently "
+            f"misalign the fine-channel grid")
     fscrunch = len(ultrafine_gains) // num_fine
     return list(enumerate(scrunch_gains(ultrafine_gains, fscrunch, center_symmetric)))
 

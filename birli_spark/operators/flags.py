@@ -146,9 +146,10 @@ def baseline_flags_oracle_select(antennas: str, flag_autos: bool = False) -> str
 
 def set_flags_oracle_select(vis: str, ts_flags: str | None, bl_flags: str | None,
                             fc_pred_sql: str | None,
-                            vis_columns: Sequence[str]) -> str:
+                            vis_columns: Sequence[str],
+                            cc_flags: str | None = None) -> str:
     """Oracle SQL for F7 — mirrors the OR-chain order of :func:`set_flags`
-    (flag | ts | bl | fc)."""
+    (flag | ts | bl | fc | cc)."""
     pred = "v.flag"
     joins = ""
     if ts_flags is not None:
@@ -159,6 +160,9 @@ def set_flags_oracle_select(vis: str, ts_flags: str | None, bl_flags: str | None
         pred += " OR COALESCE(bf.bl_flag, FALSE)"
     if fc_pred_sql is not None:
         pred += f" OR {fc_pred_sql}"
+    if cc_flags is not None:
+        joins += f" LEFT JOIN {cc_flags} cf ON v.cc = cf.cc"
+        pred += " OR COALESCE(cf.cc_flag, FALSE)"
     cols = ", ".join(
         f"({pred}) AS flag" if c == "flag" else f"v.{c}" for c in vis_columns
     )
@@ -190,10 +194,14 @@ def flag_missing_slabs(vis: DataFrame) -> DataFrame:
     present = vis.select("t", "cc").distinct()
     expected = vis.select("t").distinct().crossJoin(vis.select("cc").distinct())
     missing = expected.join(present, ["t", "cc"], "left_anti")
-    # per-(cc) channel/baseline skeleton with metadata columns
-    skeleton = vis.select(
-        "cc", "fc", "chan", "freq_hz", "bl", "ant1", "ant2", "weight"
-    ).distinct()
+    # per-(cc) channel/baseline skeleton with metadata columns. Weight
+    # is NOT part of the distinct key (post-bake it varies per row and
+    # would duplicate skeleton rows); MIN picks one deterministically —
+    # equal to the constant weight factor in the pre-bake position this
+    # operator occupies (the reference fills at read time)
+    skeleton = (vis.groupBy("cc", "fc", "chan", "freq_hz", "bl",
+                            "ant1", "ant2")
+                .agg(F.min("weight").alias("weight")))
     vis_cols = [c for c in vis.columns]
     zero_cols = [
         c for c in vis_cols

@@ -186,3 +186,28 @@ def test_calibration_nan_flags_and_negates_weight(spark):
         touches_nan_ant = pdf.ant1[i] == 0 or pdf.ant2[i] == 0
         assert got["flag"][i] == touches_nan_ant
         assert got["weight"][i] == (-32.0 if touches_nan_ant else 32.0)
+
+
+def test_calibration_missing_solution_flags_not_drops(spark, sf_dir):
+    from birli_spark import pipeline
+    from birli_spark.operators import calibration
+    from birli_spark.sources import synthetic as syn
+    vis = syn.load_vis(spark, sf_dir)
+    sols = syn.load_dim(spark, "calsols")
+    # drop antenna 2's solutions entirely: rows must survive, flagged,
+    # with visibilities passed through and positive weights negated
+    partial = sols.filter("ant <> 2")
+    out = calibration.apply_di_calsol(vis, partial, pipeline.CAL_RATIO)
+    assert out.count() == vis.count()
+    touched = out.filter("ant1 = 2 OR ant2 = 2")
+    assert touched.filter("NOT flag").count() == 0
+    assert touched.filter("weight > 0").count() == 0
+    # passthrough: values unchanged for a sampled missing-ant row
+    a = (vis.filter("ant1 = 2 AND t = 0 AND chan = 0").orderBy("bl")
+         .select("bl", "xx_re").collect())
+    b = (out.filter("ant1 = 2 AND t = 0 AND chan = 0").orderBy("bl")
+         .select("bl", "xx_re").collect())
+    assert [r.xx_re for r in a] == [r.xx_re for r in b]
+    # complete solutions: nothing flagged by the missing-branch
+    full = calibration.apply_di_calsol(vis, sols, pipeline.CAL_RATIO)
+    assert full.count() == vis.count()
