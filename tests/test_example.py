@@ -74,3 +74,21 @@ def test_search_example_end_to_end(tmp_path):
     shards = [d for d in os.listdir(tmp_path / "search" / "index")
               if d.startswith("shard=")]
     assert len(shards) == 8
+
+
+def test_events_example_end_to_end(tmp_path):
+    sys.modules.pop("examples.events_pipeline", None)
+    mod = runpy.run_path("examples/events_pipeline.py")
+    import birli_spark.session as sess
+    spark = sess.get_spark("birli_spark_tests")
+    real_stop = spark.stop
+    try:
+        spark.stop = lambda: None
+        result = mod["main"](out_dir=str(tmp_path / "events"))
+    finally:
+        spark.stop = real_stop
+    assert result["n_events"] > 0
+    assert result["n_sessions"] > 0
+    assert result["n_history_rows"] > 0
+    assert set(result["funnel"]) == {"signup", "view", "click", "purchase"}
+    assert result["stream_parity"] is True
