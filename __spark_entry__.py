@@ -399,6 +399,29 @@ def _q_stream_ewma(spark, sf_dir):
     return sewma.latest_snapshots(updates)
 
 
+def _q_stream_topk(spark, sf_dir):
+    """Streaming CMS heavy hitters, oracle-checked against the BATCH
+    sk2 SQL — the additive counter matrix drains to the batch sketch."""
+    from birli_spark.streaming import topk as stopk
+    updates = stopk.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_topk"))
+    return stopk.topk_from_updates(updates)
+
+
+def _q_stream_kmv(spark, sf_dir):
+    from birli_spark.streaming import sketch as ssketch
+    updates = ssketch.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_kmv"))
+    return ssketch.kmv_from_updates(updates)
+
+
+def _q_stream_hist(spark, sf_dir):
+    from birli_spark.streaming import hist as shist
+    bins = shist.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_hist"))
+    return shist.quantiles_from_bins(bins)
+
+
 def _q_clean_index(spark, sf_dir):
     from birli_spark.operators import search
     from birli_spark.sources import corpus
@@ -975,12 +998,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st1_stream_funnel": _q_stream_funnel,
         "st2_stream_transitions": _q_stream_transitions,
         "st3_stream_ewma": _q_stream_ewma,
+        "st4_stream_topk": _q_stream_topk,
+        "st5_stream_kmv": _q_stream_kmv,
+        "st6_stream_hist": _q_stream_hist,
         "h7_fuzzy_names": _q_fuzzy_names,
         "t20_weighted_sample": _q_weighted_sample,
     }
 
 
 # ------------------------------------------------------------- oracles ---
+
+def _stream_topk_oracle():
+    from birli_spark.streaming import topk as stopk
+    return stopk.topk_stream_oracle_sql()
+
+
+def _stream_kmv_oracle():
+    from birli_spark.streaming import sketch as ssketch
+    return ssketch.kmv_stream_oracle_sql()
+
+
+def _stream_hist_oracle():
+    from birli_spark.streaming import hist as shist
+    return shist.hist_stream_oracle_sql()
+
 
 def oracle_sql() -> dict[str, str]:
     fc_pred = flags.fine_channel_pred_sql(
@@ -1234,6 +1275,9 @@ def oracle_sql() -> dict[str, str]:
         "st1_stream_funnel": events.funnel_oracle_sql(),
         "st2_stream_transitions": events.type_transitions_oracle_sql(),
         "st3_stream_ewma": events.user_ewma_oracle_sql(),
+        "st4_stream_topk": _stream_topk_oracle(),
+        "st5_stream_kmv": _stream_kmv_oracle(),
+        "st6_stream_hist": _stream_hist_oracle(),
         "h7_fuzzy_names": relational.fuzzy_name_pairs_oracle_sql(),
         "t20_weighted_sample": corpus_clean.weighted_sample_oracle_sql(),
     }

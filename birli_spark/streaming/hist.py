@@ -77,3 +77,12 @@ def run_available_now(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def hist_stream_oracle_sql() -> str:
+    """The BATCH sk5 oracle minus its exact-percentile baseline column —
+    per-bin counts are additive, so the drained counters equal the batch
+    histogram and the same interpolation yields identical quantiles."""
+    from birli_spark.operators.sketches import hist_quantiles_oracle_sql
+    return (f"SELECT p, bin, hist_q FROM "
+            f"({hist_quantiles_oracle_sql()}\n) q")

@@ -32,11 +32,16 @@ OUTPUT_SCHEMA = StructType([
     StructField("source", StringType()),
     StructField("n_kmins", LongType()),
     StructField("kmv_distinct", DoubleType()),
+    # cumulative docs consumed per source — strictly increasing across
+    # batches that touch the source, so the final emission per source is
+    # selectable relationally (argmax), without relying on sink order
+    StructField("n_docs_seen", LongType()),
 ])
 
-#: the sketch IS the state: current k-minima, ascending
+#: the sketch IS the state: current k-minima, ascending (+ drain marker)
 STATE_SCHEMA = StructType([
     StructField("kmins", ArrayType(StringType())),
+    StructField("n_docs_seen", LongType()),
 ])
 
 
@@ -68,12 +73,15 @@ def kmv_stream(stream: DataFrame, k: int = KMV_K) -> DataFrame:
            state: GroupState) -> Iterator[pd.DataFrame]:
         (source,) = key
         batch = pd.concat(list(pdfs), ignore_index=True)
-        prev = list(state.get[0]) if state.exists else None
+        prev, seen = (list(state.get[0]), state.get[1]) \
+            if state.exists else (None, 0)
         kmins = _merge(prev, batch["text"], k)
-        state.update((kmins,))
+        seen += len(batch)
+        state.update((kmins, seen))
         yield pd.DataFrame({"source": [source],
                             "n_kmins": [len(kmins)],
-                            "kmv_distinct": [_estimate(kmins, k)]})
+                            "kmv_distinct": [_estimate(kmins, k)],
+                            "n_docs_seen": [seen]})
 
     return (stream
             .select("source", "text")
@@ -94,3 +102,23 @@ def run_available_now(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def kmv_from_updates(updates: DataFrame) -> DataFrame:
+    """The drained stream's final per-source estimates: each source's
+    emission with the maximum ``n_docs_seen`` (the all-data sketch)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs_seen"))
+    return (updates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("source", "kmv_distinct"))
+
+
+def kmv_stream_oracle_sql() -> str:
+    """The BATCH sk1 oracle minus its exact-count baseline column — the
+    drained sketch equals the batch sketch (same md5s, same k-minima,
+    same estimate arithmetic), so the batch SQL is the twin's oracle."""
+    from birli_spark.operators.sketches import kmv_distinct_tokens_oracle_sql
+    return (f"SELECT source, kmv_distinct FROM "
+            f"({kmv_distinct_tokens_oracle_sql()}\n) q")

@@ -41,6 +41,10 @@ OUTPUT_SCHEMA = StructType([
     StructField("term", StringType()),
     StructField("rank", IntegerType()),
     StructField("cms_estimate", LongType()),
+    # cumulative tokens consumed — strictly increasing across non-empty
+    # batches, so the drained stream's FINAL emission is selectable
+    # relationally (max n_seen), without relying on sink row order
+    StructField("n_seen", LongType()),
 ])
 
 STATE_SCHEMA = StructType([
@@ -91,10 +95,14 @@ def cms_topk_stream(stream: DataFrame, depth: int = CMS_DEPTH,
             candidates = {t for _, t in ranked}
         state.update((counters, sorted(candidates)))
         top = ranked[:top_k]
+        # every token increments exactly one counter per seed row, so
+        # the per-seed counter sum IS the cumulative token count
+        n_seen = sum(counters[:width])
         yield pd.DataFrame({
             "term": [t for _, t in top],
             "rank": list(range(1, len(top) + 1)),
             "cms_estimate": [e for e, _ in top],
+            "n_seen": [n_seen] * len(top),
         })
 
     return (stream
@@ -117,3 +125,24 @@ def run_available_now(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def topk_from_updates(updates: DataFrame) -> DataFrame:
+    """The drained stream's final heavy-hitter table: the emission rows
+    carrying the maximum ``n_seen`` (counters are cumulative, so that IS
+    the all-data state). ``dropDuplicates`` guards the degenerate case
+    of a trailing batch with zero tokens re-emitting the same state."""
+    mx = updates.agg(F.max("n_seen").alias("n_seen"))
+    return (updates.join(F.broadcast(mx), "n_seen")
+            .select("term", "rank", "cms_estimate")
+            .dropDuplicates())
+
+
+def topk_stream_oracle_sql() -> str:
+    """The BATCH sk2 oracle minus its exact-count column — after a
+    finite drain the streamed counters equal the batch sketch's, so the
+    batch SQL is the streaming twin's oracle (driver-verified
+    batch/stream parity)."""
+    from birli_spark.operators.sketches import cms_heavy_hitters_oracle_sql
+    return (f"SELECT term, rank, cms_estimate FROM "
+            f"({cms_heavy_hitters_oracle_sql()}\n) q")
