@@ -512,6 +512,39 @@ def _q_pricing_summary(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_late_order_priority(spark, sf_dir):
+    return relational.late_order_priority(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_large_orders(spark, sf_dir):
+    return relational.large_orders(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_promo_share(spark, sf_dir):
+    return relational.promo_revenue_share(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_cust_order_dist(spark, sf_dir):
+    return relational.customer_order_distribution(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+
+
+def _q_returned_losses(spark, sf_dir):
+    return relational.returned_item_losses(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+
 def _q_shipping_priority(spark, sf_dir):
     return relational.shipping_priority(
         spark.read.parquet(f"{sf_dir}/customer.parquet"),
@@ -1002,6 +1035,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st5_stream_kmv": _q_stream_kmv,
         "st6_stream_hist": _q_stream_hist,
         "h7_fuzzy_names": _q_fuzzy_names,
+        "h8_late_order_priority": _q_late_order_priority,
+        "h9_large_orders": _q_large_orders,
+        "h10_promo_share": _q_promo_share,
+        "h11_cust_order_dist": _q_cust_order_dist,
+        "h12_returned_losses": _q_returned_losses,
         "t20_weighted_sample": _q_weighted_sample,
     }
 
@@ -1279,6 +1317,12 @@ def oracle_sql() -> dict[str, str]:
         "st5_stream_kmv": _stream_kmv_oracle(),
         "st6_stream_hist": _stream_hist_oracle(),
         "h7_fuzzy_names": relational.fuzzy_name_pairs_oracle_sql(),
+        "h8_late_order_priority": relational.late_order_priority_oracle_sql(),
+        "h9_large_orders": relational.large_orders_oracle_sql(),
+        "h10_promo_share": relational.promo_revenue_share_oracle_sql(),
+        "h11_cust_order_dist":
+            relational.customer_order_distribution_oracle_sql(),
+        "h12_returned_losses": relational.returned_item_losses_oracle_sql(),
         "t20_weighted_sample": corpus_clean.weighted_sample_oracle_sql(),
     }
 

@@ -329,3 +329,223 @@ SELECT a.p_name AS name_a, b.p_name AS name_b,
 FROM names a JOIN names b
   ON a.block = b.block AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {max_dist}"""
+
+
+_Q4_START = "1996-07-01 00:00:00"
+_Q4_END = "1996-10-01 00:00:00"
+
+
+def late_order_priority(orders: DataFrame, lineitem: DataFrame,
+                        start: str = _Q4_START,
+                        end: str = _Q4_END) -> DataFrame:
+    """H8 — the TPC-H Q4 shape: **EXISTS decorrelated to a left-semi
+    join**. Count one quarter's orders, per priority, that had at least
+    one line item ship more than 30 days after the order date (this
+    schema's stand-in for Q4's commit<receipt lateness predicate).
+
+    Scale notes: the quarter filter prunes the orders scan before the
+    join (partition pruning on a date-partitioned layout); the semi join
+    carries only (orderkey, orderdate) against lineitem keys and
+    short-circuits on the first match per order — no fact×fact row
+    multiplication, no DISTINCT. The final rollup is ≤ 5 groups."""
+    o = orders.filter(F.expr(
+        f"o_orderdate >= TIMESTAMP '{start}' "
+        f"AND o_orderdate < TIMESTAMP '{end}'"))
+    late = o.join(
+        lineitem,
+        F.expr("l_orderkey = o_orderkey "
+               "AND l_shipdate > o_orderdate + INTERVAL 30 DAY"),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
+def late_order_priority_oracle_sql(start: str = _Q4_START,
+                                   end: str = _Q4_END) -> str:
+    return f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{start}'
+  AND o_orderdate < TIMESTAMP '{end}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority"""
+
+
+LARGE_ORDER_QTY = 250
+
+
+def large_orders(customer: DataFrame, orders: DataFrame,
+                 lineitem: DataFrame,
+                 min_qty: int = LARGE_ORDER_QTY) -> DataFrame:
+    """H9 — the TPC-H Q18 shape: **HAVING over a fact aggregate, joined
+    back through the dim chain**. Find orders whose total quantity
+    exceeds ``min_qty`` and attach the customer.
+
+    Scale notes: the aggregate runs on lineitem alone, keyed by its own
+    join key (orderkey) — map-side combine collapses ~4 lines/order
+    before the shuffle; the HAVING prunes to a tiny key set that then
+    drives semi-join-sized probes into orders and customer (AQE
+    broadcasts it). Quantity sums are integer ticks — exact."""
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > min_qty))
+    return (orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+            .join(customer, orders["o_custkey"] == customer["c_custkey"])
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    (F.expr("CAST(ROUND(o_totalprice * 100.0) AS BIGINT)")
+                     / F.lit(100.0)).alias("o_totalprice"),
+                    "sum_qty"))
+
+
+def large_orders_oracle_sql(min_qty: int = LARGE_ORDER_QTY) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty})
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+  CAST(ROUND(o_totalprice * 100.0) AS BIGINT) / 100.0 AS o_totalprice,
+  sum_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
+_Q14_START = "1996-01-01 00:00:00"
+_Q14_END = "1996-04-01 00:00:00"
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame,
+                        promo_type: str = "PROMO",
+                        start: str = _Q14_START,
+                        end: str = _Q14_END) -> DataFrame:
+    """H10 — the TPC-H Q14 shape: **conditional aggregation over a
+    broadcast dim join** (promo revenue share for one quarter). One fact
+    pass; the part table broadcasts; promo/total split is a CASE inside
+    the same aggregate, not two scans.
+
+    The share itself is reported in exact integer basis points
+    (``10000·promo div total``) — integer division floors identically
+    in both engines, so the ratio is hash-stable without any float."""
+    li = lineitem.filter(F.expr(
+        f"l_shipdate >= TIMESTAMP '{start}' "
+        f"AND l_shipdate < TIMESTAMP '{end}'"))
+    j = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li["l_partkey"] == part["p_partkey"])
+    agg = j.agg(
+        F.sum(F.expr(f"CASE WHEN p_type = '{promo_type}' "
+                     f"THEN {_REV_TICKS} ELSE 0 END")).alias("promo_ticks"),
+        F.sum(F.expr(_REV_TICKS)).alias("total_ticks"))
+    return agg.select(
+        (F.col("promo_ticks") / F.lit(10000.0)).alias("promo_revenue"),
+        (F.col("total_ticks") / F.lit(10000.0)).alias("total_revenue"),
+        F.expr("(10000 * promo_ticks) div total_ticks")
+        .alias("promo_share_bp"))
+
+
+def promo_revenue_share_oracle_sql(promo_type: str = "PROMO",
+                                   start: str = _Q14_START,
+                                   end: str = _Q14_END) -> str:
+    return f"""
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN p_type = '{promo_type}' THEN {_REV_TICKS} ELSE 0 END)
+      AS promo_ticks,
+    SUM({_REV_TICKS}) AS total_ticks
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{start}'
+    AND l_shipdate < TIMESTAMP '{end}')
+SELECT promo_ticks / 10000.0 AS promo_revenue,
+  total_ticks / 10000.0 AS total_revenue,
+  (10000 * promo_ticks) // total_ticks AS promo_share_bp
+FROM agg"""
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame,
+                                excl_priority: str = "4-NOT SPECIFIED",
+                                ) -> DataFrame:
+    """H11 — the TPC-H Q13 shape: **left outer fact join + double
+    aggregate** (the distribution of orders-per-customer, zeroes
+    included). The excluded-priority predicate plays Q13's
+    comment-pattern filter.
+
+    Scale notes: aggregate #1 keys on custkey (the join key — one
+    shuffle shared by join and groupBy); aggregate #2's input is one row
+    per customer and its output is the tiny histogram. The left outer
+    join keeps never-ordered customers: their NULL order rows count 0
+    (COUNT(o_custkey) skips nulls — the exact Q13 trick)."""
+    o = orders.filter(F.col("o_orderpriority") != excl_priority)
+    per_cust = (customer.join(
+        o, customer["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+def customer_order_distribution_oracle_sql(
+        excl_priority: str = "4-NOT SPECIFIED") -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '{excl_priority}'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count"""
+
+
+_Q10_START = "1997-01-01 00:00:00"
+_Q10_END = "1997-04-01 00:00:00"
+
+
+def returned_item_losses(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         start: str = _Q10_START, end: str = _Q10_END,
+                         k: int = 20) -> DataFrame:
+    """H12 — the TPC-H Q10 shape: revenue lost to returned items per
+    customer for one quarter, top-k offenders. Both date predicates push
+    into the scans; the returnflag filter prunes lineitem to ~1/3 before
+    the big-big join; customer and nation broadcast into the aggregated
+    order grain. Deterministic top-k: ties break on custkey."""
+    o = orders.filter(F.expr(
+        f"o_orderdate >= TIMESTAMP '{start}' "
+        f"AND o_orderdate < TIMESTAMP '{end}'"))
+    li = lineitem.filter(F.col("l_returnflag") == "R")
+    per_cust = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+                .groupBy("o_custkey")
+                .agg(F.sum(F.expr(_REV_TICKS)).alias("rev_ticks")))
+    j = (per_cust
+         .join(customer, per_cust["o_custkey"] == customer["c_custkey"])
+         .join(F.broadcast(nation),
+               customer["c_nationkey"] == nation["n_nationkey"]))
+    return (j.orderBy(F.desc("rev_ticks"), F.asc("c_custkey"))
+            .limit(k)
+            .select("c_custkey", "c_name", "n_name",
+                    (F.col("rev_ticks") / F.lit(10000.0)).alias("revenue"),
+                    (F.expr("CAST(ROUND(c_acctbal * 100.0) AS BIGINT)")
+                     / F.lit(100.0)).alias("c_acctbal")))
+
+
+def returned_item_losses_oracle_sql(start: str = _Q10_START,
+                                    end: str = _Q10_END,
+                                    k: int = 20) -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM({_REV_TICKS}) AS rev_ticks
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '{start}'
+    AND o_orderdate < TIMESTAMP '{end}'
+    AND l_returnflag = 'R'
+  GROUP BY o_custkey)
+SELECT c_custkey, c_name, n_name,
+  rev_ticks / 10000.0 AS revenue,
+  CAST(ROUND(c_acctbal * 100.0) AS BIGINT) / 100.0 AS c_acctbal
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY rev_ticks DESC, c_custkey ASC
+LIMIT {k}"""

@@ -141,3 +141,98 @@ def test_fuzzy_name_pairs_match_python(spark, sf_dir):
             if dd <= relational.FUZZY_MAX_DIST:
                 exp[(a, b)] = dd
     assert got == exp
+
+
+def test_late_order_priority_semantics(spark):
+    import datetime as dt
+    d = dt.datetime(1996, 8, 1)
+    orders = spark.createDataFrame([
+        # in-quarter, one late line -> counted
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=d, o_orderpriority="1-URGENT"),
+        # in-quarter, only prompt lines -> not counted
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=d, o_orderpriority="1-URGENT"),
+        # out-of-quarter, late -> not counted
+        Row(o_orderkey=3, o_custkey=1, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=dt.datetime(1995, 1, 1), o_orderpriority="2-HIGH"),
+    ])
+    li = spark.createDataFrame([
+        Row(l_orderkey=1, l_shipdate=d + dt.timedelta(days=45)),
+        Row(l_orderkey=1, l_shipdate=d + dt.timedelta(days=60)),  # 1 order
+        Row(l_orderkey=2, l_shipdate=d + dt.timedelta(days=5)),
+        Row(l_orderkey=3, l_shipdate=dt.datetime(1995, 6, 1)),
+    ])
+    out = {r.o_orderpriority: r.order_count
+           for r in relational.late_order_priority(orders, li).collect()}
+    assert out == {"1-URGENT": 1}   # semi join: no double count for order 1
+
+
+def test_large_orders_threshold(spark):
+    import datetime as dt
+    customer = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="a", c_nationkey=0, c_acctbal=0.0,
+             c_mktsegment="m")])
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O",
+            o_totalprice=123.456, o_orderdate=dt.datetime(1996, 1, 1),
+            o_orderpriority="x"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="O",
+            o_totalprice=1.0, o_orderdate=dt.datetime(1996, 1, 2),
+            o_orderpriority="x"),
+    ])
+    li = spark.createDataFrame([
+        Row(l_orderkey=1, l_quantity=3.0),
+        Row(l_orderkey=1, l_quantity=4.0),
+        Row(l_orderkey=2, l_quantity=5.0),
+    ])
+    out = relational.large_orders(customer, orders, li, min_qty=6).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.o_orderkey == 1 and r.sum_qty == 7
+    assert r.o_totalprice == 123.46   # exact-cent rounding
+
+
+def test_promo_share_basis_points(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    r = relational.promo_revenue_share(li, part).collect()[0]
+    assert 0 <= r.promo_share_bp <= 10000
+    assert r.promo_revenue <= r.total_revenue
+    # integer-bp definition: floor(10000 * promo / total)
+    assert r.promo_share_bp == int(
+        10000 * round(r.promo_revenue * 10000)
+        // round(r.total_revenue * 10000))
+
+
+def test_customer_order_distribution_counts_zeroes(spark):
+    customer = spark.createDataFrame([
+        Row(c_custkey=i, c_name=str(i), c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment="m") for i in (1, 2, 3)])
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O", o_totalprice=0.0,
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="O", o_totalprice=0.0,
+            o_orderpriority="1-URGENT"),
+        # excluded priority: contributes nothing
+        Row(o_orderkey=3, o_custkey=2, o_orderstatus="O", o_totalprice=0.0,
+            o_orderpriority="4-NOT SPECIFIED"),
+    ])
+    out = {r.c_count: r.custdist
+           for r in relational.customer_order_distribution(
+               customer, orders).collect()}
+    assert out == {2: 1, 0: 2}   # cust 2 and 3 both land in the 0 bucket
+
+
+def test_returned_losses_topk_deterministic(spark, sf_dir):
+    args = (spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            spark.read.parquet(f"{sf_dir}/nation.parquet"))
+    out = relational.returned_item_losses(*args, k=5).collect()
+    assert len(out) <= 5
+    revs = [r.revenue for r in out]
+    assert revs == sorted(revs, reverse=True)
+    # rerun is bit-identical (deterministic tie-break)
+    again = relational.returned_item_losses(*args, k=5).collect()
+    assert out == again
