@@ -371,6 +371,27 @@ def _q_weighted_sample(spark, sf_dir):
     return corpus_clean.weighted_sample(corpus.load_documents(spark, sf_dir))
 
 
+def _q_classifier_score(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return corpus_clean.classifier_score(corpus.load_documents(spark, sf_dir))
+
+
+def _q_domain_mix(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return corpus_clean.domain_mix_plan(corpus.load_documents(spark, sf_dir))
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    from birli_spark.operators import merge
+    from birli_spark.sources import corpus
+    return merge.snapshot_diff(corpus.load_documents(spark, sf_dir))
+
+
+def _q_anomaly_days(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return events.anomaly_days(corpus.load_events(spark, sf_dir))
+
+
 def _q_fuzzy_names(spark, sf_dir):
     return relational.fuzzy_name_pairs(
         spark.read.parquet(f"{sf_dir}/part.parquet"))
@@ -1041,6 +1062,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h11_cust_order_dist": _q_cust_order_dist,
         "h12_returned_losses": _q_returned_losses,
         "t20_weighted_sample": _q_weighted_sample,
+        "t21_classifier_filter": _q_classifier_score,
+        "t22_domain_mix": _q_domain_mix,
+        "m3_snapshot_diff": _q_snapshot_diff,
+        "e17_anomaly_days": _q_anomaly_days,
     }
 
 
@@ -1324,6 +1349,10 @@ def oracle_sql() -> dict[str, str]:
             relational.customer_order_distribution_oracle_sql(),
         "h12_returned_losses": relational.returned_item_losses_oracle_sql(),
         "t20_weighted_sample": corpus_clean.weighted_sample_oracle_sql(),
+        "t21_classifier_filter": corpus_clean.classifier_score_oracle_sql(),
+        "t22_domain_mix": corpus_clean.domain_mix_plan_oracle_sql(),
+        "m3_snapshot_diff": _snapshot_diff_oracle(),
+        "e17_anomaly_days": events.anomaly_days_oracle_sql(),
     }
 
 
@@ -1336,6 +1365,11 @@ def _merge_oracles() -> tuple[str, str]:
     from birli_spark.operators import merge
     return (merge.upsert_documents_oracle_sql(),
             merge.scd2_user_type_oracle_sql())
+
+
+def _snapshot_diff_oracle() -> str:
+    from birli_spark.operators import merge
+    return merge.snapshot_diff_oracle_sql()
 
 
 def _graph_oracle() -> str:

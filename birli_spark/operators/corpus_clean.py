@@ -182,3 +182,109 @@ SELECT doc_id, source, n_chars, priority,
     AS rank
 FROM scored
 QUALIFY rank <= {k}"""
+
+
+# ------------------------------------------------- classifier filter (T21) ---
+
+CLF_BIAS = 2
+CLF_RANGE = 17          # weights live in [-8, 8]
+
+
+def _clf_weight(d: str, tok: str) -> str:
+    """Deterministic per-token weight in [-8, 8]: two md5 hex digits →
+    0..255, mod 17, minus 8 — the stand-in for a trained linear model's
+    quantized weight table (the md5 IS the feature hasher, so there is
+    no weight table to ship: the "model" evaluates in-row)."""
+    h = f"md5({tok})"
+    d1 = X._hexdigit(d, h, "1")
+    d2 = X._hexdigit(d, h, "2")
+    return f"(({d1} * 16 + {d2}) % {CLF_RANGE} - 8)"
+
+
+def classifier_score(docs: DataFrame) -> DataFrame:
+    """T21 — fasttext-style linear quality classifier: score =
+    bias + Σ weight(hash(token)), keep = score > 0.
+
+    This is the quality-classifier-filter stage of an LLM data pipeline
+    (e.g. the CCNet/GPT-3 reproduction recipe: a linear model over
+    hashed bag-of-words features gates every document). The Spark shape
+    is the ideal one: a pure in-row array fold — no explode, no join, no
+    shuffle; the classifier rides the corpus scan inside codegen, and at
+    100 TB adds zero network cost. Integer weights make the score — and
+    the keep/drop decision — bit-exact across engines."""
+    d = X.SPARK
+    toks = X.lfilter(d, X.toks(d), "t -> t <> ''")
+    score = (f"aggregate({toks}, CAST({CLF_BIAS} AS BIGINT), "
+             f"(acc, t) -> acc + {_clf_weight(d, 't')})")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST({X.size(d, toks)} AS BIGINT)").alias("n_toks"),
+        F.expr(score).alias("clf_score"),
+        F.expr(f"{score} > 0").alias("keep"))
+
+
+def classifier_score_oracle_sql() -> str:
+    d = X.DUCK
+    toks = X.lfilter(d, X.toks(d), "t -> t <> ''")
+    # integer weight sums commute, so transform→sum equals the Spark
+    # fold exactly; COALESCE guards list_sum's NULL on empty lists
+    score = (f"(CAST({CLF_BIAS} AS BIGINT) + COALESCE(list_sum("
+             f"{X.ltransform(d, toks, f'''t -> {_clf_weight(d, 't')}''')}"
+             f"), 0))")
+    return f"""
+SELECT doc_id,
+  CAST({X.size(d, toks)} AS BIGINT) AS n_toks,
+  {score} AS clf_score,
+  {score} > 0 AS keep
+FROM documents"""
+
+
+# --------------------------------------------------- domain mix plan (T22) ---
+
+MIX_SCALE = 1_000_000    # parts-per-million fixed point
+
+
+def domain_mix_plan(docs: DataFrame) -> DataFrame:
+    """T22 — training-mix planner: allocate a corpus budget across
+    sources by **square-root temperature sampling** (the multilingual /
+    multi-domain rebalancing rule: weight ∝ √n dampens head domains and
+    boosts the tail). Emits, per source: its document count, √n weight,
+    exact ppm share of the plan, the planned document quota, and the
+    per-source sampling rate to hit it.
+
+    Scale shape: one map-side-combined groupBy(source) — domain
+    cardinality, not corpus size, crosses the shuffle — then a broadcast
+    of the one-row total. All outputs are integers (floor-√ and
+    floor-division fixed point), so the plan is hash-exact."""
+    per = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    per = per.withColumn("weight", F.expr(
+        "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"))
+    tot = per.agg(F.sum("weight").alias("sum_w"),
+                  F.sum("n_docs").alias("total_docs"))
+    j = per.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source", "n_docs", "weight",
+        F.expr(f"({MIX_SCALE} * weight) div sum_w").alias("mix_ppm"),
+        F.expr(f"(total_docs * (({MIX_SCALE} * weight) div sum_w)) "
+               f"div {MIX_SCALE}").alias("planned_docs"),
+        F.expr(f"LEAST(CAST({MIX_SCALE} AS BIGINT), "
+               f"({MIX_SCALE} * ((total_docs * "
+               f"(({MIX_SCALE} * weight) div sum_w)) div {MIX_SCALE})) "
+               f"div n_docs)").alias("rate_ppm"))
+
+
+def domain_mix_plan_oracle_sql() -> str:
+    return f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS weight
+  FROM documents GROUP BY source),
+tot AS (SELECT SUM(weight) AS sum_w, SUM(n_docs) AS total_docs FROM per)
+SELECT source, n_docs, weight,
+  ({MIX_SCALE} * weight) // sum_w AS mix_ppm,
+  (total_docs * (({MIX_SCALE} * weight) // sum_w)) // {MIX_SCALE}
+    AS planned_docs,
+  LEAST(CAST({MIX_SCALE} AS BIGINT),
+    ({MIX_SCALE} * ((total_docs * (({MIX_SCALE} * weight) // sum_w))
+     // {MIX_SCALE})) // n_docs) AS rate_ppm
+FROM per CROSS JOIN tot"""

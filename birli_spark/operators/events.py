@@ -692,3 +692,58 @@ SELECT user_id, CAST(len(vs) AS INT) AS n_events,
        ELSE list_reduce(vs, (acc, v) -> {a} * v + (1.0 - {a}) * acc)
   END AS ewma
 FROM grouped"""
+
+
+US_PER_DAY = 86_400_000_000
+ZSCORE_K = 3
+
+
+def anomaly_days(events: DataFrame, k: int = ZSCORE_K) -> DataFrame:
+    """E17 — per-user daily-volume anomaly detection: flag the days
+    where a user's event count exceeds their own mean by more than
+    ``k`` population standard deviations (the ops-dashboard "unusual
+    activity" query, and the abuse-detection gate of an ingest
+    pipeline).
+
+    The z-score test runs entirely in integers: ``x > μ + kσ`` over
+    per-day counts rearranges to ``(x·n − s) > 0 AND (x·n − s)² >
+    k²·(n·s₂ − s²)`` with s = Σx, s₂ = Σx² — no float ever crosses the
+    predicate, so the flag is hash-exact.
+
+    Scale shape: groupBy(user, day) partial-aggregates the raw stream
+    down to user-days; the stats window partitions by user over that
+    already-reduced table (≤ days rows per user). One shuffle on
+    user_id shared by both steps."""
+    per_day = (events
+               .selectExpr("user_id",
+                           f"{TS_US_SPARK} div {US_PER_DAY} AS day")
+               .groupBy("user_id", "day")
+               .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("user_id")
+    stats = (per_day
+             .withColumn("n_days", F.count("*").over(w))
+             .withColumn("s", F.sum("cnt").over(w))
+             .withColumn("s2", F.sum(F.expr("cnt * cnt")).over(w)))
+    return (stats
+            .filter(F.expr(
+                f"(cnt * n_days - s) > 0 AND "
+                f"(cnt * n_days - s) * (cnt * n_days - s) > "
+                f"{k * k} * (n_days * s2 - s * s)"))
+            .select("user_id", "day", "cnt", "n_days", "s"))
+
+
+def anomaly_days_oracle_sql(k: int = ZSCORE_K) -> str:
+    return f"""
+WITH per_day AS (
+  SELECT user_id, {TS_US_DUCK} // {US_PER_DAY} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT user_id, day, cnt,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_days,
+    SUM(cnt) OVER (PARTITION BY user_id) AS s,
+    SUM(cnt * cnt) OVER (PARTITION BY user_id) AS s2
+  FROM per_day)
+SELECT user_id, day, cnt, n_days, s
+FROM stats
+WHERE (cnt * n_days - s) > 0
+  AND (cnt * n_days - s) * (cnt * n_days - s) > {k * k} * (n_days * s2 - s * s)"""

@@ -130,3 +130,83 @@ SELECT user_id, CAST(version AS INT) AS version, event_type,
     AS valid_to,
   n_events
 FROM runs"""
+
+
+# ------------------------------------------------- snapshot diff (M3) ---
+
+#: deterministic "later snapshot": every 11th doc deleted, every 7th
+#: doc's text rewritten, every 13th doc spawning a new id above the base
+DEL_MOD = 11
+
+
+def _snapshot_b(docs: DataFrame) -> DataFrame:
+    kept = docs.filter(F.expr(f"doc_id % {DEL_MOD} <> 0"))
+    mutated = kept.select(
+        "doc_id",
+        F.expr(f"CASE WHEN doc_id % {UPD_MOD} = 0 THEN upper(text) "
+               f"ELSE text END").alias("text"),
+        "lang", "source")
+    inserted = (docs.filter(F.expr(f"doc_id % {INS_MOD} = 0"))
+                .select((F.col("doc_id") + INS_OFFSET).alias("doc_id"),
+                        F.expr("concat('new ', text)").alias("text"),
+                        "lang", "source"))
+    return mutated.union(inserted)
+
+
+def _snapshot_b_sql() -> str:
+    return f"""
+  SELECT doc_id,
+    CASE WHEN doc_id % {UPD_MOD} = 0 THEN upper(text) ELSE text END AS text,
+    lang, source
+  FROM documents WHERE doc_id % {DEL_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {INS_OFFSET} AS doc_id, 'new ' || text AS text,
+    lang, source
+  FROM documents WHERE doc_id % {INS_MOD} = 0"""
+
+
+def snapshot_diff(docs: DataFrame) -> DataFrame:
+    """M3 — snapshot reconciliation: diff two table states by key +
+    content hash and roll the row-level actions (added / removed /
+    changed / unchanged) up to a per-source audit summary with exact
+    char-count deltas — the "what changed between yesterday's and
+    today's crawl" report.
+
+    Scale shape: one full outer co-keyed join (bucket the snapshots on
+    doc_id to co-locate it); only (doc_id, md5, n_chars, source) cross
+    the shuffle — text never moves. The rollup output is
+    |sources|×|actions| rows."""
+    a = docs.select("doc_id", F.md5("text").alias("h_a"),
+                    F.expr("length(text)").alias("c_a"), "source")
+    b = _snapshot_b(docs).select(
+        "doc_id", F.md5("text").alias("h_b"),
+        F.expr("length(text)").alias("c_b"),
+        F.col("source").alias("source_b"))
+    j = a.join(b, "doc_id", "full_outer")
+    tagged = j.select(
+        F.expr("COALESCE(source, source_b)").alias("source"),
+        F.expr("CASE WHEN h_a IS NULL THEN 'added' "
+               "WHEN h_b IS NULL THEN 'removed' "
+               "WHEN h_a <> h_b THEN 'changed' "
+               "ELSE 'unchanged' END").alias("action"),
+        F.expr("COALESCE(c_b, 0) - COALESCE(c_a, 0)").alias("chars_delta"))
+    return (tagged.groupBy("source", "action")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("chars_delta").alias("chars_delta")))
+
+
+def snapshot_diff_oracle_sql() -> str:
+    return f"""
+WITH b AS ({_snapshot_b_sql()}),
+tagged AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+    CASE WHEN a.doc_id IS NULL THEN 'added'
+         WHEN b.doc_id IS NULL THEN 'removed'
+         WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+         ELSE 'unchanged' END AS action,
+    COALESCE(length(b.text), 0) - COALESCE(length(a.text), 0)
+      AS chars_delta
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT source, action, COUNT(*) AS n_docs,
+  SUM(chars_delta) AS chars_delta
+FROM tagged GROUP BY source, action"""

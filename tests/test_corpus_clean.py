@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Row
 
 from birli_spark.operators import corpus_clean
+from birli_spark.sources import corpus
 
 GOOD = ("the quick brown fox jumps over the lazy dog while many other "
         "animals watch the scene with great interest and some concern")
@@ -80,3 +81,53 @@ def test_weighted_sample_priority_math(spark, sf_dir):
     assert got["rank"].tolist() == list(range(1, 21))
     # long docs are favored: the sample's mean length beats the corpus's
     assert got.n_chars.mean() > pdf.n_chars.mean()
+
+
+def test_classifier_score_matches_python(spark, sf_dir):
+    import hashlib
+
+    from birli_spark.operators.corpus_clean import CLF_BIAS, CLF_RANGE
+
+    def w(tok: str) -> int:
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % CLF_RANGE - 8
+
+    docs = corpus.load_documents(spark, sf_dir)
+    out = corpus_clean.classifier_score(docs).orderBy("doc_id").collect()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for r in out[:50]:
+        toks = [t for t in texts[r.doc_id].strip(" ").split(" ") if t]
+        exp = CLF_BIAS + sum(w(t) for t in toks)
+        assert r.clf_score == exp and r.n_toks == len(toks)
+        assert r.keep == (exp > 0)
+
+
+def test_domain_mix_plan_invariants(spark, sf_dir):
+    import math
+    out = corpus_clean.domain_mix_plan(
+        corpus.load_documents(spark, sf_dir)).collect()
+    assert len(out) > 1
+    total = sum(r.n_docs for r in out)
+    for r in out:
+        assert r.weight == math.isqrt(r.n_docs)
+        assert 0 <= r.rate_ppm <= 1_000_000
+        assert r.planned_docs == total * r.mix_ppm // 1_000_000
+    # floor-division shares can't exceed one whole
+    assert sum(r.mix_ppm for r in out) <= 1_000_000
+    # sqrt-temperature never boosts the head (equality iff uniform mix)
+    big = max(out, key=lambda r: r.n_docs)
+    assert big.mix_ppm / 1e6 <= big.n_docs / total
+
+
+def test_domain_mix_plan_flattens_skew(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x", lang="en",
+             source="head" if i < 900 else "tail", n_chars=1)
+         for i in range(1000)])
+    out = {r.source: r for r in corpus_clean.domain_mix_plan(docs).collect()}
+    # corpus is 90/10 head/tail; the sqrt plan is 30:10 -> 75/25
+    assert out["head"].mix_ppm / 1e6 < 0.9
+    assert out["tail"].mix_ppm / 1e6 > 0.1
+    # head downsamples, tail keeps everything
+    assert out["head"].rate_ppm < 1_000_000
+    assert out["tail"].rate_ppm == 1_000_000

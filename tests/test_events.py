@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from birli_spark.operators import events
 from birli_spark.sources import corpus
@@ -227,3 +228,33 @@ def test_user_ewma_matches_python(spark, sf_dir):
         assert r.n_events == len(vals)
         assert r.first_value == vals[0]
         assert abs(r.ewma - ew) < 1e-12
+
+
+def test_anomaly_days_integer_zscore(spark):
+    import datetime as dt
+
+    from birli_spark.operators.events import anomaly_days
+
+    def burst(user, day, n):
+        base = dt.datetime(2024, 1, day, 12, 0, 0)
+        return [Row(event_id=user * 10000 + day * 100 + i, ts=base,
+                    user_id=user, event_type="view", value=0.0, props="{}")
+                for i in range(n)]
+
+    rows = []
+    # user 1: 15 quiet days of 10, one day of 100 -> that day is
+    # anomalous (z ≈ 3.74; note a single outlier among 9 equal days
+    # sits at exactly z = 3 — the strict > boundary — whatever its
+    # magnitude, so more quiet days are needed, not a bigger spike)
+    for d in range(1, 16):
+        rows += burst(1, d, 10)
+    rows += burst(1, 16, 100)
+    # user 2: perfectly uniform -> no anomalies (variance 0, no x > mean)
+    for d in range(1, 11):
+        rows += burst(2, d, 5)
+    events_df = spark.createDataFrame(rows).withColumn(
+        "ts", F.expr("CAST(unix_micros(ts) AS BIGINT) * 1000"))
+    out = anomaly_days(events_df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1 and r.cnt == 100 and r.n_days == 16

@@ -56,3 +56,22 @@ def test_scd2_covers_all_events(spark, sf_dir):
     # exactly one open interval per user
     open_rows = hist[hist.valid_to.isna()]
     assert len(open_rows) == hist.user_id.nunique()
+
+
+def test_snapshot_diff_semantics(spark):
+    from birli_spark.operators.merge import (DEL_MOD, INS_MOD, UPD_MOD,
+                                             snapshot_diff)
+    # ids chosen to hit each action: 11→removed, 7→changed, 13→changed
+    # base + added copy, others unchanged
+    assert (DEL_MOD, UPD_MOD, INS_MOD) == (11, 7, 13)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"text {i}", lang="en", source="s")
+         for i in (1, 7, 11, 13)])
+    out = {(r.source, r.action): r for r in snapshot_diff(docs).collect()}
+    assert out[("s", "removed")].n_docs == 1          # doc 11
+    assert out[("s", "changed")].n_docs == 1          # doc 7 (uppercased)
+    assert out[("s", "added")].n_docs == 1            # doc 13+offset
+    assert out[("s", "unchanged")].n_docs == 2        # docs 1, 13
+    assert out[("s", "removed")].chars_delta == -len("text 11")
+    assert out[("s", "added")].chars_delta == len("new text 13")
+    assert out[("s", "changed")].chars_delta == 0
