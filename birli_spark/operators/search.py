@@ -121,12 +121,22 @@ def bm25_topk(docs: DataFrame, spark, k: int = 10) -> DataFrame:
     aggregate (broadcast), never a collect."""
     from birli_spark.operators.text import _log2fix_ticks
     q = spark.createDataFrame(QUERIES, "query_id INT, term STRING")
-    tf = _tf(docs)
-    dl = (docs.select("doc_id",
-                      F.expr(f"{X.size(X.SPARK, X.toks(X.SPARK))}")
-                      .alias("dl")))
-    n_total = (dl.agg(F.sum("dl").alias("tot"),
-                      F.count("*").alias("n")))
+    # dl is functionally dependent on doc_id, so it rides THROUGH the
+    # explode as a carried column and lands in the tf aggregate's key —
+    # one corpus scan and NO tf⋈dl shuffle join (the join key would have
+    # been doc_id, i.e. a full re-shuffle of the corpus-sized tf table)
+    tf = (docs
+          .select("doc_id",
+                  F.expr(X.toks(X.SPARK)).alias("__toks"))
+          .select("doc_id",
+                  F.expr("size(__toks)").alias("dl"),
+                  F.explode("__toks").alias("term"))
+          .filter(F.col("term") != "")
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count("*").alias("tf")))
+    n_total = (docs.agg(
+        F.sum(F.expr(X.size(X.SPARK, X.toks(X.SPARK)))).alias("tot"),
+        F.count("*").alias("n")))
     # prune to query terms BEFORE the df aggregate: per-term counts are
     # unaffected by dropping other terms' rows, and the shuffle carries
     # query-term rows instead of the whole vocabulary
@@ -150,7 +160,6 @@ def bm25_topk(docs: DataFrame, spark, k: int = 10) -> DataFrame:
              f"{BM25_B} * (CAST(dl AS DOUBLE) / "
              f"(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))")
     hits = (tf.join(F.broadcast(q), "term")
-            .join(dl, "doc_id")
             .join(F.broadcast(n_total))
             .join(F.broadcast(idf), "term")
             .withColumn("score_ticks",

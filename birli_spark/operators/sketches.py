@@ -366,26 +366,53 @@ def bloom_membership(orders: DataFrame, customer: DataFrame,
                 F.expr(f"array({bits_arr})")).alias("bit"))
             .groupBy("o_orderpriority")
             .agg(F.expr("array_sort(collect_set(bit))").alias("bits")))
-    probe_pred = " AND ".join(
-        f"array_contains(bits, CAST({_bloom_bit(X.SPARK, j, 'c_custkey', m)}"
-        f" AS INT))" for j in range(kh))
-    probed = (customer.select("c_custkey")
-              .join(F.broadcast(filt))
-              .withColumn("maybe", F.expr(probe_pred)))
+    # Probe = **equi-join on the bit position** against the exploded
+    # filter (broadcast ≤ groups × m rows): each probe row is one O(1)
+    # hash lookup, instead of an O(m) array_contains scan per
+    # (customer, group) — on a saturated filter that linear scan is
+    # billions of comparisons. A key "maybe"-hits a group iff all kh of
+    # its probe rows match (each j matches ≤ once: filter bits are
+    # distinct within a group).
+    probe_rows = customer.select("c_custkey", F.explode(F.expr(
+        "array(" + ", ".join(
+            f"CAST({_bloom_bit(X.SPARK, j, 'c_custkey', m)} AS INT)"
+            for j in range(kh)) + ")")).alias("bit"))
+    fbits = filt.select("o_orderpriority", F.explode("bits").alias("bit"))
+    maybes = (probe_rows.join(F.broadcast(fbits), "bit")
+              .groupBy("o_orderpriority", "c_custkey")
+              .agg(F.count("*").alias("n_hit"))
+              .filter(F.col("n_hit") == kh)
+              .select("o_orderpriority", "c_custkey"))
+    # tiny per-group tallies reassemble the same audit row as the
+    # row-wise plan: a Bloom filter has no false negatives, so every
+    # member that exists in customer is a maybe, and the non-maybe rows
+    # contribute only to n_probed (= |customer|, group-independent)
     truth = members.select(
-        "o_orderpriority", F.col("o_custkey").alias("c_custkey"),
-        F.lit(True).alias("is_member"))
-    return (probed
-            .join(truth, ["o_orderpriority", "c_custkey"], "left")
-            .groupBy("o_orderpriority")
-            .agg(F.expr("MAX(size(bits))").alias("n_bits_set"),
-                 F.count("*").alias("n_probed"),
-                 F.sum(F.expr("CAST(maybe AS BIGINT)")).alias("n_maybe"),
-                 F.sum(F.expr("CAST(is_member IS NOT NULL AS BIGINT)"))
-                 .alias("n_members"),
-                 F.sum(F.expr(
-                     "CAST(maybe AND is_member IS NULL AS BIGINT)"))
-                 .alias("false_positives")))
+        "o_orderpriority", F.col("o_custkey").alias("c_custkey"))
+    n_probed = customer.agg(F.count("*").alias("n_probed"))
+    per_group = filt.select(
+        "o_orderpriority", F.expr("size(bits)").alias("n_bits_set"))
+    n_maybe = (maybes.groupBy("o_orderpriority")
+               .agg(F.count("*").alias("n_maybe")))
+    n_members = (truth.join(customer.select("c_custkey"), "c_custkey",
+                            "left_semi")
+                 .groupBy("o_orderpriority")
+                 .agg(F.count("*").alias("n_members")))
+    member_maybes = (maybes.join(truth, ["o_orderpriority", "c_custkey"],
+                                 "left_semi")
+                     .groupBy("o_orderpriority")
+                     .agg(F.count("*").alias("n_member_maybes")))
+    return (per_group
+            .crossJoin(F.broadcast(n_probed))
+            .join(F.broadcast(n_maybe), "o_orderpriority", "left")
+            .join(F.broadcast(n_members), "o_orderpriority", "left")
+            .join(F.broadcast(member_maybes), "o_orderpriority", "left")
+            .select("o_orderpriority", "n_bits_set", "n_probed",
+                    F.coalesce("n_maybe", F.lit(0)).alias("n_maybe"),
+                    F.coalesce("n_members", F.lit(0)).alias("n_members"),
+                    (F.coalesce("n_maybe", F.lit(0))
+                     - F.coalesce("n_member_maybes", F.lit(0)))
+                    .alias("false_positives")))
 
 
 def bloom_membership_oracle_sql(m: int = BLOOM_M, kh: int = BLOOM_K) -> str:
