@@ -552,6 +552,36 @@ def _q_promo_share(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/part.parquet"))
 
 
+def _q_local_supplier_volume(spark, sf_dir):
+    return relational.local_supplier_volume(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"))
+
+
+def _q_part_supplier_counts(spark, sf_dir):
+    return relational.part_supplier_counts(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+
+
+def _q_segment_dedup(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return corpus_clean.segment_dedup(corpus.load_documents(spark, sf_dir))
+
+
+def _q_jsonl_roundtrip(spark, sf_dir):
+    import tempfile
+    from birli_spark.sources import corpus, jsonl
+    return jsonl.roundtrip_stats(
+        spark, corpus.load_documents(spark, sf_dir),
+        tempfile.mkdtemp(prefix="jsonl_rt_"))
+
+
 def _q_cust_order_dist(spark, sf_dir):
     return relational.customer_order_distribution(
         spark.read.parquet(f"{sf_dir}/customer.parquet"),
@@ -1066,6 +1096,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t22_domain_mix": _q_domain_mix,
         "m3_snapshot_diff": _q_snapshot_diff,
         "e17_anomaly_days": _q_anomaly_days,
+        "h13_local_supplier_volume": _q_local_supplier_volume,
+        "h14_part_supplier_counts": _q_part_supplier_counts,
+        "t23_segment_dedup": _q_segment_dedup,
+        "s6_jsonl_roundtrip": _q_jsonl_roundtrip,
     }
 
 
@@ -1353,7 +1387,18 @@ def oracle_sql() -> dict[str, str]:
         "t22_domain_mix": corpus_clean.domain_mix_plan_oracle_sql(),
         "m3_snapshot_diff": _snapshot_diff_oracle(),
         "e17_anomaly_days": events.anomaly_days_oracle_sql(),
+        "h13_local_supplier_volume":
+            relational.local_supplier_volume_oracle_sql(),
+        "h14_part_supplier_counts":
+            relational.part_supplier_counts_oracle_sql(),
+        "t23_segment_dedup": corpus_clean.segment_dedup_oracle_sql(),
+        "s6_jsonl_roundtrip": _jsonl_roundtrip_oracle(),
     }
+
+
+def _jsonl_roundtrip_oracle() -> str:
+    from birli_spark.sources import jsonl
+    return jsonl.roundtrip_oracle_sql()
 
 
 def _timeseries_oracle() -> str:

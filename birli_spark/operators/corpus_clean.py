@@ -288,3 +288,86 @@ SELECT source, n_docs, weight,
     ({MIX_SCALE} * ((total_docs * (({MIX_SCALE} * weight) // sum_w))
      // {MIX_SCALE})) // n_docs) AS rate_ppm
 FROM per CROSS JOIN tot"""
+
+
+SEG_LEN = 4            #: tokens per non-overlapping segment
+SEG_DUP_MIN_DOCS = 2   #: a segment in >= this many distinct docs is boilerplate
+
+
+def segment_dedup(docs: DataFrame, seg_len: int = SEG_LEN,
+                  min_docs: int = SEG_DUP_MIN_DOCS) -> DataFrame:
+    """T23 — line/paragraph-level exact dedup (the C4 / RefinedWeb
+    boilerplate-removal recipe, adapted to newline-free docs): split
+    every document into non-overlapping ``seg_len``-token segments, drop
+    any segment whose exact text occurs in ≥ ``min_docs`` distinct
+    documents corpus-wide, and reassemble the survivors in original
+    order. → (doc_id, n_segs, n_kept, clean_n_tokens, clean_md5).
+
+    Scale shape: posexplode is a narrow per-row transform; the global
+    segment-frequency aggregate groups on **md5(segment)** with map-side
+    partials (segment-vocabulary cardinality crosses the shuffle, not
+    corpus token volume); membership returns to the exploded table as a
+    **left join on the same hash key** (co-partitioned with the
+    aggregate output — one shuffle reused); reassembly is one
+    groupBy(doc_id) whose order key rides inside a sortable struct. No
+    UDFs anywhere — the whole plan is codegen + two hash shuffles.
+
+    The per-document segmenter mirrors the reference's fixed-block
+    averaging semantics (A1's ``t div avg_time`` bucketing,
+    src/cli.rs:1171-1258): trailing partial blocks are real segments."""
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform("
+            f"  IF(size({X.toks(X.SPARK)}) >= 1,"
+            f"     sequence(0, CAST(floor((size({X.toks(X.SPARK)}) - 1)"
+            f"                            / {seg_len}) AS INT)),"
+            f"     CAST(array() AS ARRAY<INT>)),"
+            f"  i -> concat_ws(' ', slice({X.toks(X.SPARK)},"
+            f"                            i * {seg_len} + 1, {seg_len})))"
+        )).alias("pos", "seg"))
+    segs = segs.withColumn("seg_h", F.md5("seg"))
+    freq = (segs.groupBy("seg_h")
+            .agg(F.countDistinct("doc_id").alias("seg_docs")))
+    marked = (segs.join(freq, "seg_h")
+              .withColumn("keep", F.col("seg_docs") < min_docs))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_segs"),
+                 F.sum(F.expr("CAST(keep AS BIGINT)")).alias("n_kept"),
+                 F.expr(
+                     "aggregate(array_sort(collect_list("
+                     "  IF(keep, struct(pos, seg), NULL))), "
+                     "CAST(0 AS BIGINT), "
+                     "(acc, s) -> acc + size(split(s.seg, ' ')))")
+                 .alias("clean_n_tokens"),
+                 F.md5(F.expr(
+                     "concat_ws(' ', transform(array_sort(collect_list("
+                     "  IF(keep, struct(pos, seg), NULL))), s -> s.seg))"))
+                 .alias("clean_md5")))
+
+
+def segment_dedup_oracle_sql(seg_len: int = SEG_LEN,
+                             min_docs: int = SEG_DUP_MIN_DOCS) -> str:
+    toks = X.toks(X.DUCK)
+    return f"""
+WITH segs AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(({toks})[(i * {seg_len} + 1):(i * {seg_len} + {seg_len})],
+                    ' ') AS seg
+  FROM documents,
+  LATERAL unnest(generate_series(
+    0, CAST(floor((len({toks}) - 1) / {seg_len}) AS INT))) AS u(i)
+  WHERE len({toks}) >= 1),
+freq AS (
+  SELECT md5(seg) AS seg_h, COUNT(DISTINCT doc_id) AS seg_docs
+  FROM segs GROUP BY 1),
+marked AS (
+  SELECT s.doc_id, s.pos, s.seg, f.seg_docs < {min_docs} AS keep
+  FROM segs s JOIN freq f ON md5(s.seg) = f.seg_h)
+SELECT doc_id, COUNT(*) AS n_segs,
+  CAST(SUM(CAST(keep AS BIGINT)) AS BIGINT) AS n_kept,
+  CAST(COALESCE(SUM(CASE WHEN keep THEN len(string_split(seg, ' ')) END),
+                0) AS BIGINT) AS clean_n_tokens,
+  md5(COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos),
+               '')) AS clean_md5
+FROM marked GROUP BY doc_id"""

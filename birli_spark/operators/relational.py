@@ -549,3 +549,107 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 ORDER BY rev_ticks DESC, c_custkey ASC
 LIMIT {k}"""
+
+
+_Q5_START = "1996-01-01 00:00:00"
+_Q5_END = "1997-01-01 00:00:00"
+
+
+def local_supplier_volume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          region_name: str = "ASIA",
+                          start: str = _Q5_START,
+                          end: str = _Q5_END) -> DataFrame:
+    """H13 — the TPC-H Q5 shape: revenue per nation from orders where the
+    customer and the line-item supplier share a nation, one region, one
+    year. The one headline query that needs THREE fact-side joins.
+
+    Scale shape: the supplier→nation→region dim chain collapses first and
+    prunes to one region *before* touching facts; the customer table
+    broadcast-reduces to (custkey, nationkey) of that region. Facts join
+    big-big on orderkey (co-bucketable), then lineitem's suppkey
+    broadcast-joins the pruned supplier dim; the ``c_nationkey =
+    s_nationkey`` colocation predicate runs as a cheap post-join filter,
+    never as a join explosion. Final rollup keys on ≤ 25 nations."""
+    sdim = (supplier
+            .join(F.broadcast(nation),
+                  supplier["s_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region.filter(F.col("r_name") == region_name)),
+                  nation["n_regionkey"] == region["r_regionkey"])
+            .select("s_suppkey", F.col("s_nationkey").alias("supp_nk"),
+                    "n_name"))
+    cust = customer.select("c_custkey", F.col("c_nationkey").alias("cust_nk"))
+    o = orders.filter(F.expr(
+        f"o_orderdate >= TIMESTAMP '{start}' "
+        f"AND o_orderdate < TIMESTAMP '{end}'"))
+    return (o.join(lineitem, o["o_orderkey"] == lineitem["l_orderkey"])
+            .join(F.broadcast(sdim),
+                  lineitem["l_suppkey"] == sdim["s_suppkey"])
+            .join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+            .filter(F.col("cust_nk") == F.col("supp_nk"))
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_items"),
+                 (F.sum(F.expr(_REV_TICKS)) / F.lit(10000.0))
+                 .alias("revenue")))
+
+
+def local_supplier_volume_oracle_sql(region_name: str = "ASIA",
+                                     start: str = _Q5_START,
+                                     end: str = _Q5_END) -> str:
+    return f"""
+SELECT n_name, COUNT(*) AS n_items, SUM({_REV_TICKS}) / 10000.0 AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN customer ON o_custkey = c_custkey
+WHERE r_name = '{region_name}'
+  AND o_orderdate >= TIMESTAMP '{start}'
+  AND o_orderdate < TIMESTAMP '{end}'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name"""
+
+
+def part_supplier_counts(part: DataFrame, lineitem: DataFrame,
+                         supplier: DataFrame,
+                         excluded_brand: str = "Brand#1",
+                         max_size: int = 25) -> DataFrame:
+    """H14 — the TPC-H Q16 shape: how many distinct suppliers can deliver
+    each (brand, type, size) part class, excluding one brand and
+    suppliers on a denylist (here: negative account balance — the
+    analogue of Q16's complaint suppliers).
+
+    Scale shape: part prunes by brand/size *at the scan*; the
+    (partkey, suppkey) pair set comes from lineitem via a
+    distinct-projection (two narrow columns of the fact, partial-
+    aggregated before the shuffle); the denylist is a broadcast **anti**
+    join; the final COUNT(DISTINCT suppkey) groups on the small part-
+    class table. A 100 TB lineitem contributes only its pruned distinct
+    pair set to the shuffle."""
+    pairs = (lineitem.select("l_partkey", "l_suppkey").distinct())
+    p = part.filter((F.col("p_brand") != excluded_brand)
+                    & (F.col("p_size") <= max_size))
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (pairs
+            .join(F.broadcast(bad),
+                  pairs["l_suppkey"] == bad["s_suppkey"], "left_anti")
+            .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type",
+                                       "p_size")),
+                  pairs["l_partkey"] == p["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def part_supplier_counts_oracle_sql(excluded_brand: str = "Brand#1",
+                                    max_size: int = 25) -> str:
+    return f"""
+SELECT p_brand, p_type, p_size,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{excluded_brand}' AND p_size <= {max_size}
+  AND l_suppkey NOT IN
+    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size"""
