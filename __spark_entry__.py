@@ -582,6 +582,18 @@ def _q_jsonl_roundtrip(spark, sf_dir):
         tempfile.mkdtemp(prefix="jsonl_rt_"))
 
 
+def _q_column_profile(spark, sf_dir):
+    from birli_spark.operators import profile
+    return profile.column_profile(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _q_k_anonymity(spark, sf_dir):
+    from birli_spark.operators import profile
+    return profile.k_anonymity(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"))
+
+
 def _q_cust_order_dist(spark, sf_dir):
     return relational.customer_order_distribution(
         spark.read.parquet(f"{sf_dir}/customer.parquet"),
@@ -1100,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h14_part_supplier_counts": _q_part_supplier_counts,
         "t23_segment_dedup": _q_segment_dedup,
         "s6_jsonl_roundtrip": _q_jsonl_roundtrip,
+        "q1_column_profile": _q_column_profile,
+        "q2_k_anonymity": _q_k_anonymity,
     }
 
 
@@ -1393,7 +1407,15 @@ def oracle_sql() -> dict[str, str]:
             relational.part_supplier_counts_oracle_sql(),
         "t23_segment_dedup": corpus_clean.segment_dedup_oracle_sql(),
         "s6_jsonl_roundtrip": _jsonl_roundtrip_oracle(),
+        "q1_column_profile": _profile_oracles()[0],
+        "q2_k_anonymity": _profile_oracles()[1],
     }
+
+
+def _profile_oracles() -> tuple[str, str]:
+    from birli_spark.operators import profile
+    return (profile.column_profile_oracle_sql(),
+            profile.k_anonymity_oracle_sql())
 
 
 def _jsonl_roundtrip_oracle() -> str:

@@ -1,0 +1,128 @@
+"""Data-quality operators over the fact tables — the profiling /
+constraint-checking pass (the Deequ/Great-Expectations shape) every
+large-scale ingest runs before training-data jobs trust a new drop,
+plus a k-anonymity privacy risk check over quasi-identifier columns.
+
+Scale shapes:
+
+- **Q1 column profile**: ONE pass over the fact computes every
+  column's non-null count, exact distinct count, and numeric min/max as
+  a single wide aggregate row (Catalyst plans all aggregates into one
+  partial+final hash aggregate — no per-column re-scan), then a tiny
+  driver-free unpivot (stack) turns the 1×(4·ncols) row into the long
+  profile table. COUNT(DISTINCT) over multiple columns expands via
+  Spark's `expand` operator — ncols× row multiplication on the map
+  side, still one shuffle of partial distinct sets.
+- **Q2 k-anonymity**: groupBy the quasi-identifier tuple (map-side
+  partials; group cardinality crosses the shuffle, not rows), then a
+  one-row summary aggregate. The risky-group share is exact integer
+  arithmetic, so the oracle hashes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: (column, is_numeric) — the lineitem profile contract
+LINEITEM_PROFILE_COLS: tuple[tuple[str, bool], ...] = (
+    ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+    ("l_linenumber", True), ("l_quantity", True), ("l_extendedprice", True),
+    ("l_discount", True), ("l_tax", True), ("l_returnflag", False),
+    ("l_linestatus", False),
+)
+
+
+def column_profile(df: DataFrame,
+                   cols: tuple[tuple[str, bool], ...] = LINEITEM_PROFILE_COLS,
+                   ) -> DataFrame:
+    """Q1 — per-column profile: (col_name, n_nonnull, n_distinct,
+    vmin, vmax, completeness_ppm). Numeric min/max are doubles; string
+    columns profile min/max lexicographically into separate columns so
+    no cross-engine float→string formatting is involved."""
+    aggs = [F.count("*").alias("__n")]
+    for c, _num in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+        ]
+    for c, num in cols:
+        if num:
+            aggs += [F.min(F.col(c)).cast("double").alias(f"__mn_{c}"),
+                     F.max(F.col(c)).cast("double").alias(f"__mx_{c}")]
+        else:
+            aggs += [F.min(F.col(c)).alias(f"__smn_{c}"),
+                     F.max(F.col(c)).alias(f"__smx_{c}")]
+    wide = df.agg(*aggs)
+    rows = []
+    for c, num in cols:
+        mn = f"__mn_{c}" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"__mx_{c}" if num else "CAST(NULL AS DOUBLE)"
+        smn = f"__smn_{c}" if not num else "CAST(NULL AS STRING)"
+        smx = f"__smx_{c}" if not num else "CAST(NULL AS STRING)"
+        rows.append(
+            f"named_struct('col_name', '{c}', 'n_nonnull', __nn_{c}, "
+            f"'n_distinct', __nd_{c}, 'vmin', {mn}, 'vmax', {mx}, "
+            f"'svmin', {smn}, 'svmax', {smx}, 'completeness_ppm', "
+            f"CAST(__nn_{c} * 1000000 AS BIGINT) DIV __n)")
+    return (wide
+            .select(F.explode(F.expr(
+                "array(" + ", ".join(rows) + ")")).alias("p"))
+            .select("p.col_name", "p.n_nonnull", "p.n_distinct", "p.vmin",
+                    "p.vmax", "p.svmin", "p.svmax", "p.completeness_ppm"))
+
+
+def column_profile_oracle_sql(
+        table: str = "lineitem",
+        cols: tuple[tuple[str, bool], ...] = LINEITEM_PROFILE_COLS) -> str:
+    parts = []
+    for c, num in cols:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        smn = f"MIN({c})" if not num else "CAST(NULL AS VARCHAR)"
+        smx = f"MAX({c})" if not num else "CAST(NULL AS VARCHAR)"
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+  CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+  {mn} AS vmin, {mx} AS vmax, {smn} AS svmin, {smx} AS svmax,
+  CAST(COUNT({c}) * 1000000 // COUNT(*) AS BIGINT) AS completeness_ppm
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+K_ANON_DEFAULT = 5
+
+
+def k_anonymity(customer: DataFrame, k: int = K_ANON_DEFAULT) -> DataFrame:
+    """Q2 — k-anonymity risk summary over the (nationkey, mktsegment)
+    quasi-identifier: one row (k_threshold, n_groups, min_group_size,
+    n_risky_groups, n_risky_rows, risky_row_ppm) — a release is
+    k-anonymous iff ``n_risky_groups == 0``."""
+    g = (customer.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count("*").alias("gsz")))
+    return (g.agg(
+        F.lit(k).alias("k_threshold"),
+        F.count("*").alias("n_groups"),
+        F.min("gsz").alias("min_group_size"),
+        F.sum(F.expr(f"CAST(gsz < {k} AS BIGINT)")).alias("n_risky_groups"),
+        F.sum(F.expr(f"IF(gsz < {k}, gsz, CAST(0 AS BIGINT))"))
+        .alias("n_risky_rows"),
+        F.expr(f"CAST(SUM(IF(gsz < {k}, gsz, CAST(0 AS BIGINT))) "
+               f"* 1000000 AS BIGINT) DIV SUM(gsz)").alias("risky_row_ppm")))
+
+
+def k_anonymity_oracle_sql(k: int = K_ANON_DEFAULT) -> str:
+    return f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS gsz
+  FROM customer GROUP BY 1, 2)
+SELECT {k} AS k_threshold,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(MIN(gsz) AS BIGINT) AS min_group_size,
+  CAST(SUM(CAST(gsz < {k} AS BIGINT)) AS BIGINT) AS n_risky_groups,
+  CAST(SUM(CASE WHEN gsz < {k} THEN gsz ELSE 0 END) AS BIGINT)
+    AS n_risky_rows,
+  CAST(SUM(CASE WHEN gsz < {k} THEN gsz ELSE 0 END) * 1000000
+       // SUM(gsz) AS BIGINT) AS risky_row_ppm
+FROM g"""

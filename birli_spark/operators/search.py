@@ -124,7 +124,15 @@ def bm25_topk(docs: DataFrame, spark, k: int = 10) -> DataFrame:
     # dl is functionally dependent on doc_id, so it rides THROUGH the
     # explode as a carried column and lands in the tf aggregate's key —
     # one corpus scan and NO tf⋈dl shuffle join (the join key would have
-    # been doc_id, i.e. a full re-shuffle of the corpus-sized tf table)
+    # been doc_id, i.e. a full re-shuffle of the corpus-sized tf table).
+    # The query-term prune happens BEFORE the tf aggregate (a broadcast
+    # semi join on the exploded stream): per-(doc, term) counts are
+    # unaffected by dropping other terms' rows, so only query-term
+    # postings ever cross a shuffle — and the pruned tf table is cheap
+    # enough that its two consumers (df aggregate, hit scoring) can
+    # recompute the narrow explode instead of materializing the
+    # full-vocabulary postings list.
+    qt = F.broadcast(q.select("term").distinct())
     tf = (docs
           .select("doc_id",
                   F.expr(X.toks(X.SPARK)).alias("__toks"))
@@ -132,17 +140,13 @@ def bm25_topk(docs: DataFrame, spark, k: int = 10) -> DataFrame:
                   F.expr("size(__toks)").alias("dl"),
                   F.explode("__toks").alias("term"))
           .filter(F.col("term") != "")
+          .join(qt, "term")
           .groupBy("doc_id", "dl", "term")
           .agg(F.count("*").alias("tf")))
     n_total = (docs.agg(
         F.sum(F.expr(X.size(X.SPARK, X.toks(X.SPARK)))).alias("tot"),
         F.count("*").alias("n")))
-    # prune to query terms BEFORE the df aggregate: per-term counts are
-    # unaffected by dropping other terms' rows, and the shuffle carries
-    # query-term rows instead of the whole vocabulary
-    qt = F.broadcast(q.select("term").distinct())
-    dft = (tf.join(qt, "term")
-           .groupBy("term").agg(F.count("*").alias("df")))
+    dft = tf.groupBy("term").agg(F.count("*").alias("df"))
     dfq = dft.join(F.broadcast(n_total))
     r = ("1.0 + (CAST(n - df AS DOUBLE) + 0.5) / "
          "(CAST(df AS DOUBLE) + 0.5)")

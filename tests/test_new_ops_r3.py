@@ -146,3 +146,34 @@ def test_jsonl_roundtrip(spark, tmp_path):
     assert back.schema.simpleString() == (
         "struct<doc_id:bigint,text:string,lang:string,source:string,"
         "n_chars:int>")
+
+
+def test_column_profile_semantics(spark):
+    from birli_spark.operators import profile
+    df = spark.createDataFrame(
+        [Row(a=1, b=None, s="x"), Row(a=2, b=5.0, s="y"),
+         Row(a=2, b=7.5, s=None)],
+        "a int, b double, s string")
+    out = {r.col_name: r for r in profile.column_profile(
+        df, cols=(("a", True), ("b", True), ("s", False))).collect()}
+    assert out["a"].n_nonnull == 3 and out["a"].n_distinct == 2
+    assert out["a"].vmin == 1.0 and out["a"].vmax == 2.0
+    assert out["a"].completeness_ppm == 1000000
+    assert out["b"].n_nonnull == 2 and out["b"].vmax == 7.5
+    assert out["b"].completeness_ppm == 666666
+    assert out["s"].svmin == "x" and out["s"].svmax == "y"
+    assert out["s"].vmin is None
+
+
+def test_k_anonymity_semantics(spark):
+    from birli_spark.operators import profile
+    rows = [Row(c_custkey=i, c_name="c", c_nationkey=n, c_acctbal=0.0,
+                c_mktsegment=m)
+            for i, (n, m) in enumerate(
+                [(0, "A")] * 5 + [(0, "B")] * 2 + [(1, "A")] * 1)]
+    out = profile.k_anonymity(spark.createDataFrame(rows), k=5).collect()[0]
+    assert out.n_groups == 3
+    assert out.min_group_size == 1
+    assert out.n_risky_groups == 2          # (0,B)=2 and (1,A)=1
+    assert out.n_risky_rows == 3
+    assert out.risky_row_ppm == 375000      # 3/8
