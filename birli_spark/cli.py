@@ -97,8 +97,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-digital-gains", action="store_true")
     p.add_argument("--no-geometric-delay", action="store_true")
     p.add_argument("--van-vleck", action="store_true")
-    p.add_argument("--pfb-gains", choices=("none", "jake", "cotter"),
-                   default="none")
+    p.add_argument("--pfb-gains", "--passband-gains",
+                   dest="pfb_gains",
+                   choices=("none", "jake", "jake_oversampled", "cotter",
+                            "auto"),
+                   default="none",
+                   help="gain-table selection (reference "
+                        "src/cli.rs:1401-1443); 'auto' resolves by "
+                        "correlator version / oversampling, disabled when "
+                        "deripple was already applied upstream")
+    p.add_argument("--oversampled", action="store_true",
+                   help="input coarse channels are oversampled (affects "
+                        "--passband-gains auto)")
+    p.add_argument("--deripple-applied", action="store_true",
+                   help="upstream already de-rippled the passband "
+                        "(--passband-gains auto becomes a no-op)")
     p.add_argument("--apply-di-cal", type=str, metavar="CALSOL_BIN")
     p.add_argument("--avg-time-factor", type=int, default=1)
     p.add_argument("--avg-freq-factor", type=int, default=1)
@@ -151,7 +164,12 @@ def parse_args(argv: list[str]) -> Context:
         no_cable_delay=a.no_cable_delay,
         no_digital_gains=a.no_digital_gains,
         no_geometric_delay=a.no_geometric_delay,
-        van_vleck=a.van_vleck, pfb_gains=a.pfb_gains,
+        van_vleck=a.van_vleck,
+        pfb_gains=corrections.select_passband_gains(
+            a.pfb_gains,
+            mwa_version="Legacy" if pipeline.IS_LEGACY else "MWAXv2",
+            oversampled=a.oversampled,
+            deripple_applied=a.deripple_applied) or "none",
         apply_di_cal=a.apply_di_cal,
         avg_time=avg_time, avg_freq=avg_freq,
         time_chunk=a.time_chunk, max_memory_gib=a.max_memory,

@@ -279,11 +279,49 @@ def passband_oracle_select(vis: str = "vis", fine_gains: str = "fine_gains",
     return f"SELECT {cols} FROM {vis} v JOIN {fine_gains} g ON v.fc = g.fc"
 
 
+#: passband gain-table registry keys (the reference ships measured gain
+#: curves as compiled-in constants, src/passband_gains.rs:9/6415/12826;
+#: this engine keeps the table pluggable and validates the selection
+#: semantics — deployments register their instrument's curves here)
+PASSBAND_TABLES = ("jake", "jake_oversampled", "cotter")
+
+
+def select_passband_gains(option: str | None, mwa_version: str,
+                          oversampled: bool = False,
+                          deripple_applied: bool = False) -> str | None:
+    """The reference's ``--passband-gains`` selection match arms
+    (src/cli.rs:1401-1443) as a pure function → gain-table key or None:
+
+    - explicit ``jake`` / ``jake_oversampled`` / ``cotter`` pick that
+      table regardless of correlator version;
+    - ``auto`` resolves by correlator version + oversampling flag
+      (MWAX → jake or jake_oversampled, legacy → cotter) and DISABLES
+      the correction entirely when the input already had de-rippling
+      applied upstream;
+    - ``none``/None disables; an unknown option or (under ``auto``) an
+      unknown correlator version raises, like the reference's
+      panic / BadMWAVersion arms."""
+    if option in (None, "none"):
+        return None
+    if option in PASSBAND_TABLES:
+        return option
+    if option == "auto":
+        if deripple_applied:
+            return None
+        if mwa_version == "MWAXv2":
+            return "jake_oversampled" if oversampled else "jake"
+        if mwa_version in ("Legacy", "OldLegacy"):
+            return "cotter"
+        raise ValueError(f"unknown mwa version: {mwa_version}")
+    raise ValueError(f"unknown option for --passband-gains: {option}")
+
+
 __all__ = [
     "correct_cable_lengths", "cable_oracle_select",
     "correct_geometry", "geom_oracle_select",
     "correct_digital_gains", "digital_oracle_select",
     "scrunch_gains", "fine_gain_rows", "fine_gains_values_sql",
     "correct_passband_gains", "passband_oracle_select",
+    "select_passband_gains", "PASSBAND_TABLES",
     "VIS_COLS",
 ]

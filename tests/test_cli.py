@@ -69,3 +69,33 @@ def test_cli_end_to_end(spark, sf_dir, tmp_path):
     assert res["mwaf_files"] == syn.NUM_CC
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == res["rows"]
+
+def test_passband_gain_selection_match_arms():
+    """The reference's --passband-gains match arms (src/cli.rs:1401-1443)."""
+    import pytest
+
+    from birli_spark.operators.corrections import select_passband_gains as sel
+    assert sel(None, "Legacy") is None
+    assert sel("none", "MWAXv2") is None
+    assert sel("jake", "Legacy") == "jake"
+    assert sel("jake_oversampled", "Legacy") == "jake_oversampled"
+    assert sel("cotter", "MWAXv2") == "cotter"
+    assert sel("auto", "MWAXv2") == "jake"
+    assert sel("auto", "MWAXv2", oversampled=True) == "jake_oversampled"
+    assert sel("auto", "Legacy") == "cotter"
+    assert sel("auto", "OldLegacy", oversampled=True) == "cotter"
+    assert sel("auto", "MWAXv2", deripple_applied=True) is None
+    with pytest.raises(ValueError, match="unknown mwa version"):
+        sel("auto", "FutureCorr")
+    with pytest.raises(ValueError, match="unknown option"):
+        sel("bogus", "Legacy")
+
+
+def test_cli_accepts_reference_passband_flag(tmp_path, spark):
+    from birli_spark import cli
+    ctx = cli.parse_args(["/root/testdata/sf0.001",
+                          "--passband-gains", "auto"])
+    assert ctx.pfb_gains == "cotter"           # legacy default obs
+    ctx = cli.parse_args(["/root/testdata/sf0.001",
+                          "--passband-gains", "auto", "--deripple-applied"])
+    assert ctx.pfb_gains == "none"
