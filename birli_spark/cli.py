@@ -8,13 +8,17 @@ Supported subset (the operators implemented in this engine):
 selection (``--sel-time``, ``--sel-ants``, ``--sel-chan-ranges``,
 ``--no-sel-autos``, ``--no-sel-flagged-ants``), flagging
 (``--flag-times``, ``--flag-antennas``, ``--flag-fine-chans``,
-``--flag-edge-chans``, ``--flag-dc``/``--no-flag-dc``,
-``--flag-autos``, ``--quack-time``, ``--no-rfi``), corrections
-(``--no-cable-delay``, ``--no-digital-gains``, ``--no-geometric-delay``,
-``--van-vleck``, ``--pfb-gains``), ``--apply-di-cal``, averaging
-(``--avg-time-factor``, ``--avg-freq-factor``, resolution variants),
-chunking (``--time-chunk``, ``--max-memory``), sinks (``-f`` mwaf
-template dir, ``-u`` uvfits path, ``--flag-parquet``), ``--dry-run``.
+``--flag-coarse-chans``, ``--flag-edge-chans``/``--flag-edge-width``,
+``--flag-dc``/``--no-flag-dc``, ``--flag-autos``,
+``--quack-time``/``--flag-init``, ``--flag-end``, ``--no-rfi``),
+corrections (``--no-cable-delay``, ``--no-digital-gains``,
+``--no-geometric-delay``, ``--van-vleck``,
+``--pfb-gains``/``--passband-gains`` incl. auto/oversampled/deripple
+arms), ``--apply-di-cal``, averaging (``--avg-time-factor``,
+``--avg-freq-factor``, resolution variants), chunking
+(``--time-chunk``, ``--max-memory``), sinks (``-f`` mwaf template dir,
+``-u`` uvfits path, ``-M`` MS MAIN-schema parquet dir,
+``--flag-parquet``), ``--dry-run``.
 
 Input is the synthetic sf directory (stands in for metafits+gpubox; the
 gpubox FITS path exists via ``sources/gpubox.py`` but the driver test
@@ -51,10 +55,12 @@ class Context:
     flag_times: list[int] = field(default_factory=list)
     flag_antennas: list[int] = field(default_factory=list)
     flag_fine_chans: list[int] = field(default_factory=list)
+    flag_coarse_chans: list[int] = field(default_factory=list)
     flag_edge_chans: int = 0
     flag_dc: bool = True
     flag_autos: bool = False
     quack_time: float = 0.0
+    flag_end: float = 0.0
     no_rfi: bool = True
     no_cable_delay: bool = False
     no_digital_gains: bool = False
@@ -68,6 +74,7 @@ class Context:
     max_memory_gib: float | None = None
     mwaf_out: str | None = None
     uvfits_out: str | None = None
+    ms_out: str | None = None
     flag_parquet_out: str | None = None
     dry_run: bool = False
 
@@ -85,13 +92,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flag-times", nargs="+", type=int, default=[])
     p.add_argument("--flag-antennas", nargs="+", type=int, default=[])
     p.add_argument("--flag-fine-chans", nargs="+", type=int, default=[])
-    p.add_argument("--flag-edge-chans", type=int, default=0)
+    p.add_argument("--flag-coarse-chans", nargs="+", type=int, default=[])
+    edge = p.add_mutually_exclusive_group()
+    edge.add_argument("--flag-edge-chans", type=int, default=0)
+    edge.add_argument("--flag-edge-width", type=float, metavar="KHZ",
+                      help="edge width in kHz -> fine-chan count "
+                           "(reference src/cli.rs:1063-1103)")
     dc = p.add_mutually_exclusive_group()
     dc.add_argument("--flag-dc", dest="flag_dc", action="store_true",
                     default=None)
     dc.add_argument("--no-flag-dc", dest="flag_dc", action="store_false")
     p.add_argument("--flag-autos", action="store_true")
-    p.add_argument("--quack-time", type=float, default=0.0)
+    p.add_argument("--quack-time", "--flag-init", dest="quack_time",
+                   type=float, default=0.0)
+    p.add_argument("--flag-end", type=float, default=0.0,
+                   help="seconds flagged before the end of the obs "
+                        "(reference src/cli.rs:1104-1157)")
     p.add_argument("--no-rfi", action="store_true")
     p.add_argument("--no-cable-delay", action="store_true")
     p.add_argument("--no-digital-gains", action="store_true")
@@ -124,6 +140,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--flag-template", type=str,
                    help="output .mwaf directory")
     p.add_argument("-u", "--uvfits-out", type=str)
+    p.add_argument("-M", "--ms-out", type=str,
+                   help="Measurement-Set MAIN-schema parquet output dir")
     p.add_argument("--flag-parquet", type=str)
     p.add_argument("--dry-run", action="store_true")
     return p
@@ -158,9 +176,15 @@ def parse_args(argv: list[str]) -> Context:
         no_sel_flagged_ants=a.no_sel_flagged_ants,
         flag_times=a.flag_times, flag_antennas=a.flag_antennas,
         flag_fine_chans=a.flag_fine_chans,
-        flag_edge_chans=a.flag_edge_chans,
+        flag_coarse_chans=a.flag_coarse_chans,
+        flag_edge_chans=(
+            # kHz width -> count of fine chans, rounded down like the
+            # reference's width/fine_chan_width division
+            int(a.flag_edge_width * 1000.0 // syn.FINE_CHAN_WIDTH_HZ)
+            if a.flag_edge_width is not None else a.flag_edge_chans),
         flag_dc=pipeline.IS_LEGACY if a.flag_dc is None else a.flag_dc,
-        flag_autos=a.flag_autos, quack_time=a.quack_time, no_rfi=a.no_rfi,
+        flag_autos=a.flag_autos, quack_time=a.quack_time,
+        flag_end=a.flag_end, no_rfi=a.no_rfi,
         no_cable_delay=a.no_cable_delay,
         no_digital_gains=a.no_digital_gains,
         no_geometric_delay=a.no_geometric_delay,
@@ -174,6 +198,7 @@ def parse_args(argv: list[str]) -> Context:
         avg_time=avg_time, avg_freq=avg_freq,
         time_chunk=a.time_chunk, max_memory_gib=a.max_memory,
         mwaf_out=a.flag_template, uvfits_out=a.uvfits_out,
+        ms_out=a.ms_out,
         flag_parquet_out=a.flag_parquet, dry_run=a.dry_run)
 
 
@@ -209,7 +234,8 @@ def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
     ts = syn.load_dim(spark, "timesteps")
     ants = syn.load_dim(spark, "antennas")
     ts_f = flags.flag_timesteps_quack(
-        ts, syn.GPS_START, pipeline.OBS_END_GPS, quack_s=ctx.quack_time)
+        ts, syn.GPS_START, pipeline.OBS_END_GPS, quack_s=ctx.quack_time,
+        flag_end_s=ctx.flag_end)
     if ctx.flag_times:
         ts_f = ts_f.withColumn(
             "ts_flag", F.col("ts_flag") | F.col("t").isin(ctx.flag_times))
@@ -220,7 +246,13 @@ def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
     fc_pred = flags.flag_fine_channels(
         syn.NUM_FC, n_edge=ctx.flag_edge_chans, is_legacy=ctx.flag_dc,
         explicit_fcs=tuple(ctx.flag_fine_chans))
-    vis = flags.set_flags(vis, ts_f, bl_f, fc_pred)
+    cc_f = None
+    if ctx.flag_coarse_chans:
+        # coarse-chan flags expand to all their fine chans through the
+        # (cc) join key (reference src/flags.rs:195-204)
+        cc_f = spark.createDataFrame(
+            [(cc, True) for cc in ctx.flag_coarse_chans], "cc int, cc_flag boolean")
+    vis = flags.set_flags(vis, ts_f, bl_f, fc_pred, cc_flags=cc_f)
 
     # corrections (C2, C4, C5, C3, C6)
     if not ctx.no_cable_delay:
@@ -280,6 +312,13 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                                  gps_start=syn.GPS_START)
             result["flag_parquet"] = ctx.flag_parquet_out
         result["rows"] = out.count()
+        if ctx.ms_out:
+            from birli_spark.sinks import ms
+            baked = pipeline.preprocess_baked(spark, ctx.sf_dir)
+            ms.write_ms_parquet(baked, ctx.ms_out, ctx.avg_time,
+                                ctx.avg_freq, gps_start=syn.GPS_START,
+                                int_time_s=syn.INT_TIME_S)
+            result["ms_path"] = ctx.ms_out
         if ctx.uvfits_out:
             out.orderBy(*[c for c in ("t_out", "t") if c in out.columns],
                         "bl").write.mode("overwrite").parquet(ctx.uvfits_out)

@@ -99,3 +99,37 @@ def test_cli_accepts_reference_passband_flag(tmp_path, spark):
     ctx = cli.parse_args(["/root/testdata/sf0.001",
                           "--passband-gains", "auto", "--deripple-applied"])
     assert ctx.pfb_gains == "none"
+
+
+def test_cli_flag_end_coarse_chans_edge_width(spark, tmp_path):
+    from birli_spark import cli
+    from birli_spark.sources import synthetic as syn
+
+    # --flag-end flags trailing timesteps; --flag-coarse-chans expands to
+    # all fine chans of the coarse channel; --flag-edge-width converts kHz
+    ctx = cli.parse_args(["/root/testdata/sf0.001",
+                          "--flag-end", "4", "--flag-coarse-chans", "1",
+                          "--flag-edge-width",
+                          str(syn.FINE_CHAN_WIDTH_HZ / 1000.0)])
+    assert ctx.flag_end == 4.0
+    assert ctx.flag_coarse_chans == [1]
+    assert ctx.flag_edge_chans == 1
+    vis = cli.build_plan(spark, ctx)
+    from pyspark.sql import functions as F
+    agg = vis.agg(
+        F.max(F.expr("IF(cc = 1 AND NOT flag, 1, 0)")).alias("cc1_unflagged"),
+        F.max(F.expr("IF(fc = 0 AND NOT flag, 1, 0)")).alias("fc0_unflagged"),
+    ).collect()[0]
+    assert agg.cc1_unflagged == 0          # whole coarse chan flagged
+    assert agg.fc0_unflagged == 0          # edge chan flagged
+
+
+def test_cli_ms_out(spark, tmp_path):
+    import os
+
+    from birli_spark import cli
+    out = str(tmp_path / "ms_parquet")
+    res = cli.run(["/root/testdata/sf0.001", "--avg-time-factor", "4",
+                   "--avg-freq-factor", "2", "-M", out], spark=spark)
+    assert res["ms_path"] == out
+    assert any(n.startswith("time_block=") for n in os.listdir(out))
