@@ -153,6 +153,21 @@ def _q_geometry(spark, sf_dir):
         syn.load_vis(spark, sf_dir), syn.load_dim(spark, "part_uvw"))
 
 
+#: demo phase centre for the first-principles UVW geometry query
+#: (RA 5h, Dec −26.7°, LST₀ 1 rad — arbitrary but fixed)
+_PC = dict(ra_rad=1.3089969389957472, dec_rad=-0.4660029,
+           lst0_rad=1.0)
+
+
+def _q_geometry_phase_centre(spark, sf_dir):
+    from birli_spark.operators import geometry
+    part_uvw = geometry.part_uvw_table(
+        spark, syn.load_dim(spark, "antennas"), syn.NUM_T,
+        int_time_s=syn.INT_TIME_S, **_PC)
+    return corrections.correct_geometry(
+        syn.load_vis(spark, sf_dir), part_uvw)
+
+
 def _q_calibration(spark, sf_dir):
     return calibration.apply_di_calsol(
         syn.load_vis(spark, sf_dir), syn.load_dim(spark, "calsols"),
@@ -1114,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_jsonl_roundtrip": _q_jsonl_roundtrip,
         "q1_column_profile": _q_column_profile,
         "q2_k_anonymity": _q_k_anonymity,
+        "c3b_geometry_phase_centre": _q_geometry_phase_centre,
     }
 
 
@@ -1409,7 +1425,18 @@ def oracle_sql() -> dict[str, str]:
         "s6_jsonl_roundtrip": _jsonl_roundtrip_oracle(),
         "q1_column_profile": _profile_oracles()[0],
         "q2_k_anonymity": _profile_oracles()[1],
+        "c3b_geometry_phase_centre": _geometry_pc_oracle(),
     }
+
+
+def _geometry_pc_oracle() -> str:
+    from birli_spark.operators import geometry
+    uvw = geometry.part_uvw_oracle_sql(
+        "antennas", syn.NUM_T, int_time_s=syn.INT_TIME_S, **_PC)
+    return _with_vis(
+        corrections.geom_oracle_select("vis", "part_uvw", _COLS),
+        extra_ctes=(f"antennas AS ({syn.ANTENNAS_SQL}), "
+                    f"part_uvw AS ({uvw})"))
 
 
 def _profile_oracles() -> tuple[str, str]:

@@ -65,6 +65,8 @@ class Context:
     no_cable_delay: bool = False
     no_digital_gains: bool = False
     no_geometric_delay: bool = False
+    phase_centre: tuple[float, float] | None = None
+    pointing_centre: bool = False
     van_vleck: bool = False
     pfb_gains: str = "none"
     apply_di_cal: str | None = None
@@ -112,6 +114,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-cable-delay", action="store_true")
     p.add_argument("--no-digital-gains", action="store_true")
     p.add_argument("--no-geometric-delay", action="store_true")
+    pc = p.add_mutually_exclusive_group()
+    pc.add_argument("--phase-centre", nargs=2, type=float,
+                    metavar=("RA_DEG", "DEC_DEG"),
+                    help="phase-track this centre: partial UVWs recomputed "
+                         "from the antenna positions (reference "
+                         "src/cli.rs:1364-1377; first-principles rotation, "
+                         "operators/geometry.py)")
+    pc.add_argument("--pointing-centre", action="store_true",
+                    help="phase-track the pointing centre from the obs "
+                         "metadata instead of the default phase centre")
     p.add_argument("--van-vleck", action="store_true")
     p.add_argument("--pfb-gains", "--passband-gains",
                    dest="pfb_gains",
@@ -188,6 +200,8 @@ def parse_args(argv: list[str]) -> Context:
         no_cable_delay=a.no_cable_delay,
         no_digital_gains=a.no_digital_gains,
         no_geometric_delay=a.no_geometric_delay,
+        phase_centre=tuple(a.phase_centre) if a.phase_centre else None,
+        pointing_centre=a.pointing_centre,
         van_vleck=a.van_vleck,
         pfb_gains=corrections.select_passband_gains(
             a.pfb_gains,
@@ -268,7 +282,20 @@ def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
         from birli_spark.operators import rfi
         vis = rfi.flag_rfi(vis)
     if not ctx.no_geometric_delay:
-        vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
+        if ctx.phase_centre or ctx.pointing_centre:
+            import math
+
+            from birli_spark.operators import geometry
+            # default pointing centre for the synthetic obs: zenith-ish
+            ra_deg, dec_deg = (ctx.phase_centre if ctx.phase_centre
+                               else (75.0, -26.7))
+            part_uvw = geometry.part_uvw_table(
+                spark, syn.load_dim(spark, "antennas"), syn.NUM_T,
+                ra_rad=math.radians(ra_deg), dec_rad=math.radians(dec_deg),
+                lst0_rad=1.0, int_time_s=syn.INT_TIME_S)
+        else:
+            part_uvw = syn.load_dim(spark, "part_uvw")
+        vis = corrections.correct_geometry(vis, part_uvw)
     if ctx.apply_di_cal:
         calsols = aocal.calsols_df(spark, ctx.apply_di_cal)
         vis = calibration.apply_di_calsol(vis, calsols, pipeline.CAL_RATIO)

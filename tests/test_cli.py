@@ -133,3 +133,40 @@ def test_cli_ms_out(spark, tmp_path):
                    "--avg-freq-factor", "2", "-M", out], spark=spark)
     assert res["ms_path"] == out
     assert any(n.startswith("time_block=") for n in os.listdir(out))
+
+
+def test_cli_phase_centre(spark):
+    """--phase-centre recomputes partial UVWs from antenna positions; the
+    first-principles w must differ from the synthetic dim's w."""
+    from birli_spark import cli
+    base = cli.build_plan(spark, cli.parse_args(["/root/testdata/sf0.001"]))
+    pc = cli.build_plan(spark, cli.parse_args(
+        ["/root/testdata/sf0.001", "--phase-centre", "75.0", "-26.7"]))
+    w0 = base.select("w").filter("t = 1 AND bl = 1").distinct().collect()
+    w1 = pc.select("w").filter("t = 1 AND bl = 1").distinct().collect()
+    assert len(w0) == 1 and len(w1) == 1
+    assert w0[0].w != w1[0].w
+
+
+def test_part_uvw_rotation_identities(spark):
+    """UVW rotation sanity: at H=0, u = y = east; and u²+v²+w² = x²+y²+z²
+    (rotation preserves the norm)."""
+    import math
+
+    from birli_spark.operators import geometry
+    from birli_spark.sources import synthetic as syn
+    ants = syn.load_dim(spark, "antennas")
+    # choose ra = lst0 and t=0 so the hour angle is exactly 0
+    tbl = geometry.part_uvw_table(
+        spark, ants, num_t=1, ra_rad=1.0, dec_rad=-0.5, lst0_rad=1.0,
+        int_time_s=2.0)
+    rows = {r.ant: r for r in tbl.collect()}
+    arows = {r.ant: r for r in ants.collect()}
+    lat = geometry.MWA_LAT_RAD
+    for ant, r in rows.items():
+        a = arows[ant]
+        assert abs(r.u - a.east_m) < 1e-9          # H=0 -> u == east
+        x = -math.sin(lat) * a.north_m + math.cos(lat) * a.height_m
+        z = math.cos(lat) * a.north_m + math.sin(lat) * a.height_m
+        n2 = x * x + a.east_m ** 2 + z * z
+        assert abs((r.u ** 2 + r.v ** 2 + r.w ** 2) - n2) < 1e-6
