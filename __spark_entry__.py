@@ -470,6 +470,17 @@ def _q_upsert_documents(spark, sf_dir):
     return merge.upsert_documents(corpus.load_documents(spark, sf_dir))
 
 
+def _q_incremental_agg(spark, sf_dir):
+    from birli_spark.operators import merge
+    from birli_spark.sources import corpus
+    return merge.incremental_daily_agg(corpus.load_events(spark, sf_dir))
+
+
+def _q_sequence_packing(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return corpus_clean.sequence_packing(corpus.load_documents(spark, sf_dir))
+
+
 def _q_scd2_user_type(spark, sf_dir):
     from birli_spark.operators import merge
     from birli_spark.sources import corpus
@@ -1130,6 +1141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_column_profile": _q_column_profile,
         "q2_k_anonymity": _q_k_anonymity,
         "c3b_geometry_phase_centre": _q_geometry_phase_centre,
+        "m4_incremental_agg": _q_incremental_agg,
+        "t24_sequence_packing": _q_sequence_packing,
     }
 
 
@@ -1426,7 +1439,14 @@ def oracle_sql() -> dict[str, str]:
         "q1_column_profile": _profile_oracles()[0],
         "q2_k_anonymity": _profile_oracles()[1],
         "c3b_geometry_phase_centre": _geometry_pc_oracle(),
+        "m4_incremental_agg": _incremental_agg_oracle(),
+        "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
     }
+
+
+def _incremental_agg_oracle() -> str:
+    from birli_spark.operators import merge
+    return merge.incremental_daily_agg_oracle_sql()
 
 
 def _geometry_pc_oracle() -> str:

@@ -371,3 +371,54 @@ SELECT doc_id, COUNT(*) AS n_segs,
   md5(COALESCE(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos),
                '')) AS clean_md5
 FROM marked GROUP BY doc_id"""
+
+
+SEQ_LEN_TOKENS = 64    #: tokens per packed training sequence
+
+
+def sequence_packing(docs: DataFrame,
+                     seq_len: int = SEQ_LEN_TOKENS) -> DataFrame:
+    """T24 — training-sequence packing plan ("concat then chop"): within
+    each source shard, documents concatenate in doc_id order into one
+    token stream that is chopped into fixed ``seq_len`` sequences; each
+    document is assigned to the sequence (bin) where it *starts*.
+    → (source, bin, n_docs, n_tokens, first_doc, last_doc) — the packing
+    manifest an LLM data loader consumes.
+
+    Scale shape: the running token count is a window cumsum partitioned
+    by **source shard**, never a single global ordering — each shard's
+    window sorts independently (the 100 TB packing recipe: shard first,
+    pack within shards). One narrow projection (token count), one
+    window, one partial-aggregated groupBy."""
+    from pyspark.sql import Window
+    n_tok = docs.select(
+        "source", "doc_id",
+        F.expr(X.size(X.SPARK, X.toks(X.SPARK))).alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = n_tok.withColumn(
+        "bin",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+         / seq_len).cast("bigint"))
+    return (binned.groupBy("source", "bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+def sequence_packing_oracle_sql(seq_len: int = SEQ_LEN_TOKENS) -> str:
+    toks = X.toks(X.DUCK)
+    return f"""
+WITH n_tok AS (
+  SELECT source, doc_id, len({toks}) AS n_tokens FROM documents),
+binned AS (
+  SELECT source, doc_id, n_tokens,
+    CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens) // {seq_len} AS BIGINT) AS bin
+  FROM n_tok)
+SELECT source, bin, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned GROUP BY source, bin"""

@@ -210,3 +210,71 @@ tagged AS (
 SELECT source, action, COUNT(*) AS n_docs,
   SUM(chars_delta) AS chars_delta
 FROM tagged GROUP BY source, action"""
+
+
+#: events at/after this instant form the "delta" batch of M4
+#: (2024-01-25 00:00:00 UTC as exact epoch microseconds — the repo's
+#: integer event-time convention, operators/events.py)
+INCR_CUTOFF_US = 1_706_140_800_000_000
+
+
+def incremental_daily_agg(events: DataFrame,
+                          cutoff_us: int = INCR_CUTOFF_US) -> DataFrame:
+    """M4 — incremental materialized-view maintenance: the per-(day,
+    event_type) aggregate table is kept up to date by merging a **delta
+    batch** (events at/after ``cutoff``) into the previously
+    materialized base aggregate, instead of recomputing from all
+    history. → (day, event_type, n_events, sum_value_cents, refreshed)
+    where ``refreshed`` marks groups the delta touched.
+
+    Scale shape: the base aggregate is group-cardinality-sized (days ×
+    types — tiny next to the event log); the delta aggregate scans ONLY
+    the delta partition (the cutoff predicate prunes the scan); the
+    merge is a full outer join on the group key between two
+    aggregate-sized tables. At 100 TB this is the difference between
+    re-reading years of history per refresh and touching one day's
+    partition. Counts/sums are additive, so merge = coalesce + add;
+    exact cent ticks and integer day epochs keep it order-proof."""
+    from birli_spark.operators.events import TS_US_SPARK, US_PER_DAY
+    day = (f"CAST(FLOOR(({TS_US_SPARK}) / {US_PER_DAY}) * 86400"
+           " AS BIGINT)")
+    cents = "CAST(ROUND(value * 100.0) AS BIGINT)"
+
+    def agg(df):
+        return (df.groupBy(F.expr(day).alias("day_epoch"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.expr(cents)).alias("cents")))
+
+    us = TS_US_SPARK
+    base = agg(events.filter(F.expr(f"({us}) < {cutoff_us}")))
+    delta = agg(events.filter(F.expr(f"({us}) >= {cutoff_us}")))
+    b = base.withColumnsRenamed({"n": "bn", "cents": "bc"})
+    d = delta.withColumnsRenamed({"n": "dn", "cents": "dc"})
+    return (b.join(d, ["day_epoch", "event_type"], "full_outer")
+            .select(
+                "day_epoch", "event_type",
+                (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                .alias("n_events"),
+                (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
+                .alias("sum_value_cents"),
+                F.col("dn").isNotNull().alias("refreshed")))
+
+
+def incremental_daily_agg_oracle_sql(cutoff_us: int = INCR_CUTOFF_US) -> str:
+    from birli_spark.operators.events import TS_US_DUCK, US_PER_DAY
+    day = (f"CAST(FLOOR(({TS_US_DUCK}) / {US_PER_DAY}) * 86400"
+           " AS BIGINT)")
+    cents = "CAST(ROUND(value * 100.0) AS BIGINT)"
+    return f"""
+WITH full_agg AS (
+  SELECT {day} AS day_epoch, event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM({cents}) AS BIGINT) AS sum_value_cents
+  FROM events GROUP BY 1, 2),
+dirty AS (
+  SELECT DISTINCT {day} AS day_epoch, event_type
+  FROM events WHERE {TS_US_DUCK} >= {cutoff_us})
+SELECT f.day_epoch, f.event_type, f.n_events, f.sum_value_cents,
+  d.day_epoch IS NOT NULL AS refreshed
+FROM full_agg f LEFT JOIN dirty d
+  ON f.day_epoch = d.day_epoch AND f.event_type = d.event_type"""

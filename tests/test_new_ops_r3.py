@@ -177,3 +177,56 @@ def test_k_anonymity_semantics(spark):
     assert out.n_risky_groups == 2          # (0,B)=2 and (1,A)=1
     assert out.n_risky_rows == 3
     assert out.risky_row_ppm == 375000      # 3/8
+
+
+def test_sequence_packing_semantics(spark):
+    docs = spark.createDataFrame([
+        # source s: doc 1 has 3 tokens (bin 0), doc 2 has 2 (starts at
+        # cumsum 3 -> bin 0), doc 3 has 4 (starts at 5 -> bin 1)
+        Row(doc_id=1, text="a b c", lang="en", source="s", n_chars=5),
+        Row(doc_id=2, text="d e", lang="en", source="s", n_chars=3),
+        Row(doc_id=3, text="f g h i", lang="en", source="s", n_chars=7),
+        # another source packs independently
+        Row(doc_id=4, text="x", lang="en", source="t", n_chars=1),
+    ])
+    out = {(r.source, r.bin): r for r in corpus_clean.sequence_packing(
+        docs, seq_len=4).collect()}
+    s0 = out[("s", 0)]
+    assert s0.n_docs == 2 and s0.n_tokens == 5
+    assert (s0.first_doc, s0.last_doc) == (1, 2)
+    s1 = out[("s", 1)]
+    assert s1.n_docs == 1 and s1.n_tokens == 4 and s1.first_doc == 3
+    assert out[("t", 0)].n_docs == 1
+
+
+def test_incremental_daily_agg_matches_full_recompute(spark):
+    import datetime as dt
+
+    from birli_spark.operators import merge
+    base_day = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append(Row(
+            event_id=i, ts=base_day + dt.timedelta(hours=i * 13),
+            user_id=i % 5, event_type="click" if i % 2 else "view",
+            value=float(i), props="{}"))
+    ev = spark.createDataFrame(rows).withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["F"])
+        .expr("CAST(unix_micros(ts) AS BIGINT) * 1000"))
+    cutoff_us = int(dt.datetime(2024, 1, 10).timestamp() * 1_000_000)
+    out = merge.incremental_daily_agg(ev, cutoff_us=cutoff_us)
+    # incremental merge must equal the from-scratch aggregate
+    full = (ev.groupBy(
+        __import__("pyspark.sql.functions", fromlist=["F"])
+        .expr("CAST(FLOOR((ts div 1000) / 86400000000) * 86400 AS BIGINT)")
+        .alias("day_epoch"), "event_type")
+        .count())
+    got = {(r.day_epoch, r.event_type): r.n_events for r in out.collect()}
+    want = {(r.day_epoch, r.event_type): r["count"] for r in full.collect()}
+    assert got == want
+    # refreshed flags mark exactly the groups with delta rows
+    refreshed = {(r.day_epoch, r.event_type)
+                 for r in out.collect() if r.refreshed}
+    assert refreshed  # some delta days exist
+    assert all(d * 1_000_000 + 86_400_000_000 > cutoff_us
+               for d, _ in refreshed)
