@@ -62,6 +62,7 @@ class Context:
     quack_time: float = 0.0
     flag_end: float = 0.0
     no_rfi: bool = True
+    rfi_sensitivity: float = 6.0
     no_cable_delay: bool = False
     no_digital_gains: bool = False
     no_geometric_delay: bool = False
@@ -111,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seconds flagged before the end of the obs "
                         "(reference src/cli.rs:1104-1157)")
     p.add_argument("--no-rfi", action="store_true")
+    p.add_argument("--aoflagger-strategy", type=str, default="default",
+                   help="RFI strategy preset: 'default' (sensitivity 6), "
+                        "'sensitive' (4.5), 'conservative' (8), or a "
+                        "numeric base sensitivity (the reference points "
+                        "this flag at a Lua strategy file; this engine's "
+                        "SumThreshold implementation exposes the "
+                        "strategy's sensitivity knob)")
     p.add_argument("--no-cable-delay", action="store_true")
     p.add_argument("--no-digital-gains", action="store_true")
     p.add_argument("--no-geometric-delay", action="store_true")
@@ -159,6 +167,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_STRATEGY_SENSITIVITY = {"default": 6.0, "sensitive": 4.5,
+                         "conservative": 8.0}
+
+
+def _strategy_sensitivity(strategy: str) -> float:
+    """--aoflagger-strategy preset name or bare number → SumThreshold
+    base sensitivity."""
+    if strategy in _STRATEGY_SENSITIVITY:
+        return _STRATEGY_SENSITIVITY[strategy]
+    try:
+        return float(strategy)
+    except ValueError:
+        raise SystemExit(
+            f"unknown --aoflagger-strategy {strategy!r}; expected one of "
+            f"{sorted(_STRATEGY_SENSITIVITY)} or a numeric sensitivity")
+
+
 def _res_to_factor(res: float, base: float, what: str) -> int:
     """Resolution → integer factor with the reference's divisibility check
     (src/cli.rs:1171-1258)."""
@@ -197,6 +222,7 @@ def parse_args(argv: list[str]) -> Context:
         flag_dc=pipeline.IS_LEGACY if a.flag_dc is None else a.flag_dc,
         flag_autos=a.flag_autos, quack_time=a.quack_time,
         flag_end=a.flag_end, no_rfi=a.no_rfi,
+        rfi_sensitivity=_strategy_sensitivity(a.aoflagger_strategy),
         no_cable_delay=a.no_cable_delay,
         no_digital_gains=a.no_digital_gains,
         no_geometric_delay=a.no_geometric_delay,
@@ -280,7 +306,7 @@ def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
         vis = corrections.correct_passband_gains(vis, fine_gains)
     if not ctx.no_rfi:
         from birli_spark.operators import rfi
-        vis = rfi.flag_rfi(vis)
+        vis = rfi.flag_rfi(vis, base_sensitivity=ctx.rfi_sensitivity)
     if not ctx.no_geometric_delay:
         if ctx.phase_centre or ctx.pointing_centre:
             import math

@@ -233,31 +233,31 @@ def incremental_daily_agg(events: DataFrame,
     merge is a full outer join on the group key between two
     aggregate-sized tables. At 100 TB this is the difference between
     re-reading years of history per refresh and touching one day's
-    partition. Counts/sums are additive, so merge = coalesce + add;
-    exact cent ticks and integer day epochs keep it order-proof."""
+    partition. Counts/sums are **additive**, so the merge is the
+    mergeable-aggregate shape — union the two partial-aggregate tables
+    and re-aggregate — which needs NO join at all (a full-outer join of
+    the partials would force a sort-merge plan, since Spark cannot
+    broadcast full-outer sides); exact cent ticks and integer day
+    epochs keep it order-proof."""
     from birli_spark.operators.events import TS_US_SPARK, US_PER_DAY
     day = (f"CAST(FLOOR(({TS_US_SPARK}) / {US_PER_DAY}) * 86400"
            " AS BIGINT)")
     cents = "CAST(ROUND(value * 100.0) AS BIGINT)"
 
-    def agg(df):
+    def agg(df, is_delta):
         return (df.groupBy(F.expr(day).alias("day_epoch"), "event_type")
                 .agg(F.count("*").alias("n"),
-                     F.sum(F.expr(cents)).alias("cents")))
+                     F.sum(F.expr(cents)).alias("cents"))
+                .withColumn("is_delta", F.lit(is_delta)))
 
     us = TS_US_SPARK
-    base = agg(events.filter(F.expr(f"({us}) < {cutoff_us}")))
-    delta = agg(events.filter(F.expr(f"({us}) >= {cutoff_us}")))
-    b = base.withColumnsRenamed({"n": "bn", "cents": "bc"})
-    d = delta.withColumnsRenamed({"n": "dn", "cents": "dc"})
-    return (b.join(d, ["day_epoch", "event_type"], "full_outer")
-            .select(
-                "day_epoch", "event_type",
-                (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
-                .alias("n_events"),
-                (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0)))
-                .alias("sum_value_cents"),
-                F.col("dn").isNotNull().alias("refreshed")))
+    base = agg(events.filter(F.expr(f"({us}) < {cutoff_us}")), False)
+    delta = agg(events.filter(F.expr(f"({us}) >= {cutoff_us}")), True)
+    return (base.unionByName(delta)
+            .groupBy("day_epoch", "event_type")
+            .agg(F.sum("n").alias("n_events"),
+                 F.sum("cents").alias("sum_value_cents"),
+                 F.max("is_delta").alias("refreshed")))
 
 
 def incremental_daily_agg_oracle_sql(cutoff_us: int = INCR_CUTOFF_US) -> str:

@@ -170,3 +170,17 @@ def test_part_uvw_rotation_identities(spark):
         z = math.cos(lat) * a.north_m + math.sin(lat) * a.height_m
         n2 = x * x + a.east_m ** 2 + z * z
         assert abs((r.u ** 2 + r.v ** 2 + r.w ** 2) - n2) < 1e-6
+
+
+def test_aoflagger_strategy_presets():
+    import pytest
+
+    from birli_spark.cli import _strategy_sensitivity, parse_args
+    assert _strategy_sensitivity("default") == 6.0
+    assert _strategy_sensitivity("sensitive") == 4.5
+    assert _strategy_sensitivity("7.25") == 7.25
+    with pytest.raises(SystemExit):
+        _strategy_sensitivity("/path/to/strategy.lua")
+    ctx = parse_args(["/root/testdata/sf0.001",
+                      "--aoflagger-strategy", "conservative"])
+    assert ctx.rfi_sensitivity == 8.0

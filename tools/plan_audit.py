@@ -105,6 +105,10 @@ HEADLINE = [
     "g1_source_pagerank", "sk6_hll_windowed", "ts1_series_neardup",
     "m1_upsert", "m2_scd2_history", "pipeline_clean_index",
     "h7_fuzzy_names", "t20_weighted_sample",
+    "h13_local_supplier_volume", "h14_part_supplier_counts",
+    "t23_segment_dedup", "t24_sequence_packing", "s6_jsonl_roundtrip",
+    "q1_column_profile", "q2_k_anonymity", "c3b_geometry_phase_centre",
+    "m4_incremental_agg",
 ]
 
 
