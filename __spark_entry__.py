@@ -159,6 +159,20 @@ _PC = dict(ra_rad=1.3089969389957472, dec_rad=-0.4660029,
            lst0_rad=1.0)
 
 
+#: the reference's own MWAX gpubox test files (read-only; reference
+#: tests/data/README.md documents the coordinate-encoded cell values)
+_MWAX_GLOB = ("/root/reference/tests/data/1297526432_mwax/"
+              "1297526432_*_ch11[78]_00[01].fits")
+
+
+def _q_mwax_gpubox_scan(spark, sf_dir):
+    """S1d — distributed scan of REAL MWAX gpubox FITS (the reference's
+    own test files); the oracle regenerates every coordinate-encoded
+    cell closed-form, so a hash match proves byte-level format parity."""
+    from birli_spark.sources import gpubox
+    return gpubox.read_mwax_gpubox(spark, _MWAX_GLOB)
+
+
 def _q_geometry_phase_centre(spark, sf_dir):
     from birli_spark.operators import geometry
     part_uvw = geometry.part_uvw_table(
@@ -1143,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3b_geometry_phase_centre": _q_geometry_phase_centre,
         "m4_incremental_agg": _q_incremental_agg,
         "t24_sequence_packing": _q_sequence_packing,
+        "s1d_mwax_gpubox_scan": _q_mwax_gpubox_scan,
     }
 
 
@@ -1441,7 +1456,13 @@ def oracle_sql() -> dict[str, str]:
         "c3b_geometry_phase_centre": _geometry_pc_oracle(),
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
+        "s1d_mwax_gpubox_scan": _mwax_oracle(),
     }
+
+
+def _mwax_oracle() -> str:
+    from birli_spark.sources import gpubox
+    return gpubox.mwax_expected_sql()
 
 
 def _incremental_agg_oracle() -> str:

@@ -72,3 +72,46 @@ def test_python_datasource_matches_mapinpandas(spark, gpubox_dir):
     b = (gpubox.read_gpubox(spark, gpubox_dir + "/*.fits")
          .orderBy("cc", "t", "bl", "fc").toPandas())
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_mwax_real_reference_files(spark):
+    """Read the REFERENCE's own MWAX gpubox test data (reference
+    tests/data/1297526432_mwax, format documented in its README) and
+    verify every coordinate-encoded cell: value = 0x41<<16 |
+    global_hdu_index<<8 | (bl*16 + fc*8 + pol*2 + reim)."""
+    import os
+
+    from birli_spark.sources import gpubox
+    glob_ = ("/root/reference/tests/data/1297526432_mwax/"
+             "1297526432_*_ch11[78]_00[01].fits")
+    if not os.path.isdir("/root/reference/tests/data/1297526432_mwax"):
+        import pytest
+        pytest.skip("reference test data not present")
+    pdf = (gpubox.read_mwax_gpubox(spark, glob_)
+           .toPandas().sort_values(["cc_recv", "unix_ms", "bl", "fc"])
+           .reset_index(drop=True))
+    # 2 cc x 4 scans x 3 baselines x 2 fine chans
+    assert len(pdf) == 48
+    cc_idx = {117: 0, 118: 1}
+    names = ["xx_re", "xx_im", "xy_re", "xy_im",
+             "yx_re", "yx_im", "yy_re", "yy_im"]
+    for _, r in pdf.iterrows():
+        batch = (r.unix_ms // 1000) - 1613491214
+        scan = (r.unix_ms % 1000) // 500
+        hdu = cc_idx[r.cc_recv] * 4 + batch * 2 + scan
+        for k, nm in enumerate(names):
+            want = (0x41 << 16) + hdu * 256 + r.bl * 16 + r.fc * 8 + k
+            assert r[nm] == want, (nm, dict(r))
+        assert r.w_xx == 1.0 and r.w_yy == 1.0
+    # scan index within file
+    assert set(pdf.t) == {0, 1}
+
+
+def test_mwax_rejects_legacy(spark):
+    import pytest
+
+    from birli_spark.sources import gpubox
+    with pytest.raises(ValueError, match="CORR_VER"):
+        gpubox.parse_mwax_gpubox_bytes(
+            b"SIMPLE  =                    T" + b" " * 50 + b"END" + b" " * 77
+            + b" " * (2880 - 160), 117)
