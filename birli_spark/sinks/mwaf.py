@@ -371,3 +371,38 @@ def read_mwaf_set(spark: SparkSession, out_dir: str,
             "flag": mat.reshape(-1),
         }))
     return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def read_cotter_mwaf(path: str) -> tuple[dict, np.ndarray]:
+    """Read a COTTER-written .mwaf file (the pre-Birli flag format the
+    reference's ``FlagFileSet::open_cotter`` consumes,
+    src/io/mwaf.rs:719-795): primary header keyed VERSION/GPSTIME/
+    NCHANS/NANTENNA/NSCANS/NPOLS/GPUBOXNO/COTVER, one FLAGS bintable of
+    ``NCHANS``-bit rows ordered (timestep, baseline) — baselines =
+    NANTENNA·(NANTENNA+1)/2 including autos.
+
+    → (header dict, dense bool matrix [(t·nbl + bl) row][fine_chan]).
+    Validated against the reference's own Cotter flag files
+    (tests/data/1196175296_mwa_ord/FlagfileCotter*.mwaf)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    primary, off = fc.parse_header(raw)
+    for k in ("GPSTIME", "NCHANS", "NANTENNA", "NSCANS", "GPUBOXNO"):
+        if k not in primary:
+            raise ValueError(f"{path}: not a cotter mwaf (missing {k})")
+    n_chans = int(primary["NCHANS"])
+    n_ants = int(primary["NANTENNA"])
+    nbl = n_ants * (n_ants + 1) // 2
+    nscans = int(primary["NSCANS"])
+    hdr, off = fc.parse_header(raw, off)
+    if hdr.get("EXTNAME", "") not in ("", "FLAGS") or int(hdr["TFIELDS"]) != 1:
+        raise ValueError(f"{path}: unexpected first extension")
+    n_rows = int(hdr["NAXIS2"])
+    row_bytes = int(hdr["NAXIS1"])
+    if n_rows != nscans * nbl:
+        raise ValueError(
+            f"{path}: row count {n_rows} != NSCANS*NBL = {nscans * nbl}")
+    data = raw[off:off + n_rows * row_bytes]
+    packed = np.frombuffer(data, dtype=np.uint8).reshape(n_rows, row_bytes)
+    mat = np.unpackbits(packed, axis=1, bitorder="big")[:, :n_chans]
+    return primary, mat.astype(bool)

@@ -146,3 +146,56 @@ def test_bl_occ_hdu_roundtrip(spark, sf_dir, tmp_path):
         import numpy as np
         assert np.allclose(bl2.Occupancy, exp / (nscans * n_chans))
         assert ch2.Count.tolist() == ch_occ.Count.tolist()
+
+
+def test_read_cotter_mwaf_reference_files():
+    """Read the reference's own Cotter-written flag files
+    (tests/data/1196175296_mwa_ord/FlagfileCotter*.mwaf) and verify the
+    decode against the repo's human-readable dumps: header keys, row
+    count NSCANS*NBL, and every (baseline, timestep, chan) bit shown in
+    the dump ('#' = flagged), confirming the (timestep, baseline)-major
+    row order the reference's open_cotter assumes
+    (src/io/mwaf.rs:719-795)."""
+    import os
+    import re
+
+    import numpy as np
+    import pytest
+
+    from birli_spark.sinks import mwaf
+    base = "/root/reference/tests/data/1196175296_mwa_ord"
+    if not os.path.isdir(base):
+        pytest.skip("reference test data not present")
+    for name in ("FlagfileCotterMWA01", "FlagfileCotterGeneric02"):
+        hdr, mat = mwaf.read_cotter_mwaf(f"{base}/{name}.mwaf")
+        n_ants = int(hdr["NANTENNA"])
+        nbl = n_ants * (n_ants + 1) // 2
+        nscans = int(hdr["NSCANS"])
+        assert hdr["GPSTIME"] == 1196175296
+        assert mat.shape == (nscans * nbl, int(hdr["NCHANS"]))
+        assert mat.sum() > 0
+        txt = open(f"{base}/{name}.mwaf.txt").read()
+        cells = 0
+        for m in re.finditer(r"-> bl (\d+):((?:\s+--> ts \d+: [.#]+)+)",
+                             txt):
+            bl = int(m.group(1))
+            for mm in re.finditer(r"--> ts (\d+): ([.#]+)", m.group(2)):
+                t = int(mm.group(1))
+                want = np.array([c == "#" for c in mm.group(2)])
+                assert (mat[t * nbl + bl] == want).all(), (name, bl, t)
+                cells += 1
+        assert cells >= 48
+
+
+def test_read_cotter_mwaf_rejects_birli_format(tmp_path, spark):
+    """Our own (Birli-format) mwaf files lack the cotter header keys."""
+    import pytest
+    from pyspark.sql import Row
+
+    from birli_spark.sinks import mwaf
+    flags = spark.createDataFrame(
+        [Row(t=0, bl=0, cc=1, fc=0, flag=True)])
+    paths = mwaf.write_mwaf_set(flags, str(tmp_path), n_chans=1, nscans=1,
+                                nbl=1)
+    with pytest.raises(ValueError, match="not a cotter mwaf"):
+        mwaf.read_cotter_mwaf(paths[0])
