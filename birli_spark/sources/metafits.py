@@ -1,0 +1,149 @@
+"""S3 — REAL metafits reader: the observation-metadata FITS every MWA
+obs ships (the reference delegates this to the external mwalib crate;
+SURVEY.md §2.1 S3). Parsed with the repo's pure-numpy FITS primitives
+and validated against the reference's own test metafits
+(``tests/data/1297526432_mwax/1297526432.metafits``).
+
+Produces the same dimension DataFrames the synthetic source provides
+(`sources/synthetic.py::DIM_SQL`), so the whole correction pipeline can
+run off a real observation's metadata: antennas (tile name, ENH
+position, per-pol electrical cable length, flagged), digital gains per
+(antenna, coarse channel), timesteps, coarse channels, plus the scalar
+observation context (quack time, int time, fine-channel width, phase
+centre) the CLI consumes.
+
+Conventions replicated from the public mwalib/cotter behavior:
+
+- TILEDATA ``Length`` strings prefixed ``EL_`` are electrical metres;
+  unprefixed values are physical metres × 1.204 velocity factor;
+- ``Gains`` are per-coarse-channel digital gains ÷ 64
+  (reference src/corrections.rs:356-365 divides by the /64-normalised
+  metafits gains);
+- antenna index = the TILEDATA ``Antenna`` column (two rows per
+  antenna, polarisations X and Y).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from birli_spark.sources import fitscore as fc
+
+VELOCITY_FACTOR = 1.204
+
+
+def read_metafits(path: str) -> tuple[dict, dict]:
+    """→ (primary header dict, TILEDATA column dict)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    primary, off = fc.parse_header(raw)
+    tiledata = None
+    while off < len(raw):
+        hdr, off = fc.parse_header(raw, off)
+        size = fc.data_size_bytes(hdr)
+        data = raw[off:off + size]
+        off = fc.skip_data(off, hdr)
+        if hdr.get("EXTNAME") == "TILEDATA":
+            tiledata = fc.parse_bintable(hdr, data)
+    if tiledata is None:
+        raise ValueError(f"{path}: no TILEDATA extension")
+    return primary, tiledata
+
+
+def electrical_length_m(length_str: str) -> float:
+    """``EL_78.72`` → 78.72 (already electrical); bare metres → physical
+    × velocity factor (the mwalib/cotter convention)."""
+    s = length_str.strip()
+    if s.startswith("EL_"):
+        return float(s[3:])
+    return float(s) * VELOCITY_FACTOR
+
+
+def antenna_rows(tiledata: dict) -> list[dict]:
+    """One row per antenna, merging its X and Y rfinputs."""
+    ants: dict[int, dict] = {}
+    n = len(tiledata["Antenna"])
+    for i in range(n):
+        ant = int(tiledata["Antenna"][i])
+        pol = str(tiledata["Pol"][i]).strip().upper()
+        row = ants.setdefault(ant, {
+            "ant": ant,
+            "tile_id": int(tiledata["Tile"][i]),
+            "tile_name": str(tiledata["TileName"][i]),
+            "east_m": float(tiledata["East"][i]),
+            "north_m": float(tiledata["North"][i]),
+            "height_m": float(tiledata["Height"][i]),
+            "flagged": False,
+        })
+        row[f"elec_length_{pol.lower()}_m"] = electrical_length_m(
+            str(tiledata["Length"][i]))
+        row["flagged"] = row["flagged"] or bool(int(tiledata["Flag"][i]))
+        row[f"gains_{pol.lower()}"] = (
+            np.asarray(tiledata["Gains"][i], dtype=np.float64) / 64.0)
+    return [ants[a] for a in sorted(ants)]
+
+
+def antennas_df(spark: SparkSession, tiledata: dict) -> DataFrame:
+    """The antennas dimension in the engine's canonical schema."""
+    rows = [(r["ant"], r["elec_length_x_m"], r["elec_length_y_m"],
+             r["east_m"], r["north_m"], r["height_m"], r["flagged"])
+            for r in antenna_rows(tiledata)]
+    return spark.createDataFrame(
+        rows, "ant int, elec_length_x_m double, elec_length_y_m double, "
+              "east_m double, north_m double, height_m double, "
+              "flagged boolean")
+
+
+def digital_gains_df(spark: SparkSession, tiledata: dict) -> DataFrame:
+    """(ant, cc, gain_x, gain_y) — the C4 correction dim."""
+    rows = []
+    for r in antenna_rows(tiledata):
+        for cc, (gx, gy) in enumerate(zip(r["gains_x"], r["gains_y"])):
+            rows.append((r["ant"], cc, float(gx), float(gy)))
+    return spark.createDataFrame(
+        rows, "ant int, cc int, gain_x double, gain_y double")
+
+
+def timesteps_df(spark: SparkSession, primary: dict) -> DataFrame:
+    """(t, ts_gps) — GPS second per scan from GPSTIME + INTTIME."""
+    n = int(primary["NSCANS"])
+    gps0 = float(primary["GPSTIME"])
+    dt = float(primary["INTTIME"])
+    return spark.createDataFrame(
+        [(t, gps0 + t * dt) for t in range(n)], "t int, ts_gps double")
+
+
+def coarse_channels(primary: dict) -> list[int]:
+    """Receiver channel numbers of this obs (CHANNELS list, with the
+    CHANSEL subset applied when present — the picket-fence case)."""
+    chans = [int(c) for c in str(primary["CHANNELS"]).split(",") if c]
+    sel = str(primary.get("CHANSEL", "")).strip()
+    if sel:
+        idx = [int(i) for i in sel.split(",") if i != ""]
+        chans = [chans[i] for i in idx]
+    return chans
+
+
+def obs_context(primary: dict) -> dict:
+    """The scalar observation context the CLI's parse stage consumes
+    (reference BirliContext fields, SURVEY.md §3.1)."""
+    return {
+        "obsid": int(primary["GPSTIME"]),
+        "n_scans": int(primary["NSCANS"]),
+        "n_inputs": int(primary["NINPUTS"]),
+        "n_ants": int(primary["NINPUTS"]) // 2,
+        "int_time_s": float(primary["INTTIME"]),
+        "fine_chan_width_hz": float(primary["FINECHAN"]) * 1000.0,
+        # NCHANS spans the FULL channel list; CHANSEL subsets files, not
+        # the per-coarse fine-channel count
+        "n_fine_per_coarse": (
+            int(primary["NCHANS"])
+            // max(1, len(str(primary["CHANNELS"]).split(",")))),
+        "quack_s": float(primary.get("QUACKTIM", 0.0)),
+        "phase_ra_deg": primary.get("RAPHASE"),
+        "phase_dec_deg": primary.get("DECPHASE"),
+        "pointing_ra_deg": primary.get("RA"),
+        "pointing_dec_deg": primary.get("DEC"),
+        "coarse_channels": coarse_channels(primary),
+    }
