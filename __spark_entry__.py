@@ -173,6 +173,20 @@ def _q_mwax_gpubox_scan(spark, sf_dir):
     return gpubox.read_mwax_gpubox(spark, _MWAX_GLOB)
 
 
+_METAFITS = ("/root/reference/tests/data/1297526432_mwax/"
+             "1297526432.metafits")
+
+
+def _q_metafits_dims(spark, sf_dir):
+    """S3b — antenna dimension parsed from the REFERENCE's own real
+    metafits; the oracle is a VALUES literal transcribed from the
+    reference repo's human-readable metafits dump (independent of this
+    parser), so a hash match proves the TILEDATA bintable decode."""
+    from birli_spark.sources import metafits as mf
+    _, td = mf.read_metafits(_METAFITS)
+    return mf.antennas_df(spark, td)
+
+
 def _q_geometry_phase_centre(spark, sf_dir):
     from birli_spark.operators import geometry
     part_uvw = geometry.part_uvw_table(
@@ -1158,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_incremental_agg": _q_incremental_agg,
         "t24_sequence_packing": _q_sequence_packing,
         "s1d_mwax_gpubox_scan": _q_mwax_gpubox_scan,
+        "s3b_metafits_dims": _q_metafits_dims,
     }
 
 
@@ -1457,6 +1472,22 @@ def oracle_sql() -> dict[str, str]:
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
         "s1d_mwax_gpubox_scan": _mwax_oracle(),
+        # expected rows transcribed from the reference's own
+        # tests/data/1297526432_mwax/1297526432.metafits.txt dump
+        # (TILEDATA table: Antenna/TileName/Flag/Length/North/East/Height;
+        # float32 metafits values round-tripped through FLOAT)
+        "s3b_metafits_dims": """
+SELECT CAST(ant AS INT) AS ant,
+  CAST(elx AS DOUBLE) AS elec_length_x_m,
+  CAST(ely AS DOUBLE) AS elec_length_y_m,
+  CAST(CAST(e AS FLOAT) AS DOUBLE) AS east_m,
+  CAST(CAST(n AS FLOAT) AS DOUBLE) AS north_m,
+  CAST(CAST(h AS FLOAT) AS DOUBLE) AS height_m,
+  flagged
+FROM (VALUES
+  (0, -283.93, -283.93, -55.56, 124.801, 376.803, false),
+  (1, 78.72, 78.72, 177.467, -43.377, 375.005, false)
+) AS t(ant, elx, ely, e, n, h, flagged)""",
     }
 
 
