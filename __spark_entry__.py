@@ -187,6 +187,38 @@ def _q_metafits_dims(spark, sf_dir):
     return mf.antennas_df(spark, td)
 
 
+_ORD_DIR = "/root/reference/tests/data/1196175296_mwa_ord"
+
+
+def _q_legacy_gpubox_scan(spark, sf_dir):
+    """S1e — REAL legacy (Ord) gpubox decode, restricted to the exact
+    (timestep, baseline) set of the reference's pyuvdata golden CSV; the
+    ORACLE reads that CSV itself (DuckDB read_csv + regex complex
+    parse), so the driver directly certifies our decode against the
+    reference's own golden-output fixture."""
+    from pyspark.sql import functions as F
+
+    from birli_spark.sources import legacy_gpubox as lg
+    vis = lg.read_legacy_gpubox(
+        spark, f"{_ORD_DIR}/1196175296_*gpubox*.fits",
+        f"{_ORD_DIR}/1196175296.metafits")
+    first_ms = 1512140080000
+    code = "(ant1 + 1) * 256 + (ant2 + 1)"
+    out = (vis.filter(F.col("unix_ms") == first_ms)
+           .withColumn("baseline", F.expr(code))
+           .filter(F.expr("baseline BETWEEN 257 AND 384 "
+                          "OR baseline BETWEEN 514 AND 635")))
+    parts = []
+    for pol in ("xx", "xy", "yx", "yy"):
+        parts.append(out.select(
+            "baseline", F.lit(pol).alias("pol"), "chan",
+            F.col(f"{pol}_re").alias("re"), F.col(f"{pol}_im").alias("im")))
+    u = parts[0]
+    for p_ in parts[1:]:
+        u = u.unionByName(p_)
+    return u
+
+
 def _q_geometry_phase_centre(spark, sf_dir):
     from birli_spark.operators import geometry
     part_uvw = geometry.part_uvw_table(
@@ -1173,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t24_sequence_packing": _q_sequence_packing,
         "s1d_mwax_gpubox_scan": _q_mwax_gpubox_scan,
         "s3b_metafits_dims": _q_metafits_dims,
+        "s1e_legacy_gpubox_scan": _q_legacy_gpubox_scan,
     }
 
 
@@ -1472,6 +1505,23 @@ def oracle_sql() -> dict[str, str]:
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
         "s1d_mwax_gpubox_scan": _mwax_oracle(),
+        # the reference's own pyuvdata golden CSV IS the oracle: unpivot
+        # the 4 channel columns and regex-parse the complex literals
+        "s1e_legacy_gpubox_scan": f"""
+WITH raw AS (
+  SELECT CAST(baseline AS INT) AS baseline, pol,
+    CAST(u.chan AS INT) AS chan,
+    [ "0", "1", "2", "3" ][u.chan + 1] AS val
+  FROM read_csv('{_ORD_DIR}/pyuvdata_1196175296.none.csv',
+                header = true, all_varchar = true),
+  LATERAL unnest(generate_series(0, 3)) AS u(chan)
+  WHERE type = 'vis')
+SELECT baseline, pol, chan,
+  CAST(regexp_extract(val, '^\\(([-+]?[0-9.e]+)([-+][0-9.e]+)j\\)$', 1)
+       AS DOUBLE) AS re,
+  CAST(regexp_extract(val, '^\\(([-+]?[0-9.e]+)([-+][0-9.e]+)j\\)$', 2)
+       AS DOUBLE) AS im
+FROM raw""",
         # expected rows transcribed from the reference's own
         # tests/data/1297526432_mwax/1297526432.metafits.txt dump
         # (TILEDATA table: Antenna/TileName/Flag/Length/North/East/Height;

@@ -116,7 +116,11 @@ def data_size_bytes(header: dict) -> int:
         for i in range(2, naxis + 1):
             n *= int(header[f"NAXIS{i}"])
         n = (n + int(header.get("PCOUNT", 0))) * int(header.get("GCOUNT", 1))
-    return n * abs(int(header["BITPIX"])) // 8
+        return n * abs(int(header["BITPIX"])) // 8
+    # BINTABLE variable-length arrays: PCOUNT bytes of heap follow the
+    # fixed table (FITS 4.0 §7.3.5)
+    return (n * abs(int(header["BITPIX"])) // 8
+            + int(header.get("PCOUNT", 0) or 0))
 
 
 def skip_data(off: int, header: dict) -> int:

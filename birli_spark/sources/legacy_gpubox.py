@@ -1,0 +1,192 @@
+"""S1e — REAL legacy (Ord correlator, MWA CorrLegacy) gpubox reader,
+decoded from first principles and validated value-for-value against the
+reference's own golden dump (``tests/data/1196175296_mwa_ord/
+pyuvdata_1196175296.none.csv`` — the CSV the reference's golden-output
+tests compare against, SURVEY.md §5.2).
+
+The legacy format is the quirky one (reference tests/data/README.md:
+"the order and sign of these values is difficult to predict"):
+
+- each scan is a **tile-compressed FITS image** (ZIMAGE bintable with
+  GZIP-compressed tiles, one tile per fine channel row) of
+  ``n_baselines × 4 pol × 2`` float64s;
+- visibility slots are laid out over **PFB lanes**, not antennas: the
+  receiver feeds inputs through the polyphase filter bank in the order
+  ``p(i) = (i div 64)·64 + (i mod 16)·4 + ((i mod 64) div 16)``; lanes
+  pair up into 128 correlator "stations" (s = p div 2, pol bit
+  c = p mod 2), and the correlation matrix is **lower-triangular
+  station-major**: ``slot(a, b) = 4·(s_b(s_b+1)/2 + s_a) + 2·c_b + c_a``
+  for (s_a, c_a) ≤ (s_b, c_b);
+- a visibility read back for inputs (i1, i2) is stored directly when
+  ``(s1, c1) < (s2, c2)`` and **conjugated** otherwise (including input
+  autos);
+- coarse channels map receiver channel → sky order with the MWA
+  spectral-flip rule: channels ≤ 128 ascend, channels > 128 descend.
+
+Spark shape: like the MWAX reader, ``binaryFile`` distributes whole
+files; the slot gather is one vectorized numpy take per tile (no
+per-cell Python). The (ant1, ant2, pol) → (slot, conj) mapping is a
+per-obs constant built from the metafits input table and broadcast with
+the task closure.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from birli_spark.sources import fitscore as fc
+from birli_spark.sources import metafits as mf
+
+#: pol combos in output column order; combo (p1, p2) reads input
+#: p1 of ant1 against input p2 of ant2
+POL_COMBOS = (("X", "X"), ("X", "Y"), ("Y", "X"), ("Y", "Y"))
+
+
+def pfb_position(i: int) -> int:
+    """Receiver input → PFB lane position (the legacy correlator's
+    input ordering, validated against the reference's golden CSV)."""
+    return (i // 64) * 64 + (i % 16) * 4 + (i % 64) // 16
+
+
+def input_map(tiledata: dict) -> dict[int, dict[str, int]]:
+    """antenna → {'X': input, 'Y': input} from the metafits TILEDATA."""
+    amap: dict[int, dict[str, int]] = {}
+    for i in range(len(tiledata["Antenna"])):
+        a = int(tiledata["Antenna"][i])
+        amap.setdefault(a, {})[str(tiledata["Pol"][i]).upper()] = int(
+            tiledata["Input"][i])
+    return amap
+
+
+def slot_tables(amap: dict[int, dict[str, int]]
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (ant1, ant2, 4-pol) → (slot, conj) lookup tables:
+    returns (ant1s, ant2s, slots, conj_signs) with shape
+    (n_baselines, 4) for slots/signs."""
+    ants = sorted(amap)
+    n = len(ants)
+    pairs = [(ants[i], ants[j]) for i in range(n) for j in range(i, n)]
+    slots = np.empty((len(pairs), 4), dtype=np.int64)
+    signs = np.empty((len(pairs), 4), dtype=np.float64)
+    for bi, (a1, a2) in enumerate(pairs):
+        for pi, (p1, p2) in enumerate(POL_COMBOS):
+            q1 = pfb_position(amap[a1][p1])
+            q2 = pfb_position(amap[a2][p2])
+            s1, c1 = q1 // 2, q1 % 2
+            s2, c2 = q2 // 2, q2 % 2
+            if (s1, c1) < (s2, c2):
+                sa, ca, sb, cb, conj = s1, c1, s2, c2, False
+            else:
+                sa, ca, sb, cb, conj = s2, c2, s1, c1, True
+            slots[bi, pi] = 4 * (sb * (sb + 1) // 2 + sa) + 2 * cb + ca
+            signs[bi, pi] = -1.0 if conj else 1.0
+    a1s = np.array([p[0] for p in pairs], dtype=np.int32)
+    a2s = np.array([p[1] for p in pairs], dtype=np.int32)
+    return a1s, a2s, slots, signs
+
+
+def sky_channel_order(recv_channels: list[int]) -> list[int]:
+    """gpubox indices (0-based) in ascending sky frequency: receiver
+    channels ≤ 128 ascend, > 128 descend (the MWA spectral flip)."""
+    lo = [(ch, i) for i, ch in enumerate(recv_channels) if ch <= 128]
+    hi = [(ch, i) for i, ch in enumerate(recv_channels) if ch > 128]
+    ordered = sorted(lo) + sorted(hi, reverse=True)
+    return [i for _, i in ordered]
+
+
+def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
+    """One legacy gpubox file → [(unix_ms, vis[fine_chan][slot][2])] —
+    gunzips each fine-channel tile of every scan HDU."""
+    _, off = fc.parse_header(content)
+    scans = []
+    while off < len(content):
+        hdr, off2 = fc.parse_header(content, off)
+        if not hdr.get("ZIMAGE"):
+            raise ValueError("legacy gpubox scan HDU is not a ZIMAGE")
+        if str(hdr.get("ZCMPTYPE", "")).strip() not in ("RICE_1", "GZIP_1",
+                                                        "GZIP_2", ""):
+            raise ValueError(f"unsupported ZCMPTYPE {hdr.get('ZCMPTYPE')}")
+        n_rows = int(hdr["NAXIS2"])        # = fine channels (tiles)
+        row_bytes = int(hdr["NAXIS1"])
+        znaxis1 = int(hdr["ZNAXIS1"])      # floats per tile
+        table = content[off2:off2 + n_rows * row_bytes]
+        # heap starts at THEAP when present, else right after the table
+        heap = off2 + int(hdr.get("THEAP", n_rows * row_bytes))
+        rows = np.frombuffer(table, dtype="u1").reshape(n_rows, row_bytes)
+        unix_ms = int(hdr["TIME"]) * 1000 + int(hdr.get("MILLITIM", 0))
+        tiles = np.empty((n_rows, znaxis1 // 2, 2), dtype=np.float64)
+        for r in range(n_rows):
+            # col 1 = COMPRESSED_DATA (Rice; empty when cfitsio fell back
+            # to gzip for float tiles), col 2 = GZIP_COMPRESSED_DATA
+            rice_cnt = int(np.frombuffer(rows[r][0:4], dtype=">u4")[0])
+            if rice_cnt:
+                raise NotImplementedError(
+                    "Rice-coded tile; only the gzip fallback cfitsio uses "
+                    "for float images is implemented")
+            cnt, o = np.frombuffer(rows[r][8:16], dtype=">u4")
+            dec = zlib.decompress(
+                content[heap + int(o):heap + int(o) + int(cnt)], 47)
+            tiles[r] = np.frombuffer(dec, dtype=">f8").reshape(-1, 2)
+        scans.append((unix_ms, tiles))
+        off = fc.skip_data(off2, hdr)
+    return scans
+
+
+_LEGACY_SCHEMA = ("chan int, gpubox int, unix_ms bigint, ant1 int, "
+                  "ant2 int, bl int, fc int, "
+                  "xx_re double, xx_im double, xy_re double, xy_im double, "
+                  "yx_re double, yx_im double, yy_re double, yy_im double")
+
+
+def read_legacy_gpubox(spark: SparkSession, path_glob: str,
+                       metafits_path: str) -> DataFrame:
+    """Distributed legacy gpubox scan → long-format rows with sky-ordered
+    ``chan`` (global fine-channel index). The per-obs slot tables and
+    channel ordering derive from the metafits once, driver-side."""
+    primary, tiledata = mf.read_metafits(metafits_path)
+    ctx = mf.obs_context(primary)
+    amap = input_map(tiledata)
+    a1s, a2s, slots, signs = slot_tables(amap)
+    n_fine = ctx["n_fine_per_coarse"]
+    order = sky_channel_order(ctx["coarse_channels"])
+    sky_of_gpubox = {gi + 1: si for si, gi in enumerate(order)}
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re as _re
+        n_bl = len(a1s)
+        bl_idx = np.arange(n_bl, dtype=np.int32)
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = _re.search(r"gpubox(\d+)_", str(path))
+                if not m:
+                    raise ValueError(f"no gpuboxNN in {path!r}")
+                gp = int(m.group(1))
+                sky_cc = sky_of_gpubox[gp]
+                for unix_ms, tiles in parse_legacy_scans(bytes(content)):
+                    out = {}
+                    for fcn in range(tiles.shape[0]):
+                        re_ = tiles[fcn, :, 0]
+                        im_ = tiles[fcn, :, 1]
+                        cols = {}
+                        for pi, name in enumerate(
+                                ("xx", "xy", "yx", "yy")):
+                            s = slots[:, pi]
+                            cols[f"{name}_re"] = re_[s]
+                            cols[f"{name}_im"] = im_[s] * signs[:, pi]
+                        out = pd.DataFrame({
+                            "chan": np.int32(sky_cc * n_fine + fcn),
+                            "gpubox": np.int32(gp),
+                            "unix_ms": np.int64(unix_ms),
+                            "ant1": a1s, "ant2": a2s, "bl": bl_idx,
+                            "fc": np.int32(fcn), **cols,
+                        })
+                        yield out
+
+    return files.select("path", "content").mapInPandas(
+        parse, schema=_LEGACY_SCHEMA)
