@@ -92,3 +92,27 @@ def test_events_example_end_to_end(tmp_path):
     assert result["n_history_rows"] > 0
     assert set(result["funnel"]) == {"signup", "view", "click", "purchase"}
     assert result["stream_parity"] is True
+
+
+def test_real_obs_pipeline_example(tmp_path, spark):
+    """The all-real-inputs pipeline (reference metafits + legacy gpubox
+    -> flags -> cable -> average -> sinks) runs end-to-end with sane
+    shapes and a readable mwaf set."""
+    import os
+
+    import pytest
+    if not os.path.isdir("/root/reference/tests/data/1196175296_mwa_ord"):
+        pytest.skip("reference test data not present")
+    mod = runpy.run_path("examples/real_obs_pipeline.py")
+    result = mod["run"](str(tmp_path / "real_obs"), spark=spark)
+    assert result["obsid"] == 1196175296
+    # 128 ants -> 8256 baselines; 4 ts / 2 x 4 chans / 2 = 2 x 2 blocks
+    assert result["n_avg_rows"] == 8256 * 2 * 2
+    assert result["mwaf_files"] == 2         # one per coarse channel
+    from birli_spark.sinks import mwaf
+    primary, mat, ch_occ = mwaf.read_mwaf(
+        str(tmp_path / "real_obs" / "mwaf" / "Flagfile00.mwaf"))
+    assert primary["OBSID"] == 1196175296
+    assert mat.shape == (4 * 8256, 2)
+    # quack time (0.5 s) flags the first timestep -> first nbl rows set
+    assert mat[:8256].all()
