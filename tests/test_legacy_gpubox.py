@@ -75,3 +75,34 @@ def test_conjugation_rule_autos(spark):
     # xx/yy of every antenna auto uses the same input twice -> conj
     assert (signs[autos, 0] == -1.0).all()
     assert (signs[autos, 3] == -1.0).all()
+
+
+def test_uvfits_structure_matches_reference_dump(tmp_path):
+    """Our random-groups writer emits the same structural constants the
+    reference's Cotter-written uvfits for this obs shows
+    (1196175296.uvfits.txt): BITPIX -32, NAXIS 6 with axes
+    (0, 3 complex, 4 pol, n_chan, 1, 1), PCOUNT 5 with params
+    UU/VV/WW/BASELINE/DATE, GCOUNT = timesteps x baselines = 33024."""
+    import numpy as np
+
+    from birli_spark.sinks import uvfits
+    n_chan, n_groups = 4, 4 * 8256
+    data = np.zeros((n_chan, 4, 3))
+
+    def groups():
+        for g in range(n_groups):
+            yield (0.0, 0.0, 0.0, 257 + g % 8256, 2458089.6213, data)
+
+    path = str(tmp_path / "real_structure.uvfits")
+    uvfits.write_uvfits(path, groups(), n_chan, n_groups)
+    header, params, _ = uvfits.read_uvfits(path)
+    # constants from the reference dump
+    assert header["BITPIX"] == -32
+    assert header["NAXIS"] == 6 and header["NAXIS1"] == 0
+    assert header["NAXIS2"] == 3 and header["NAXIS3"] == 4
+    assert header["NAXIS4"] == n_chan
+    assert header["GROUPS"] is True
+    assert header["PCOUNT"] == 5 and header["GCOUNT"] == 33024
+    assert [header[f"PTYPE{i}"] for i in range(1, 6)] == [
+        "UU", "VV", "WW", "BASELINE", "DATE"]
+    assert params.shape == (33024, 5)
