@@ -90,3 +90,39 @@ def test_real_pipeline_slice_cable_correction(spark):
         assert r.xx_re == float(np.float32(want_re))
         n_checked += 1
     assert n_checked == 16      # 4 scans x 1 cross bl x 2 cc x 2 fc
+
+
+@pytest.mark.parametrize("rel,ants,scans,fpc,quack,first_cc,n_cc", [
+    ("1254670392_avg/1254670392.metafits", 128, 4, 32, 4.0, 131, 24),
+    ("1119683928_picket/1119683928.metafits", 128, 224, 32, 3.0, 62, 24),
+    ("1439922144_deripple/1439922144.metafits", 128, 60, 128, 2.0, 131, 24),
+    ("1196175296_mwa_ord/1196175296.metafits", 128, 4, 2, 2.5, 157, 2),
+    ("1247842824_flags/1247842824.metafits", 128, 2, 128, 1.0, 104, 1),
+])
+def test_all_reference_metafits_parse(rel, ants, scans, fpc, quack,
+                                      first_cc, n_cc):
+    """Every real metafits the reference ships parses to a sane obs
+    context — including the non-contiguous picket-fence channel list."""
+    from birli_spark.sources import metafits as mf
+    path = f"/root/reference/tests/data/{rel}"
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+    primary, td = mf.read_metafits(path)
+    ctx = mf.obs_context(primary)
+    assert ctx["n_ants"] == ants
+    assert ctx["n_scans"] == scans
+    assert ctx["n_fine_per_coarse"] == fpc
+    assert ctx["quack_s"] == quack
+    ccs = ctx["coarse_channels"]
+    assert ccs[0] == first_cc and len(ccs) == n_cc
+    assert len(mf.antenna_rows(td)) == ants
+
+
+def test_picket_fence_channels_non_contiguous():
+    from birli_spark.sources import metafits as mf
+    p, _ = mf.read_metafits(
+        "/root/reference/tests/data/1119683928_picket/1119683928.metafits")
+    ccs = mf.coarse_channels(p)
+    gaps = [b - a for a, b in zip(ccs, ccs[1:])]
+    assert any(g > 1 for g in gaps)          # genuinely picket-fence
+    assert ccs == sorted(ccs)
