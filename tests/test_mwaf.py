@@ -199,3 +199,29 @@ def test_read_cotter_mwaf_rejects_birli_format(tmp_path, spark):
                                 nbl=1)
     with pytest.raises(ValueError, match="not a cotter mwaf"):
         mwaf.read_cotter_mwaf(paths[0])
+
+
+def test_read_cotter_mwaf_picket_archive(tmp_path):
+    """The picket-fence obs ships 24 real Cotter-4.2 flag files
+    (1119683928_flags.zip): our cotter reader decodes them at full scale
+    (224 scans x 8256 baselines x 32 chans)."""
+    import os
+    import zipfile
+
+    import pytest
+
+    from birli_spark.sinks import mwaf
+    zpath = ("/root/reference/tests/data/1119683928_picket/"
+             "1119683928_flags.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("reference test data not present")
+    with zipfile.ZipFile(zpath) as z:
+        name = "1119683928_01.mwaf"
+        z.extract(name, tmp_path)
+    hdr, mat = mwaf.read_cotter_mwaf(str(tmp_path / name))
+    assert hdr["GPSTIME"] == 1119683928
+    assert hdr["COTVER"] == "4.2"
+    assert mat.shape == (224 * 8256, 32)
+    # a real RFI run flags some but not all cells
+    frac = mat.mean()
+    assert 0.0 < frac < 1.0
