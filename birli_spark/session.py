@@ -30,6 +30,7 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
     if repo_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             f"{repo_root}{os.pathsep}{pp}" if pp else repo_root)
+    local_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -40,6 +41,13 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # local-mode shuffle tuning: spill/shuffle blocks to tmpfs and
+        # skip compression — local shuffles are memory-to-memory copies,
+        # so lz4 and disk latency are pure overhead at this scale. On a
+        # real cluster leave spark.local.dir on fast local disks and
+        # compression ON (network + disk bandwidth dominate there).
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         # the fused correction chain codegens a >8KB projection method;
         # without this flag HotSpot refuses to JIT it and the hot loop
         # runs interpreted (CodeGenerator logs "too long to be JIT
@@ -49,6 +57,8 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
         .config("spark.executor.extraJavaOptions",
                 "-XX:-DontCompileHugeMethods")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -390,3 +390,64 @@ SELECT CAST(ch.cc_recv AS INT) AS cc_recv,
   CAST(1.0 AS DOUBLE) AS w_xx, CAST(1.0 AS DOUBLE) AS w_xy,
   CAST(1.0 AS DOUBLE) AS w_yx, CAST(1.0 AS DOUBLE) AS w_yy
 FROM ch CROSS JOIN b CROSS JOIN s CROSS JOIN bl CROSS JOIN f"""
+
+
+# ----------------------------------------- streaming gpubox source (S1f) ---
+
+try:
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class GpuboxStreamReader(DataSourceStreamReader):
+        """Micro-batch stream over a growing gpubox directory — the
+        production MWA shape: the correlator appends one FITS file per
+        (coarse channel, batch) as the observation progresses, and the
+        pipeline ingests them incrementally instead of waiting for the
+        full obs (reference processes post-hoc; SURVEY.md §2.8 lists
+        streaming as the Spark-native extension).
+
+        Offset = count of files in stable (sorted-name) order, so a
+        restart re-reads nothing and each file is exactly-once per the
+        checkpoint; each file is one partition (same per-file task
+        parallelism as the batch scans)."""
+
+        def __init__(self, options):
+            self._path = options.get("path")
+            if not self._path:
+                raise ValueError("gpubox stream requires a path")
+
+        def _files(self):
+            import glob as globmod
+            return sorted(globmod.glob(self._path))
+
+        def initialOffset(self):
+            return {"n": 0}
+
+        def latestOffset(self):
+            return {"n": len(self._files())}
+
+        def partitions(self, start, end):
+            files = self._files()
+            return [InputPartition(f)
+                    for f in files[start["n"]:end["n"]]]
+
+        def read(self, partition):
+            import pyarrow as pa
+            with open(partition.value, "rb") as f:
+                content = f.read()
+            pdf = parse_gpubox_bytes(content)
+            table = pa.Table.from_pandas(
+                pdf, preserve_index=False).cast(_arrow_scan_schema())
+            yield from table.to_batches()
+
+        def commit(self, end):
+            pass
+
+    # extend the batch DataSource with the stream reader
+    def _gpubox_stream_reader(self, schema):
+        return GpuboxStreamReader(self.options)
+
+    if GpuboxDataSource is not None:
+        GpuboxDataSource.streamReader = _gpubox_stream_reader
+
+except ImportError:  # pragma: no cover — pyspark < 4
+    GpuboxStreamReader = None
