@@ -655,6 +655,11 @@ def _q_part_supplier_counts(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_dsir_weights(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return text.dsir_weights(corpus.load_documents(spark, sf_dir))
+
+
 def _q_segment_dedup(spark, sf_dir):
     from birli_spark.sources import corpus
     return corpus_clean.segment_dedup(corpus.load_documents(spark, sf_dir))
@@ -1206,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1d_mwax_gpubox_scan": _q_mwax_gpubox_scan,
         "s3b_metafits_dims": _q_metafits_dims,
         "s1e_legacy_gpubox_scan": _q_legacy_gpubox_scan,
+        "t25_dsir_weights": _q_dsir_weights,
     }
 
 
@@ -1504,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "c3b_geometry_phase_centre": _geometry_pc_oracle(),
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
+        "t25_dsir_weights": text.dsir_weights_oracle_sql(),
         "s1d_mwax_gpubox_scan": _mwax_oracle(),
         # the reference's own pyuvdata golden CSV IS the oracle: unpivot
         # the 4 channel columns and regex-parse the complex literals

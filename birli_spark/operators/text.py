@@ -861,3 +861,115 @@ SELECT pair, c_ab_k AS c_ab, c_a_k AS c_a, c_b_k AS c_b,
                           pair ASC) AS INT) AS rank
 FROM scored
 QUALIFY rank <= {top_n}"""
+
+
+# ------------------------------------------------- T25: DSIR weights ---
+
+DSIR_BUCKETS = 32
+#: synthetic target distribution over hashed-bigram buckets: weight
+#: proportional to bucket index + 1 (a fixed curation policy literal);
+#: log2 of each weight and of the total are embedded as exact
+#: fixed-point ticks so the score is all-integer
+_DSIR_TGT_W = [b + 1 for b in range(DSIR_BUCKETS)]
+
+
+def _dsir_bucket(d: str) -> str:
+    """Hashed-bigram bucket: first 2 md5 hex digits mod DSIR_BUCKETS —
+    deterministic and identical cross-engine."""
+    fn = "instr" if d == X.SPARK else "strpos"
+    h = "md5(bg)"
+    d1 = f"({fn}('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+    d2 = f"({fn}('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+    return f"(({d1}) * 16 + ({d2})) % {DSIR_BUCKETS}"
+
+
+def dsir_weights(docs: DataFrame) -> DataFrame:
+    """T25 — DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much its
+    hashed-bigram distribution looks like a target domain relative to
+    the source corpus: ``log w(doc) = Σ_bigrams [log p_target(bucket) −
+    log p_source(bucket)]``. High-weight documents are the resampling
+    candidates for domain-targeted training mixes.
+
+    → (doc_id, n_bigrams, importance_ticks) with the log-weight in
+    exact fixed-point ticks (2^-24), so the oracle hashes bit-exactly.
+
+    Scale shape: bigram hashing is a narrow projection; the source
+    distribution is a **32-row aggregate** (bucket counts — nothing
+    corpus-sized shuffles); the fixed-point log2 chain runs on those 32
+    rows; per-document scores need one groupBy(doc, bucket) partial
+    aggregate plus a broadcast join of the 32-row log table."""
+    nb = _LM_NBITS
+    bg = docs.select(
+        "doc_id", F.explode(F.expr(
+            X.bigrams(X.SPARK, X.toks(X.SPARK)))).alias("bg"))
+    bg = bg.withColumn("bucket",
+                       F.expr(_dsir_bucket(X.SPARK)).cast("int"))
+    src = bg.groupBy("bucket").agg(F.count("*").alias("n_b"))
+    src = _log2fix_ticks(src, "n_b", "lg_nb", nb)
+    total = bg.groupBy().agg(F.count("*").alias("n_tot"))
+    total = _log2fix_ticks(total, "n_tot", "lg_tot", nb).select("lg_tot")
+    # exact target log2 ticks as a literal 32-row table
+    tgt_tot = X.log2fix_py(sum(_DSIR_TGT_W), nb)
+    tgt_rows = ", ".join(
+        f"({b}, {X.log2fix_py(w, nb)} - {tgt_tot})"
+        for b, w in enumerate(_DSIR_TGT_W))
+    tgt = docs.sparkSession.sql(
+        f"SELECT CAST(bucket AS INT) AS bucket, "
+        f"CAST(lg_pt AS BIGINT) AS lg_pt "
+        f"FROM (VALUES {tgt_rows}) AS t(bucket, lg_pt)")
+    per_bucket = (bg.groupBy("doc_id", "bucket")
+                  .agg(F.count("*").alias("c")))
+    scored = (per_bucket
+              .join(F.broadcast(src.select("bucket", "lg_nb")), "bucket")
+              .join(F.broadcast(tgt), "bucket")
+              .join(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.sum("c").alias("n_bigrams"),
+                   F.sum(F.expr(
+                       "c * (lg_pt - (lg_nb - lg_tot))"))
+                   .alias("importance_ticks")))
+    # docs with < 2 tokens have no bigrams: weight 0 by definition
+    return (docs.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("importance_ticks", F.lit(0))
+                    .alias("importance_ticks")))
+
+
+def dsir_weights_oracle_sql() -> str:
+    nb = _LM_NBITS
+    tgt_tot = X.log2fix_py(sum(_DSIR_TGT_W), nb)
+    tgt_rows = ", ".join(
+        f"({b}, {X.log2fix_py(w, nb)} - {tgt_tot})"
+        for b, w in enumerate(_DSIR_TGT_W))
+    src_lg = X.log2fix_duck_sql(
+        "SELECT bucket, n_b FROM src", "n_b", "lg_nb", ["bucket"], nb)
+    tot_lg = X.log2fix_duck_sql(
+        "SELECT n_tot FROM tot", "n_tot", "lg_tot", [], nb)
+    return f"""
+WITH bg AS (
+  SELECT doc_id, {_dsir_bucket(X.DUCK)} AS bucket
+  FROM (SELECT doc_id, unnest({X.bigrams(X.DUCK, X.toks(X.DUCK))}) AS bg
+        FROM documents)),
+src AS (SELECT bucket, COUNT(*) AS n_b FROM bg GROUP BY bucket),
+tot AS (SELECT COUNT(*) AS n_tot FROM bg),
+src_lg AS ({src_lg}),
+tot_lg AS ({tot_lg}),
+tgt(bucket, lg_pt) AS (VALUES {tgt_rows}),
+per_bucket AS (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM bg GROUP BY doc_id, bucket),
+scored AS (
+  SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS n_bigrams,
+    CAST(SUM(p.c * (t.lg_pt - (s.lg_nb - g.lg_tot))) AS BIGINT)
+      AS importance_ticks
+  FROM per_bucket p
+  JOIN src_lg s ON p.bucket = s.bucket
+  JOIN tgt t ON p.bucket = t.bucket
+  CROSS JOIN tot_lg g
+  GROUP BY p.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(s.importance_ticks, 0) AS BIGINT) AS importance_ticks
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""

@@ -250,3 +250,27 @@ def test_pmi_collocations_match_python(spark, sf_dir):
         if prev is not None:
             assert r.pmi_ticks <= prev
         prev = r.pmi_ticks
+
+
+def test_dsir_weights_semantics(spark):
+    """DSIR importance: a doc whose bigrams land in high-target-weight
+    buckets scores higher than one in low-weight buckets; empty/1-token
+    docs get weight 0; ticks are exact integers."""
+    from pyspark.sql import Row
+
+    from birli_spark.operators import text as textops
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta alpha beta alpha", lang="en",
+            source="s", n_chars=27),
+        Row(doc_id=2, text="gamma delta gamma delta gamma", lang="en",
+            source="s", n_chars=29),
+        Row(doc_id=3, text="single", lang="en", source="s", n_chars=6),
+    ])
+    out = {r.doc_id: r for r in textops.dsir_weights(docs).collect()}
+    assert out[1].n_bigrams == 4 and out[2].n_bigrams == 4
+    assert out[3].n_bigrams == 0 and out[3].importance_ticks == 0
+    # weights differ between the two docs (different buckets) and are
+    # reproducible run to run
+    assert out[1].importance_ticks != out[2].importance_ticks
+    again = {r.doc_id: r for r in textops.dsir_weights(docs).collect()}
+    assert again[1].importance_ticks == out[1].importance_ticks
