@@ -184,6 +184,19 @@ def _strategy_sensitivity(strategy: str) -> float:
             f"{sorted(_STRATEGY_SENSITIVITY)} or a numeric sensitivity")
 
 
+def _edge_width_to_chans(width_khz: float) -> int:
+    """kHz edge width → fine-chan count; like the reference
+    (src/cli.rs:1079-1090) a width that is not a multiple of the fine
+    channel width is an error, not a silent floor."""
+    width_hz = width_khz * 1000.0
+    n = width_hz / syn.FINE_CHAN_WIDTH_HZ
+    if n != int(n):
+        raise SystemExit(
+            f"--flag-edge-width {width_khz} kHz is not a multiple of the "
+            f"fine channel width ({syn.FINE_CHAN_WIDTH_HZ / 1000.0} kHz)")
+    return int(n)
+
+
 def _res_to_factor(res: float, base: float, what: str) -> int:
     """Resolution → integer factor with the reference's divisibility check
     (src/cli.rs:1171-1258)."""
@@ -215,9 +228,7 @@ def parse_args(argv: list[str]) -> Context:
         flag_fine_chans=a.flag_fine_chans,
         flag_coarse_chans=a.flag_coarse_chans,
         flag_edge_chans=(
-            # kHz width -> count of fine chans, rounded down like the
-            # reference's width/fine_chan_width division
-            int(a.flag_edge_width * 1000.0 // syn.FINE_CHAN_WIDTH_HZ)
+            _edge_width_to_chans(a.flag_edge_width)
             if a.flag_edge_width is not None else a.flag_edge_chans),
         flag_dc=pipeline.IS_LEGACY if a.flag_dc is None else a.flag_dc,
         flag_autos=a.flag_autos, quack_time=a.quack_time,
@@ -245,6 +256,19 @@ def parse_args(argv: list[str]) -> Context:
 def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
     """Assemble the DataFrame plan from the context (reference
     ``BirliContext::run``, src/cli.rs:1584-1954)."""
+    vis = build_baked(spark, ctx)
+    if ctx.time_chunk:
+        vis = chunking.with_time_chunks(vis, ctx.time_chunk, ctx.avg_time)
+        vis = vis.drop("chunk")
+    if ctx.avg_time > 1 or ctx.avg_freq > 1:
+        vis = averaging.average_time_freq(vis, ctx.avg_time, ctx.avg_freq)
+    return vis
+
+
+def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
+    """The context-built pipeline up to (and including) flag→weight
+    baking, before chunking/averaging — the state every sink consumes,
+    so -u and -M outputs of one invocation agree on the same plan."""
     vis = syn.load_vis(spark, ctx.sf_dir)
 
     # selection (P1-P4)
@@ -326,14 +350,8 @@ def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
         calsols = aocal.calsols_df(spark, ctx.apply_di_cal)
         vis = calibration.apply_di_calsol(vis, calsols, pipeline.CAL_RATIO)
 
-    # bake + average (F10 + A1)
-    vis = weights.bake_flags_into_weights(vis)
-    if ctx.time_chunk:
-        vis = chunking.with_time_chunks(vis, ctx.time_chunk, ctx.avg_time)
-        vis = vis.drop("chunk")
-    if ctx.avg_time > 1 or ctx.avg_freq > 1:
-        vis = averaging.average_time_freq(vis, ctx.avg_time, ctx.avg_freq)
-    return vis
+    # bake (F10); chunking/averaging happen in build_plan
+    return weights.bake_flags_into_weights(vis)
 
 
 def run(argv: list[str], spark: SparkSession | None = None) -> dict:
@@ -367,7 +385,13 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
         result["rows"] = out.count()
         if ctx.ms_out:
             from birli_spark.sinks import ms
-            baked = pipeline.preprocess_baked(spark, ctx.sf_dir)
+            # the SAME context-built plan as every other sink — not a
+            # fixed default pipeline (CLI options must reach the MS too)
+            baked = build_baked(spark, ctx)
+            for c in ("u", "v", "w"):
+                if c not in baked.columns:
+                    # --no-geometric-delay: no UVWs were derived
+                    baked = baked.withColumn(c, F.lit(0.0))
             ms.write_ms_parquet(baked, ctx.ms_out, ctx.avg_time,
                                 ctx.avg_freq, gps_start=syn.GPS_START,
                                 int_time_s=syn.INT_TIME_S)

@@ -315,6 +315,12 @@ def parse_mwax_gpubox_bytes(content: bytes, cc_recv: int) -> pd.DataFrame:
             "w_yx": w[bl_idx, 2], "w_yy": w[bl_idx, 3],
         }))
         scan += 1
+    if vis is not None:
+        # a vis HDU without its weights HDU = truncated / in-progress
+        # file; fail loudly rather than silently dropping the scan
+        raise ValueError(
+            "truncated MWAX gpubox file: trailing visibility HDU "
+            f"(unix_ms={vis[0]}) has no weights HDU")
     if not frames:
         return pd.DataFrame(columns=_MWAX_SCHEMA.replace(
             " int", "").replace(" bigint", "").replace(
@@ -405,10 +411,14 @@ try:
         full obs (reference processes post-hoc; SURVEY.md §2.8 lists
         streaming as the Spark-native extension).
 
-        Offset = count of files in stable (sorted-name) order, so a
-        restart re-reads nothing and each file is exactly-once per the
-        checkpoint; each file is one partition (same per-file task
-        parallelism as the batch scans)."""
+        The offset is the SET of processed file names (JSON list), not a
+        count or a name high-water mark: gpubox names interleave coarse
+        channel and batch (``..._chNNN_BBB.fits``), so a newly-arrived
+        file routinely sorts *between* already-processed ones — a count
+        offset would both re-read the displaced tail and permanently
+        skip the newcomer. Set-difference semantics ingest exactly the
+        new files regardless of name order; each file is one partition
+        (same per-file task parallelism as the batch scans)."""
 
         def __init__(self, options):
             self._path = options.get("path")
@@ -420,15 +430,15 @@ try:
             return sorted(globmod.glob(self._path))
 
         def initialOffset(self):
-            return {"n": 0}
+            return {"files": []}
 
         def latestOffset(self):
-            return {"n": len(self._files())}
+            return {"files": self._files()}
 
         def partitions(self, start, end):
-            files = self._files()
-            return [InputPartition(f)
-                    for f in files[start["n"]:end["n"]]]
+            seen = set(start.get("files", []))
+            return [InputPartition(f) for f in end.get("files", [])
+                    if f not in seen]
 
         def read(self, partition):
             import pyarrow as pa

@@ -169,24 +169,31 @@ def read_legacy_gpubox(spark: SparkSession, path_glob: str,
                 gp = int(m.group(1))
                 sky_cc = sky_of_gpubox[gp]
                 for unix_ms, tiles in parse_legacy_scans(bytes(content)):
-                    out = {}
-                    for fcn in range(tiles.shape[0]):
-                        re_ = tiles[fcn, :, 0]
-                        im_ = tiles[fcn, :, 1]
-                        cols = {}
-                        for pi, name in enumerate(
-                                ("xx", "xy", "yx", "yy")):
-                            s = slots[:, pi]
-                            cols[f"{name}_re"] = re_[s]
-                            cols[f"{name}_im"] = im_[s] * signs[:, pi]
-                        out = pd.DataFrame({
-                            "chan": np.int32(sky_cc * n_fine + fcn),
-                            "gpubox": np.int32(gp),
-                            "unix_ms": np.int64(unix_ms),
-                            "ant1": a1s, "ant2": a2s, "bl": bl_idx,
-                            "fc": np.int32(fcn), **cols,
-                        })
-                        yield out
+                    # one frame per scan (all fine chans tiled), not one
+                    # per (scan, chan): a 128-fine-chan obs would
+                    # otherwise pay Arrow batch overhead 128x per scan
+                    nf = tiles.shape[0]
+                    cols = {}
+                    for pi, name in enumerate(("xx", "xy", "yx", "yy")):
+                        s = slots[:, pi]
+                        cols[f"{name}_re"] = np.concatenate(
+                            [tiles[fcn, :, 0][s] for fcn in range(nf)])
+                        cols[f"{name}_im"] = np.concatenate(
+                            [tiles[fcn, :, 1][s] * signs[:, pi]
+                             for fcn in range(nf)])
+                    yield pd.DataFrame({
+                        "chan": np.repeat(
+                            sky_cc * n_fine + np.arange(nf), n_bl
+                        ).astype(np.int32),
+                        "gpubox": np.int32(gp),
+                        "unix_ms": np.int64(unix_ms),
+                        "ant1": np.tile(a1s, nf),
+                        "ant2": np.tile(a2s, nf),
+                        "bl": np.tile(bl_idx, nf),
+                        "fc": np.repeat(
+                            np.arange(nf), n_bl).astype(np.int32),
+                        **cols,
+                    })
 
     return files.select("path", "content").mapInPandas(
         parse, schema=_LEGACY_SCHEMA)

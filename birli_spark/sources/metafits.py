@@ -136,10 +136,12 @@ def obs_context(primary: dict) -> dict:
         "int_time_s": float(primary["INTTIME"]),
         "fine_chan_width_hz": float(primary["FINECHAN"]) * 1000.0,
         # NCHANS spans the FULL channel list; CHANSEL subsets files, not
-        # the per-coarse fine-channel count
+        # the per-coarse fine-channel count. Filter empty tokens like
+        # coarse_channels() does (trailing commas from CONTINUE joins).
         "n_fine_per_coarse": (
             int(primary["NCHANS"])
-            // max(1, len(str(primary["CHANNELS"]).split(",")))),
+            // max(1, len([c for c in str(primary["CHANNELS"]).split(",")
+                           if c]))),
         "quack_s": float(primary.get("QUACKTIM", 0.0)),
         "phase_ra_deg": primary.get("RAPHASE"),
         "phase_dec_deg": primary.get("DECPHASE"),

@@ -49,13 +49,22 @@ def run(out_dir: str, spark=None):
     # timestep index from the scan time (ms since the first scan)
     first_ms = (vis.agg(F.min("unix_ms")).collect()[0][0])
     int_ms = int(ctx["int_time_s"] * 1000)
+    # absolute sky frequency per sky-ordered coarse channel: receiver
+    # channel N is centred at N x 1.28 MHz; fine channels tile the
+    # coarse band from its lower edge
+    from birli_spark.sources.legacy_gpubox import sky_channel_order
+    order = sky_channel_order(ctx["coarse_channels"])
+    n_fine = ctx["n_fine_per_coarse"]
+    fw = ctx["fine_chan_width_hz"]
+    arms = " ".join(
+        f"WHEN {si} THEN CAST({ctx['coarse_channels'][gi] * 1.28e6 - 0.64e6!r} AS DOUBLE)"
+        for si, gi in enumerate(order))
     vis = (vis.withColumn(
         "t", F.expr(f"CAST((unix_ms - {first_ms}) DIV {int_ms} AS INT)"))
         .withColumn("cc", F.expr(f"chan DIV {ctx['n_fine_per_coarse']}"))
         .withColumn("fc", F.expr(f"chan % {ctx['n_fine_per_coarse']}"))
         .withColumn("freq_hz", F.expr(
-            # sky-ordered fine-channel frequency grid
-            f"CAST(chan AS DOUBLE) * {ctx['fine_chan_width_hz']!r}"))
+            f"(CASE cc {arms} END) + (fc + 0.5) * CAST({fw!r} AS DOUBLE)"))
         .withColumn("flag", F.lit(False))
         .withColumn("weight", F.lit(
             # W1 Cotter weight factor: (chan width / 10 kHz)·(int time / 1 s)

@@ -38,14 +38,16 @@ def test_streaming_gpubox_incremental(spark, gdir, tmp_path):
     # 2 files x 2 ts x 3 baselines x 2 fine chans
     assert df1.count() == 2 * 2 * 3 * 2
     assert {r.cc for r in df1.select("cc").distinct().collect()} == {0, 1}
-    # a new file arrives -> ONLY its rows enter the next batch run
-    gpubox.write_gpubox(str(gdir / "gpubox_02.fits"), cc_idx=2,
+    # a new file arrives that sorts BEFORE the processed ones (the real
+    # correlator interleaves channel/batch in names) -> ONLY its rows
+    # enter the next run: set-difference offsets, not a count high-water
+    gpubox.write_gpubox(str(gdir / "aaa_gpubox.fits"), cc_idx=2,
                         num_ants=2, num_fine=2, num_timesteps=2)
     df2 = _run_stream(spark, gdir, ckpt, out)
     assert df2.count() == 2 * 2 * 3 * 2 + 2 * 3 * 2
     new_rows = df2.filter("cc = 2")
     assert new_rows.count() == 2 * 3 * 2
     # values identical to the batch scan of the same file
-    batch = gpubox.read_gpubox(spark, str(gdir / "gpubox_02.fits"))
+    batch = gpubox.read_gpubox(spark, str(gdir / "aaa_gpubox.fits"))
     assert sorted(map(tuple, new_rows.collect())) == \
         sorted(map(tuple, batch.collect()))

@@ -110,7 +110,6 @@ HEADLINE = [
     "q1_column_profile", "q2_k_anonymity", "c3b_geometry_phase_centre",
     "m4_incremental_agg",
     "s1d_mwax_gpubox_scan", "s1e_legacy_gpubox_scan", "s3b_metafits_dims",
-    "s6_jsonl_roundtrip",
 ]
 
 
