@@ -184,3 +184,34 @@ def test_aoflagger_strategy_presets():
     ctx = parse_args(["/root/testdata/sf0.001",
                       "--aoflagger-strategy", "conservative"])
     assert ctx.rfi_sensitivity == 8.0
+
+
+def test_ms_out_respects_cli_options(spark, tmp_path):
+    """Regression: -M writes the context-built plan — CLI flags must
+    reach the MS output (it used to write a fixed default pipeline)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from birli_spark import cli
+    out1 = str(tmp_path / "ms_default")
+    out2 = str(tmp_path / "ms_flagged")
+    cli.run(["/root/testdata/sf0.001", "--avg-time-factor", "4",
+             "--avg-freq-factor", "2", "-M", out1], spark=spark)
+    cli.run(["/root/testdata/sf0.001", "--avg-time-factor", "4",
+             "--avg-freq-factor", "2", "--flag-antennas", "0",
+             "-M", out2], spark=spark)
+    f1 = (spark.read.parquet(out1)
+          .agg(F.sum(F.expr("CAST(flag AS INT)"))).collect()[0][0])
+    f2 = (spark.read.parquet(out2)
+          .agg(F.sum(F.expr("CAST(flag AS INT)"))).collect()[0][0])
+    assert f2 > f1                     # extra antenna flag reached the MS
+
+
+def test_edge_width_rejects_non_multiple():
+    import pytest
+
+    from birli_spark import cli
+    with pytest.raises(SystemExit, match="not a multiple"):
+        cli.parse_args(["/root/testdata/sf0.001",
+                        "--flag-edge-width", "60.0"])
