@@ -504,6 +504,17 @@ def _q_stream_topk(spark, sf_dir):
     return stopk.topk_from_updates(updates)
 
 
+def _q_stream_sessions(spark, sf_dir):
+    """Stateful applyInPandasWithState sessionizer, oracle-checked
+    against the BATCH gaps-and-islands SQL — stream/batch parity on the
+    hardest stateful operator, recorded by the driver."""
+    from birli_spark.streaming import sessions as ssess
+    out = ssess.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_sessions"))
+    return out.select("user_id", "session_seq", "n_events",
+                      "start_us", "end_us", "sum_value")
+
+
 def _q_stream_kmv(spark, sf_dir):
     from birli_spark.streaming import sketch as ssketch
     updates = ssketch.run_available_now(
@@ -1188,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st4_stream_topk": _q_stream_topk,
         "st5_stream_kmv": _q_stream_kmv,
         "st6_stream_hist": _q_stream_hist,
+        "st7_stream_sessions": _q_stream_sessions,
         "h7_fuzzy_names": _q_fuzzy_names,
         "h8_late_order_priority": _q_late_order_priority,
         "h9_large_orders": _q_large_orders,
@@ -1487,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "st4_stream_topk": _stream_topk_oracle(),
         "st5_stream_kmv": _stream_kmv_oracle(),
         "st6_stream_hist": _stream_hist_oracle(),
+        "st7_stream_sessions": events.sessionize_oracle_sql(),
         "h7_fuzzy_names": relational.fuzzy_name_pairs_oracle_sql(),
         "h8_late_order_priority": relational.late_order_priority_oracle_sql(),
         "h9_large_orders": relational.large_orders_oracle_sql(),
