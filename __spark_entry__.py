@@ -303,6 +303,32 @@ def _q_gpubox_scan(spark, sf_dir):
     return gpubox.read_gpubox(spark, d + "/*.fits")
 
 
+#: bench-scale gpubox set: 24 coarse channels (the real MWA count),
+#: 16 ants (136 baselines), 32 fine chans, 8 timesteps -> 835,584 rows.
+#: The direct analogue of the reference's flagship read benchmark
+#: ("read gpubox -> Jones cube", BASELINE.md).
+_GPUBOX_BENCH = dict(num_cc=24, num_ants=16, num_fine=32,
+                     num_timesteps=8)
+
+
+def _q_gpubox_read_bench(spark, sf_dir):
+    import os
+    import tempfile
+    from birli_spark.sources import gpubox
+    d = os.path.join(tempfile.gettempdir(), "birli_spark_gpubox_bench")
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        for cc in range(_GPUBOX_BENCH["num_cc"]):
+            gpubox.write_gpubox_fast(
+                os.path.join(d, f"gpubox_{cc:02d}.fits"), cc,
+                _GPUBOX_BENCH["num_ants"], _GPUBOX_BENCH["num_fine"],
+                _GPUBOX_BENCH["num_timesteps"], obsid=1297526432)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return gpubox.read_gpubox(spark, d + "/*.fits")
+
+
 def _q_gpubox_datasource(spark, sf_dir):
     """Same scan through the registered Python DataSource
     (spark.read.format('gpubox')) — shares s1b's oracle."""
@@ -1224,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3b_metafits_dims": _q_metafits_dims,
         "s1e_legacy_gpubox_scan": _q_legacy_gpubox_scan,
         "t25_dsir_weights": _q_dsir_weights,
+        "s1g_gpubox_read_bench": _q_gpubox_read_bench,
     }
 
 
@@ -1524,6 +1551,7 @@ def oracle_sql() -> dict[str, str]:
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
         "t25_dsir_weights": text.dsir_weights_oracle_sql(),
+        "s1g_gpubox_read_bench": _gpubox_bench_oracle(),
         "s1d_mwax_gpubox_scan": _mwax_oracle(),
         # the reference's own pyuvdata golden CSV IS the oracle: unpivot
         # the 4 channel columns and regex-parse the complex literals
@@ -1559,6 +1587,13 @@ FROM (VALUES
   (1, 78.72, 78.72, 177.467, -43.377, 375.005, false)
 ) AS t(ant, elx, ely, e, n, h, flagged)""",
     }
+
+
+def _gpubox_bench_oracle() -> str:
+    from birli_spark.sources import gpubox
+    return gpubox.expected_grid_sql(
+        _GPUBOX_BENCH["num_cc"], _GPUBOX_BENCH["num_ants"],
+        _GPUBOX_BENCH["num_fine"], _GPUBOX_BENCH["num_timesteps"])
 
 
 def _mwax_oracle() -> str:

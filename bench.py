@@ -25,6 +25,9 @@ from birli_spark.session import get_spark  # noqa: E402
 #: flagship groupBy.
 HEADLINE = [
     "s1_vis_scan",
+    # the reference's flagship stage benchmark: distributed gpubox FITS
+    # read -> long-format cube (24 coarse-channel files, 835k rows)
+    "s1g_gpubox_read_bench",
     "f7_set_flags",
     "c2_cable_correction",
     "c3_geometric_correction",

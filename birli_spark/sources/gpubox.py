@@ -461,3 +461,37 @@ try:
 
 except ImportError:  # pragma: no cover — pyspark < 4
     GpuboxStreamReader = None
+
+
+def write_gpubox_fast(path: str, cc_idx: int, num_ants: int, num_fine: int,
+                      num_timesteps: int, obsid: int = 0,
+                      gps_start: float = 0.0,
+                      int_time_s: float = 1.0) -> None:
+    """Vectorized synthetic gpubox writer for bench-scale files (same
+    coordinate encoding as :func:`write_gpubox`, numpy-broadcast fill —
+    no per-cell Python)."""
+    n_bl = len(baseline_pairs(num_ants))
+    blobs = [fc.pad_block(b"".join([
+        fc.card("SIMPLE", True), fc.card("BITPIX", 8), fc.card("NAXIS", 0),
+        fc.card("OBSID", obsid), fc.card("CC_IDX", cc_idx),
+        fc.card("NANTS", num_ants), fc.card("NCHANS", num_fine),
+        fc.card("NSCANS", num_timesteps), fc.card("INTTIME", int_time_s),
+        fc.card("GPSSTART", gps_start), fc.end_card()]))]
+    bl = np.arange(n_bl)[:, None, None]
+    ch = cc_idx * num_fine + np.arange(num_fine)[None, :, None]
+    k = np.arange(FLOATS_PER_CHAN)[None, None, :]
+    base = (bl * 256 + ch * 16 + k).astype(np.float64)
+    for t in range(num_timesteps):
+        hdr = fc.pad_block(b"".join([
+            fc.card("XTENSION", "IMAGE"), fc.card("BITPIX", -32),
+            fc.card("NAXIS", 2), fc.card("NAXIS1", num_fine * FLOATS_PER_CHAN),
+            fc.card("NAXIS2", n_bl), fc.card("PCOUNT", 0),
+            fc.card("GCOUNT", 1),
+            fc.card("MWATIME", int(gps_start + t * int_time_s)),
+            fc.card("TSIDX", t), fc.end_card()]))
+        data = (base + t * 4096).reshape(
+            n_bl, num_fine * FLOATS_PER_CHAN).astype(">f4")
+        blobs.append(hdr)
+        blobs.append(fc.pad_block(data.tobytes(), b"\x00"))
+    with open(path, "wb") as f:
+        f.write(b"".join(blobs))
