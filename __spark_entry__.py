@@ -878,6 +878,12 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(corpus.load_embeddings(spark, sf_dir))
 
 
+def _q_ann_ivfpq(spark, sf_dir):
+    from birli_spark.operators import similarity
+    from birli_spark.sources import corpus
+    return similarity.ivfpq_topk(corpus.load_embeddings(spark, sf_dir))
+
+
 def _q_windowed_agg(spark, sf_dir):
     from birli_spark.operators import events
     from birli_spark.sources import corpus
@@ -1162,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivfpq_topk": _q_ann_ivfpq,
         "e1_windowed_agg": _q_windowed_agg,
         "e2_sessionize": _q_sessionize,
         "e2b_sessionize_native": _q_sessionize_native,
@@ -1462,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),
+        "ann_ivfpq_topk": similarity.ivfpq_topk_oracle_sql(),
         "e1_windowed_agg": events.windowed_agg_oracle_sql(),
         "e2_sessionize": events.sessionize_oracle_sql(),
         # native session_window variant shares the islands-form oracle

@@ -115,25 +115,11 @@ IVF_STRIDE = 50
 IVF_NPROBE = 2
 
 
-def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
-             stride: int = IVF_STRIDE, nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF (inverted-file) ANN: corpus vectors are assigned to their
-    nearest **centroid cell**; each query probes only its ``nprobe``
-    nearest cells and ranks the candidates living there.
-
-    Centroids are a deterministic corpus subset (``vec_id % stride == 0``
-    — a real system would k-means; the cell structure and query plan are
-    identical). The scale shape:
-
-    - *build* — one narrow pass: corpus × broadcast(centroids) scored,
-      then arg-max per vector via ``max(struct(cos, -cid))``, which is
-      map-side combinable (partial aggregation), so only N assignment
-      rows shuffle — never the N×C score rows;
-    - *search* — probes are a tiny broadcast; candidates come from a
-      cell equi-join, so cost per query is ~N/C·nprobe, not N.
-
-    Recall < 1 by design (the IVF approximation); ties broken by cid /
-    vec_id so both engines rank identically."""
+def _ivf_assignments(emb: DataFrame, n_queries: int, stride: int,
+                     nprobe: int) -> tuple[DataFrame, DataFrame]:
+    """Shared IVF build/search front half: (assigned corpus with
+    ``cell``, query probe list) — see :func:`ivf_topk` for the scale
+    rationale."""
     n = emb.select("vec_id", "embedding",
                    F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"))
     cent = (n.filter(F.col("vec_id") % stride == 0)
@@ -158,6 +144,29 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
                       F.col("embedding").alias("q_emb"),
                       F.col("nrm").alias("q_nrm"),
                       F.col("cid").alias("q_cell")))
+    return assigned, qprobe
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
+             stride: int = IVF_STRIDE, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are assigned to their
+    nearest **centroid cell**; each query probes only its ``nprobe``
+    nearest cells and ranks the candidates living there.
+
+    Centroids are a deterministic corpus subset (``vec_id % stride == 0``
+    — a real system would k-means; the cell structure and query plan are
+    identical). The scale shape:
+
+    - *build* — one narrow pass: corpus × broadcast(centroids) scored,
+      then arg-max per vector via ``max(struct(cos, -cid))``, which is
+      map-side combinable (partial aggregation), so only N assignment
+      rows shuffle — never the N×C score rows;
+    - *search* — probes are a tiny broadcast; candidates come from a
+      cell equi-join, so cost per query is ~N/C·nprobe, not N.
+
+    Recall < 1 by design (the IVF approximation); ties broken by cid /
+    vec_id so both engines rank identically."""
+    assigned, qprobe = _ivf_assignments(emb, n_queries, stride, nprobe)
     cos = f"{X.dot(X.SPARK, 'q_emb', 'embedding')} / (q_nrm * nrm)"
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (assigned.join(F.broadcast(qprobe),
@@ -331,3 +340,172 @@ reranked AS (
 SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank,
   CAST(coarse_rank AS INT) AS coarse_rank
 FROM reranked WHERE rank <= {k}"""
+
+
+IVFPQ_REFINE = 4    #: ADC shortlist size = refine x k
+
+
+def ivfpq_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
+               stride: int = IVF_STRIDE, nprobe: int = IVF_NPROBE,
+               refine: int = IVFPQ_REFINE) -> DataFrame:
+    """ANN5 — the complete FAISS-style **IVF-PQ + rerank** retrieval
+    recipe in one plan (Jégou et al. 2011): coarse IVF cells prune the
+    corpus, PQ codes + a per-query ADC lookup table give cheap
+    approximate distances to shortlist ``refine × k`` candidates, and
+    an exact-cosine rerank produces the final top-k.
+
+    Scale shape per stage:
+
+    - *build*: cell assignment and PQ coding are both pure projections
+      against broadcast codebooks (zero corpus shuffles — see
+      :func:`ivf_topk`, :func:`~.quantization.pq_codes`);
+    - *ADC*: the lookup table is queries × subspaces × codebook =
+      8×8×16 rows — broadcast; the approximate distance per candidate
+      is 8 broadcast equi-joins on (qid, code), never a vector op;
+    - *rerank*: the exact 64-dim cosine fold runs only on the
+      ``refine × k`` shortlisted rows per query.
+
+    Determinism: sub-distance folds are sequential; the ADC sum adds
+    subspace terms in literal order; both ranks tie-break on vec_id."""
+    from birli_spark.operators.quantization import (PQ_K, PQ_M, PQ_SUB,
+                                                    _d2_spark)
+    assigned, qprobe = _ivf_assignments(emb, n_queries, stride, nprobe)
+    # PQ codes per corpus vector (per-subspace codeword columns)
+    cb_row = (emb.filter(F.col("vec_id") < PQ_K)
+              .select(F.col("vec_id").alias("cid"),
+                      F.col("embedding").alias("c_emb"))
+              .agg(F.expr("array_sort(collect_list("
+                          "struct(cid AS k, c_emb)))").alias("cbs")))
+    coded = assigned.join(F.broadcast(cb_row))
+    for m in range(PQ_M):
+        best = (f"array_min(transform(cbs, "
+                f"c -> struct({_d2_spark(m)} AS d, c.k AS k)))")
+        coded = coded.withColumn(f"k_{m}", F.expr(f"{best}.k"))
+    coded = coded.drop("cbs")
+    # ADC lookup table: d2(query subvector m, codebook entry j)
+    cb = (emb.filter(F.col("vec_id") < PQ_K)
+          .select(F.col("vec_id").alias("j"),
+                  F.col("embedding").alias("c_emb")))
+    lut = qprobe.select("qid", F.col("q_emb").alias("embedding")).distinct()
+    lut = lut.join(F.broadcast(cb.withColumnRenamed("c_emb", "__ce")))
+    luts = []
+    for m in range(PQ_M):
+        d2 = _d2_spark(m).replace("c.c_emb", "__ce")
+        luts.append(lut.select(
+            "qid", F.lit(m).alias("m"), "j", F.expr(d2).alias("d2")))
+    lut_long = luts[0]
+    for l_ in luts[1:]:
+        lut_long = lut_long.unionByName(l_)
+    # candidates from probed cells; ADC = sum of 8 LUT lookups
+    cand = (coded.join(F.broadcast(qprobe),
+                       (F.col("cell") == F.col("q_cell"))
+                       & F.expr("vec_id <> qid"))
+            .select("qid", "vec_id", "embedding", "nrm", "q_emb", "q_nrm",
+                    *[f"k_{m}" for m in range(PQ_M)]))
+    for m in range(PQ_M):
+        lm = F.broadcast(lut_long.filter(F.col("m") == m)
+                         .select("qid", F.col("j").alias(f"k_{m}"),
+                                 F.col("d2").alias(f"d_{m}")))
+        cand = cand.join(lm, ["qid", f"k_{m}"])
+    adc = "(" * (PQ_M - 1) + " + ".join(
+        f"d_{m}" if m == 0 else f"d_{m})" for m in range(PQ_M))
+    ws = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    short = (cand.withColumn("adc", F.expr(adc))
+             .withColumn("sr", F.row_number().over(ws))
+             .filter(F.col("sr") <= refine * k))
+    cos = f"{X.dot(X.SPARK, 'q_emb', 'embedding')} / (q_nrm * nrm)"
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (short.select("qid", "vec_id", F.expr(cos).alias("cos"),
+                         F.expr(f32("adc")).alias("adc"))
+            .withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k))
+
+
+def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 8,
+                          stride: int = IVF_STRIDE,
+                          nprobe: int = IVF_NPROBE,
+                          refine: int = IVFPQ_REFINE) -> str:
+    from birli_spark.operators.quantization import PQ_K, PQ_M, PQ_SUB
+    cos_c = (f"{X.dot(X.DUCK, 'n.embedding', 'cent.c_emb')}"
+             f" / (n.nrm * cent.c_nrm)")
+
+    def d2(vec: str, m: str) -> str:
+        return (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), i -> "
+                f"(CAST({vec}[{m} * {PQ_SUB} + i] AS DOUBLE) "
+                f"- CAST(cb.c_emb[{m} * {PQ_SUB} + i] AS DOUBLE)) * "
+                f"(CAST({vec}[{m} * {PQ_SUB} + i] AS DOUBLE) "
+                f"- CAST(cb.c_emb[{m} * {PQ_SUB} + i] AS DOUBLE))))")
+
+    kcols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN k END) AS k_{m}" for m in range(PQ_M))
+    adc_joins = "\n  ".join(
+        f"JOIN lut l{m} ON l{m}.qid = pb.qid AND l{m}.m = {m} "
+        f"AND l{m}.j = cd.k_{m}" for m in range(PQ_M))
+    adc = "(" * (PQ_M - 1) + " + ".join(
+        f"l_0.d2" if False else (f"l_{m}.d2" if m == 0 else f"l_{m}.d2)")
+        for m in range(PQ_M))
+    adc = adc.replace("l_", "l")
+    cos = f"{X.dot(X.DUCK, 'pb.q_emb', 'cd.embedding')} / (pb.q_nrm * cd.nrm)"
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm
+           FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+         FROM n WHERE vec_id % {stride} = 0),
+scored AS (
+  SELECT n.vec_id, n.embedding, n.nrm, cent.cid, {cos_c} AS cos_c
+  FROM n CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS qid, embedding AS q_emb, nrm AS q_nrm, cid AS q_cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS pr
+    FROM scored WHERE vec_id < {n_queries}) WHERE pr <= {nprobe}),
+cb AS (SELECT vec_id AS k, embedding AS c_emb FROM embeddings
+       WHERE vec_id < {PQ_K}),
+subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+code_scored AS (
+  SELECT a.vec_id, s.m, cb.k AS k, {d2('a.embedding', 's.m')} AS d2
+  FROM assigned a CROSS JOIN (SELECT k AS k, c_emb FROM cb) cb
+  CROSS JOIN subs s),
+codes AS (
+  SELECT vec_id, {kcols} FROM (
+    SELECT vec_id, m, k FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2 ASC, k ASC) AS rn
+      FROM code_scored) WHERE rn = 1)
+  GROUP BY vec_id),
+lut AS (
+  SELECT q.qid, s.m, cb.k AS j, {d2('q.q_emb', 's.m')} AS d2
+  FROM (SELECT DISTINCT qid, q_emb FROM qprobe) q
+  CROSS JOIN (SELECT k AS k, c_emb FROM cb) cb CROSS JOIN subs s),
+cand AS (
+  SELECT pb.qid, cd.vec_id, cd.embedding, cd.nrm, pb.q_emb, pb.q_nrm,
+    c.* EXCLUDE (vec_id)
+  FROM qprobe pb
+  JOIN assigned cd ON cd.cell = pb.q_cell AND cd.vec_id <> pb.qid
+  JOIN codes c ON c.vec_id = cd.vec_id),
+shortl AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS sr
+  FROM (
+    SELECT cd.qid, cd.vec_id, cd.embedding, cd.nrm, cd.q_emb, cd.q_nrm,
+      {adc} AS adc
+    FROM (SELECT * FROM cand) cd(qid, vec_id, embedding, nrm, q_emb,
+                                 q_nrm, {', '.join(f'k_{m}' for m in range(PQ_M))})
+    {adc_joins.replace('pb.qid', 'cd.qid').replace('cd.k_', 'cd.k_')}
+  )),
+ranked AS (
+  SELECT qid, vec_id,
+    {cos.replace('pb.', '').replace('cd.', '')} AS cos,
+    {f32('adc')} AS adc,
+    ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY {cos.replace('pb.', '').replace('cd.', '')}
+                       DESC, vec_id ASC) AS rank
+  FROM shortl WHERE sr <= {refine * k})
+SELECT qid, vec_id, cos, adc, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
