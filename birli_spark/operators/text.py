@@ -191,7 +191,8 @@ def source_quality_rollup_oracle_sql() -> str:
     qt = f"CAST(round(({q}) * CAST(1000000000 AS DOUBLE)) AS BIGINT)"
     return f"""
 WITH scored AS (SELECT source, lang, n_chars, {qt} AS qt FROM documents)
-SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT source, lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   {f32('CAST(SUM(qt) AS DOUBLE) / COUNT(*) / CAST(1000000000 AS DOUBLE)')} AS avg_quality,
   {f32('CAST(quantile_cont(n_chars, 0.5) AS DOUBLE)')} AS median_chars
 FROM scored GROUP BY source, lang"""
