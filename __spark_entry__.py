@@ -692,6 +692,80 @@ def _q_part_supplier_counts(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_volume_shipping(spark, sf_dir):
+    return relational.volume_shipping(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+
+def _q_market_share(spark, sf_dir):
+    return relational.market_share(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_product_profit(spark, sf_dir):
+    return relational.product_profit(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_important_parts(spark, sf_dir):
+    return relational.important_parts(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_top_supplier(spark, sf_dir):
+    return relational.top_supplier(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+
+
+def _q_disjunctive_revenue(spark, sf_dir):
+    return relational.disjunctive_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_excess_suppliers(spark, sf_dir):
+    return relational.excess_suppliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_blame_suppliers(spark, sf_dir):
+    return relational.blame_suppliers(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"))
+
+
+def _q_idle_rich_customers(spark, sf_dir):
+    return relational.idle_rich_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+
+def _q_forecast_revenue(spark, sf_dir):
+    return relational.forecast_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_dsir_weights(spark, sf_dir):
     from birli_spark.sources import corpus
     return text.dsir_weights(corpus.load_documents(spark, sf_dir))
@@ -1246,6 +1320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_anomaly_days": _q_anomaly_days,
         "h13_local_supplier_volume": _q_local_supplier_volume,
         "h14_part_supplier_counts": _q_part_supplier_counts,
+        "h15_volume_shipping": _q_volume_shipping,
+        "h16_market_share": _q_market_share,
+        "h17_product_profit": _q_product_profit,
+        "h18_important_parts": _q_important_parts,
+        "h20_top_supplier": _q_top_supplier,
+        "h21_disjunctive_revenue": _q_disjunctive_revenue,
+        "h22_excess_suppliers": _q_excess_suppliers,
+        "h23_blame_suppliers": _q_blame_suppliers,
+        "h24_idle_rich_customers": _q_idle_rich_customers,
+        "h25_forecast_revenue": _q_forecast_revenue,
         "t23_segment_dedup": _q_segment_dedup,
         "s6_jsonl_roundtrip": _q_jsonl_roundtrip,
         "q1_column_profile": _q_column_profile,
@@ -1551,6 +1635,18 @@ def oracle_sql() -> dict[str, str]:
             relational.local_supplier_volume_oracle_sql(),
         "h14_part_supplier_counts":
             relational.part_supplier_counts_oracle_sql(),
+        "h15_volume_shipping": relational.volume_shipping_oracle_sql(),
+        "h16_market_share": relational.market_share_oracle_sql(),
+        "h17_product_profit": relational.product_profit_oracle_sql(),
+        "h18_important_parts": relational.important_parts_oracle_sql(),
+        "h20_top_supplier": relational.top_supplier_oracle_sql(),
+        "h21_disjunctive_revenue":
+            relational.disjunctive_revenue_oracle_sql(),
+        "h22_excess_suppliers": relational.excess_suppliers_oracle_sql(),
+        "h23_blame_suppliers": relational.blame_suppliers_oracle_sql(),
+        "h24_idle_rich_customers":
+            relational.idle_rich_customers_oracle_sql(),
+        "h25_forecast_revenue": relational.forecast_revenue_oracle_sql(),
         "t23_segment_dedup": corpus_clean.segment_dedup_oracle_sql(),
         "s6_jsonl_roundtrip": _jsonl_roundtrip_oracle(),
         "q1_column_profile": _profile_oracles()[0],

@@ -653,3 +653,525 @@ WHERE p_brand <> '{excluded_brand}' AND p_size <= {max_size}
   AND l_suppkey NOT IN
     (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_type, p_size"""
+
+
+# ---------------------------------------------------------------- Q7 (H15) ---
+
+_Q7_NATION_A = "NATION_3"
+_Q7_NATION_B = "NATION_7"
+
+
+def volume_shipping(customer: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame,
+                    nation_a: str = _Q7_NATION_A,
+                    nation_b: str = _Q7_NATION_B) -> DataFrame:
+    """H15 — the TPC-H Q7 shape: bilateral trade volume between two
+    nations by ship year — supplier nation on the lineitem side,
+    customer nation through the orders side, both directions kept.
+
+    Scale shape: the two-nation filter collapses supplier and customer
+    to broadcast-sized key sets BEFORE either touches a fact table, so
+    the only big-big work is the co-keyed orders ⋈ lineitem join; the
+    cross-nation predicate (supp ≠ cust nation) is a post-join filter on
+    two broadcast-delivered columns. Group keys: 2 nations × years."""
+    nsel = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    sdim = (supplier.join(F.broadcast(nsel),
+                          supplier["s_nationkey"] == nsel["n_nationkey"])
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cdim = (customer.join(F.broadcast(nsel),
+                          customer["c_nationkey"] == nsel["n_nationkey"])
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    return (lineitem
+            .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(sdim),
+                  lineitem["l_suppkey"] == sdim["s_suppkey"])
+            .join(F.broadcast(cdim),
+                  orders["o_custkey"] == cdim["c_custkey"])
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.count("*").alias("n_items"),
+                 (F.sum(F.expr(_REV_TICKS)) / F.lit(10000.0))
+                 .alias("volume")))
+
+
+def volume_shipping_oracle_sql(nation_a: str = _Q7_NATION_A,
+                               nation_b: str = _Q7_NATION_B) -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+  COUNT(*) AS n_items, SUM({_REV_TICKS}) / 10000.0 AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{nation_a}', '{nation_b}')
+  AND n2.n_name IN ('{nation_a}', '{nation_b}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3"""
+
+
+# ---------------------------------------------------------------- Q8 (H16) ---
+
+
+def market_share(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                 supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                 part: DataFrame, target_nation: str = "NATION_5",
+                 region_name: str = "ASIA",
+                 part_type: str = "ECONOMY") -> DataFrame:
+    """H16 — the TPC-H Q8 shape: one supplier nation's share of a
+    region's market for one part type, per order year — the
+    conditional-numerator / unconditional-denominator single-pass
+    aggregate over a many-way star join.
+
+    Scale shape: part prunes by type at the scan and broadcast-joins
+    lineitem (the fact never shuffles for a dim); the customer side
+    prunes to one region's custkeys (broadcast); supplier contributes
+    only a (suppkey, is_target) boolean column. The share division runs
+    on two exact BIGINT tick sums per year — identical IEEE doubles on
+    both engines."""
+    r = region.filter(F.col("r_name") == region_name)
+    rn = (nation.join(F.broadcast(r),
+                      nation["n_regionkey"] == r["r_regionkey"])
+          .select("n_nationkey"))
+    cdim = (customer.join(F.broadcast(rn),
+                          customer["c_nationkey"] == rn["n_nationkey"])
+            .select("c_custkey"))
+    tgt = nation.filter(F.col("n_name") == target_nation)
+    sdim = (supplier.join(F.broadcast(tgt),
+                          supplier["s_nationkey"] == tgt["n_nationkey"],
+                          "left_semi")
+            .select("s_suppkey"))
+    pdim = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    joined = (lineitem
+              .join(F.broadcast(pdim),
+                    lineitem["l_partkey"] == pdim["p_partkey"], "left_semi")
+              .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+              .join(F.broadcast(cdim),
+                    orders["o_custkey"] == cdim["c_custkey"], "left_semi")
+              .join(F.broadcast(sdim.withColumn("is_target", F.lit(1))),
+                    lineitem["l_suppkey"] == sdim["s_suppkey"], "left")
+              .select(F.year("o_orderdate").alias("o_year"),
+                      F.expr(_REV_TICKS).alias("rev"),
+                      F.coalesce("is_target", F.lit(0)).alias("is_target")))
+    return (joined.groupBy("o_year")
+            .agg((F.sum(F.expr("CASE WHEN is_target = 1 THEN rev"
+                               " ELSE CAST(0 AS BIGINT) END"))
+                  .cast("double")
+                  / F.sum("rev").cast("double")).alias("mkt_share"),
+                 F.sum("rev").alias("total_ticks")))
+
+
+def market_share_oracle_sql(target_nation: str = "NATION_5",
+                            region_name: str = "ASIA",
+                            part_type: str = "ECONOMY") -> str:
+    return f"""
+WITH joined AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+    {_REV_TICKS} AS rev,
+    CASE WHEN n1.n_name = '{target_nation}' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE p_type = '{part_type}' AND r_name = '{region_name}')
+SELECT o_year,
+  CAST(SUM(CASE WHEN is_target = 1 THEN rev ELSE CAST(0 AS BIGINT) END)
+       AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+  SUM(rev) AS total_ticks
+FROM joined GROUP BY o_year"""
+
+
+# ---------------------------------------------------------------- Q9 (H17) ---
+
+
+def product_profit(orders: DataFrame, lineitem: DataFrame,
+                   supplier: DataFrame, nation: DataFrame, part: DataFrame,
+                   name_like: str = "red") -> DataFrame:
+    """H17 — the TPC-H Q9 shape: profit per (supplier nation, order
+    year) over one part family. This schema has no partsupp, so unit
+    cost is the part's retail price (exact cents) — the join topology
+    (two fact-side joins + part-name scan prune + supplier→nation dim
+    chain) is what Q9 exercises.
+
+    profit = Σ (extprice·(1−discount) − retailprice·quantity), summed in
+    1e-4 ticks so accumulation order can't flap the hash."""
+    pdim = (part.filter(F.col("p_name").contains(name_like))
+            .select("p_partkey",
+                    F.expr("CAST(ROUND(p_retailprice * 100.0) AS BIGINT)")
+                    .alias("cost_cents")))
+    sdim = (supplier.join(F.broadcast(nation),
+                          supplier["s_nationkey"] == nation["n_nationkey"])
+            .select("s_suppkey", "n_name"))
+    profit_ticks = (
+        f"({_REV_TICKS}) - cost_cents * CAST(l_quantity AS BIGINT) * 100")
+    return (lineitem
+            .join(F.broadcast(pdim),
+                  lineitem["l_partkey"] == pdim["p_partkey"])
+            .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(sdim),
+                  lineitem["l_suppkey"] == sdim["s_suppkey"])
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.count("*").alias("n_items"),
+                 (F.sum(F.expr(profit_ticks)) / F.lit(10000.0))
+                 .alias("profit")))
+
+
+def product_profit_oracle_sql(name_like: str = "red") -> str:
+    return f"""
+SELECT n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+  COUNT(*) AS n_items,
+  SUM(({_REV_TICKS}) - CAST(ROUND(p_retailprice * 100.0) AS BIGINT)
+      * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{name_like}%'
+GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------- Q11 (H18) ---
+
+IMPORTANT_PART_PPM = 1500   # threshold: > total/1500
+
+
+def important_parts(lineitem: DataFrame, part: DataFrame,
+                    ppm: int = IMPORTANT_PART_PPM) -> DataFrame:
+    """H18 — the TPC-H Q11 shape: parts whose traded value exceeds a
+    fraction of the global total — a **scalar-aggregate subquery**
+    against a grouped aggregate (HAVING vs a global sum).
+
+    Scale shape: one partial-aggregated groupBy(partkey) pass produces
+    both the per-part sums and (re-aggregated) the global total — the
+    total re-derives from the ~|parts| aggregate, not a second fact
+    scan. The threshold compare is all-BIGINT (value·ppm > total), so
+    no float boundary can flap membership. The 1-row total broadcasts."""
+    per = (lineitem.groupBy(F.col("l_partkey").alias("p_key"))
+           .agg(F.sum(F.expr(_REV_TICKS)).alias("value_ticks")))
+    total = per.agg(F.sum("value_ticks").alias("total_ticks"))
+    return (per.crossJoin(F.broadcast(total))
+            .filter(F.col("value_ticks") * ppm > F.col("total_ticks"))
+            .join(F.broadcast(part.select("p_partkey", "p_name")),
+                  F.col("p_key") == F.col("p_partkey"))
+            .select("p_partkey", "p_name",
+                    (F.col("value_ticks") / F.lit(10000.0)).alias("value")))
+
+
+def important_parts_oracle_sql(ppm: int = IMPORTANT_PART_PPM) -> str:
+    return f"""
+WITH per AS (
+  SELECT l_partkey, SUM({_REV_TICKS}) AS value_ticks
+  FROM lineitem GROUP BY l_partkey),
+total AS (SELECT SUM(value_ticks) AS total_ticks FROM per)
+SELECT p_partkey, p_name, value_ticks / 10000.0 AS value
+FROM per, total
+JOIN part ON l_partkey = p_partkey
+WHERE value_ticks * {ppm} > total_ticks"""
+
+
+# --------------------------------------------------------------- Q15 (H20) ---
+
+_Q15_START = "1996-01-01 00:00:00"
+_Q15_END = "1996-04-01 00:00:00"
+
+
+def top_supplier(lineitem: DataFrame, supplier: DataFrame,
+                 start: str = _Q15_START, end: str = _Q15_END) -> DataFrame:
+    """H20 — the TPC-H Q15 shape: the supplier(s) with the maximum
+    quarterly revenue — an aggregate, its own MAX as a scalar subquery,
+    and an equality join back (ties all surface, as in the spec).
+
+    Scale shape: the date filter prunes the fact scan; revenue
+    aggregates per suppkey with map-side combine; MAX runs over the
+    supplier-sized aggregate; the equality compare is exact BIGINT
+    ticks, so cross-engine tie sets are identical."""
+    rev = (lineitem.filter(F.expr(
+        f"l_shipdate >= TIMESTAMP '{start}' "
+        f"AND l_shipdate < TIMESTAMP '{end}'"))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.expr(_REV_TICKS)).alias("rev_ticks")))
+    mx = rev.agg(F.max("rev_ticks").alias("max_ticks"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("rev_ticks") == F.col("max_ticks"))
+            .join(F.broadcast(supplier),
+                  F.col("sk") == supplier["s_suppkey"])
+            .select("s_suppkey", "s_name",
+                    (F.col("rev_ticks") / F.lit(10000.0))
+                    .alias("total_revenue")))
+
+
+def top_supplier_oracle_sql(start: str = _Q15_START,
+                            end: str = _Q15_END) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_TICKS}) AS rev_ticks
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{start}'
+    AND l_shipdate < TIMESTAMP '{end}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, rev_ticks / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_ticks = (SELECT MAX(rev_ticks) FROM rev)"""
+
+
+# --------------------------------------------------------------- Q19 (H21) ---
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """H21 — the TPC-H Q19 shape: revenue under an OR-of-ANDs predicate
+    spanning both join sides (brand/size from part, quantity from
+    lineitem) — the disjunction Catalyst must evaluate post-join while
+    still pushing the per-side prunes (size ≤ 15, qty ≤ 30, brand set)
+    into the scans.
+
+    Scale shape: part collapses to a broadcast (partkey, brand, size)
+    map pre-pruned to the union of branch ranges; lineitem prunes on
+    quantity at the scan. One row out."""
+    pdim = (part.filter(F.col("p_size").between(1, 15)
+                        & F.col("p_brand").isin("Brand#1", "Brand#2",
+                                                "Brand#3"))
+            .select("p_partkey", "p_brand", "p_size"))
+    qty = "CAST(ROUND(l_quantity) AS BIGINT)"
+    branch = (f"(p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 "
+              f"  AND {qty} BETWEEN 1 AND 10) OR "
+              f"(p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 "
+              f"  AND {qty} BETWEEN 10 AND 20) OR "
+              f"(p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+              f"  AND {qty} BETWEEN 20 AND 30)")
+    return (lineitem.filter(F.expr(f"{qty} <= 30"))
+            .join(F.broadcast(pdim),
+                  lineitem["l_partkey"] == pdim["p_partkey"])
+            .filter(F.expr(branch))
+            .agg(F.count("*").alias("n_items"),
+                 (F.coalesce(F.sum(F.expr(_REV_TICKS)),
+                             F.lit(0).cast("bigint"))
+                  / F.lit(10000.0)).alias("revenue")))
+
+
+def disjunctive_revenue_oracle_sql() -> str:
+    qty = "CAST(ROUND(l_quantity) AS BIGINT)"
+    return f"""
+SELECT COUNT(*) AS n_items,
+  COALESCE(SUM({_REV_TICKS}), 0) / 10000.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND {qty} BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND {qty} BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND {qty} BETWEEN 20 AND 30)"""
+
+
+# --------------------------------------------------------------- Q20 (H22) ---
+
+EXCESS_QTY = 100
+
+
+def excess_suppliers(lineitem: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, part: DataFrame,
+                     name_like: str = "blue", year: int = 1997,
+                     min_qty: int = EXCESS_QTY,
+                     nation_prefix_max: int = 12) -> DataFrame:
+    """H22 — the TPC-H Q20 shape: suppliers who moved more than a
+    threshold quantity of one part family in one year — a nested
+    aggregate subquery whose surviving key set **semi-joins** the
+    supplier dim, further pruned by nation.
+
+    Scale shape: the part-family prune broadcasts into the fact scan as
+    a semi join; the year filter prunes at the scan; the per-supplier
+    quantity aggregate is integer and partial-combined; only the
+    over-threshold suppkeys (tiny) probe supplier."""
+    pdim = part.filter(F.col("p_name").contains(name_like)) \
+               .select("p_partkey")
+    shipped = (lineitem.filter(F.year("l_shipdate") == year)
+               .join(F.broadcast(pdim),
+                     lineitem["l_partkey"] == pdim["p_partkey"],
+                     "left_semi")
+               .groupBy(F.col("l_suppkey").alias("sk"))
+               .agg(F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+                    .alias("qty"))
+               .filter(F.col("qty") > min_qty))
+    nsel = nation.filter(F.col("n_nationkey") <= nation_prefix_max)
+    return (supplier
+            .join(F.broadcast(nsel),
+                  supplier["s_nationkey"] == nsel["n_nationkey"],
+                  "left_semi")
+            .join(shipped, supplier["s_suppkey"] == shipped["sk"])
+            .select("s_suppkey", "s_name", "qty"))
+
+
+def excess_suppliers_oracle_sql(name_like: str = "blue", year: int = 1997,
+                                min_qty: int = EXCESS_QTY,
+                                nation_prefix_max: int = 12) -> str:
+    return f"""
+WITH shipped AS (
+  SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem
+  WHERE EXTRACT(year FROM l_shipdate) = {year}
+    AND l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%{name_like}%')
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty})
+SELECT s_suppkey, s_name, qty
+FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_nationkey <= {nation_prefix_max})"""
+
+
+# --------------------------------------------------------------- Q21 (H23) ---
+
+_LATE_DAYS = 60
+
+
+def blame_suppliers(orders: DataFrame, lineitem: DataFrame,
+                    supplier: DataFrame,
+                    late_days: int = _LATE_DAYS) -> DataFrame:
+    """H23 — the TPC-H Q21 shape: for multi-supplier orders where
+    exactly ONE supplier shipped late, count the orders pinned on each
+    such supplier. Q21's double-EXISTS correlation decorrelates into a
+    single per-order aggregate: distinct suppliers, distinct late
+    suppliers, and (when unique) the late one.
+
+    Scale shape: one big-big co-keyed join (orders ⋈ lineitem on
+    orderkey) feeds a groupBy(orderkey) whose state is three small
+    aggregates — no row multiplication, no correlated re-scans; the
+    blame rollup keys on ~|suppliers|."""
+    late = (f"CASE WHEN l_shipdate > o_orderdate + INTERVAL {late_days} DAY"
+            f" THEN l_suppkey END")
+    per_order = (lineitem
+                 .join(orders.select("o_orderkey", "o_orderdate"),
+                       lineitem["l_orderkey"] == orders["o_orderkey"])
+                 .groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.expr(late)).alias("n_late"),
+                      F.max(F.expr(late)).alias("late_sk")))
+    blamed = per_order.filter((F.col("n_supp") >= 2)
+                              & (F.col("n_late") == 1))
+    return (blamed.join(F.broadcast(supplier),
+                        blamed["late_sk"] == supplier["s_suppkey"])
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count("*").alias("numwait")))
+
+
+def blame_suppliers_oracle_sql(late_days: int = _LATE_DAYS) -> str:
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                         + INTERVAL {late_days} DAY
+                   THEN l_suppkey END) AS n_late,
+    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+        THEN l_suppkey END) AS late_sk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_sk = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_suppkey, s_name"""
+
+
+# --------------------------------------------------------------- Q22 (H24) ---
+
+
+_Q22_CUTOFF = "1999-01-01 00:00:00"
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame,
+                        nation: DataFrame,
+                        cutoff: str = _Q22_CUTOFF) -> DataFrame:
+    """H24 — the TPC-H Q22 shape: customers richer than the positive
+    global average balance with no recent order, rolled up by nation (the
+    schema's stand-in for Q22's phone-prefix country code) — a scalar
+    AVG subquery plus an **anti join** against the fact key set.
+
+    Scale shape: the average is one broadcast row; the
+    above-average compare is exact (cents·count > sum — all BIGINT, no
+    float boundary); the anti join ships only orders' distinct custkeys;
+    the nation rollup is a ≤25-key broadcast join."""
+    cents = "CAST(ROUND(c_acctbal * 100.0) AS BIGINT)"
+    stats = (customer.filter(F.col("c_acctbal") > 0)
+             .agg(F.sum(F.expr(cents)).alias("sum_cents"),
+                  F.count("*").alias("n_pos")))
+    rich = (customer.withColumn("cents", F.expr(cents))
+            .crossJoin(F.broadcast(stats))
+            .filter(F.col("cents") * F.col("n_pos") > F.col("sum_cents")))
+    recent = orders.filter(
+        F.expr(f"o_orderdate >= TIMESTAMP '{cutoff}'")).select("o_custkey")
+    idle = rich.join(recent,
+                     rich["c_custkey"] == recent["o_custkey"], "left_anti")
+    return (idle.join(F.broadcast(nation),
+                      idle["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.count("*").alias("numcust"),
+                 (F.sum("cents") / F.lit(100.0)).alias("totacctbal")))
+
+
+def idle_rich_customers_oracle_sql(cutoff: str = _Q22_CUTOFF) -> str:
+    cents = "CAST(ROUND(c_acctbal * 100.0) AS BIGINT)"
+    return f"""
+WITH stats AS (
+  SELECT CAST(SUM({cents}) AS BIGINT) AS sum_cents, COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0),
+rich AS (
+  SELECT c_custkey, c_nationkey, {cents} AS cents
+  FROM customer, stats
+  WHERE {cents} * n_pos > sum_cents)
+SELECT n_name, COUNT(*) AS numcust,
+  CAST(SUM(cents) AS BIGINT) / 100.0 AS totacctbal
+FROM rich
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{cutoff}')
+GROUP BY n_name"""
+
+
+# ---------------------------------------------------------------- Q6 (H25) ---
+
+_Q6_START = "1996-01-01 00:00:00"
+_Q6_END = "1997-01-01 00:00:00"
+
+
+def forecast_revenue(lineitem: DataFrame, start: str = _Q6_START,
+                     end: str = _Q6_END, disc_lo: int = 5, disc_hi: int = 7,
+                     max_qty: int = 24) -> DataFrame:
+    """H25 — the TPC-H Q6 shape: pure scan → filter → one-row aggregate,
+    no joins. The query exists to prove the predicates reach the scan
+    (`PushedFilters` on shipdate/quantity) and everything stays in one
+    WholeStageCodegen span. Discount matching uses exact percent ticks,
+    not a float BETWEEN."""
+    disc = "CAST(ROUND(l_discount * 100.0) AS BIGINT)"
+    amt = ("CAST(ROUND(l_extendedprice * l_discount * 10000.0) AS BIGINT)")
+    return (lineitem.filter(F.expr(
+        f"l_shipdate >= TIMESTAMP '{start}' "
+        f"AND l_shipdate < TIMESTAMP '{end}' "
+        f"AND l_quantity < {max_qty} "
+        f"AND {disc} BETWEEN {disc_lo} AND {disc_hi}"))
+        .agg(F.count("*").alias("n_items"),
+             (F.coalesce(F.sum(F.expr(amt)), F.lit(0).cast("bigint"))
+              / F.lit(10000.0)).alias("revenue")))
+
+
+def forecast_revenue_oracle_sql(start: str = _Q6_START, end: str = _Q6_END,
+                                disc_lo: int = 5, disc_hi: int = 7,
+                                max_qty: int = 24) -> str:
+    return f"""
+SELECT COUNT(*) AS n_items,
+  COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000.0)
+                    AS BIGINT)), 0) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{start}'
+  AND l_shipdate < TIMESTAMP '{end}'
+  AND l_quantity < {max_qty}
+  AND CAST(ROUND(l_discount * 100.0) AS BIGINT)
+      BETWEEN {disc_lo} AND {disc_hi}"""

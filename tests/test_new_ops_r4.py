@@ -1,0 +1,175 @@
+"""Constructed-case semantics for the round-2 TPC-H shape additions:
+H15 (Q7 volume shipping), H16 (Q8 market share), H18 (Q11 important
+parts), H21 (Q19 disjunctive predicate), H23 (Q21 exactly-one-late
+blame), H24 (Q22 idle rich customers)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+
+from birli_spark.operators import relational
+
+
+def _ts(y, m, d):
+    return datetime.datetime(y, m, d)
+
+
+def test_volume_shipping_directions(spark):
+    nation = spark.createDataFrame([
+        Row(n_nationkey=0, n_name="A", n_regionkey=0),
+        Row(n_nationkey=1, n_name="B", n_regionkey=0),
+        Row(n_nationkey=2, n_name="C", n_regionkey=0)])
+    supplier = spark.createDataFrame([
+        Row(s_suppkey=10, s_name="s10", s_nationkey=0, s_acctbal=0.0),
+        Row(s_suppkey=11, s_name="s11", s_nationkey=1, s_acctbal=0.0),
+        Row(s_suppkey=12, s_name="s12", s_nationkey=2, s_acctbal=0.0)])
+    customer = spark.createDataFrame([
+        Row(c_custkey=1, c_name="c1", c_nationkey=0, c_acctbal=0.0,
+            c_mktsegment="m"),
+        Row(c_custkey=2, c_name="c2", c_nationkey=1, c_acctbal=0.0,
+            c_mktsegment="m")])
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=2, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=_ts(1996, 1, 1), o_orderpriority="x"),
+        Row(o_orderkey=2, o_custkey=1, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=_ts(1996, 1, 1), o_orderpriority="x")])
+    lineitem = spark.createDataFrame([
+        # supp A -> cust B: counted as (A, B)
+        Row(l_orderkey=1, l_suppkey=10, l_extendedprice=100.0,
+            l_discount=0.0, l_shipdate=_ts(1996, 2, 1)),
+        # supp B -> cust B: same nation, dropped
+        Row(l_orderkey=1, l_suppkey=11, l_extendedprice=100.0,
+            l_discount=0.0, l_shipdate=_ts(1996, 2, 1)),
+        # supp B -> cust A: counted as (B, A)
+        Row(l_orderkey=2, l_suppkey=11, l_extendedprice=50.0,
+            l_discount=0.0, l_shipdate=_ts(1997, 2, 1)),
+        # supp C not in the pair: dropped
+        Row(l_orderkey=2, l_suppkey=12, l_extendedprice=50.0,
+            l_discount=0.0, l_shipdate=_ts(1997, 2, 1))])
+    out = relational.volume_shipping(
+        customer, orders, lineitem, supplier, nation,
+        nation_a="A", nation_b="B")
+    rows = {(r.supp_nation, r.cust_nation, r.l_year):
+            (r.n_items, r.volume) for r in out.collect()}
+    assert rows == {("A", "B", 1996): (1, 100.0),
+                    ("B", "A", 1997): (1, 50.0)}
+
+
+def test_important_parts_threshold_exact(spark):
+    # two parts: 999 vs 1 of 1000 total; ppm=1000 keeps only the big one
+    # (1 * 1000 > 1000 is false — strict inequality, integer-exact)
+    lineitem = spark.createDataFrame([
+        Row(l_orderkey=1, l_partkey=1, l_extendedprice=999.0,
+            l_discount=0.0),
+        Row(l_orderkey=1, l_partkey=2, l_extendedprice=1.0,
+            l_discount=0.0)])
+    part = spark.createDataFrame([
+        Row(p_partkey=1, p_name="big"), Row(p_partkey=2, p_name="small")])
+    out = relational.important_parts(lineitem, part, ppm=1000)
+    rows = {r.p_name: r.value for r in out.collect()}
+    assert rows == {"big": 999.0}
+
+
+def test_disjunctive_revenue_branches(spark):
+    part = spark.createDataFrame([
+        Row(p_partkey=1, p_name="a", p_brand="Brand#1", p_type="t",
+            p_size=3, p_retailprice=1.0),
+        Row(p_partkey=2, p_name="b", p_brand="Brand#2", p_type="t",
+            p_size=8, p_retailprice=1.0),
+        Row(p_partkey=3, p_name="c", p_brand="Brand#3", p_type="t",
+            p_size=20, p_retailprice=1.0)])   # size 20 > 15: never matches
+    lineitem = spark.createDataFrame([
+        Row(l_orderkey=1, l_partkey=1, l_quantity=5.0,
+            l_extendedprice=10.0, l_discount=0.0),    # branch 1
+        Row(l_orderkey=1, l_partkey=1, l_quantity=15.0,
+            l_extendedprice=10.0, l_discount=0.0),    # qty out for Brand#1
+        Row(l_orderkey=1, l_partkey=2, l_quantity=15.0,
+            l_extendedprice=20.0, l_discount=0.5),    # branch 2
+        Row(l_orderkey=1, l_partkey=3, l_quantity=25.0,
+            l_extendedprice=99.0, l_discount=0.0)])   # size kills branch 3
+    out = relational.disjunctive_revenue(lineitem, part).collect()[0]
+    assert out.n_items == 2
+    assert out.revenue == 10.0 + 10.0
+
+
+def test_blame_suppliers_exactly_one_late(spark):
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_orderdate=_ts(1996, 1, 1)),
+        Row(o_orderkey=2, o_orderdate=_ts(1996, 1, 1)),
+        Row(o_orderkey=3, o_orderdate=_ts(1996, 1, 1))])
+    supplier = spark.createDataFrame([
+        Row(s_suppkey=10, s_name="s10", s_nationkey=0, s_acctbal=0.0),
+        Row(s_suppkey=11, s_name="s11", s_nationkey=0, s_acctbal=0.0)])
+    on_time = _ts(1996, 1, 15)
+    late = _ts(1996, 6, 1)
+    lineitem = spark.createDataFrame([
+        # order 1: two suppliers, only s10 late -> blame s10
+        Row(l_orderkey=1, l_suppkey=10, l_shipdate=late),
+        Row(l_orderkey=1, l_suppkey=11, l_shipdate=on_time),
+        # order 2: two suppliers BOTH late -> nobody blamed
+        Row(l_orderkey=2, l_suppkey=10, l_shipdate=late),
+        Row(l_orderkey=2, l_suppkey=11, l_shipdate=late),
+        # order 3: single-supplier order -> excluded (n_supp < 2)
+        Row(l_orderkey=3, l_suppkey=10, l_shipdate=late)])
+    out = relational.blame_suppliers(orders, lineitem, supplier)
+    rows = {r.s_name: r.numwait for r in out.collect()}
+    assert rows == {"s10": 1}
+
+
+def test_idle_rich_customers_avg_and_antijoin(spark):
+    # positive balances: 100, 300 -> avg 200; c2 (300) is above it;
+    # c3's negative balance is excluded from the average entirely
+    customer = spark.createDataFrame([
+        Row(c_custkey=1, c_name="c1", c_nationkey=0, c_acctbal=100.0,
+            c_mktsegment="m"),
+        Row(c_custkey=2, c_name="c2", c_nationkey=0, c_acctbal=300.0,
+            c_mktsegment="m"),
+        Row(c_custkey=3, c_name="c3", c_nationkey=0, c_acctbal=-50.0,
+            c_mktsegment="m"),
+        Row(c_custkey=4, c_name="c4", c_nationkey=1, c_acctbal=300.0,
+            c_mktsegment="m")])
+    nation = spark.createDataFrame([
+        Row(n_nationkey=0, n_name="N0", n_regionkey=0),
+        Row(n_nationkey=1, n_name="N1", n_regionkey=0)])
+    orders = spark.createDataFrame([
+        # c4 ordered recently -> not idle; c2 only ordered before cutoff
+        Row(o_orderkey=1, o_custkey=4, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=_ts(2000, 1, 1), o_orderpriority="x"),
+        Row(o_orderkey=2, o_custkey=2, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=_ts(1997, 1, 1), o_orderpriority="x")])
+    out = relational.idle_rich_customers(
+        customer, orders, nation, cutoff="1999-01-01 00:00:00")
+    rows = {r.n_name: (r.numcust, r.totacctbal) for r in out.collect()}
+    assert rows == {"N0": (1, 300.0)}
+
+
+def test_market_share_numerator_subset(spark):
+    region = spark.createDataFrame([Row(r_regionkey=0, r_name="R")])
+    nation = spark.createDataFrame([
+        Row(n_nationkey=0, n_name="TGT", n_regionkey=0),
+        Row(n_nationkey=1, n_name="OTH", n_regionkey=0)])
+    supplier = spark.createDataFrame([
+        Row(s_suppkey=10, s_name="s10", s_nationkey=0, s_acctbal=0.0),
+        Row(s_suppkey=11, s_name="s11", s_nationkey=1, s_acctbal=0.0)])
+    customer = spark.createDataFrame([
+        Row(c_custkey=1, c_name="c1", c_nationkey=1, c_acctbal=0.0,
+            c_mktsegment="m")])
+    part = spark.createDataFrame([
+        Row(p_partkey=1, p_name="p", p_brand="B", p_type="T",
+            p_size=1, p_retailprice=1.0)])
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_custkey=1, o_orderstatus="O", o_totalprice=0.0,
+            o_orderdate=_ts(1996, 1, 1), o_orderpriority="x")])
+    lineitem = spark.createDataFrame([
+        Row(l_orderkey=1, l_partkey=1, l_suppkey=10,
+            l_extendedprice=30.0, l_discount=0.0),
+        Row(l_orderkey=1, l_partkey=1, l_suppkey=11,
+            l_extendedprice=70.0, l_discount=0.0)])
+    out = relational.market_share(
+        customer, orders, lineitem, supplier, nation, region, part,
+        target_nation="TGT", region_name="R", part_type="T").collect()
+    assert len(out) == 1
+    assert out[0].o_year == 1996
+    assert abs(out[0].mkt_share - 0.3) < 1e-12
