@@ -692,6 +692,13 @@ def _q_part_supplier_counts(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_rrf_fusion(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return search.rrf_fusion(
+        corpus.load_documents(spark, sf_dir),
+        corpus.load_embeddings(spark, sf_dir), spark)
+
+
 def _q_volume_shipping(spark, sf_dir):
     return relational.volume_shipping(
         spark.read.parquet(f"{sf_dir}/customer.parquet"),
@@ -1320,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e17_anomaly_days": _q_anomaly_days,
         "h13_local_supplier_volume": _q_local_supplier_volume,
         "h14_part_supplier_counts": _q_part_supplier_counts,
+        "i3_rrf_fusion": _q_rrf_fusion,
         "h15_volume_shipping": _q_volume_shipping,
         "h16_market_share": _q_market_share,
         "h17_product_profit": _q_product_profit,
@@ -1635,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
             relational.local_supplier_volume_oracle_sql(),
         "h14_part_supplier_counts":
             relational.part_supplier_counts_oracle_sql(),
+        "i3_rrf_fusion": search.rrf_fusion_oracle_sql(),
         "h15_volume_shipping": relational.volume_shipping_oracle_sql(),
         "h16_market_share": relational.market_share_oracle_sql(),
         "h17_product_profit": relational.product_profit_oracle_sql(),

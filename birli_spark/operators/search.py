@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from birli_spark.functions import textsql as X
+from birli_spark.operators import similarity as brute_sim
 
 NUM_SHARDS = 8
 
@@ -246,3 +247,75 @@ def clean_index_pipeline_oracle_sql(num_shards: int = NUM_SHARDS) -> str:
              f"({clean_corpus_oracle_sql()}))),\n")
     return inverted_index_oracle_sql(num_shards, table="kept",
                                      extra_ctes=extra)
+
+
+# ------------------------------------------------ I3: hybrid RRF fusion ---
+
+RRF_K = 60
+RRF_CAND = 20
+#: 1/(K+rank) in nanounits — exact BIGINTs, so fused ordering can't flap
+_RRF_SCALE = 1_000_000_000
+
+
+def rrf_fusion(docs: DataFrame, emb: DataFrame, spark, k: int = 10,
+               k_cand: int = RRF_CAND, kconst: int = RRF_K) -> DataFrame:
+    """I3 — hybrid retrieval by **reciprocal-rank fusion** (Cormack et
+    al. 2009): merge the BM25 lexical top-``k_cand`` with the exact
+    cosine vector top-``k_cand`` (doc_id ≙ vec_id for embedded docs) and
+    re-rank by ``Σ 1/(K + rank)``. The standard production hybrid-search
+    shape: two independent candidate generators, one cheap fusion.
+
+    Scale shape: both inputs are already per-query top-k lists —
+    queries × k_cand rows — so the fusion's full-outer join and window
+    re-rank never touch the corpus; the corpus-sized work lives in the
+    two upstream rankers. Partial embedding coverage is the normal case
+    (a doc in only one list just scores one term). RRF contributions are
+    exact nano-ticks (BIGINT), so cross-engine ordering is stable."""
+    lex = (bm25_topk(docs, spark, k=k_cand)
+           .select("query_id", "doc_id", F.col("rank").alias("r_lex")))
+    vec = (brute_sim.brute_topk(emb, k=k_cand, n_queries=4)
+           .select(F.col("qid").alias("query_id"),
+                   F.col("vec_id").alias("doc_id"),
+                   F.col("rank").alias("r_vec")))
+    tick = (f"COALESCE(CAST(ROUND({_RRF_SCALE}.0 / "
+            f"({kconst} + r_lex)) AS BIGINT), CAST(0 AS BIGINT)) + "
+            f"COALESCE(CAST(ROUND({_RRF_SCALE}.0 / "
+            f"({kconst} + r_vec)) AS BIGINT), CAST(0 AS BIGINT))")
+    fused = (lex.join(vec, ["query_id", "doc_id"], "full_outer")
+             .withColumn("ticks", F.expr(tick)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ticks"), F.asc("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank",
+                    F.expr("r_lex IS NOT NULL").alias("from_lex"),
+                    F.expr("r_vec IS NOT NULL").alias("from_vec"),
+                    F.expr(f"CAST(ticks AS DOUBLE) / {_RRF_SCALE}.0")
+                    .alias("rrf")))
+
+
+def rrf_fusion_oracle_sql(k: int = 10, k_cand: int = RRF_CAND,
+                          kconst: int = RRF_K) -> str:
+    from birli_spark.operators.similarity import brute_topk_oracle_sql
+    tick = (f"COALESCE(CAST(ROUND({_RRF_SCALE}.0 / "
+            f"({kconst} + l.rank)) AS BIGINT), CAST(0 AS BIGINT)) + "
+            f"COALESCE(CAST(ROUND({_RRF_SCALE}.0 / "
+            f"({kconst} + v.rank)) AS BIGINT), CAST(0 AS BIGINT))")
+    return f"""
+WITH lex AS (SELECT * FROM ({bm25_topk_oracle_sql(k=k_cand)})),
+vec AS (SELECT * FROM ({brute_topk_oracle_sql(k=k_cand, n_queries=4)})),
+fused AS (
+  SELECT COALESCE(l.query_id, v.qid) AS query_id,
+    COALESCE(l.doc_id, v.vec_id) AS doc_id,
+    l.rank IS NOT NULL AS from_lex,
+    v.rank IS NOT NULL AS from_vec,
+    {tick} AS ticks
+  FROM lex l FULL OUTER JOIN vec v
+    ON l.query_id = v.qid AND l.doc_id = v.vec_id)
+SELECT query_id, doc_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY ticks DESC, doc_id ASC) AS INT) AS rank,
+  from_lex, from_vec,
+  CAST(ticks AS DOUBLE) / {_RRF_SCALE}.0 AS rrf
+FROM fused
+QUALIFY rank <= {k}"""

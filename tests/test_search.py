@@ -88,3 +88,18 @@ def test_clean_index_pipeline_drops_rejects(spark, sf_dir):
             indexed.add(int(entry.split(":")[0]))
     assert indexed <= survivors
     assert len(indexed) == len(survivors)   # every survivor has tokens
+
+
+def test_rrf_fusion_merges_both_lists(spark, sf_dir):
+    from birli_spark.operators import search
+    from birli_spark.sources import corpus
+    out = search.rrf_fusion(
+        corpus.load_documents(spark, sf_dir),
+        corpus.load_embeddings(spark, sf_dir), spark, k=5).toPandas()
+    # 4 shared query ids, k rows each, ranks dense from 1
+    assert set(out["query_id"]) == {0, 1, 2, 3}
+    for qid, grp in out.groupby("query_id"):
+        assert sorted(grp["rank"]) == [1, 2, 3, 4, 5]
+    # a doc in both lists outscores the same ranks singly
+    assert out["rrf"].max() <= 2.0 / 60.0
+    assert (out["from_lex"] | out["from_vec"]).all()
