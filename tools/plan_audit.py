@@ -38,7 +38,14 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            # 1-row node-count cross joins inside the rank recurrence
            "g1_source_pagerank",
            # broadcast hour-list band joins (hours = bounded dim)
-           "sk6_hll_windowed"}
+           "sk6_hll_windowed",
+           # inherits i2's 1-row corpus-total and ann_brute's query-set
+           # broadcast sides
+           "i3_rrf_fusion",
+           # 1-row scalar-aggregate broadcast (global total / global avg)
+           # against a bounded aggregate or dim-scale probe side — the
+           # canonical decorrelated-scalar-subquery plan
+           "h18_important_parts", "h24_idle_rich_customers"}
 
 # Queries where a sort-merge join is the RIGHT plan: both sides scale
 # with the fact/corpus table (per-doc stats joins, anti-join drop sets,
@@ -76,7 +83,10 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           "sk6_hll_windowed",
           # MERGE full-outer join: base and CDC batch both table-scale
           # (bucketing co-locates at 100 TB; no broadcastable side)
-          "m1_upsert"}
+          "m1_upsert",
+          # RRF full-outer fuse of two top-k lists: full outer can't
+          # broadcast in Spark, and both sides are queries x k_cand rows
+          "i3_rrf_fusion"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -110,6 +120,10 @@ HEADLINE = [
     "q1_column_profile", "q2_k_anonymity", "c3b_geometry_phase_centre",
     "m4_incremental_agg",
     "s1d_mwax_gpubox_scan", "s1e_legacy_gpubox_scan", "s3b_metafits_dims",
+    "h15_volume_shipping", "h16_market_share", "h17_product_profit",
+    "h18_important_parts", "h20_top_supplier", "h21_disjunctive_revenue",
+    "h22_excess_suppliers", "h23_blame_suppliers", "h24_idle_rich_customers",
+    "h25_forecast_revenue", "i3_rrf_fusion",
 ]
 
 
