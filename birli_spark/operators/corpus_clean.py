@@ -422,3 +422,111 @@ SELECT source, bin, COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM binned GROUP BY source, bin"""
+
+
+# -------------------------------------------- T26: exact substring dedup ---
+
+SUBSTR_WINDOW = 20   #: duplicated-span detection granularity (tokens)
+
+
+def substring_dedup(docs: DataFrame,
+                    window: int = SUBSTR_WINDOW) -> DataFrame:
+    """T26 — exact duplicated-substring detection (the windowed-hash
+    approximation of Lee et al. 2022's suffix-array "Deduplicating
+    Training Data" recipe): hash every overlapping ``window``-token
+    span, mark spans whose exact text occurs more than once corpus-wide
+    (within-doc repeats count), merge each document's marked windows
+    into maximal duplicated spans, and report per-document span stats →
+    (doc_id, n_tokens, n_dup_windows, n_spans, dup_tokens, max_span,
+    dup_frac).
+
+    Scale shape: the window table is corpus-token-scale — inherent to
+    the algorithm (the suffix array it approximates is too) — but each
+    row is only (doc_id, pos, md5): the frequency aggregate groups on
+    the hash with map-side partials, and duplicate membership returns as
+    a **left-semi join on the same hash key**, so the one expensive
+    shuffle is reused co-partitioned. The island merge (window lag +
+    running sum) runs per document over *duplicated* positions only —
+    sparse on a clean corpus. All outputs are integers except dup_frac
+    (one IEEE division of exact BIGINTs)."""
+    from pyspark.sql import Window as W
+
+    toks = X.toks(X.SPARK)
+    sh = (docs.select(
+            "doc_id",
+            F.posexplode(F.expr(X.shingles(X.SPARK, toks, window)))
+            .alias("pos", "win"))
+          .select("doc_id", "pos", F.md5("win").alias("h")))
+    dup_h = (sh.groupBy("h").agg(F.count("*").alias("cnt"))
+             .filter(F.col("cnt") > 1))
+    dup = sh.join(dup_h, "h", "left_semi")
+    ordw = W.partitionBy("doc_id").orderBy("pos")
+    runw = ordw.rowsBetween(W.unboundedPreceding, W.currentRow)
+    isl = (dup
+           .withColumn("brk", F.expr(
+               f"CASE WHEN lag(pos) OVER (PARTITION BY doc_id "
+               f"ORDER BY pos) IS NULL OR pos - lag(pos) OVER ("
+               f"PARTITION BY doc_id ORDER BY pos) > {window} "
+               f"THEN 1 ELSE 0 END"))
+           .withColumn("island", F.sum("brk").over(runw)))
+    spans = (isl.groupBy("doc_id", "island")
+             .agg(F.count("*").alias("n_wins"),
+                  (F.max("pos") + window - F.min("pos")).alias("span_len")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.sum("n_wins").alias("n_dup_windows"),
+                    F.count("*").alias("n_spans"),
+                    F.sum("span_len").alias("dup_tokens"),
+                    F.max("span_len").alias("max_span")))
+    base = docs.select("doc_id", F.expr(f"size({toks})").alias("n_tokens"))
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("bigint")
+                    .alias("n_dup_windows"),
+                    F.coalesce("n_spans", F.lit(0)).cast("bigint")
+                    .alias("n_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+                    .alias("dup_tokens"),
+                    F.coalesce("max_span", F.lit(0)).cast("bigint")
+                    .alias("max_span"),
+                    F.expr("CASE WHEN n_tokens = 0 THEN 0.0 ELSE "
+                           "CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / "
+                           "CAST(n_tokens AS DOUBLE) END")
+                    .alias("dup_frac")))
+
+
+def substring_dedup_oracle_sql(window: int = SUBSTR_WINDOW) -> str:
+    toks = X.toks(X.DUCK)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, u.i AS pos,
+    md5(array_to_string(({toks})[(u.i + 1):(u.i + {window})], ' ')) AS h
+  FROM documents,
+  LATERAL unnest(generate_series(0, len({toks}) - {window})) AS u(i)),
+dup AS (
+  SELECT doc_id, pos FROM sh
+  WHERE h IN (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1)),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos - prev > {window} THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup)),
+spans AS (
+  SELECT doc_id, island, COUNT(*) AS n_wins,
+    MAX(pos) + {window} - MIN(pos) AS span_len
+  FROM isl GROUP BY doc_id, island),
+per_doc AS (
+  SELECT doc_id, SUM(n_wins) AS n_dup_windows, COUNT(*) AS n_spans,
+    SUM(span_len) AS dup_tokens, MAX(span_len) AS max_span
+  FROM spans GROUP BY doc_id),
+base AS (SELECT doc_id, len({toks}) AS n_tokens FROM documents)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(COALESCE(max_span, 0) AS BIGINT) AS max_span,
+  CASE WHEN b.n_tokens = 0 THEN 0.0 ELSE
+    CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+  END AS dup_frac
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id"""

@@ -173,3 +173,46 @@ def test_market_share_numerator_subset(spark):
     assert len(out) == 1
     assert out[0].o_year == 1996
     assert abs(out[0].mkt_share - 0.3) < 1e-12
+
+
+def test_substring_dedup_span_merge(spark):
+    from pyspark.sql import Row
+    from birli_spark.operators import corpus_clean
+    # doc 1 and doc 2 share the exact 6-token run "a b c d e f"; with
+    # window=3 the duplicated windows at pos 0..3 merge into ONE span of
+    # 6 tokens. doc 3 shares nothing.
+    shared = "a b c d e f"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=shared + " x1 y1 z1", lang="en", source="s",
+            n_chars=0),
+        Row(doc_id=2, text="p2 q2 " + shared, lang="en", source="s",
+            n_chars=0),
+        Row(doc_id=3, text="u3 v3 w3 r3 s3 t3 m3 n3 o3", lang="en",
+            source="s", n_chars=0)])
+    out = {r.doc_id: r for r in
+           corpus_clean.substring_dedup(docs, window=3).collect()}
+    assert out[1].n_spans == 1
+    assert out[1].dup_tokens == 6
+    assert out[1].max_span == 6
+    assert out[1].n_dup_windows == 4          # pos 0,1,2,3
+    assert out[2].n_spans == 1 and out[2].dup_tokens == 6
+    assert out[3].n_spans == 0 and out[3].dup_tokens == 0
+    assert out[3].dup_frac == 0.0
+
+
+def test_substring_dedup_disjoint_spans(spark):
+    from pyspark.sql import Row
+    from birli_spark.operators import corpus_clean
+    # two separated duplicated runs in one doc -> two islands
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c G1 G2 G3 G4 a b c", lang="en",
+            source="s", n_chars=0),
+        Row(doc_id=2, text="a b c Z9 Z8", lang="en", source="s",
+            n_chars=0)])
+    out = {r.doc_id: r for r in
+           corpus_clean.substring_dedup(docs, window=3).collect()}
+    # doc 1: "a b c" at pos 0 and pos 7 duplicated (appears 3x corpus-
+    # wide); gap > window so two spans of 3 tokens each
+    assert out[1].n_spans == 2
+    assert out[1].dup_tokens == 6
+    assert out[1].max_span == 3
