@@ -55,6 +55,11 @@ HEADLINE = [
     "h4_pricing_summary",
     "h5_shipping_priority",
     "sk4_bloom_membership",
+    # round-3 additions: big-big co-keyed decorrelated aggregate (Q21),
+    # hybrid lexical+vector fusion, corpus-token-scale substring dedup
+    "h23_blame_suppliers",
+    "i3_rrf_fusion",
+    "t26_substring_dedup",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1_van_vleck",
