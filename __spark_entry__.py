@@ -692,6 +692,11 @@ def _q_part_supplier_counts(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_theta_pairs(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return sketches.theta_sketch_pairs(corpus.load_documents(spark, sf_dir))
+
+
 def _q_substring_dedup(spark, sf_dir):
     from birli_spark.sources import corpus
     return corpus_clean.substring_dedup(corpus.load_documents(spark, sf_dir))
@@ -1334,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h14_part_supplier_counts": _q_part_supplier_counts,
         "i3_rrf_fusion": _q_rrf_fusion,
         "t26_substring_dedup": _q_substring_dedup,
+        "sk7_theta_pairs": _q_theta_pairs,
         "h15_volume_shipping": _q_volume_shipping,
         "h16_market_share": _q_market_share,
         "h17_product_profit": _q_product_profit,
@@ -1651,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
             relational.part_supplier_counts_oracle_sql(),
         "i3_rrf_fusion": search.rrf_fusion_oracle_sql(),
         "t26_substring_dedup": corpus_clean.substring_dedup_oracle_sql(),
+        "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "h15_volume_shipping": relational.volume_shipping_oracle_sql(),
         "h16_market_share": relational.market_share_oracle_sql(),
         "h17_product_profit": relational.product_profit_oracle_sql(),

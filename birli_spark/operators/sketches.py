@@ -672,3 +672,122 @@ SELECT m.out_hour AS hour, e.exact_distinct,
     ((CAST(m.__lg AS DOUBLE) / {1 << _LC_NBITS}.0) - 20.0)
   ELSE ({_hll_estimate(d, f'({s_total})')}) END AS hll_estimate
 FROM withlg m JOIN exact e USING (out_hour)"""
+
+
+# ----------------------------------- SK7: theta-sketch set algebra ---
+
+THETA_K = 256
+THETA_SHINGLE = 3   #: sketch 3-token shingles (unigram vocab is degenerate)
+
+
+def _theta_hex(d: str, kmins: str, k: int) -> str:
+    """θ of a KMV sketch as a hex string: the k-th minimum hash, or NULL
+    when the sketch holds the entire distinct set (θ = 1)."""
+    nth = (f"element_at({kmins}, {k})" if d == X.SPARK
+           else f"({kmins})[{k}]")
+    return f"CASE WHEN {X.size(d, kmins)} < {k} THEN NULL ELSE {nth} END"
+
+
+def theta_sketch_pairs(docs: DataFrame, k: int = THETA_K) -> DataFrame:
+    """SK7 — pairwise **theta-sketch set algebra** over per-source KMV
+    sketches (the Dasgupta et al. / DataSketches framework): for every
+    source pair, estimate distinct-shingle |A∪B|, |A∩B|, and Jaccard from
+    the two k-minima sketches alone. θ = min(θ_A, θ_B); every retained
+    hash below θ is a uniform sample of the union, so
+    ``est = n_below · SPACE / θ``; when both sketches are exhaustive
+    (fewer than k distinct values), the estimates are exact counts.
+
+    Scale shape: the corpus is touched ONCE to build the per-source
+    sketches (same two-level bucket merge as SK1 — only k-minima cross
+    the shuffle); all pairwise algebra then runs on the |sources|²-row
+    sketch table, i.e. set intersections over 100 TB cost one scan plus
+    a driver-trivial pair join — the exact-side alternative
+    (`d8_cross_source_overlap`) re-shuffles corpus-scale digests per
+    pair family. md5-deterministic, so the oracle checks the estimates
+    themselves."""
+    sh3 = X.shingles(X.SPARK, X.toks(X.SPARK), THETA_SHINGLE)
+    tok = (docs
+           .select("source", F.explode(F.expr(sh3)).alias("t"))
+           .select("source", F.md5("t").alias("h"),
+                   (F.expr(f"instr('{_HEXDIGITS}', substr(md5(t), 1, 1))")
+                    - F.lit(1)).alias("bucket")))
+    stage1 = (tok.groupBy("source", "bucket")
+              .agg(F.expr(f"slice(array_sort(collect_set(h)), 1, {k})")
+                   .alias("ks")))
+    sk = (stage1.groupBy("source")
+          .agg(F.expr(
+              f"slice(array_sort(flatten(collect_list(ks))), 1, {k})")
+              .alias("kmins"))
+          .withColumn("theta", F.expr(_theta_hex(X.SPARK, "kmins", k))))
+    a = sk.select(F.col("source").alias("source_a"),
+                  F.col("kmins").alias("ka"), F.col("theta").alias("ta"))
+    b = sk.select(F.col("source").alias("source_b"),
+                  F.col("kmins").alias("kb"), F.col("theta").alias("tb"))
+    pairs = (a.join(F.broadcast(b),
+                    F.col("source_a") < F.col("source_b"))
+             .withColumn("theta", F.least("ta", "tb")))
+    below = ("CASE WHEN theta IS NULL THEN {arr} "
+             "ELSE filter({arr}, x -> x < theta) END")
+    est = (f"CASE WHEN theta IS NULL THEN CAST({{n}} AS DOUBLE) "
+           f"ELSE CAST({{n}} AS DOUBLE) * {_HEX32_SPACE!r} / "
+           f"GREATEST({_hex32(X.SPARK, 'substr(theta, 1, 8)')}, 1) END")
+    return (pairs
+            .withColumn("ba", F.expr(below.format(arr="ka")))
+            .withColumn("bb", F.expr(below.format(arr="kb")))
+            .withColumn("n_inter", F.expr(
+                "size(filter(ba, x -> array_contains(bb, x)))"))
+            .withColumn("n_union", F.expr(
+                "size(array_distinct(concat(ba, bb)))"))
+            .select("source_a", "source_b", "n_inter", "n_union",
+                    F.expr(est.format(n="n_inter")).alias("est_intersect"),
+                    F.expr(est.format(n="n_union")).alias("est_union"),
+                    F.expr("CASE WHEN n_union = 0 THEN 0.0 ELSE "
+                           "CAST(n_inter AS DOUBLE) / "
+                           "CAST(n_union AS DOUBLE) END")
+                    .alias("est_jaccard")))
+
+
+def theta_sketch_pairs_oracle_sql(k: int = THETA_K) -> str:
+    d = X.DUCK
+    below_a = ("CASE WHEN theta IS NULL THEN ka "
+               "ELSE list_filter(ka, x -> x < theta) END")
+    below_b = ("CASE WHEN theta IS NULL THEN kb "
+               "ELSE list_filter(kb, x -> x < theta) END")
+    est = (f"CASE WHEN theta IS NULL THEN CAST({{n}} AS DOUBLE) "
+           f"ELSE CAST({{n}} AS DOUBLE) * {_HEX32_SPACE!r} / "
+           f"GREATEST({_hex32(d, 'substr(theta, 1, 8)')}, 1) END")
+    return f"""
+WITH tok AS (
+  SELECT source, md5(t) AS h,
+    strpos('{_HEXDIGITS}', substr(md5(t), 1, 1)) - 1 AS bucket
+  FROM (SELECT source,
+          unnest({X.shingles(d, X.toks(d), THETA_SHINGLE)}) AS t
+        FROM documents)),
+stage1 AS (
+  SELECT source, bucket, list_sort(list(DISTINCT h))[1:{k}] AS ks
+  FROM tok GROUP BY source, bucket),
+sk AS (
+  SELECT source, list_sort(flatten(list(ks)))[1:{k}] AS kmins
+  FROM stage1 GROUP BY source),
+sk2 AS (
+  SELECT source, kmins, {_theta_hex(d, 'kmins', k)} AS theta0 FROM sk),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    a.kmins AS ka, b.kmins AS kb, LEAST(a.theta0, b.theta0) AS theta
+  FROM sk2 a JOIN sk2 b ON a.source < b.source),
+filtered AS (
+  SELECT source_a, source_b, theta,
+    {below_a} AS ba, {below_b} AS bb
+  FROM pairs),
+counted AS (
+  SELECT source_a, source_b, theta,
+    len(list_filter(ba, x -> list_contains(bb, x))) AS n_inter,
+    len(list_distinct(list_concat(ba, bb))) AS n_union
+  FROM filtered)
+SELECT source_a, source_b,
+  CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union,
+  {est.format(n='n_inter')} AS est_intersect,
+  {est.format(n='n_union')} AS est_union,
+  CASE WHEN n_union = 0 THEN 0.0 ELSE
+    CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) END AS est_jaccard
+FROM counted"""

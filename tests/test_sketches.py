@@ -185,3 +185,31 @@ def test_hll_windowed_window_is_trailing(spark):
                spark.createDataFrame(rows)).collect()}
     assert out[0] == 1
     assert out[6] == 1   # hour 0 fell out of the trailing window
+
+
+def test_theta_sketch_pairs_exact_when_exhaustive(spark):
+    from pyspark.sql import Row
+    from birli_spark.operators import sketches
+    # tiny docs: sketches hold everything, so estimates are exact set
+    # sizes. doc sources share exactly the shingle "a b c".
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e", lang="en", source="s1", n_chars=0),
+        Row(doc_id=2, text="a b c x y", lang="en", source="s2", n_chars=0)])
+    out = sketches.theta_sketch_pairs(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # s1 shingles: {a b c, b c d, c d e}; s2: {a b c, b c x, c x y}
+    assert r.n_inter == 1 and r.n_union == 5
+    assert r.est_intersect == 1.0 and r.est_union == 5.0
+    assert abs(r.est_jaccard - 0.2) < 1e-12
+
+
+def test_theta_sketch_estimates_track_exact(spark, sf_dir):
+    from birli_spark.operators import sketches
+    from birli_spark.sources import corpus
+    docs = corpus.load_documents(spark, sf_dir)
+    out = sketches.theta_sketch_pairs(docs, k=128).toPandas()
+    assert (out.est_union >= out.est_intersect - 1e-9).all()
+    assert ((out.est_jaccard >= 0) & (out.est_jaccard <= 1)).all()
+    # thresholded sketches must extrapolate beyond the retained minima
+    assert (out.est_union > out.n_union).any()
