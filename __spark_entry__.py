@@ -692,11 +692,22 @@ def _q_part_supplier_counts(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_compaction_plan(spark, sf_dir):
+    from birli_spark.operators import merge
+    from birli_spark.sources import corpus
+    return merge.compaction_plan(corpus.load_events(spark, sf_dir))
+
+
 def _q_stream_theta(spark, sf_dir):
     from birli_spark.streaming import theta as stheta
     updates = stheta.run_available_now(
         spark, sf_dir, _stream_tmp(spark, "q_theta"))
     return stheta.pairs_from_updates(updates)
+
+
+def _compaction_plan_oracle():
+    from birli_spark.operators import merge
+    return merge.compaction_plan_oracle_sql()
 
 
 def _stream_theta_oracle():
@@ -1353,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t26_substring_dedup": _q_substring_dedup,
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
+        "m5_compaction_plan": _q_compaction_plan,
         "h15_volume_shipping": _q_volume_shipping,
         "h16_market_share": _q_market_share,
         "h17_product_profit": _q_product_profit,
@@ -1672,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         "t26_substring_dedup": corpus_clean.substring_dedup_oracle_sql(),
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
+        "m5_compaction_plan": _compaction_plan_oracle(),
         "h15_volume_shipping": relational.volume_shipping_oracle_sql(),
         "h16_market_share": relational.market_share_oracle_sql(),
         "h17_product_profit": relational.product_profit_oracle_sql(),

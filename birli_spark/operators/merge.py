@@ -278,3 +278,77 @@ SELECT f.day_epoch, f.event_type, f.n_events, f.sum_value_cents,
   d.day_epoch IS NOT NULL AS refreshed
 FROM full_agg f LEFT JOIN dirty d
   ON f.day_epoch = d.day_epoch AND f.event_type = d.event_type"""
+
+
+# ------------------------------------- M5: small-file compaction plan ---
+
+COMPACT_TARGET_ROWS = 400
+
+
+def compaction_plan(events: DataFrame,
+                    target_rows: int = COMPACT_TARGET_ROWS) -> DataFrame:
+    """M5 — small-file compaction planning (the OPTIMIZE/rewrite step
+    every lakehouse table needs at 100 TB): treat each event day as one
+    data file of its month partition, and assign files to compaction
+    bins of ~``target_rows`` rows by running-total bucketing in day
+    order — the distributed first-fit approximation (exact bin packing
+    is inherently sequential; cumsum-div is the standard scalable
+    relaxation, same recurrence as sequence packing t24).
+    → (month as yyyymm, bin, n_files, n_rows, first_day,
+    last_day); day is the
+    epoch-day index (the repo's cross-engine timestamp convention).
+
+    Scale shape: the file manifest aggregate is one partial-combined
+    groupBy(day) over the scan — manifest cardinality (files, not rows)
+    crosses the shuffle; the cumsum window partitions by **month**, so
+    no global ordering exists anywhere; the bin rollup keys on the tiny
+    manifest. A real deployment feeds the same plan from the table's
+    file metadata instead of a scan."""
+    from pyspark.sql import Window
+
+    day_us = "CAST(FLOOR((ts div 1000) / 86400000000) AS BIGINT)"
+    manifest = (events
+                .groupBy(
+                    F.expr(f"CAST(year(timestamp_micros({day_us} "
+                           f"* 86400000000)) * 100 + "
+                           f"month(timestamp_micros({day_us} "
+                           f"* 86400000000)) AS INT)").alias("month"),
+                    F.expr(day_us).alias("day"))
+                .agg(F.count("*").alias("n_rows")))
+    w = (Window.partitionBy("month").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = manifest.withColumn(
+        "bin", F.expr(f"CAST(floor((SUM(n_rows) OVER (PARTITION BY month "
+                      f"ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                      f"CURRENT ROW) - 1) / {target_rows}) AS INT)"))
+    _ = w  # documented window shape; SQL window above is the same frame
+    return (binned.groupBy("month", "bin")
+            .agg(F.count("*").alias("n_files"),
+                 F.sum("n_rows").alias("n_rows"),
+                 F.min("day").alias("first_day"),
+                 F.max("day").alias("last_day")))
+
+
+def compaction_plan_oracle_sql(
+        target_rows: int = COMPACT_TARGET_ROWS) -> str:
+    return f"""
+WITH manifest AS (
+  SELECT CAST(year(make_timestamp(
+             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+             * 86400000000)) * 100 +
+           month(make_timestamp(
+             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+             * 86400000000)) AS INT) AS month,
+    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+    COUNT(*) AS n_rows
+  FROM events GROUP BY 1, 2),
+binned AS (
+  SELECT month, day, n_rows,
+    CAST(floor((SUM(n_rows) OVER (PARTITION BY month ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+               / {target_rows}) AS INT) AS bin
+  FROM manifest)
+SELECT month, bin, COUNT(*) AS n_files,
+  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+  MIN(day) AS first_day, MAX(day) AS last_day
+FROM binned GROUP BY month, bin"""

@@ -75,3 +75,27 @@ def test_snapshot_diff_semantics(spark):
     assert out[("s", "removed")].chars_delta == -len("text 11")
     assert out[("s", "added")].chars_delta == len("new text 13")
     assert out[("s", "changed")].chars_delta == 0
+
+
+def test_compaction_plan_bins(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from birli_spark.operators import merge
+    # 3 days in one month with 3, 3, 2 rows; target 4 rows/bin ->
+    # cumsum 3,6,8 -> bins floor((c-1)/4) = 0,1,1
+    def ev(i, day):
+        return Row(event_id=i,
+                   ts=int(datetime.datetime(
+                       2024, 3, day, 12, tzinfo=datetime.timezone.utc)
+                       .timestamp() * 1e9),
+                   user_id=1, event_type="t", value=0.0, props="{}")
+    rows = ([ev(i, 1) for i in range(3)] + [ev(i + 10, 2) for i in range(3)]
+            + [ev(i + 20, 3) for i in range(2)])
+    out = merge.compaction_plan(spark.createDataFrame(rows),
+                                target_rows=4).collect()
+    by_bin = {r.bin: r for r in out}
+    assert by_bin[0].n_files == 1 and by_bin[0].n_rows == 3
+    assert by_bin[1].n_files == 2 and by_bin[1].n_rows == 5
+    assert all(r.month == 202403 for r in out)
