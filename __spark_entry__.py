@@ -692,6 +692,24 @@ def _q_part_supplier_counts(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_bigram_lm(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return text.bigram_lm_bits(corpus.load_documents(spark, sf_dir))
+
+
+def _q_ref_integrity(spark, sf_dir):
+    from birli_spark.operators import profile
+    return profile.referential_integrity(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def _ref_integrity_oracle():
+    from birli_spark.operators import profile
+    return profile.referential_integrity_oracle_sql()
+
+
 def _q_compaction_plan(spark, sf_dir):
     from birli_spark.operators import merge
     from birli_spark.sources import corpus
@@ -1365,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "m5_compaction_plan": _q_compaction_plan,
+        "q3_referential_integrity": _q_ref_integrity,
+        "t27_bigram_lm": _q_bigram_lm,
         "h15_volume_shipping": _q_volume_shipping,
         "h16_market_share": _q_market_share,
         "h17_product_profit": _q_product_profit,
@@ -1685,6 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
         "m5_compaction_plan": _compaction_plan_oracle(),
+        "q3_referential_integrity": _ref_integrity_oracle(),
+        "t27_bigram_lm": text.bigram_lm_bits_oracle_sql(),
         "h15_volume_shipping": relational.volume_shipping_oracle_sql(),
         "h16_market_share": relational.market_share_oracle_sql(),
         "h17_product_profit": relational.product_profit_oracle_sql(),

@@ -126,3 +126,75 @@ SELECT {k} AS k_threshold,
   CAST(SUM(CASE WHEN gsz < {k} THEN gsz ELSE 0 END) * 1000000
        // SUM(gsz) AS BIGINT) AS risky_row_ppm
 FROM g"""
+
+
+# --------------------------- Q3: referential-integrity audit (Deequ-ish) ---
+
+
+def referential_integrity(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame) -> DataFrame:
+    """Q3 — cross-table referential-integrity audit (the Deequ
+    ``isContainedIn`` / constraint-suite shape): orphan counts along the
+    fact chain — lineitems whose order is missing, orders whose customer
+    is missing — plus childless parents (orders with no lineitem), in
+    one unpivoted constraint report → (constraint, n_total, n_violations,
+    violation_ppm).
+
+    Scale shape: each check is an **anti join that ships only the
+    parent's distinct key set** (AQE broadcasts when it fits); counts
+    are map-side partial aggregates; the final report is 3 rows unioned.
+    violation_ppm is an exact integer (violations·1e6 div total) so the
+    report hashes identically cross-engine."""
+    def check(name, child, key_col, parent_keys):
+        viol = child.join(parent_keys, child[key_col] == parent_keys[
+            parent_keys.columns[0]], "left_anti")
+        return (child.agg(F.count("*").alias("n_total"))
+                .crossJoin(viol.agg(F.count("*").alias("n_violations")))
+                .select(F.lit(name).alias("constraint"), "n_total",
+                        "n_violations",
+                        F.expr("CAST(n_violations * 1000000 DIV n_total "
+                               "AS BIGINT)").alias("violation_ppm")))
+    checks = [
+        check("lineitem.orderkey -> orders",
+              lineitem.select("l_orderkey"), "l_orderkey",
+              orders.select("o_orderkey")),
+        check("orders.custkey -> customer",
+              orders.select("o_custkey"), "o_custkey",
+              customer.select("c_custkey")),
+        check("orders without lineitems",
+              orders.select("o_orderkey"), "o_orderkey",
+              lineitem.select("l_orderkey")),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def referential_integrity_oracle_sql() -> str:
+    return """
+SELECT 'lineitem.orderkey -> orders' AS constraint,
+  (SELECT COUNT(*) FROM lineitem) AS n_total,
+  (SELECT COUNT(*) FROM lineitem
+   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    AS n_violations,
+  CAST((SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+       * 1000000 // (SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    AS violation_ppm
+UNION ALL
+SELECT 'orders.custkey -> customer',
+  (SELECT COUNT(*) FROM orders),
+  (SELECT COUNT(*) FROM orders
+   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+       * 1000000 // (SELECT COUNT(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'orders without lineitems',
+  (SELECT COUNT(*) FROM orders),
+  (SELECT COUNT(*) FROM orders
+   WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)),
+  CAST((SELECT COUNT(*) FROM orders
+        WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
+       * 1000000 // (SELECT COUNT(*) FROM orders) AS BIGINT)"""

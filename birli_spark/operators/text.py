@@ -974,3 +974,90 @@ SELECT d.doc_id,
   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
   CAST(COALESCE(s.importance_ticks, 0) AS BIGINT) AS importance_ticks
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
+
+
+def bigram_lm_bits(docs: DataFrame) -> DataFrame:
+    """T27 — corpus-bigram conditional cross-entropy per document
+    (the CCNet-style LM-perplexity quality signal, one modeling step up
+    from T15's unigram): train an add-one-smoothed bigram LM on the
+    corpus itself — ``P(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)`` — and score
+    every doc by average ``-log2 P`` over its bigrams (bits/bigram).
+    → (doc_id, n_bigrams, bits_per_bigram).
+
+    Plan shape at 100 TB: the bigram stream is a narrow flatMap off the
+    scan; the LM is one map-side-combined groupBy down to **bigram-vocab**
+    cardinality; the history counts ``c(w1·)`` re-aggregate FROM the
+    bigram table (vocab-scale, never a second corpus shuffle); scoring
+    re-streams doc bigrams against the broadcast model. Docs with < 2
+    tokens score 0 over 0 bigrams.
+
+    Determinism: both log2s run through the fixed-point chain, per-doc
+    sums are exact BIGINT tick sums, and ``-log2 P`` decomposes as
+    ``ticks(c1+V) − ticks(c2+1)`` — integer subtraction, no float until
+    the final per-doc division."""
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.expr(X.bigrams(X.SPARK, X.toks(X.SPARK)))).alias("bg"))
+    vocab = (docs.select(
+        F.explode(F.expr(X.toks(X.SPARK))).alias("tok"))
+        .filter(F.col("tok") != "").distinct().count())
+    c2 = bg.groupBy("bg").agg(F.count("*").alias("cnt2"))
+    c1 = (c2.withColumn("w1", F.expr("split_part(bg, ' ', 1)"))
+          .groupBy("w1").agg(F.sum("cnt2").alias("cnt1")))
+    t2 = (_log2fix_ticks(c2.withColumn("__c", F.expr("cnt2 + 1")),
+                         "__c", "ticks2")
+          .select("bg", "ticks2"))
+    t1 = (_log2fix_ticks(c1.withColumn("__c", F.expr(f"cnt1 + {vocab}")),
+                         "__c", "ticks1")
+          .select("w1", "ticks1"))
+    model = (t2.withColumn("w1", F.expr("split_part(bg, ' ', 1)"))
+             .join(t1, "w1")
+             .select("bg", (F.col("ticks1") - F.col("ticks2"))
+                     .alias("ticks")))
+    scored = (bg.join(F.broadcast(model), "bg")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("ticks").alias("sum_ticks")))
+    bits = (f"CAST(sum_ticks AS DOUBLE) / CAST(n_bigrams AS DOUBLE) "
+            f"/ CAST({1 << _LM_NBITS} AS DOUBLE)")
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("int")
+                    .alias("n_bigrams"),
+                    F.expr(f"CASE WHEN n_bigrams IS NULL THEN "
+                           f"CAST(0.0 AS FLOAT) ELSE {f32(bits)} END")
+                    .alias("bits_per_bigram")))
+
+
+def bigram_lm_bits_oracle_sql() -> str:
+    d = X.DUCK
+    t2_sql = X.log2fix_duck_sql(
+        "SELECT bg, cnt2 + 1 AS c FROM c2", "c", "ticks2", ["bg"],
+        _LM_NBITS)
+    t1_sql = X.log2fix_duck_sql(
+        "SELECT w1, cnt1 + (SELECT v FROM vocab) AS c FROM c1",
+        "c", "ticks1", ["w1"], _LM_NBITS)
+    bits = (f"CAST(sum_ticks AS DOUBLE) / CAST(n_bigrams AS DOUBLE) "
+            f"/ CAST({1 << _LM_NBITS} AS DOUBLE)")
+    return f"""
+WITH bg AS (
+  SELECT doc_id, unnest({X.bigrams(d, X.toks(d))}) AS bg FROM documents),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest({X.toks(d)}) AS t FROM documents) WHERE t <> ''),
+c2 AS (SELECT bg, COUNT(*) AS cnt2 FROM bg GROUP BY bg),
+c1 AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(cnt2) AS cnt1
+       FROM c2 GROUP BY 1),
+t2 AS ({t2_sql}),
+t1 AS ({t1_sql}),
+model AS (
+  SELECT t2.bg, t1.ticks1 - t2.ticks2 AS ticks
+  FROM t2 JOIN t1 ON split_part(t2.bg, ' ', 1) = t1.w1),
+scored AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(m.ticks) AS sum_ticks
+  FROM bg b JOIN model m USING (bg) GROUP BY b.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(n_bigrams, 0) AS INT) AS n_bigrams,
+  CASE WHEN n_bigrams IS NULL THEN CAST(CAST(0.0 AS FLOAT) AS DOUBLE)
+       ELSE {f32(bits)} END AS bits_per_bigram
+FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)"""

@@ -216,3 +216,42 @@ def test_substring_dedup_disjoint_spans(spark):
     assert out[1].n_spans == 2
     assert out[1].dup_tokens == 6
     assert out[1].max_span == 3
+
+
+def test_referential_integrity_counts(spark):
+    from birli_spark.operators import profile
+    customer = spark.createDataFrame(
+        [Row(c_custkey=1), Row(c_custkey=2)])
+    orders = spark.createDataFrame([
+        Row(o_orderkey=10, o_custkey=1),     # ok, has lineitem
+        Row(o_orderkey=11, o_custkey=99),    # orphan custkey, no lineitem
+    ])
+    lineitem = spark.createDataFrame([
+        Row(l_orderkey=10), Row(l_orderkey=77)])  # 77 orphan
+    out = {r.constraint: r for r in profile.referential_integrity(
+        customer, orders, lineitem).collect()}
+    li = out["lineitem.orderkey -> orders"]
+    assert (li.n_total, li.n_violations, li.violation_ppm) == (2, 1, 500000)
+    oc = out["orders.custkey -> customer"]
+    assert (oc.n_total, oc.n_violations) == (2, 1)
+    ol = out["orders without lineitems"]
+    assert (ol.n_total, ol.n_violations) == (2, 1)
+
+
+def test_bigram_lm_uniform_doc(spark):
+    import math
+
+    from birli_spark.operators import text as textops
+    # one doc "a b a b": bigrams {a b:2, b a:1}; V=2; c1(a)=2, c1(b)=1
+    # P(a b) = (2+1)/(2+2) = 3/4; P(b a) = (1+1)/(1+2) = 2/3
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b a b", lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text="x", lang="en", source="s", n_chars=0)])
+    # doc 2 contributes token x to vocab -> V=3, shifting c1 denominators:
+    # P(a b) = 3/5, P(b a) = 2/4
+    out = {r.doc_id: r for r in textops.bigram_lm_bits(docs).collect()}
+    assert out[2].n_bigrams == 0 and out[2].bits_per_bigram == 0.0
+    got = out[1]
+    assert got.n_bigrams == 3
+    want = -(2 * math.log2(3 / 5) + math.log2(2 / 4)) / 3
+    assert abs(got.bits_per_bigram - want) < 1e-5   # fixed-point vs libm
