@@ -45,7 +45,11 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            # 1-row scalar-aggregate broadcast (global total / global avg)
            # against a bounded aggregate or dim-scale probe side — the
            # canonical decorrelated-scalar-subquery plan
-           "h18_important_parts", "h24_idle_rich_customers"}
+           "h18_important_parts", "h24_idle_rich_customers",
+           # sketch-table pair self-join (|sources| rows, O(k) each) and
+           # 1-row total x violations report joins — bounded by
+           # construction
+           "sk7_theta_pairs", "q3_referential_integrity"}
 
 # Queries where a sort-merge join is the RIGHT plan: both sides scale
 # with the fact/corpus table (per-doc stats joins, anti-join drop sets,
@@ -86,7 +90,13 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           "m1_upsert",
           # RRF full-outer fuse of two top-k lists: full outer can't
           # broadcast in Spark, and both sides are queries x k_cand rows
-          "i3_rrf_fusion"}
+          "i3_rrf_fusion",
+          # duplicated-window membership join-back and orphan-key anti
+          # joins: both sides corpus/fact-scale (AQE demotes when small)
+          "t26_substring_dedup", "q3_referential_integrity",
+          # bigram stream joins the bigram-vocab model; vocab is not
+          # guaranteed broadcast-sized at 100 TB (AQE demotes when it is)
+          "t27_bigram_lm"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -124,6 +134,8 @@ HEADLINE = [
     "h18_important_parts", "h20_top_supplier", "h21_disjunctive_revenue",
     "h22_excess_suppliers", "h23_blame_suppliers", "h24_idle_rich_customers",
     "h25_forecast_revenue", "i3_rrf_fusion",
+    "t26_substring_dedup", "sk7_theta_pairs", "m5_compaction_plan",
+    "q3_referential_integrity", "t27_bigram_lm",
 ]
 
 
