@@ -692,6 +692,17 @@ def _q_part_supplier_counts(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/supplier.parquet"))
 
 
+def _q_triangle_stats(spark, sf_dir):
+    from birli_spark.operators import graph
+    from birli_spark.sources import corpus
+    return graph.triangle_stats(corpus.load_documents(spark, sf_dir))
+
+
+def _triangle_stats_oracle():
+    from birli_spark.operators import graph
+    return graph.triangle_stats_oracle_sql()
+
+
 def _q_bigram_lm(spark, sf_dir):
     from birli_spark.sources import corpus
     return text.bigram_lm_bits(corpus.load_documents(spark, sf_dir))
@@ -1385,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_compaction_plan": _q_compaction_plan,
         "q3_referential_integrity": _q_ref_integrity,
         "t27_bigram_lm": _q_bigram_lm,
+        "g2_triangle_stats": _q_triangle_stats,
         "h15_volume_shipping": _q_volume_shipping,
         "h16_market_share": _q_market_share,
         "h17_product_profit": _q_product_profit,
@@ -1707,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "m5_compaction_plan": _compaction_plan_oracle(),
         "q3_referential_integrity": _ref_integrity_oracle(),
         "t27_bigram_lm": text.bigram_lm_bits_oracle_sql(),
+        "g2_triangle_stats": _triangle_stats_oracle(),
         "h15_volume_shipping": relational.volume_shipping_oracle_sql(),
         "h16_market_share": relational.market_share_oracle_sql(),
         "h17_product_profit": relational.product_profit_oracle_sql(),

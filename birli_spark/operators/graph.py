@@ -122,3 +122,79 @@ ranks_0 AS (
 SELECT r.source, r.r AS rank_ticks,
   COALESCE(o.n_out, 0) AS n_out, COALESCE(o.out_w, 0) AS out_w
 FROM ranks_{iters} r LEFT JOIN outw o ON r.source = o.src"""
+
+
+def triangle_stats(docs: DataFrame,
+                   n: int = OVERLAP_SHINGLE_N) -> DataFrame:
+    """G2 — per-node triangle participation and local clustering
+    coefficient over the source-overlap graph (the node-iterator /
+    wedge-check algorithm — the canonical distributed triangle count):
+    for every source, its degree, the number of triangles through it,
+    and ``2T / (d(d−1))`` → (source, degree, n_triangles,
+    clustering_coeff).
+
+    Scale shape: the expensive part is the wedge join — u's neighbor
+    list squared. At web scale the standard mitigation is degree
+    ordering (count each triangle only at its lowest-degree corner); on
+    the bounded source graph the symmetric wedge join + canonical-edge
+    semi join is one broadcast-sized self-join chain. Nodes without
+    edges surface with zeros via the left join; the coefficient is one
+    IEEE division of exact integers."""
+    from birli_spark.operators.dedup import cross_source_overlap
+    ov = cross_source_overlap(docs, n).select(
+        F.col("source_a").alias("a"), F.col("source_b").alias("b"))
+    und = ov.unionByName(ov.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    wedges = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+              .join(und.select(F.col("a").alias("u"),
+                               F.col("b").alias("w")), "u")
+              .filter(F.col("v") < F.col("w")))
+    tri = (wedges.join(ov.select(F.col("a").alias("v"),
+                                 F.col("b").alias("w")), ["v", "w"],
+                       "left_semi")
+           .groupBy("u").agg(F.count("*").alias("n_triangles")))
+    deg = und.groupBy(F.col("a").alias("u")).agg(
+        F.count("*").alias("degree"))
+    nodes = docs.select(F.col("source").alias("u")).distinct()
+    return (nodes.join(deg, "u", "left").join(tri, "u", "left")
+            .select(F.col("u").alias("source"),
+                    F.coalesce("degree", F.lit(0)).cast("int")
+                    .alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("int")
+                    .alias("n_triangles"),
+                    F.expr("CASE WHEN COALESCE(degree, 0) < 2 THEN 0.0 "
+                           "ELSE 2.0 * CAST(COALESCE(n_triangles, 0) "
+                           "AS DOUBLE) / (CAST(degree AS DOUBLE) * "
+                           "CAST(degree - 1 AS DOUBLE)) END")
+                    .alias("clustering_coeff")))
+
+
+def triangle_stats_oracle_sql(n: int = OVERLAP_SHINGLE_N) -> str:
+    from birli_spark.operators.dedup import cross_source_overlap_oracle_sql
+    return f"""
+WITH ov AS (
+  SELECT source_a AS a, source_b AS b
+  FROM ({cross_source_overlap_oracle_sql(n)})),
+und AS (SELECT a, b FROM ov UNION ALL SELECT b, a FROM ov),
+wedges AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1 JOIN und e2 ON e1.a = e2.a
+  WHERE e1.b < e2.b),
+tri AS (
+  SELECT u, COUNT(*) AS n_triangles
+  FROM wedges
+  WHERE EXISTS (SELECT 1 FROM ov WHERE ov.a = wedges.v
+                AND ov.b = wedges.w)
+  GROUP BY u),
+deg AS (SELECT a AS u, COUNT(*) AS degree FROM und GROUP BY a),
+nodes AS (SELECT DISTINCT source AS u FROM documents)
+SELECT nodes.u AS source,
+  CAST(COALESCE(degree, 0) AS INT) AS degree,
+  CAST(COALESCE(n_triangles, 0) AS INT) AS n_triangles,
+  CASE WHEN COALESCE(degree, 0) < 2 THEN 0.0
+       ELSE 2.0 * CAST(COALESCE(n_triangles, 0) AS DOUBLE)
+            / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE)) END
+    AS clustering_coeff
+FROM nodes
+LEFT JOIN deg ON nodes.u = deg.u
+LEFT JOIN tri ON nodes.u = tri.u"""

@@ -48,3 +48,32 @@ def test_pagerank_deterministic(spark):
     a = sorted(map(tuple, graph.source_pagerank(docs).collect()))
     b = sorted(map(tuple, graph.source_pagerank(docs).collect()))
     assert a == b
+
+
+def test_triangle_stats_constructed(spark):
+    from pyspark.sql import Row
+
+    from birli_spark.operators import graph
+    # Sources A,B,C share one exact 8-token shingle pairwise (triangle);
+    # D overlaps only A (pendant edge); E is isolated.
+    shared = "t1 t2 t3 t4 t5 t6 t7 t8"
+    ab = "u1 u2 u3 u4 u5 u6 u7 u8"
+
+    def doc(i, src, text):
+        return Row(doc_id=i, text=text, lang="en", source=src, n_chars=0)
+    docs = spark.createDataFrame([
+        doc(1, "A", shared + " xa xb xc"),
+        doc(2, "B", shared + " ya yb yc"),
+        doc(3, "C", shared + " za zb zc"),
+        doc(4, "D", ab + " qa qb qc"),
+        doc(5, "A", ab + " ra rb rc"),
+        doc(6, "E", "e1 e2 e3 e4 e5 e6 e7"),
+    ])
+    out = {r.source: r for r in graph.triangle_stats(docs).collect()}
+    assert out["A"].degree == 3 and out["A"].n_triangles == 1
+    assert out["B"].n_triangles == 1 and out["C"].n_triangles == 1
+    assert out["D"].degree == 1 and out["D"].n_triangles == 0
+    assert out["E"].degree == 0 and out["E"].clustering_coeff == 0.0
+    # A: 1 triangle over C(3,2)=3 possible wedges -> coeff 1/3
+    assert abs(out["A"].clustering_coeff - 1 / 3) < 1e-12
+    assert out["B"].clustering_coeff == 1.0

@@ -49,7 +49,9 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            # sketch-table pair self-join (|sources| rows, O(k) each) and
            # 1-row total x violations report joins — bounded by
            # construction
-           "sk7_theta_pairs", "q3_referential_integrity"}
+           "sk7_theta_pairs", "q3_referential_integrity",
+           # wedge self-join over the bounded source-overlap edge list
+           "g2_triangle_stats"}
 
 # Queries where a sort-merge join is the RIGHT plan: both sides scale
 # with the fact/corpus table (per-doc stats joins, anti-join drop sets,
@@ -96,7 +98,10 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           "t26_substring_dedup", "q3_referential_integrity",
           # bigram stream joins the bigram-vocab model; vocab is not
           # guaranteed broadcast-sized at 100 TB (AQE demotes when it is)
-          "t27_bigram_lm"}
+          "t27_bigram_lm",
+          # wedge join: both sides are the edge list (graph-scale, not a
+          # dim; degree-ordering bounds it at web scale, AQE demotes here)
+          "g2_triangle_stats"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -135,7 +140,7 @@ HEADLINE = [
     "h22_excess_suppliers", "h23_blame_suppliers", "h24_idle_rich_customers",
     "h25_forecast_revenue", "i3_rrf_fusion",
     "t26_substring_dedup", "sk7_theta_pairs", "m5_compaction_plan",
-    "q3_referential_integrity", "t27_bigram_lm",
+    "q3_referential_integrity", "t27_bigram_lm", "g2_triangle_stats",
 ]
 
 
