@@ -116,3 +116,19 @@ def test_real_obs_pipeline_example(tmp_path, spark):
     assert mat.shape == (4 * 8256, 2)
     # quack time (0.5 s) flags the first timestep -> first nbl rows set
     assert mat[:8256].all()
+
+
+def test_pretrain_data_pipeline_example(spark, tmp_path):
+    import runpy
+    import sys
+    sys.modules.pop("examples.pretrain_data_pipeline", None)
+    mod = runpy.run_path("examples/pretrain_data_pipeline.py")
+    stats = mod["main"]("/root/testdata/sf0.001", str(tmp_path))
+    assert 0 < stats["n_out"] < stats["n_in"]
+    assert stats["n_sequences"] > 0
+    out = spark.read.parquet(str(tmp_path / "curated"))
+    assert out.count() == stats["n_out"]
+    rep = spark.read.parquet(str(tmp_path / "survival_report"))
+    rows = {r.source: (r.n_docs, r.n_kept) for r in rep.collect()}
+    assert sum(n for n, _ in rows.values()) == stats["n_in"]
+    assert sum(k for _, k in rows.values()) == stats["n_out"]
