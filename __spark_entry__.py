@@ -830,6 +830,21 @@ def _q_idle_rich_customers(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/nation.parquet"))
 
 
+def _q_min_cost_supplier(spark, sf_dir):
+    return relational.min_cost_supplier(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"))
+
+
+def _q_priority_lateness(spark, sf_dir):
+    return relational.priority_lateness(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
 def _q_forecast_revenue(spark, sf_dir):
     return relational.forecast_revenue(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
@@ -1407,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h23_blame_suppliers": _q_blame_suppliers,
         "h24_idle_rich_customers": _q_idle_rich_customers,
         "h25_forecast_revenue": _q_forecast_revenue,
+        "h19_min_cost_supplier": _q_min_cost_supplier,
+        "h26_priority_lateness": _q_priority_lateness,
         "t23_segment_dedup": _q_segment_dedup,
         "s6_jsonl_roundtrip": _q_jsonl_roundtrip,
         "q1_column_profile": _q_column_profile,
@@ -1732,6 +1749,8 @@ def oracle_sql() -> dict[str, str]:
         "h24_idle_rich_customers":
             relational.idle_rich_customers_oracle_sql(),
         "h25_forecast_revenue": relational.forecast_revenue_oracle_sql(),
+        "h19_min_cost_supplier": relational.min_cost_supplier_oracle_sql(),
+        "h26_priority_lateness": relational.priority_lateness_oracle_sql(),
         "t23_segment_dedup": corpus_clean.segment_dedup_oracle_sql(),
         "s6_jsonl_roundtrip": _jsonl_roundtrip_oracle(),
         "q1_column_profile": _profile_oracles()[0],

@@ -1175,3 +1175,119 @@ WHERE l_shipdate >= TIMESTAMP '{start}'
   AND l_quantity < {max_qty}
   AND CAST(ROUND(l_discount * 100.0) AS BIGINT)
       BETWEEN {disc_lo} AND {disc_hi}"""
+
+
+# ---------------------------------------------------------------- Q2 (H19) ---
+
+
+def min_cost_supplier(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame, part: DataFrame,
+                      region_name: str = "ASIA", part_size: int = 10
+                      ) -> DataFrame:
+    """H19 — the TPC-H Q2 shape: for each part of one size class, the
+    region's supplier(s) offering the minimum observed unit price — the
+    classic **correlated-min subquery decorrelated** into a per-part
+    aggregate plus an equality join-back (ties all surface). Unit price
+    stands in for the absent partsupp supplycost: the minimum
+    ``round(extendedprice·100/quantity)`` cents each supplier ever
+    quoted for the part.
+
+    Scale shape: part prunes by size at the scan (broadcast); the
+    region's supplier set collapses via the dim chain BEFORE touching
+    lineitem; the per-(part, supplier) and per-part minima are
+    partial-aggregated integer cents, so the equality join-back is
+    exact. Output keys on the pruned part class."""
+    pdim = part.filter(F.col("p_size") == part_size) \
+               .select("p_partkey", "p_name")
+    sdim = (supplier
+            .join(F.broadcast(nation),
+                  supplier["s_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region.filter(F.col("r_name") == region_name)),
+                  nation["n_regionkey"] == region["r_regionkey"])
+            .select("s_suppkey", "s_name", "n_name"))
+    cents = ("CAST(ROUND(l_extendedprice * 100.0 / l_quantity) AS BIGINT)")
+    quotes = (lineitem
+              .join(F.broadcast(pdim),
+                    lineitem["l_partkey"] == pdim["p_partkey"])
+              .join(F.broadcast(sdim),
+                    lineitem["l_suppkey"] == sdim["s_suppkey"])
+              .groupBy("p_partkey", "p_name", "s_suppkey", "s_name",
+                       "n_name")
+              .agg(F.min(F.expr(cents)).alias("unit_cents")))
+    best = (quotes.groupBy(F.col("p_partkey").alias("pk"))
+            .agg(F.min("unit_cents").alias("best_cents")))
+    return (quotes.join(F.broadcast(best),
+                        (quotes["p_partkey"] == best["pk"])
+                        & (quotes["unit_cents"] == best["best_cents"]))
+            .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+                    (F.col("unit_cents") / F.lit(100.0)).alias("unit_price")))
+
+
+def min_cost_supplier_oracle_sql(region_name: str = "ASIA",
+                                 part_size: int = 10) -> str:
+    cents = "CAST(ROUND(l_extendedprice * 100.0 / l_quantity) AS BIGINT)"
+    return f"""
+WITH quotes AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+    MIN({cents}) AS unit_cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = {part_size} AND r_name = '{region_name}'
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+  unit_cents / 100.0 AS unit_price
+FROM quotes q
+WHERE unit_cents = (SELECT MIN(unit_cents) FROM quotes q2
+                    WHERE q2.p_partkey = q.p_partkey)"""
+
+
+# --------------------------------------------------------------- Q12 (H26) ---
+
+_Q12_START = "1996-01-01 00:00:00"
+_Q12_END = "1997-01-01 00:00:00"
+
+
+def priority_lateness(orders: DataFrame, lineitem: DataFrame,
+                      start: str = _Q12_START, end: str = _Q12_END,
+                      late_days: int = 60) -> DataFrame:
+    """H26 — the TPC-H Q12 shape: per lateness class (this schema's
+    stand-in for Q12's ship mode), how many line items belong to
+    high- vs low-priority orders — the **two-way conditional count over
+    one big-big join**, both CASE sums computed in the same aggregate
+    pass.
+
+    Scale shape: the ship-year filter prunes the lineitem scan; the
+    co-keyed orders join carries only (orderkey, orderdate, priority);
+    the rollup keys on 2 lateness classes."""
+    late = (f"CASE WHEN l_shipdate > o_orderdate + INTERVAL {late_days} DAY"
+            f" THEN 'LATE' ELSE 'ONTIME' END")
+    high = ("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END")
+    li = lineitem.filter(F.expr(
+        f"l_shipdate >= TIMESTAMP '{start}' "
+        f"AND l_shipdate < TIMESTAMP '{end}'"))
+    return (li.join(orders.select("o_orderkey", "o_orderdate",
+                                  "o_orderpriority"),
+                    li["l_orderkey"] == F.col("o_orderkey"))
+            .groupBy(F.expr(late).alias("lateness"))
+            .agg(F.sum(F.expr(high)).alias("high_line_count"),
+                 F.sum(F.expr(f"1 - ({high})")).alias("low_line_count")))
+
+
+def priority_lateness_oracle_sql(start: str = _Q12_START,
+                                 end: str = _Q12_END,
+                                 late_days: int = 60) -> str:
+    high = ("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END")
+    return f"""
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL {late_days} DAY
+       THEN 'LATE' ELSE 'ONTIME' END AS lateness,
+  CAST(SUM({high}) AS BIGINT) AS high_line_count,
+  CAST(SUM(1 - ({high})) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{start}'
+  AND l_shipdate < TIMESTAMP '{end}'
+GROUP BY 1"""

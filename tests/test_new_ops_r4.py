@@ -255,3 +255,50 @@ def test_bigram_lm_uniform_doc(spark):
     assert got.n_bigrams == 3
     want = -(2 * math.log2(3 / 5) + math.log2(2 / 4)) / 3
     assert abs(got.bits_per_bigram - want) < 1e-5   # fixed-point vs libm
+
+
+def test_min_cost_supplier_ties_and_min(spark):
+    region = spark.createDataFrame([Row(r_regionkey=0, r_name="R")])
+    nation = spark.createDataFrame([
+        Row(n_nationkey=0, n_name="N0", n_regionkey=0),
+        Row(n_nationkey=1, n_name="N1", n_regionkey=1)])  # out of region
+    supplier = spark.createDataFrame([
+        Row(s_suppkey=10, s_name="s10", s_nationkey=0, s_acctbal=0.0),
+        Row(s_suppkey=11, s_name="s11", s_nationkey=0, s_acctbal=0.0),
+        Row(s_suppkey=12, s_name="s12", s_nationkey=1, s_acctbal=0.0)])
+    part = spark.createDataFrame([
+        Row(p_partkey=1, p_name="p1", p_brand="B", p_type="T", p_size=5,
+            p_retailprice=1.0)])
+    lineitem = spark.createDataFrame([
+        # s10 quotes 2.00 then 1.50 -> min 1.50
+        Row(l_orderkey=1, l_partkey=1, l_suppkey=10, l_quantity=2.0,
+            l_extendedprice=4.0),
+        Row(l_orderkey=2, l_partkey=1, l_suppkey=10, l_quantity=2.0,
+            l_extendedprice=3.0),
+        # s11 quotes 1.50 -> ties with s10 at the minimum
+        Row(l_orderkey=3, l_partkey=1, l_suppkey=11, l_quantity=4.0,
+            l_extendedprice=6.0),
+        # s12 cheapest of all but out of region -> never seen
+        Row(l_orderkey=4, l_partkey=1, l_suppkey=12, l_quantity=10.0,
+            l_extendedprice=1.0)])
+    out = relational.min_cost_supplier(
+        lineitem, supplier, nation, region, part,
+        region_name="R", part_size=5).collect()
+    got = {(r.s_name, r.unit_price) for r in out}
+    assert got == {("s10", 1.5), ("s11", 1.5)}
+
+
+def test_priority_lateness_two_way_counts(spark):
+    orders = spark.createDataFrame([
+        Row(o_orderkey=1, o_orderdate=_ts(1996, 1, 1),
+            o_orderpriority="1-URGENT"),
+        Row(o_orderkey=2, o_orderdate=_ts(1996, 1, 1),
+            o_orderpriority="5-LOW")])
+    lineitem = spark.createDataFrame([
+        Row(l_orderkey=1, l_shipdate=_ts(1996, 6, 1)),   # late, high
+        Row(l_orderkey=1, l_shipdate=_ts(1996, 1, 10)),  # ontime, high
+        Row(l_orderkey=2, l_shipdate=_ts(1996, 7, 1)),   # late, low
+        Row(l_orderkey=2, l_shipdate=_ts(1999, 1, 1))])  # outside window
+    out = {r.lateness: (r.high_line_count, r.low_line_count)
+           for r in relational.priority_lateness(orders, lineitem).collect()}
+    assert out == {"LATE": (1, 1), "ONTIME": (1, 0)}

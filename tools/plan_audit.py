@@ -101,7 +101,9 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           "t27_bigram_lm",
           # wedge join: both sides are the edge list (graph-scale, not a
           # dim; degree-ordering bounds it at web scale, AQE demotes here)
-          "g2_triangle_stats"}
+          "g2_triangle_stats",
+          # co-keyed fact join (orders x lineitem)
+          "h26_priority_lateness"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -141,6 +143,7 @@ HEADLINE = [
     "h25_forecast_revenue", "i3_rrf_fusion",
     "t26_substring_dedup", "sk7_theta_pairs", "m5_compaction_plan",
     "q3_referential_integrity", "t27_bigram_lm", "g2_triangle_stats",
+    "h19_min_cost_supplier", "h26_priority_lateness",
 ]
 
 
