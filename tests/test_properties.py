@@ -173,3 +173,45 @@ def test_shingle_count_invariant(spark, tokens):
     exp = sorted({" ".join(tokens[i:i + n])
                   for i in range(max(0, len(tokens) - n + 1))})
     assert got == exp
+
+
+# ------------------------------------------------- substring dedup (T26) ---
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.sampled_from("ab"), min_size=1, max_size=30),
+       st.integers(min_value=2, max_value=5))
+def test_substring_dedup_span_invariants(spark, letters, window):
+    """Spans never exceed the doc, never overlap (merged), and a doc
+    paired with its exact copy is 100% duplicated."""
+    from pyspark.sql import Row
+
+    from birli_spark.operators import corpus_clean
+    text = " ".join(letters)
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=text, lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text=text, lang="en", source="s", n_chars=0)])
+    out = {r.doc_id: r for r in
+           corpus_clean.substring_dedup(docs, window=window).collect()}
+    for r in out.values():
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.max_span <= r.dup_tokens
+        if r.n_tokens >= window:
+            # the whole doc is one duplicated run (exact copy exists)
+            assert r.dup_tokens == r.n_tokens
+            assert r.n_spans == 1
+        else:
+            assert r.dup_tokens == 0
+
+
+# ------------------------------------------------------- theta sketch (SK7) ---
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=8, max_value=64))
+def test_theta_pairs_bounds(spark, sf_dir, k):
+    from birli_spark.operators import sketches
+    from birli_spark.sources import corpus
+    docs = corpus.load_documents(spark, sf_dir).filter("doc_id < 60")
+    out = sketches.theta_sketch_pairs(docs, k=k).toPandas()
+    assert (out.n_inter <= out.n_union).all()
+    assert (out.est_intersect <= out.est_union + 1e-9).all()
+    assert ((out.est_jaccard >= 0) & (out.est_jaccard <= 1)).all()
