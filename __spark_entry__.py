@@ -749,6 +749,12 @@ def _q_theta_pairs(spark, sf_dir):
     return sketches.theta_sketch_pairs(corpus.load_documents(spark, sf_dir))
 
 
+def _q_leakage_split(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return corpus_clean.leakage_safe_split(
+        corpus.load_documents(spark, sf_dir))
+
+
 def _q_substring_dedup(spark, sf_dir):
     from birli_spark.sources import corpus
     return corpus_clean.substring_dedup(corpus.load_documents(spark, sf_dir))
@@ -1406,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h14_part_supplier_counts": _q_part_supplier_counts,
         "i3_rrf_fusion": _q_rrf_fusion,
         "t26_substring_dedup": _q_substring_dedup,
+        "t28_leakage_safe_split": _q_leakage_split,
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "m5_compaction_plan": _q_compaction_plan,
@@ -1731,6 +1738,8 @@ def oracle_sql() -> dict[str, str]:
             relational.part_supplier_counts_oracle_sql(),
         "i3_rrf_fusion": search.rrf_fusion_oracle_sql(),
         "t26_substring_dedup": corpus_clean.substring_dedup_oracle_sql(),
+        "t28_leakage_safe_split":
+            corpus_clean.leakage_safe_split_oracle_sql(),
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
         "m5_compaction_plan": _compaction_plan_oracle(),

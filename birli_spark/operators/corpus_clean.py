@@ -530,3 +530,43 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
     CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
   END AS dup_frac
 FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id"""
+
+
+# --------------------------------------- T28: leakage-safe dataset split ---
+
+SPLIT_TRAIN_HEX = "c0000000"   # 0.75 of the 32-bit hash space
+SPLIT_VAL_HEX = "e0000000"     # next 0.125; remainder = test
+
+
+def leakage_safe_split(docs: DataFrame,
+                       threshold: float = 0.5) -> DataFrame:
+    """T28 — leakage-safe train/val/test split: assign each document a
+    split by hashing its **near-dup cluster id** (D6's transitive
+    MinHash-LSH components), never its own id — so a document and its
+    near-duplicates can never straddle train and test (the eval-leakage
+    failure mode a doc-id hash split silently has).
+    → (doc_id, cluster_id, split).
+
+    Scale shape: the expensive part IS D6 (dup-subgraph label
+    propagation); the split itself is a pure projection on the
+    assignment — deterministic md5 bucketing, no RNG, reproducible
+    under repartitioning. Fractions are hex-space thresholds
+    (0.75 / 0.125 / 0.125)."""
+    asg = dedup.neardup_clusters(docs, threshold) \
+               .select("doc_id", "cluster_id")
+    bucket = "substring(md5(CAST(cluster_id AS STRING)), 1, 8)"
+    return asg.select(
+        "doc_id", "cluster_id",
+        F.expr(f"CASE WHEN {bucket} < '{SPLIT_TRAIN_HEX}' THEN 'train' "
+               f"WHEN {bucket} < '{SPLIT_VAL_HEX}' THEN 'val' "
+               f"ELSE 'test' END").alias("split"))
+
+
+def leakage_safe_split_oracle_sql(threshold: float = 0.5) -> str:
+    bucket = "substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)"
+    return f"""
+SELECT doc_id, cluster_id,
+  CASE WHEN {bucket} < '{SPLIT_TRAIN_HEX}' THEN 'train'
+       WHEN {bucket} < '{SPLIT_VAL_HEX}' THEN 'val'
+       ELSE 'test' END AS split
+FROM ({dedup.neardup_clusters_oracle_sql(threshold)})"""

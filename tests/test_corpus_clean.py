@@ -131,3 +131,20 @@ def test_domain_mix_plan_flattens_skew(spark):
     # head downsamples, tail keeps everything
     assert out["head"].rate_ppm < 1_000_000
     assert out["tail"].rate_ppm == 1_000_000
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from birli_spark.operators import corpus_clean
+    from birli_spark.sources import corpus
+    out = corpus_clean.leakage_safe_split(
+        corpus.load_documents(spark, sf_dir))
+    per_cluster = (out.groupBy("cluster_id")
+                   .agg(F.countDistinct("split").alias("n_splits"),
+                        F.count("*").alias("n")))
+    rows = per_cluster.collect()
+    assert all(r.n_splits == 1 for r in rows)          # no straddling
+    assert any(r.n > 1 for r in rows)                  # real clusters exist
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert "train" in splits and len(splits) >= 2
