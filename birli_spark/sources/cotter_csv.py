@@ -71,8 +71,9 @@ def read_cotter_uvfits_csv(spark: SparkSession, path: str,
         ant2 = blc % 256 - 1
         sign = -1.0 if conjugate else 1.0
         pv = {p: vis[(jd, blc, p)] for p in POL_ORDER}
-        wts = wt[(jd, blc, "xx")]
-        nch = len(wts)
+        nch = len(pv["xx"])
+        # pyuvdata dumps carry no weight rows — default unflagged 1.0
+        wts = wt.get((jd, blc, "xx"), np.ones(nch))
         for c in range(nch):
             rows.append((
                 t, blc, ant1, ant2, c,
