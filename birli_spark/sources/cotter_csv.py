@@ -66,6 +66,9 @@ def read_cotter_uvfits_csv(spark: SparkSession, path: str,
     t_of = {j: i for i, j in enumerate(jds)}
     rows = []
     for (jd, blc), (u, v, w) in sorted(uvw.items()):
+        if any((jd, blc, p) not in vis for p in POL_ORDER):
+            # row-limited dumps truncate mid-baseline — skip partials
+            continue
         t = t_of[jd]
         ant1 = blc // 256 - 1
         ant2 = blc % 256 - 1
