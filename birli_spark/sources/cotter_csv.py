@@ -96,3 +96,49 @@ def chan0_freq_hz(primary: dict) -> float:
     return (float(primary["FREQCENT"]) * 1e6
             - (int(primary["NCHANS"]) // 2)
             * float(primary["FINECHAN"]) * 1e3)
+
+
+def read_cotter_ms_csv(spark: SparkSession, path: str,
+                       n_fine_per_coarse: int = 32) -> DataFrame:
+    """Long-format DataFrame of a Cotter MS dump
+    (tests/data/casa_dump_ms.py format: time, ant1, ant2, u, v, w, type,
+    pol, chans…; ant indices 0-based). Keeps the dump's own convention
+    (no conjugation — used for dump-vs-dump operator validation).
+    Emits (cc, fc) from the global channel for the coarse-keyed dims."""
+    vis: dict = {}
+    wt: dict = {}
+    with open(path) as f:
+        r = csv.reader(f)
+        next(r)
+        for row in r:
+            key = (float(row[0]), int(row[1]), int(row[2]),
+                   row[7].strip())
+            typ = row[6].strip()
+            if typ == "vis":
+                vis[key] = np.array([complex(v.strip()) for v in row[8:]])
+            elif typ == "weight":
+                wt[key] = np.array([float(v) for v in row[8:]])
+    blts = sorted({k[:3] for k in vis})
+    rows = []
+    for (tm, a1, a2) in blts:
+        pv = {p: vis.get((tm, a1, a2, p)) for p in POL_ORDER}
+        if any(v is None for v in pv.values()):
+            continue
+        nch = len(pv["xx"])
+        wts = wt.get((tm, a1, a2, "xx"), np.ones(nch))
+        for c in range(nch):
+            rows.append((
+                0, a1 * 256 + a2, a1, a2, c,
+                c // n_fine_per_coarse, c % n_fine_per_coarse,
+                float(pv["xx"][c].real), float(pv["xx"][c].imag),
+                float(pv["xy"][c].real), float(pv["xy"][c].imag),
+                float(pv["yx"][c].real), float(pv["yx"][c].imag),
+                float(pv["yy"][c].real), float(pv["yy"][c].imag),
+                float(wts[c]), bool(wts[c] < 0)))
+    return spark.createDataFrame(rows, MS_SCHEMA)
+
+
+MS_SCHEMA = ("t int, bl int, ant1 int, ant2 int, chan int, cc int, fc int, "
+             "xx_re float, xx_im float, xy_re float, xy_im float, "
+             "yx_re float, yx_im float, yy_re float, yy_im float, "
+             "weight float, flag boolean")

@@ -216,3 +216,41 @@ def test_cable_then_geometry_matches_corrected_golden(spark, ctx, none_df):
         a, b = got[c].to_numpy(float), want[c].to_numpy(float)
         assert np.allclose(a, b, rtol=2e-5, atol=2e-2), (
             c, float(np.abs(a - b).max()))
+
+
+NOPFB_MS = f"{DIR}/1254670392.cotter.none.norfi.nopfb.ms.csv"
+PFB_MS = f"{DIR}/1254670392.cotter.none.norfi.nodigital.pfb-cotter-40.ms.csv"
+
+
+def test_digital_and_passband_meet_on_cotter_goldens(spark, ctx):
+    """C4 and C5 jointly against the real MS dump pair: the nopfb dump
+    is digital-corrected/PFB-uncorrected and the pfb-cotter-40 dump is
+    the reverse, so applying C5 (Cotter 2014 gains, legacy Simple
+    scrunch) to the former and C4 (real metafits /64 gains, per-pol
+    x/y products) to the latter must land on the SAME fully-corrected
+    visibilities — both operators exercised in their forward direction
+    on real data (the reference's own gates for these files:
+    src/cli.rs:3598+)."""
+    from birli_spark.functions.pfb_tables import PFB_COTTER_2014_10KHZ
+    from birli_spark.operators.corrections import (correct_digital_gains,
+                                                   correct_passband_gains,
+                                                   scrunch_gains)
+
+    primary, tiledata = ctx
+    nopfb = cotter_csv.read_cotter_ms_csv(spark, NOPFB_MS)
+    pfb = cotter_csv.read_cotter_ms_csv(spark, PFB_MS)
+    gains = scrunch_gains(PFB_COTTER_2014_10KHZ, 4, center_symmetric=False)
+    fine_gains = spark.createDataFrame(
+        list(enumerate(gains)), "fc int, gain double")
+    a = correct_passband_gains(nopfb, fine_gains).toPandas()
+    b = correct_digital_gains(
+        pfb, MF.digital_gains_df(spark, tiledata)).toPandas()
+    a = a.sort_values(["bl", "chan"]).reset_index(drop=True)
+    b = b.sort_values(["bl", "chan"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a["bl"].values == b["bl"].values).all()
+    for c in VIS_COLS:
+        x, y = a[c].to_numpy(float), b[c].to_numpy(float)
+        denom = np.maximum(np.abs(y), 1.0)
+        assert (np.abs(x - y) / denom < 2e-4).all(), (
+            c, float((np.abs(x - y) / denom).max()))
