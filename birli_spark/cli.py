@@ -325,8 +325,21 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         vis = corrections.correct_digital_gains(
             vis, syn.load_dim(spark, "digital_gains"))
     if ctx.pfb_gains != "none":
-        fine_gains = spark.sql(
-            corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS))
+        if ctx.pfb_gains == "cotter":
+            # the REAL published legacy table (validated against the
+            # reference's pfb-cotter-40 golden dump), 10 kHz -> the
+            # synthetic obs's fine grid via the legacy Simple scrunch
+            from birli_spark.functions.pfb_tables import \
+                PFB_COTTER_2014_10KHZ
+            nfine = syn.NUM_FC
+            scr = corrections.scrunch_gains(
+                PFB_COTTER_2014_10KHZ, 128 // nfine,
+                center_symmetric=False)
+            fine_gains = spark.createDataFrame(
+                list(enumerate(scr)), "fc int, gain double")
+        else:
+            fine_gains = spark.sql(
+                corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS))
         vis = corrections.correct_passband_gains(vis, fine_gains)
     if not ctx.no_rfi:
         from birli_spark.operators import rfi

@@ -215,3 +215,15 @@ def test_edge_width_rejects_non_multiple():
     with pytest.raises(SystemExit, match="not a multiple"):
         cli.parse_args(["/root/testdata/sf0.001",
                         "--flag-edge-width", "60.0"])
+
+
+def test_cli_pfb_gains_cotter_uses_real_table(spark, sf_dir, tmp_path):
+    import subprocess
+    import sys
+
+    out = tmp_path / "out.uvfits.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "birli_spark.cli", sf_dir,
+         "-u", str(out), "--pfb-gains", "cotter", "--no-rfi"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
