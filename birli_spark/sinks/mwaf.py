@@ -395,7 +395,12 @@ def read_cotter_mwaf(path: str) -> tuple[dict, np.ndarray]:
     nbl = n_ants * (n_ants + 1) // 2
     nscans = int(primary["NSCANS"])
     hdr, off = fc.parse_header(raw, off)
-    if hdr.get("EXTNAME", "") not in ("", "FLAGS") or int(hdr["TFIELDS"]) != 1:
+    # identify by the FLAGS column: Birli 0.1.3 wrote the literal string
+    # "EXTNAME" as the extension name (its own fixture files show it),
+    # so EXTNAME alone can't be trusted across writer vintages
+    if (int(hdr["TFIELDS"]) != 1
+            or hdr.get("TTYPE1", "FLAGS") != "FLAGS"
+            or hdr.get("EXTNAME", "") not in ("", "FLAGS", "EXTNAME")):
         raise ValueError(f"{path}: unexpected first extension")
     n_rows = int(hdr["NAXIS2"])
     row_bytes = int(hdr["NAXIS1"])

@@ -225,3 +225,28 @@ def test_read_cotter_mwaf_picket_archive(tmp_path):
     # a real RFI run flags some but not all cells
     frac = mat.mean()
     assert 0.0 < frac < 1.0
+
+
+def test_read_reference_birli_written_mwaf(spark):
+    """Read-back of mwaf files the REFERENCE ITSELF wrote (its own test
+    fixtures tests/data/1247842824_flags/FlagfileBirli01*.mwaf) — the
+    engine's S5 reader handles the reference's real output format, not
+    just Cotter's legacy variant."""
+    import os
+
+    from birli_spark.sinks import mwaf
+
+    base = "/root/reference/tests/data/1247842824_flags"
+    # v1.0 (Birli 0.1.3): the Cotter-style header incl. the literal
+    # "EXTNAME" quirk
+    hdr, flags = mwaf.read_cotter_mwaf(
+        os.path.join(base, "FlagfileBirli01.mwaf"))
+    nbl = hdr["NANTENNA"] * (hdr["NANTENNA"] + 1) // 2
+    assert flags.shape == (hdr["NSCANS"] * nbl, hdr["NCHANS"])
+    assert hdr["COTVER"].startswith("Birli")
+    # v2.0 (Birli 0.7.0): the modern OBSID/GPSSTART header + FLAGS HDU
+    for name in ("FlagfileBirli01_ts1", "FlagfileBirli01_ts2"):
+        hdr2, flags2, _occ = mwaf.read_mwaf(
+            os.path.join(base, f"{name}.mwaf"))
+        assert hdr2["SOFTWARE"].startswith("Birli")
+        assert flags2.shape == (hdr2["NSCANS"] * nbl, hdr2["NCHANS"])
