@@ -306,13 +306,16 @@ def compaction_plan(events: DataFrame,
     file metadata instead of a scan."""
     from pyspark.sql import Window
 
+    # month from the epoch-day through DATE arithmetic — DATE has no
+    # timezone, so the bucketing is identical whatever the session tz
+    # (the oracle runs in a separate engine and the driver's session
+    # timezone is not ours to control)
     day_us = "CAST(FLOOR((ts div 1000) / 86400000000) AS BIGINT)"
+    dt = f"date_add(DATE '1970-01-01', CAST({day_us} AS INT))"
     manifest = (events
                 .groupBy(
-                    F.expr(f"CAST(year(timestamp_micros({day_us} "
-                           f"* 86400000000)) * 100 + "
-                           f"month(timestamp_micros({day_us} "
-                           f"* 86400000000)) AS INT)").alias("month"),
+                    F.expr(f"CAST(year({dt}) * 100 + month({dt}) AS INT)")
+                    .alias("month"),
                     F.expr(day_us).alias("day"))
                 .agg(F.count("*").alias("n_rows")))
     w = (Window.partitionBy("month").orderBy("day")
@@ -333,12 +336,12 @@ def compaction_plan_oracle_sql(
         target_rows: int = COMPACT_TARGET_ROWS) -> str:
     return f"""
 WITH manifest AS (
-  SELECT CAST(year(make_timestamp(
-             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
-             * 86400000000)) * 100 +
-           month(make_timestamp(
-             CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
-             * 86400000000)) AS INT) AS month,
+  SELECT CAST(year(DATE '1970-01-01'
+             + CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                    AS INT)) * 100 +
+           month(DATE '1970-01-01'
+             + CAST(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                    AS INT)) AS INT) AS month,
     CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
     COUNT(*) AS n_rows
   FROM events GROUP BY 1, 2),
