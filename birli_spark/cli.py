@@ -325,16 +325,20 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         vis = corrections.correct_digital_gains(
             vis, syn.load_dim(spark, "digital_gains"))
     if ctx.pfb_gains != "none":
-        if ctx.pfb_gains == "cotter":
-            # the REAL published legacy table (validated against the
-            # reference's pfb-cotter-40 golden dump), 10 kHz -> the
-            # synthetic obs's fine grid via the legacy Simple scrunch
-            from birli_spark.functions.pfb_tables import \
-                PFB_COTTER_2014_10KHZ
+        if ctx.pfb_gains in ("cotter", "jake", "jake_oversampled"):
+            # the REAL published tables (the legacy one validated
+            # against the reference's pfb-cotter-40 golden dump),
+            # scrunched onto the synthetic obs's fine grid: legacy =
+            # Simple block mean, MWAX = center-symmetric window
+            from birli_spark.functions import pfb_tables as PT
+            table = {"cotter": PT.PFB_COTTER_2014_10KHZ,
+                     "jake": PT.PFB_JAKE_2022_200HZ,
+                     "jake_oversampled": PT.OSPFB_JAKE_2025_200HZ}[
+                ctx.pfb_gains]
             nfine = syn.NUM_FC
             scr = corrections.scrunch_gains(
-                PFB_COTTER_2014_10KHZ, 128 // nfine,
-                center_symmetric=False)
+                table, len(table) // nfine,
+                center_symmetric=ctx.pfb_gains != "cotter")
             fine_gains = spark.createDataFrame(
                 list(enumerate(scr)), "fc int, gain double")
         else:

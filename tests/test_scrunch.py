@@ -52,3 +52,21 @@ def test_scrunch_mwax_odd_scrunch_odd_channels():
 def test_scrunch_identity():
     ultra = [0.5, 1.5, 2.5]
     assert scrunch_gains(ultra, 1, center_symmetric=True) == ultra
+
+
+def test_real_tables_scrunch_to_sane_gains():
+    """The transcribed published tables scrunch to near-unity passband
+    centres with attenuated edges — a structural sanity pin on the
+    transcription (values themselves are pinned by the golden C5 test
+    for cotter)."""
+    from birli_spark.functions import pfb_tables as PT
+    from birli_spark.operators.corrections import scrunch_gains
+
+    cot = scrunch_gains(PT.PFB_COTTER_2014_10KHZ, 4, False)
+    jake = scrunch_gains(PT.PFB_JAKE_2022_200HZ, 200, True)
+    osj = scrunch_gains(PT.OSPFB_JAKE_2025_200HZ, 200, True)
+    for g in (cot, jake, osj):
+        assert len(g) == 32
+        mid = g[len(g) // 2]
+        assert 0.9 < mid < 1.1
+        assert g[0] < mid          # attenuated edge
