@@ -749,6 +749,11 @@ def _q_theta_pairs(spark, sf_dir):
     return sketches.theta_sketch_pairs(corpus.load_documents(spark, sf_dir))
 
 
+def _q_novelty(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return text.novelty_stats(corpus.load_documents(spark, sf_dir))
+
+
 def _q_leakage_split(spark, sf_dir):
     from birli_spark.sources import corpus
     return corpus_clean.leakage_safe_split(
@@ -1413,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i3_rrf_fusion": _q_rrf_fusion,
         "t26_substring_dedup": _q_substring_dedup,
         "t28_leakage_safe_split": _q_leakage_split,
+        "t29_novelty": _q_novelty,
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "m5_compaction_plan": _q_compaction_plan,
@@ -1740,6 +1746,7 @@ def oracle_sql() -> dict[str, str]:
         "t26_substring_dedup": corpus_clean.substring_dedup_oracle_sql(),
         "t28_leakage_safe_split":
             corpus_clean.leakage_safe_split_oracle_sql(),
+        "t29_novelty": text.novelty_stats_oracle_sql(),
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
         "m5_compaction_plan": _compaction_plan_oracle(),

@@ -1061,3 +1061,63 @@ SELECT d.doc_id,
   CASE WHEN n_bigrams IS NULL THEN CAST(CAST(0.0 AS FLOAT) AS DOUBLE)
        ELSE {f32(bits)} END AS bits_per_bigram
 FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)"""
+
+
+NOVELTY_SHINGLE_N = 8
+
+
+def novelty_stats(docs: DataFrame,
+                  n: int = NOVELTY_SHINGLE_N) -> DataFrame:
+    """T29 — crawl-order novelty: for every document, the fraction of
+    its distinct n-token shingles whose FIRST corpus occurrence (minimum
+    doc_id = ingestion order) is this document. The marginal-value
+    signal crawl curation uses to decide whether a later dump still adds
+    content — redundant documents score near 0, fresh ones near 1.
+    → (doc_id, n_shingles, n_novel, novelty).
+
+    Scale shape: one (doc, shingle-md5) distinct projection; the
+    first-seen table is a groupBy(hash) MIN with map-side partials
+    (shingle-vocabulary cardinality crosses the shuffle, not corpus
+    volume); membership returns on the same hash key — one shuffle
+    reused co-partitioned. novelty is one IEEE division of exact
+    BIGINTs."""
+    sh = X.distinct(X.SPARK, X.shingles(X.SPARK, X.toks(X.SPARK), n))
+    per = (docs.select("doc_id", F.explode(F.expr(sh)).alias("s"))
+           .select("doc_id", F.md5("s").alias("h")))
+    first = per.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    scored = (per.join(first, "h")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_shingles"),
+                   F.sum(F.expr(
+                       "CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END"))
+                   .alias("n_novel")))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shingles", F.lit(0)).cast("bigint")
+                    .alias("n_shingles"),
+                    F.coalesce("n_novel", F.lit(0)).cast("bigint")
+                    .alias("n_novel"),
+                    F.expr("CASE WHEN n_shingles IS NULL THEN 0.0 ELSE "
+                           "CAST(n_novel AS DOUBLE) / "
+                           "CAST(n_shingles AS DOUBLE) END")
+                    .alias("novelty")))
+
+
+def novelty_stats_oracle_sql(n: int = NOVELTY_SHINGLE_N) -> str:
+    sh = X.distinct(X.DUCK, X.shingles(X.DUCK, X.toks(X.DUCK), n))
+    return f"""
+WITH per AS (
+  SELECT doc_id, md5(s) AS h
+  FROM (SELECT doc_id, unnest({sh}) AS s FROM documents)),
+first AS (SELECT h, MIN(doc_id) AS first_doc FROM per GROUP BY h),
+scored AS (
+  SELECT p.doc_id, COUNT(*) AS n_shingles,
+    SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM per p JOIN first f USING (h) GROUP BY p.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+  CASE WHEN n_shingles IS NULL THEN 0.0 ELSE
+    CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) END AS novelty
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN scored s USING (doc_id)"""

@@ -274,3 +274,21 @@ def test_dsir_weights_semantics(spark):
     assert out[1].importance_ticks != out[2].importance_ticks
     again = {r.doc_id: r for r in textops.dsir_weights(docs).collect()}
     assert again[1].importance_ticks == out[1].importance_ticks
+
+
+def test_novelty_first_doc_wins(spark):
+    from pyspark.sql import Row
+
+    from birli_spark.operators import text as textops
+    shared = "a b c d e f g h"          # exactly one 8-shingle
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=shared, lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text=shared, lang="en", source="s", n_chars=0),
+        Row(doc_id=3, text="q r s t u v w x", lang="en", source="s",
+            n_chars=0),
+        Row(doc_id=4, text="too short", lang="en", source="s", n_chars=0)])
+    out = {r.doc_id: r for r in textops.novelty_stats(docs).collect()}
+    assert out[1].novelty == 1.0          # first occurrence
+    assert out[2].novelty == 0.0          # pure repeat of doc 1
+    assert out[3].novelty == 1.0
+    assert out[4].n_shingles == 0 and out[4].novelty == 0.0

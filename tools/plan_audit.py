@@ -98,6 +98,8 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           "t26_substring_dedup", "q3_referential_integrity",
           # inherits D6's corpus-scale cluster-label joins
           "t28_leakage_safe_split",
+          # first-seen join-back: both sides shingle-vocabulary-scale
+          "t29_novelty",
           # bigram stream joins the bigram-vocab model; vocab is not
           # guaranteed broadcast-sized at 100 TB (AQE demotes when it is)
           "t27_bigram_lm",
@@ -146,7 +148,7 @@ HEADLINE = [
     "t26_substring_dedup", "sk7_theta_pairs", "m5_compaction_plan",
     "q3_referential_integrity", "t27_bigram_lm", "g2_triangle_stats",
     "h19_min_cost_supplier", "h26_priority_lateness",
-    "t28_leakage_safe_split",
+    "t28_leakage_safe_split", "t29_novelty",
 ]
 
 
