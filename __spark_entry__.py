@@ -749,6 +749,17 @@ def _q_theta_pairs(spark, sf_dir):
     return sketches.theta_sketch_pairs(corpus.load_documents(spark, sf_dir))
 
 
+def _dtw_pairs_oracle():
+    from birli_spark.operators import timeseries
+    return timeseries.dtw_pairs_oracle_sql()
+
+
+def _q_dtw_pairs(spark, sf_dir):
+    from birli_spark.operators import timeseries
+    from birli_spark.sources import corpus
+    return timeseries.dtw_pairs(corpus.load_events(spark, sf_dir))
+
+
 def _q_novelty(spark, sf_dir):
     from birli_spark.sources import corpus
     return text.novelty_stats(corpus.load_documents(spark, sf_dir))
@@ -1419,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t26_substring_dedup": _q_substring_dedup,
         "t28_leakage_safe_split": _q_leakage_split,
         "t29_novelty": _q_novelty,
+        "ts2_dtw_pairs": _q_dtw_pairs,
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "m5_compaction_plan": _q_compaction_plan,
@@ -1747,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "t28_leakage_safe_split":
             corpus_clean.leakage_safe_split_oracle_sql(),
         "t29_novelty": text.novelty_stats_oracle_sql(),
+        "ts2_dtw_pairs": _dtw_pairs_oracle(),
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
         "m5_compaction_plan": _compaction_plan_oracle(),

@@ -60,3 +60,51 @@ def test_band_join_is_complete_vs_brute(spark, sf_dir):
             if h <= timeseries.SERIES_MAX_HAM:
                 exp[(a, b)] = h
     assert got == exp
+
+
+def test_dtw_expression_matches_numpy(spark):
+    import numpy as np
+
+    from birli_spark.operators.timeseries import (DTW_BAND, _DTW_INF,
+                                                  _dtw_sql_spark)
+    INF = _DTW_INF
+
+    def dtw_np(a, b, r=DTW_BAND):
+        n = len(a)
+        D = np.full((n + 1, n + 1), INF, dtype=np.int64)
+        D[0, 0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                if abs(i - j) > r:
+                    continue
+                D[i, j] = (min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+                           + abs(a[i - 1] - b[j - 1]))
+        return int(D[n, n])
+
+    rng = np.random.default_rng(7)
+    rows = [(rng.integers(0, 500, 24).tolist(),
+             rng.integers(0, 500, 24).tolist()) for _ in range(8)]
+    # identical series -> 0; shifted series -> small but nonzero
+    rows.append((list(range(24)), list(range(24))))
+    df = spark.createDataFrame(rows, "va array<bigint>, vb array<bigint>")
+    got = [r.d for r in
+           df.selectExpr(_dtw_sql_spark("va", "vb") + " AS d").collect()]
+    want = [dtw_np(a, b) for a, b in rows]
+    assert got == want
+    assert got[-1] == 0
+
+
+def test_dtw_shift_tolerance(spark):
+    from birli_spark.operators.timeseries import _dtw_sql_spark
+    # a one-hour circular shift of a spiky profile: large L1 distance
+    # but small DTW (the alignment absorbs the shift within the band)
+    a = [0] * 24
+    a[10] = 1000
+    b = [0] * 24
+    b[11] = 1000
+    df = spark.createDataFrame([(a, b)],
+                               "va array<bigint>, vb array<bigint>")
+    d = df.selectExpr(_dtw_sql_spark("va", "vb") + " AS d").collect()[0].d
+    l1 = sum(abs(x - y) for x, y in zip(a, b))
+    assert d == 0          # perfect alignment within the +-3 band
+    assert l1 == 2000

@@ -148,7 +148,7 @@ HEADLINE = [
     "t26_substring_dedup", "sk7_theta_pairs", "m5_compaction_plan",
     "q3_referential_integrity", "t27_bigram_lm", "g2_triangle_stats",
     "h19_min_cost_supplier", "h26_priority_lateness",
-    "t28_leakage_safe_split", "t29_novelty",
+    "t28_leakage_safe_split", "t29_novelty", "ts2_dtw_pairs",
 ]
 
 
