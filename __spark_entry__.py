@@ -749,6 +749,12 @@ def _q_theta_pairs(spark, sf_dir):
     return sketches.theta_sketch_pairs(corpus.load_documents(spark, sf_dir))
 
 
+def _q_audio_landmarks(spark, sf_dir):
+    from birli_spark.sources import corpus
+    return multimodal.audio_landmark_pairs(
+        corpus.load_documents(spark, sf_dir))
+
+
 def _dtw_pairs_oracle():
     from birli_spark.operators import timeseries
     return timeseries.dtw_pairs_oracle_sql()
@@ -1431,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t28_leakage_safe_split": _q_leakage_split,
         "t29_novelty": _q_novelty,
         "ts2_dtw_pairs": _q_dtw_pairs,
+        "mm7_audio_landmarks": _q_audio_landmarks,
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "m5_compaction_plan": _q_compaction_plan,
@@ -1760,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
             corpus_clean.leakage_safe_split_oracle_sql(),
         "t29_novelty": text.novelty_stats_oracle_sql(),
         "ts2_dtw_pairs": _dtw_pairs_oracle(),
+        "mm7_audio_landmarks": multimodal.audio_landmark_pairs_oracle_sql(),
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
         "m5_compaction_plan": _compaction_plan_oracle(),

@@ -429,3 +429,119 @@ SELECT r.doc_id, r.n_frames,
   CAST(COALESCE(MAX(d.delta), 0) AS INT) AS max_delta
 FROM raw r LEFT JOIN deltas d USING (doc_id)
 GROUP BY r.doc_id, r.n_frames"""
+
+
+# ------------------------------------ MM7: audio landmark fingerprints ---
+
+LM_MIN_AMP = 30          #: peak amplitude floor
+LM_MAX_DT = 255          #: max samples between paired peaks
+LM_MIN_SHARED = 3        #: landmarks shared to call two assets dups
+LM_MAX_BUCKET = 16       #: skip degenerate landmark keys
+
+
+def _lm_exprs(d: str) -> dict[str, str]:
+    """Cross-dialect fragments: PCM amplitudes, strict local-max peak
+    positions, and packed (v1, v2, dt) landmark keys."""
+    c = _PCM_CENTER
+    if d == "spark":
+        amp = (f"transform(sequence(1, length(text)), "
+               f"i -> ascii(substr(text, i, 1)) - {c})")
+        seq = "sequence(3, size(a) - 2)"
+        flt = "filter"
+        tr = "transform"
+        sz = "size"
+        el = "element_at(a, {i})"
+    else:
+        amp = (f"list_transform(range(1, length(text) + 1), "
+               f"i -> unicode(substr(text, i, 1)) - {c})")
+        seq = "range(3, len(a) - 1)"
+        flt = "list_filter"
+        tr = "list_transform"
+        sz = "len"
+        el = "a[{i}]"
+    def a(i):
+        return el.format(i=i)
+    peak = (f"{a('i')} > {a('i - 1')} AND {a('i')} > {a('i + 1')} "
+            f"AND {a('i')} > {a('i - 2')} AND {a('i')} > {a('i + 2')} "
+            f"AND {a('i')} >= {LM_MIN_AMP}")
+    peaks = f"{flt}({seq}, i -> {peak})"
+    if d == "spark":
+        key = ("(element_at(a, element_at(p, k)) + 128) * 65536 "
+               "+ (element_at(a, element_at(p, k + 1)) + 128) * 256 "
+               "+ LEAST(element_at(p, k + 1) - element_at(p, k), "
+               f"{LM_MAX_DT})")
+        # sequence(1, 0) DESCENDS in Spark, and ANSI element_at on an
+        # empty peak list errors — guard like textsql.seq does
+        lms = (f"IF({sz}(p) >= 2, {tr}(sequence(1, {sz}(p) - 1), "
+               f"k -> CAST({key} AS BIGINT)), "
+               f"CAST(array() AS ARRAY<BIGINT>))")
+    else:
+        key = ("(a[p[k]] + 128) * 65536 + (a[p[k + 1]] + 128) * 256 "
+               f"+ LEAST(p[k + 1] - p[k], {LM_MAX_DT})")
+        lms = (f"{tr}(range(1, GREATEST({sz}(p) - 1, 0) + 1), "
+               f"k -> CAST({key} AS BIGINT))")
+    return {"amp": amp, "peaks": peaks, "landmarks": lms}
+
+
+def audio_landmark_pairs(docs: DataFrame,
+                         min_shared: int = LM_MIN_SHARED,
+                         max_bucket: int = LM_MAX_BUCKET) -> DataFrame:
+    """MM7 — audio near-dup via **landmark (constellation) fingerprints**
+    (the Shazam/Wang 2003 shape): strict local-max peaks in the 8-bit
+    PCM waveform pair up into (peak1, peak2, Δt) landmark keys; assets
+    sharing ≥ ``min_shared`` keys are duplicate candidates.
+    → (doc_a, doc_b, n_shared).
+
+    Scale shape: peaks/landmarks are an in-row projection (no UDF — at
+    real scale the decode would be the Arrow ``mapInPandas`` pass like
+    the other media stages, the landmark algebra stays identical); the
+    inverted (key → assets) index is one map-side-combined groupBy;
+    pairs expand IN-ROW from each key's sorted asset set (capped at
+    ``max_bucket`` — degenerate keys are dropped like SimHash's hot
+    buckets); the final count groups on candidate pairs, never
+    asset × asset."""
+    e = _lm_exprs("spark")
+    lm = (docs
+          .select("doc_id", F.expr(e["amp"]).alias("a"))
+          .select("doc_id", F.expr(e["peaks"]).alias("p"), "a")
+          .select("doc_id", F.explode(F.expr(e["landmarks"])).alias("key"))
+          .distinct())
+    pairs = ("flatten(transform(ids, (x, i) -> "
+             "transform(slice(ids, i + 2, size(ids)), "
+             "y -> concat(CAST(x AS STRING), '#', CAST(y AS STRING)))))")
+    return (lm.groupBy("key")
+            .agg(F.expr("array_sort(collect_set(doc_id))").alias("ids"))
+            .filter(F.expr(f"size(ids) BETWEEN 2 AND {max_bucket}"))
+            .select(F.explode(F.expr(pairs)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select(F.expr("CAST(split_part(pair, '#', 1) AS BIGINT)")
+                    .alias("doc_a"),
+                    F.expr("CAST(split_part(pair, '#', 2) AS BIGINT)")
+                    .alias("doc_b"),
+                    "n_shared"))
+
+
+def audio_landmark_pairs_oracle_sql(min_shared: int = LM_MIN_SHARED,
+                                    max_bucket: int = LM_MAX_BUCKET) -> str:
+    e = _lm_exprs("duck")
+    return f"""
+WITH amp AS (SELECT doc_id, {e['amp']} AS a FROM documents),
+pk AS (SELECT doc_id, {e['peaks']} AS p, a FROM amp),
+lm AS (
+  SELECT DISTINCT doc_id, unnest({e['landmarks']}) AS key FROM pk),
+buckets AS (
+  SELECT key, list_sort(list(DISTINCT doc_id)) AS ids
+  FROM lm GROUP BY key
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {max_bucket}),
+pairs AS (
+  SELECT unnest(flatten(list_transform(ids, (x, i) ->
+    list_transform(ids[i + 1:], y ->
+      CAST(x AS VARCHAR) || '#' || CAST(y AS VARCHAR))))) AS pair
+  FROM buckets)
+SELECT CAST(split_part(pair, '#', 1) AS BIGINT) AS doc_a,
+  CAST(split_part(pair, '#', 2) AS BIGINT) AS doc_b,
+  COUNT(*) AS n_shared
+FROM pairs GROUP BY pair
+HAVING COUNT(*) >= {min_shared}"""

@@ -127,3 +127,24 @@ def test_scene_cuts_constructed(spark):
     s = out[1]                       # < 2 frames -> no deltas
     assert s.n_frames == 0 and s.n_cuts == 0
     assert s.first_cut == -1 and s.max_delta == 0
+
+
+def test_audio_landmarks_detect_shared_waveform(spark):
+    from pyspark.sql import Row
+
+    from birli_spark.operators import multimodal
+    # a spiky "waveform": peaks at known offsets; doc 2 repeats doc 1's
+    # pattern (same landmarks), doc 3 is flat (no peaks at all)
+    def spike(amp):
+        return "aa" + chr(64 + amp) + "aa"      # peak over 'a'=33
+    # four distinct-amplitude peaks -> three DISTINCT landmark keys
+    pattern = ("  " + spike(40) + "  " + spike(45) + "  " + spike(50)
+               + "  " + spike(55) + "  ")
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=pattern, lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text=pattern, lang="en", source="s", n_chars=0),
+        Row(doc_id=3, text="bbbbbbbbbbbbbbbb", lang="en", source="s",
+            n_chars=0)])
+    out = multimodal.audio_landmark_pairs(docs, min_shared=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2)}
+    assert out[0].n_shared >= 3
