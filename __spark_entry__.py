@@ -749,6 +749,17 @@ def _q_theta_pairs(spark, sf_dir):
     return sketches.theta_sketch_pairs(corpus.load_documents(spark, sf_dir))
 
 
+def _q_shard_manifest(spark, sf_dir):
+    from birli_spark.sinks import shards
+    from birli_spark.sources import corpus
+    return shards.shard_manifest(corpus.load_documents(spark, sf_dir))
+
+
+def _shard_manifest_oracle():
+    from birli_spark.sinks import shards
+    return shards.shard_manifest_oracle_sql()
+
+
 def _q_audio_landmarks(spark, sf_dir):
     from birli_spark.sources import corpus
     return multimodal.audio_landmark_pairs(
@@ -1438,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t29_novelty": _q_novelty,
         "ts2_dtw_pairs": _q_dtw_pairs,
         "mm7_audio_landmarks": _q_audio_landmarks,
+        "o5_shard_manifest": _q_shard_manifest,
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "m5_compaction_plan": _q_compaction_plan,
@@ -1768,6 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "t29_novelty": text.novelty_stats_oracle_sql(),
         "ts2_dtw_pairs": _dtw_pairs_oracle(),
         "mm7_audio_landmarks": multimodal.audio_landmark_pairs_oracle_sql(),
+        "o5_shard_manifest": _shard_manifest_oracle(),
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
         "m5_compaction_plan": _compaction_plan_oracle(),

@@ -193,3 +193,22 @@ def test_uvfits_date_keeps_second_resolution(tmp_path):
     dates = params[:, 4]
     assert abs((dates[1] - dates[0]) * 86400.0 - 1.0) < 1e-3
     assert abs(dates[0] - jd0) < 1e-4 / 86400.0 * 1e4  # absolute JD restored
+
+
+def test_shard_export_roundtrip(spark, sf_dir, tmp_path):
+    from birli_spark.sinks import shards
+    from birli_spark.sources import corpus
+
+    docs = corpus.load_documents(spark, sf_dir)
+    manifest = shards.write_shards(docs, str(tmp_path / "ds"),
+                                   shard_tokens=2000).toPandas()
+    back = spark.read.parquet(str(tmp_path / "ds"))
+    assert back.count() == docs.count()
+    # every (source, shard) directory holds exactly its manifest count
+    got = (back.groupBy("source", "shard").count().toPandas()
+           .sort_values(["source", "shard"]).reset_index(drop=True))
+    want = (manifest[["source", "shard", "n_docs"]]
+            .sort_values(["source", "shard"]).reset_index(drop=True))
+    assert (got["count"].values == want["n_docs"].values).all()
+    # budget respected up to one document's overshoot
+    assert (manifest.groupby("source")["n_tokens"].max() <= 4000).all()

@@ -149,7 +149,7 @@ HEADLINE = [
     "q3_referential_integrity", "t27_bigram_lm", "g2_triangle_stats",
     "h19_min_cost_supplier", "h26_priority_lateness",
     "t28_leakage_safe_split", "t29_novelty", "ts2_dtw_pairs",
-    "mm7_audio_landmarks",
+    "mm7_audio_landmarks", "o5_shard_manifest",
 ]
 
 
