@@ -60,6 +60,9 @@ HEADLINE = [
     "h23_blame_suppliers",
     "i3_rrf_fusion",
     "t26_substring_dedup",
+    # round-3: one-scan theta-sketch pair algebra, JVM-side DTW verify
+    "sk7_theta_pairs",
+    "ts2_dtw_pairs",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1_van_vleck",
