@@ -31,6 +31,7 @@ from birli_spark.operators import (
     describe,
     events,
     flags,
+    gridding,
     layout,
     multimodal,
     occupancy,
@@ -40,6 +41,7 @@ from birli_spark.operators import (
     search,
     selection,
     similarity,
+    ssins,
     sketches,
     text,
     weights,
@@ -136,6 +138,22 @@ def _q_bake_weights(spark, sf_dir):
 def _q_cable(spark, sf_dir):
     return corrections.correct_cable_lengths(
         syn.load_vis(spark, sf_dir), syn.load_dim(spark, "antennas"))
+
+
+def _q_ssins(spark, sf_dir):
+    """F11 — SSINS incoherent noise spectra (Wilensky et al. 2019): the
+    all-relational, JVM-side RFI detector complementing the F9
+    SumThreshold UDF island (reference src/flags.rs:368-437)."""
+    return ssins.ssins_spectra(syn.load_vis(spark, sf_dir))
+
+
+def _q_uv_grid(spark, sf_dir):
+    """IM1 — natural-weighted uv-plane gridding of the geometry-corrected,
+    weight-baked visibilities (the imaging handoff; A1's aggregation shape
+    keyed on wavelength-scaled uv cells)."""
+    baked = weights.bake_flags_into_weights(syn.load_vis(spark, sf_dir))
+    geom = corrections.correct_geometry(baked, syn.load_dim(spark, "part_uvw"))
+    return gridding.uv_grid(geom)
 
 
 def _q_digital(spark, sf_dir):
@@ -1324,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UDF islands — genuinely iterative/image-based; no oracle SQL, the
         # driver records rows-only checks (validated instead by golden unit
         # tests against the reference's published vectors).
+        "f11_ssins_spectra": _q_ssins,
+        "im1_uv_grid": _q_uv_grid,
         "c1_van_vleck": _q_van_vleck,
         "f9_rfi_sumthreshold": _q_rfi,
         "pipeline_preprocess_full": _q_pipeline_full,
@@ -1806,6 +1826,19 @@ def oracle_sql() -> dict[str, str]:
         "q1_column_profile": _profile_oracles()[0],
         "q2_k_anonymity": _profile_oracles()[1],
         "c3b_geometry_phase_centre": _geometry_pc_oracle(),
+        "f11_ssins_spectra": (
+            f"WITH vis AS ({syn.vis_sql()}), "
+            + " ".join(ssins.ssins_parts("vis", median_fn="quantile_cont"))),
+        "im1_uv_grid": (
+            f"WITH vis AS ({syn.vis_sql()}), baked AS (SELECT "
+            + ", ".join(
+                "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+                if c == "weight" else c
+                for c in _COLS)
+            + " FROM vis), "
+            + f"part_uvw AS ({syn.PART_UVW_SQL}), geom AS ("
+            + corrections.geom_oracle_select("baked", "part_uvw", _COLS)
+            + ") " + gridding.uv_grid_oracle_select("geom")),
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
         "t25_dsir_weights": text.dsir_weights_oracle_sql(),

@@ -63,6 +63,10 @@ HEADLINE = [
     # round-3: one-scan theta-sketch pair algebra, JVM-side DTW verify
     "sk7_theta_pairs",
     "ts2_dtw_pairs",
+    # round-3: all-relational SSINS RFI (the JVM-side answer to the F9
+    # UDF island) and the uv-grid imaging handoff
+    "f11_ssins_spectra",
+    "im1_uv_grid",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1_van_vleck",

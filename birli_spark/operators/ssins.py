@@ -1,0 +1,173 @@
+"""F11 (beyond-reference) — SSINS-style incoherent noise spectra.
+
+Sky-Subtracted Incoherent Noise Spectra (M. J. Wilensky et al., "Absolving
+the SSINS of Precision Interferometric Radio Data: A New Technique for
+Mitigating Faint Radio Frequency Interference", PASP 131:114507, 2019): the
+sky is static over adjacent integrations, RFI is not — so the amplitude of
+the difference of consecutive time samples, averaged incoherently over all
+baselines, is a (time × channel) noise image in which faint broadband RFI
+stands out. Cells whose per-channel z-score exceeds a threshold are flagged.
+
+This is the scale-friendly complement to the reference's AOFlagger pass
+(SURVEY.md §2.3 F9, reference src/flags.rs:368-437): where SumThreshold
+needs a per-baseline dense image (a grouped-map UDF island), SSINS is pure
+relational algebra — window lag, scalar amplitude, two shrinking
+aggregations — and stays entirely JVM-side at 100 TB.
+
+Spark shape: ONE linear plan over a single fact-table scan — cube
+materialization (partial+final hash aggregate), adjacent-time lag window
+on (bl, chan), then the incoherent baseline average shrinks T×C×B → T×C
+before the per-channel robust scoring, which runs as stacked
+aggregate-as-window projections over the tiny (T×C) image (a groupBy +
+join-back formulation would make Spark inline the CTE and re-scan the
+fact table once per consumer). Every exchange is on strictly shrinking
+data. The same SQL text (modulo the median dialect) is the DuckDB
+oracle, so every float goes through the f32 demotion
+(functions/complex.py) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from birli_spark.functions.complex import POLS, f32
+
+#: default z-score threshold (the SSINS paper's broadband-RFI masks use
+#: ~5 sigma for the match-filtered shapes; we score per-channel samples)
+DEFAULT_THRESHOLD = 5.0
+
+
+#: MAD → sigma consistency factor for a normal distribution (the robust
+#: scale the SSINS masking iteration converges towards)
+MAD_SIGMA = "1.4826"
+
+
+def ssins_parts(vis: str = "vis",
+                threshold: float = DEFAULT_THRESHOLD,
+                median_fn: str = "percentile",
+                rel_floor: float = 0.01) -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the SSINS derivation — split so
+    callers can prepend their own CTEs (the oracle prepends the synthetic
+    vis derivation).
+
+    The one dialect difference is the exact interpolated median:
+    ``median_fn="percentile"`` (Spark) vs ``"quantile_cont"`` (DuckDB) —
+    both sort-based linear interpolation, identical on identical doubles.
+    Everything else is shared text. Scoring is median/MAD per channel
+    (the robust statistic SSINS's iterative masking converges to — a
+    plain mean/std z saturates because the outliers inflate the std).
+
+    Output: one row per (t, chan) differenced cell — per-pol incoherent
+    mean amplitudes, contributing-baseline count, per-pol per-channel
+    robust z-scores, and the ``rfi_flag`` disjunction.
+    """
+    def med(x: str) -> str:
+        # aggregate-as-window over the whole channel partition: keeps the
+        # med/MAD stats in the SAME linear plan as the image (a groupBy +
+        # join-back would make Spark inline the CTE and re-scan the fact
+        # table once per consumer)
+        return f32(f"CAST({median_fn}({x}, 0.5)"
+                   f" OVER (PARTITION BY chan) AS DOUBLE)")
+
+    cube_cols = ", ".join(
+        f"{f32(f'AVG({p}_{c})')} AS {p}_{c}"
+        for p in POLS for c in ("re", "im"))
+    lag = ("{x} - LAG({x}) OVER (PARTITION BY bl, chan ORDER BY t)"
+           " AS d_{x}")
+    diff_cols = ", ".join(
+        lag.format(x=f"{p}_{c}") for p in POLS for c in ("re", "im"))
+    amp_cols = ", ".join(
+        f"{f32(f'SQRT(d_{p}_re * d_{p}_re + d_{p}_im * d_{p}_im)')} AS a_{p}"
+        for p in POLS)
+    ins_cols = ", ".join(
+        f"{f32(f'AVG(a_{p})')} AS {p}_amp" for p in POLS)
+    med_cols = ", ".join(f"{med(f'{p}_amp')} AS m_{p}" for p in POLS)
+    dev_cols = ", ".join(
+        f"{f32(f'ABS({p}_amp - m_{p})')} AS ad_{p}" for p in POLS)
+    mad_cols = ", ".join(f"{med(f'ad_{p}')} AS s_{p}" for p in POLS)
+    amp_keep = ", ".join(f"{p}_amp" for p in POLS)
+    m_keep = ", ".join(f"m_{p}" for p in POLS)
+    # scale floor: a degenerate channel (near-identical amplitudes) has
+    # MAD ~ float rounding noise, which would make any distinct value an
+    # astronomic z — clamp the robust scale to rel_floor x the median
+    # amplitude (the paper's noise-floor role)
+    def s_eff(p: str) -> str:
+        return f"GREATEST(s_{p}, {f32(f'{rel_floor!r} * m_{p}')})"
+
+    z_cols = ", ".join(
+        f"CASE WHEN {s_eff(p)} > 0 THEN"
+        f" {f32(f'({p}_amp - m_{p}) / ' + f32(f'{MAD_SIGMA} * {s_eff(p)}'))}"
+        f" ELSE CAST(0.0 AS DOUBLE) END AS z_{p}" for p in POLS)
+    z_keep = ", ".join(f"z_{p}" for p in POLS)
+    greatest = "GREATEST(" + ", ".join(f"z_{p}" for p in POLS) + ")"
+    ctes = f"""ssins_cube AS (
+  SELECT t, chan, bl, {cube_cols}
+  FROM {vis}
+  GROUP BY t, chan, bl
+),
+ssins_diffs AS (
+  SELECT t, chan, bl, {diff_cols}
+  FROM ssins_cube
+),
+ssins_amps AS (
+  SELECT t, chan, {amp_cols}
+  FROM ssins_diffs
+  WHERE d_xx_re IS NOT NULL
+),
+ssins_ins AS (
+  SELECT t, chan, {ins_cols}, CAST(COUNT(*) AS BIGINT) AS n_bl
+  FROM ssins_amps
+  GROUP BY t, chan
+),
+ssins_med AS (
+  SELECT t, chan, {amp_keep}, n_bl, {med_cols}
+  FROM ssins_ins
+),
+ssins_dev AS (
+  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {dev_cols}
+  FROM ssins_med
+),
+ssins_mad AS (
+  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {mad_cols}
+  FROM ssins_dev
+),
+ssins_scored AS (
+  SELECT t, chan, {amp_keep}, n_bl, {z_cols}
+  FROM ssins_mad
+)"""
+    final = (
+        f"SELECT t, chan, {amp_keep}, n_bl, {z_keep},"
+        f" ({greatest} > CAST({threshold!r} AS DOUBLE)) AS rfi_flag"
+        f" FROM ssins_scored"
+    )
+    return ctes, final
+
+
+def ssins_select(vis: str = "vis",
+                 threshold: float = DEFAULT_THRESHOLD) -> str:
+    """The full derivation as one standalone WITH...SELECT."""
+    ctes, final = ssins_parts(vis, threshold)
+    return f"WITH {ctes} {final}"
+
+
+def ssins_spectra(vis: DataFrame,
+                  threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """Run the SSINS derivation over a long-format vis DataFrame."""
+    spark = vis.sparkSession
+    vis.createOrReplaceTempView("ssins_vis_input")
+    return spark.sql(ssins_select("ssins_vis_input", threshold))
+
+
+def ssins_flag_vis(vis: DataFrame,
+                   threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """OR the SSINS (t, chan) mask back into the vis flags — the same
+    ``re_apply_existing`` disjunction semantics as the reference's RFI
+    pass (src/flags.rs:414-418), via a broadcast join on the tiny image."""
+    from pyspark.sql import functions as F
+
+    mask = ssins_spectra(vis, threshold).select(
+        "t", "chan", F.col("rfi_flag").alias("_ssins_flag"))
+    joined = vis.join(F.broadcast(mask), ["t", "chan"], "left")
+    return joined.withColumn(
+        "flag", F.col("flag") | F.coalesce(F.col("_ssins_flag"), F.lit(False))
+    ).select(*vis.columns)

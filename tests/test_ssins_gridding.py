@@ -1,0 +1,99 @@
+"""F11 SSINS incoherent noise spectra + IM1 uv gridding unit tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from birli_spark.operators import corrections, gridding, ssins
+from birli_spark.operators.weights import bake_flags_into_weights
+from birli_spark.sources import synthetic as syn
+
+
+def _toy_vis(spark, rfi_t=None, rfi_chan=None, amp=50.0):
+    """Dense 8t x 4chan x 6bl cube: static sky (value depends only on
+    (chan, bl), so adjacent-time differences vanish) plus tiny
+    deterministic per-t jitter, plus an optional RFI burst at one
+    (t, chan) on every baseline."""
+    rows = []
+    for t in range(8):
+        for chan in range(4):
+            for a1 in range(3):
+                for a2 in range(a1, 3):
+                    sky = 1.0 + 0.1 * chan + 0.01 * (a1 * 3 + a2)
+                    jitter = 0.001 * ((t * 7 + chan * 3 + a1 + a2) % 5)
+                    v = sky + jitter
+                    if t == rfi_t and chan == rfi_chan:
+                        v += amp
+                    rows.append({
+                        "t": t, "chan": chan, "bl": a1 * 3 + a2,
+                        "ant1": a1, "ant2": a2,
+                        "freq_hz": 1.4e8 + chan * 4e4,
+                        "weight": 8.0, "flag": False,
+                        **{f"{p}_{c}": v + i * 0.001
+                           for i, (p, c) in enumerate(
+                               (p, c) for p in ("xx", "xy", "yx", "yy")
+                               for c in ("re", "im"))},
+                    })
+    return spark.createDataFrame(rows)
+
+
+def test_ssins_quiet_sky_unflagged(spark):
+    out = ssins.ssins_spectra(_toy_vis(spark)).collect()
+    # 7 differenced timesteps x 4 channels
+    assert len(out) == 28
+    assert all(not r.rfi_flag for r in out)
+    assert all(r.n_bl == 6 for r in out)
+
+
+def test_ssins_burst_detected_and_localised(spark):
+    out = ssins.ssins_spectra(_toy_vis(spark, rfi_t=4, rfi_chan=2)).collect()
+    flagged = {(r.t, r.chan) for r in out if r.rfi_flag}
+    # the burst enters both differences that straddle t=4, only on chan 2
+    assert flagged == {(4, 2), (5, 2)}
+    z = {(r.t, r.chan): r.z_xx for r in out}
+    assert z[(4, 2)] > 2.0 and z[(5, 2)] > 2.0
+
+
+def test_ssins_flag_vis_disjunction(spark):
+    vis = _toy_vis(spark, rfi_t=4, rfi_chan=2)
+    flagged = ssins.ssins_flag_vis(vis)
+    assert flagged.columns == vis.columns
+    n = flagged.filter("flag").count()
+    # 2 flagged (t, chan) cells x 6 baselines; no pre-existing flags
+    assert n == 2 * 6
+
+
+def test_uv_grid_weighted_mean_and_autos_excluded(spark):
+    baked = bake_flags_into_weights(syn.load_vis(spark, "/root/testdata/sf0.001"))
+    geom = corrections.correct_geometry(baked, syn.load_dim(spark, "part_uvw"))
+    grid = gridding.uv_grid(geom)
+    rows = grid.collect()
+    assert rows and all(r.n_vis > 0 for r in rows)
+
+    # hand-check one cell: weighted mean of the unflagged xx_re samples
+    r0 = max(rows, key=lambda r: r.n_vis)
+    cell = geom.filter(
+        (F.col("ant1") != F.col("ant2"))
+        & (F.expr(gridding._cell("u", gridding.DEFAULT_CELL_LAMBDA))
+           == r0.u_cell)
+        & (F.expr(gridding._cell("v", gridding.DEFAULT_CELL_LAMBDA))
+           == r0.v_cell)
+        & (F.col("chan") == r0.chan)
+    ).select("xx_re", "weight").collect()
+    pos = [(c.xx_re, c.weight) for c in cell if c.weight > 0]
+    want = sum(x * w for x, w in pos) / sum(w for _, w in pos)
+    assert math.isclose(r0.xx_re, want, rel_tol=1e-6)
+    assert math.isclose(r0.grid_weight, sum(w for _, w in pos), rel_tol=1e-6)
+    assert r0.n_vis == len(pos)
+
+
+def test_uv_grid_drops_fully_flagged_cells(spark):
+    vis = _toy_vis(spark).withColumn("flag", F.col("chan") == 3)
+    baked = bake_flags_into_weights(vis)
+    geom = baked.withColumn("u", F.col("ant1") * 30.0 - F.col("ant2") * 30.0) \
+                .withColumn("v", F.col("ant1") * 10.0 - F.col("ant2") * 10.0)
+    grid = gridding.uv_grid(geom)
+    assert grid.filter("chan = 3").count() == 0
+    assert grid.filter("chan < 3").count() > 0
