@@ -276,6 +276,13 @@ def _q_pipeline(spark, sf_dir):
     return pipeline.preprocess(spark, sf_dir)
 
 
+def _q_pipeline_ssins(spark, sf_dir):
+    """The COMPLETE reference flowchart (flags → corrections → RFI →
+    bake → average) as one oracle-checkable plan: the RFI slot runs the
+    all-relational SSINS flagger instead of the F9 UDF island."""
+    return pipeline.preprocess(spark, sf_dir, ssins_rfi=True)
+
+
 def _q_van_vleck(spark, sf_dir):
     from birli_spark.operators import vanvleck
     vis = syn.load_vis_legacy(spark, sf_dir)
@@ -537,6 +544,16 @@ def _q_stream_ewma(spark, sf_dir):
     updates = sewma.run_available_now(
         spark, sf_dir, _stream_tmp(spark, "q_ewma"))
     return sewma.latest_snapshots(updates)
+
+
+def _q_stream_ssins(spark, sf_dir):
+    """Streaming SSINS (F11 twin): stateful adjacent-time differencing
+    with 8-double state per (bl, chan); the incoherent (t, chan) noise
+    image is oracle-checked against the BATCH ssins_ins CTE."""
+    from birli_spark.streaming import ssins as sssins
+    updates = sssins.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_ssins"))
+    return sssins.ins_from_updates(updates)
 
 
 def _q_stream_topk(spark, sf_dir):
@@ -1344,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests against the reference's published vectors).
         "f11_ssins_spectra": _q_ssins,
         "im1_uv_grid": _q_uv_grid,
+        "pipeline_preprocess_ssins": _q_pipeline_ssins,
         "c1_van_vleck": _q_van_vleck,
         "f9_rfi_sumthreshold": _q_rfi,
         "pipeline_preprocess_full": _q_pipeline_full,
@@ -1472,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o5_shard_manifest": _q_shard_manifest,
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
+        "st9_stream_ssins": _q_stream_ssins,
         "m5_compaction_plan": _q_compaction_plan,
         "q3_referential_integrity": _q_ref_integrity,
         "t27_bigram_lm": _q_bigram_lm,
@@ -1629,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
             + occupancy.occupancy_oracle_select("flagged", ("ant1", "ant2"))),
         "a4_rowcount_validation": _with_vis("SELECT COUNT(*) AS n_rows FROM vis"),
         "pipeline_preprocess": pipeline.preprocess_oracle_sql(),
+        "pipeline_preprocess_ssins": pipeline.preprocess_oracle_sql(ssins_rfi=True),
         "s3_antenna_dim": syn.ANTENNAS_SQL,
         "s1b_gpubox_fits_scan": gpubox.expected_grid_sql(**_GPUBOX_SHAPE),
         "s1c_gpubox_datasource": gpubox.expected_grid_sql(**_GPUBOX_SHAPE),
@@ -1803,6 +1823,12 @@ def oracle_sql() -> dict[str, str]:
         "o5_shard_manifest": _shard_manifest_oracle(),
         "sk7_theta_pairs": sketches.theta_sketch_pairs_oracle_sql(),
         "st8_stream_theta": _stream_theta_oracle(),
+        "st9_stream_ssins": (
+            f"WITH vis AS ({syn.vis_sql()}), "
+            + ssins.ssins_parts("vis", median_fn="quantile_cont")[0]
+            + " SELECT t, chan, "
+            + ", ".join(f"{p}_amp" for p in ("xx", "xy", "yx", "yy"))
+            + ", n_bl FROM ssins_ins"),
         "m5_compaction_plan": _compaction_plan_oracle(),
         "q3_referential_integrity": _ref_integrity_oracle(),
         "t27_bigram_lm": text.bigram_lm_bits_oracle_sql(),

@@ -64,9 +64,11 @@ HEADLINE = [
     "sk7_theta_pairs",
     "ts2_dtw_pairs",
     # round-3: all-relational SSINS RFI (the JVM-side answer to the F9
-    # UDF island) and the uv-grid imaging handoff
+    # UDF island), the uv-grid imaging handoff, and the complete
+    # RFI-inclusive pipeline as one oracle-checkable plan
     "f11_ssins_spectra",
     "im1_uv_grid",
+    "pipeline_preprocess_ssins",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1_van_vleck",

@@ -63,6 +63,8 @@ class Context:
     flag_end: float = 0.0
     no_rfi: bool = True
     rfi_sensitivity: float = 6.0
+    ssins: bool = False
+    ssins_threshold: float = 5.0
     no_cable_delay: bool = False
     no_digital_gains: bool = False
     no_geometric_delay: bool = False
@@ -112,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seconds flagged before the end of the obs "
                         "(reference src/cli.rs:1104-1157)")
     p.add_argument("--no-rfi", action="store_true")
+    p.add_argument("--ssins", action="store_true",
+                   help="use the all-relational SSINS incoherent-noise "
+                        "flagger (Wilensky et al. 2019) in the RFI slot "
+                        "instead of the SumThreshold UDF island")
+    p.add_argument("--ssins-threshold", type=float, default=5.0,
+                   metavar="Z", help="SSINS robust z-score flag threshold")
     p.add_argument("--aoflagger-strategy", type=str, default="default",
                    help="RFI strategy preset: 'default' (sensitivity 6), "
                         "'sensitive' (4.5), 'conservative' (8), or a "
@@ -234,6 +242,7 @@ def parse_args(argv: list[str]) -> Context:
         flag_autos=a.flag_autos, quack_time=a.quack_time,
         flag_end=a.flag_end, no_rfi=a.no_rfi,
         rfi_sensitivity=_strategy_sensitivity(a.aoflagger_strategy),
+        ssins=a.ssins, ssins_threshold=a.ssins_threshold,
         no_cable_delay=a.no_cable_delay,
         no_digital_gains=a.no_digital_gains,
         no_geometric_delay=a.no_geometric_delay,
@@ -346,8 +355,12 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
                 corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS))
         vis = corrections.correct_passband_gains(vis, fine_gains)
     if not ctx.no_rfi:
-        from birli_spark.operators import rfi
-        vis = rfi.flag_rfi(vis, base_sensitivity=ctx.rfi_sensitivity)
+        if ctx.ssins:
+            from birli_spark.operators import ssins as ssins_op
+            vis = ssins_op.ssins_flag_vis(vis, threshold=ctx.ssins_threshold)
+        else:
+            from birli_spark.operators import rfi
+            vis = rfi.flag_rfi(vis, base_sensitivity=ctx.rfi_sensitivity)
     if not ctx.no_geometric_delay:
         if ctx.phase_centre or ctx.pointing_centre:
             import math

@@ -47,7 +47,8 @@ def rule_flags(spark: SparkSession, vis: DataFrame) -> DataFrame:
 
 
 def preprocess_baked(spark: SparkSession, sf_dir: str,
-                     vis: DataFrame | None = None) -> DataFrame:
+                     vis: DataFrame | None = None,
+                     ssins_rfi: bool = False) -> DataFrame:
     """Pipeline up to (and including) flag→weight baking, before the
     averaging shuffle — the corrections chain fused as one projection.
     ``vis`` overrides the default scan (used by picket-fence ranges).
@@ -60,6 +61,13 @@ def preprocess_baked(spark: SparkSession, sf_dir: str,
     vis = corrections.correct_digital_gains(vis, syn.load_dim(spark, "digital_gains"))
     fine_gains = spark.sql(corrections.fine_gains_values_sql(FINE_GAIN_ROWS))
     vis = corrections.correct_passband_gains(vis, fine_gains)
+    if ssins_rfi:
+        # all-relational RFI where the reference runs AOFlagger
+        # (after passband, before geometry — src/preprocessing.rs:291-329);
+        # the (t, chan) mask is OR-ed in like re_apply_existing
+        from birli_spark.operators import ssins
+
+        vis = ssins.ssins_flag_vis(vis)
     vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
     vis = calibration.apply_di_calsol(vis, syn.load_dim(spark, "calsols"), CAL_RATIO)
     return weights.bake_flags_into_weights(vis)
@@ -67,9 +75,18 @@ def preprocess_baked(spark: SparkSession, sf_dir: str,
 
 def preprocess(spark: SparkSession, sf_dir: str,
                avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ,
-               vis: DataFrame | None = None) -> DataFrame:
-    """The full batch pipeline on the derived vis table at ``sf_dir``."""
-    baked = preprocess_baked(spark, sf_dir, vis=vis)
+               vis: DataFrame | None = None,
+               ssins_rfi: bool = False) -> DataFrame:
+    """The full batch pipeline on the derived vis table at ``sf_dir``.
+
+    With ``ssins_rfi`` the pipeline includes RFI detection (the
+    all-relational SSINS flagger, operators/ssins.py) in the reference's
+    slot — making the COMPLETE flowchart (flags → corrections → RFI →
+    bake → average) a single SQL-expressible, oracle-checkable plan,
+    where the F9/C1 UDF-island variant (:func:`preprocess_full`) can
+    only be rows-checked.
+    """
+    baked = preprocess_baked(spark, sf_dir, vis=vis, ssins_rfi=ssins_rfi)
     return averaging.average_time_freq(baked, avg_time, avg_freq)
 
 
@@ -124,22 +141,43 @@ def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS, vis_where: str = "") -> 
     )
 
 
-def baked_oracle_ctes(vis_where: str = "") -> str:
+def baked_oracle_ctes(vis_where: str = "", ssins_rfi: bool = False) -> str:
     """CTE chain vis → … → ``baked`` (the pre-averaging pipeline state,
-    incl. u/v/w from the geometry stage)."""
+    incl. u/v/w from the geometry stage). With ``ssins_rfi`` the SSINS
+    CTE chain (operators/ssins.py) is spliced in after the passband
+    stage — the reference's AOFlagger slot — and its (t, chan) mask is
+    OR-ed into the flags."""
     cols = syn.VIS_COLUMNS
     cols_uvw = tuple(cols) + ("u", "v", "w")
     cable = corrections.cable_oracle_select("flagged", "antennas", cols)
     digital = corrections.digital_oracle_select("cabled", "digital_gains", cols)
     fine_gains = corrections.fine_gains_values_sql(FINE_GAIN_ROWS)
     passband = corrections.passband_oracle_select("digitald", "fine_gains", cols)
-    geom = corrections.geom_oracle_select("passbanded", "part_uvw", cols)
+    geom_in = "rfid" if ssins_rfi else "passbanded"
+    geom = corrections.geom_oracle_select(geom_in, "part_uvw", cols)
     cal = calibration.calibration_oracle_select("geomed", "calsols", CAL_RATIO, cols_uvw)
     baked_cols = ", ".join(
         "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
         if c == "weight" else c
         for c in cols_uvw
     )
+    rfi_ctes = ""
+    if ssins_rfi:
+        from birli_spark.operators import ssins
+
+        ss_ctes, ss_final = ssins.ssins_parts(
+            "passbanded", median_fn="quantile_cont")
+        rfid_cols = ", ".join(
+            "(p.flag OR COALESCE(m.rfi_flag, FALSE)) AS flag"
+            if c == "flag" else f"p.{c}"
+            for c in cols
+        )
+        rfi_ctes = (
+            f" {ss_ctes},"
+            f" ssins_mask AS ({ss_final}),"
+            f" rfid AS (SELECT {rfid_cols} FROM passbanded p"
+            f" LEFT JOIN ssins_mask m ON p.t = m.t AND p.chan = m.chan),"
+        )
     return (
         f"{flagged_vis_oracle_cte(vis_where=vis_where)},"
         f" digital_gains AS ({syn.DIGITAL_GAINS_SQL}),"
@@ -149,6 +187,7 @@ def baked_oracle_ctes(vis_where: str = "") -> str:
         f" cabled AS ({cable}),"
         f" digitald AS ({digital}),"
         f" passbanded AS ({passband}),"
+        f"{rfi_ctes}"
         f" geomed AS ({geom}),"
         f" caled AS ({cal}),"
         f" baked AS (SELECT {baked_cols} FROM caled)"
@@ -157,9 +196,10 @@ def baked_oracle_ctes(vis_where: str = "") -> str:
 
 def preprocess_oracle_sql(avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ,
                           vis_where: str = "",
-                          extra_mean_cols: tuple[str, ...] = ()) -> str:
+                          extra_mean_cols: tuple[str, ...] = (),
+                          ssins_rfi: bool = False) -> str:
     """One DuckDB query equivalent to :func:`preprocess` — each stage a CTE
     reusing the exact scalar fragments the Spark plan uses."""
     avg = averaging.averaging_oracle_select("baked", avg_time, avg_freq,
                                             extra_mean_cols)
-    return f"WITH {baked_oracle_ctes(vis_where)} {avg}"
+    return f"WITH {baked_oracle_ctes(vis_where, ssins_rfi=ssins_rfi)} {avg}"

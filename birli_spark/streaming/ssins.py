@@ -1,0 +1,127 @@
+"""Streaming SSINS: the stateful twin of ``operators/ssins.py`` (F11) —
+live RFI monitoring while an observation is still being written.
+
+The batch operator lag-windows adjacent timesteps per (bl, chan); the
+stream carries exactly that window as state: **8 doubles (the last
+cell's f32-demoted pol values) + the last timestep index per (bl,
+chan)** — O(1) per key, never re-reading history. Each micro-batch (a
+newly-arrived gpubox time segment, sources/gpubox.py S1f) folds its
+cell means in time order against the carried cell, emitting per-
+baseline difference amplitudes; the incoherent (t, chan) noise image
+and the median/MAD scoring then run **relationally over the drained
+amplitudes** (the same post-algebra pattern as the theta/KMV streaming
+twins).
+
+Parity is exact, not tolerance: the transition performs the identical
+f64 arithmetic with the identical f32 demotions as the batch SQL
+(functions/complex.py:f32), and both engines see f32-representable
+cell values, so the subtraction is exact and the hashes match.
+
+**Ordering assumption** (same as the EWMA twin): micro-batches arrive
+in per-key time order — true for the correlator's append-only feed and
+the availableNow file source. The batch LAG diffs adjacent *rows* (not
+t, t−1 pairs), so gaps behave identically in both forms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from birli_spark.functions.complex import POLS, VIS_COLS, f32
+from birli_spark.sources import synthetic as syn
+
+OUTPUT_SCHEMA = StructType(
+    [StructField("t", IntegerType()), StructField("chan", IntegerType()),
+     StructField("bl", IntegerType())]
+    + [StructField(f"a_{p}", DoubleType()) for p in POLS])
+
+STATE_SCHEMA = StructType(
+    [StructField("last_t", LongType())]
+    + [StructField(f"v_{c}", DoubleType()) for c in VIS_COLS])
+
+
+def read_vis_stream(spark: SparkSession, sf_dir: str,
+                    glob: str = "lineitem.parquet") -> DataFrame:
+    """File-source stream of the synthetic long-format vis (one parquet
+    file = one micro-batch under availableNow; production = the S1f
+    gpubox stream). The same projection as the batch scan, on a stream."""
+    schema = (spark.read.option("pathGlobFilter", glob)
+              .parquet(sf_dir).schema)
+    lineitem = (spark.readStream.schema(schema)
+                .option("pathGlobFilter", glob)
+                .parquet(sf_dir))
+    return lineitem.selectExpr(
+        *(f"{frag} AS {name}" for name, frag in syn.VIS_FRAGMENTS.items()))
+
+
+def _fold_key(chan: int, bl: int, batch: pd.DataFrame,
+              prev: tuple | None) -> tuple[pd.DataFrame, tuple]:
+    """Pure transition: f32-demoted cell means per t (the batch cube
+    CTE), diffed in time order against the carried last cell."""
+    cells = (batch.groupby("t")[list(VIS_COLS)].mean().sort_index())
+    out = []
+    last_t = int(prev[0]) if prev is not None else None
+    prev_v = (np.array(prev[1:], dtype=np.float64)
+              if prev is not None else None)
+    for t, row in cells.iterrows():
+        cur = np.float64(np.float32(row.to_numpy(dtype=np.float64)))
+        if prev_v is not None:
+            d = cur - prev_v
+            rec = {"t": int(t), "chan": int(chan), "bl": int(bl)}
+            for i, p in enumerate(POLS):
+                dre, dim = d[2 * i], d[2 * i + 1]
+                rec[f"a_{p}"] = float(np.float32(np.sqrt(dre * dre + dim * dim)))
+            out.append(rec)
+        prev_v, last_t = cur, int(t)
+    state = (last_t, *(float(v) for v in prev_v))
+    return pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA]), state
+
+
+def ssins_amp_stream(stream: DataFrame) -> DataFrame:
+    """Per-(bl, chan) stateful adjacent-time difference amplitudes."""
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        bl, chan = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        prev = tuple(state.get) if state.exists else None
+        out, new_state = _fold_key(chan, bl, batch, prev)
+        state.update(new_state)
+        if len(out):
+            yield out
+
+    return (stream
+            .select("t", "chan", "bl", *VIS_COLS)
+            .groupBy("bl", "chan")
+            .applyInPandasWithState(
+                fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout))
+
+
+def ins_from_updates(updates: DataFrame) -> DataFrame:
+    """Incoherent (t, chan) noise image from the drained amplitudes —
+    identical fragments to the batch ``ssins_ins`` CTE."""
+    return (updates.groupBy("t", "chan")
+            .agg(*(F.expr(f32(f"AVG(a_{p})")).alias(f"{p}_amp")
+                   for p in POLS),
+                 F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bl")))
+
+
+def run_available_now(spark: SparkSession, sf_dir: str,
+                      query_name: str = "stream_ssins") -> DataFrame:
+    out = ssins_amp_stream(read_vis_stream(spark, sf_dir))
+    q = (out.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(query_name)

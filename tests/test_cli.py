@@ -227,3 +227,13 @@ def test_cli_pfb_gains_cotter_uses_real_table(spark, sf_dir, tmp_path):
          "-u", str(out), "--pfb-gains", "cotter", "--no-rfi"],
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_cli_ssins_rfi_slot(spark, sf_dir):
+    ctx = cli.parse_args([sf_dir, "--ssins", "--ssins-threshold", "3"])
+    assert ctx.ssins and not ctx.no_rfi and ctx.ssins_threshold == 3.0
+    off = cli.build_plan(spark, cli.parse_args([sf_dir, "--no-rfi"]))
+    on = cli.build_plan(spark, ctx)
+    assert on.columns == off.columns
+    # the SSINS mask can only ADD flags on top of the rule flags
+    assert (on.filter("flag").count() >= off.filter("flag").count())

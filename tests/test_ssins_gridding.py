@@ -89,6 +89,22 @@ def test_uv_grid_weighted_mean_and_autos_excluded(spark):
     assert r0.n_vis == len(pos)
 
 
+def test_pipeline_ssins_supersets_plain_flags(spark, sf_dir):
+    from birli_spark import pipeline
+
+    plain = pipeline.preprocess(spark, sf_dir)
+    rfid = pipeline.preprocess(spark, sf_dir, ssins_rfi=True)
+    assert rfid.columns == plain.columns
+    # SSINS can only ADD flags: every output block keeps >= the plain
+    # pipeline's flag, and cardinality is identical
+    a = {tuple(r[k] for k in ("t_out", "chan_out", "bl")): r.flag
+         for r in plain.collect()}
+    b = {tuple(r[k] for k in ("t_out", "chan_out", "bl")): r.flag
+         for r in rfid.collect()}
+    assert set(a) == set(b)
+    assert all(b[k] or not a[k] for k in a)
+
+
 def test_uv_grid_drops_fully_flagged_cells(spark):
     vis = _toy_vis(spark).withColumn("flag", F.col("chan") == 3)
     baked = bake_flags_into_weights(vis)
