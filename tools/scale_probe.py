@@ -8,10 +8,18 @@ duplicate mass (every doc gains N−1 exact copies — the worst case for
 pair-generation operators, which is the point).
 
 Usage: python tools/scale_probe.py [N] [sf_dir]
-Last measured (N=10, sf0.1 → 50k docs, local[32]): t26 7.1s,
-d3 10.7s, d6 14.2s, i2 6.4s, sk7 4.0s, t27 9.2s, d1 0.6s — all within
-~linear of the 1× timings; the d3/d6 growth is the inherent
-quadratic-in-duplicates pair mass, not a plan regression.
+Last measured (N=10, sf0.1 → 50k docs / 50k vectors / 6M lineitem
+rows, local[32]): t26 7.0s, d3 9.7s, d6 11.6s, i2 5.3s, sk7 2.9s,
+t27 7.2s, d1 0.5s, d10 28.6s, f11 1.6s, im1 1.4s, pipeline_ssins 6.3s
+— all within ~linear of the 1× timings except the pair generators,
+whose growth is the inherent quadratic-in-duplicates pair mass (every
+vector gains 9 exact copies), not a plan regression. d5 (116s) is the
+documented BRUTE-FORCE O(N²) oracle baseline kept for correctness
+gating; d10 SemDeDup (within-cell N²/k) is the scale path and stays
+4× below it on identical input. The vis-side probes (f11 SSINS, im1
+uv-grid, the RFI-inclusive pipeline) are flat: replicated rows densify
+cube cells and the map-side partial aggregation absorbs them before
+any exchange.
 """
 
 from __future__ import annotations
@@ -28,7 +36,12 @@ from birli_spark.session import get_spark  # noqa: E402
 
 PROBES = ["t26_substring_dedup", "d3_minhash_lsh", "d6_neardup_clusters",
           "i2_bm25_topk", "sk7_theta_pairs", "t27_bigram_lm",
-          "d1_exact_dedup", "d5_embedding_neardup"]
+          "d1_exact_dedup", "d5_embedding_neardup", "d10_semantic_dedup",
+          # vis-side probes: SSINS lag-window chain and the uv-grid
+          # aggregate over the Nx-replicated fact table (denser cells —
+          # the cube/grid partial aggregation must absorb the growth
+          # map-side)
+          "f11_ssins_spectra", "im1_uv_grid", "pipeline_preprocess_ssins"]
 
 
 def replicate(spark, src: str, out: str, n: int) -> None:
@@ -48,6 +61,17 @@ def replicate(spark, src: str, out: str, n: int) -> None:
         bige = e if bige is None else bige.unionByName(e)
     bige.repartition(32).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    nl = li.count()
+    bigl = None
+    for i in range(n):
+        # disjoint l_orderkey ranges keep the vis derivation's coordinate
+        # mixes distinct, so replicated rows fill MORE cube cells, not
+        # just the same ones
+        l = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * nl))
+        bigl = l if bigl is None else bigl.unionByName(l)
+    bigl.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet")
 
 
 def main() -> None:
