@@ -42,6 +42,69 @@ DEFAULT_THRESHOLD = 5.0
 MAD_SIGMA = "1.4826"
 
 
+def scoring_parts(ins: str = "ssins_ins",
+                  threshold: float = DEFAULT_THRESHOLD,
+                  median_fn: str = "percentile",
+                  rel_floor: float = 0.01) -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the per-channel robust scoring over
+    an already-built incoherent noise image ``ins`` (columns t, chan,
+    {pol}_amp, n_bl). Used standalone by the streaming twin to score a
+    DRAINED image (streaming/ssins.py), and composed by
+    :func:`ssins_parts` for the batch derivation."""
+    def med(x: str) -> str:
+        # aggregate-as-window over the whole channel partition: keeps the
+        # med/MAD stats in the SAME linear plan as the image (a groupBy +
+        # join-back would make Spark inline the CTE and re-scan the fact
+        # table once per consumer)
+        return f32(f"CAST({median_fn}({x}, 0.5)"
+                   f" OVER (PARTITION BY chan) AS DOUBLE)")
+
+    med_cols = ", ".join(f"{med(f'{p}_amp')} AS m_{p}" for p in POLS)
+    dev_cols = ", ".join(
+        f"{f32(f'ABS({p}_amp - m_{p})')} AS ad_{p}" for p in POLS)
+    mad_cols = ", ".join(f"{med(f'ad_{p}')} AS s_{p}" for p in POLS)
+    amp_keep = ", ".join(f"{p}_amp" for p in POLS)
+    m_keep = ", ".join(f"m_{p}" for p in POLS)
+    # scale floor: a degenerate channel (near-identical amplitudes) has
+    # MAD ~ float rounding noise, which would make any distinct value an
+    # astronomic z — clamp the robust scale to rel_floor x the median
+    # amplitude (the paper's noise-floor role)
+    def s_eff(p: str) -> str:
+        return f"GREATEST(s_{p}, {f32(f'{rel_floor!r} * m_{p}')})"
+
+    z_cols = ", ".join(
+        f"CASE WHEN {s_eff(p)} > 0 THEN"
+        f" {f32(f'({p}_amp - m_{p}) / ' + f32(f'{MAD_SIGMA} * {s_eff(p)}'))}"
+        f" ELSE CAST(0.0 AS DOUBLE) END AS z_{p}" for p in POLS)
+    z_keep = ", ".join(f"z_{p}" for p in POLS)
+    # |z|: a contaminated sample inflates the difference on one side and
+    # can deflate it on the other (the burst cancels part of the sky
+    # change) — both samples of a contaminated difference are suspect
+    greatest = "GREATEST(" + ", ".join(f"ABS(z_{p})" for p in POLS) + ")"
+    ctes = f"""ssins_med AS (
+  SELECT t, chan, {amp_keep}, n_bl, {med_cols}
+  FROM {ins}
+),
+ssins_dev AS (
+  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {dev_cols}
+  FROM ssins_med
+),
+ssins_mad AS (
+  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {mad_cols}
+  FROM ssins_dev
+),
+ssins_scored AS (
+  SELECT t, chan, {amp_keep}, n_bl, {z_cols}
+  FROM ssins_mad
+)"""
+    final = (
+        f"SELECT t, chan, {amp_keep}, n_bl, {z_keep},"
+        f" ({greatest} > CAST({threshold!r} AS DOUBLE)) AS rfi_flag"
+        f" FROM ssins_scored"
+    )
+    return ctes, final
+
+
 def ssins_parts(vis: str = "vis",
                 threshold: float = DEFAULT_THRESHOLD,
                 median_fn: str = "percentile",
@@ -61,14 +124,6 @@ def ssins_parts(vis: str = "vis",
     mean amplitudes, contributing-baseline count, per-pol per-channel
     robust z-scores, and the ``rfi_flag`` disjunction.
     """
-    def med(x: str) -> str:
-        # aggregate-as-window over the whole channel partition: keeps the
-        # med/MAD stats in the SAME linear plan as the image (a groupBy +
-        # join-back would make Spark inline the CTE and re-scan the fact
-        # table once per consumer)
-        return f32(f"CAST({median_fn}({x}, 0.5)"
-                   f" OVER (PARTITION BY chan) AS DOUBLE)")
-
     cube_cols = ", ".join(
         f"{f32(f'AVG({p}_{c})')} AS {p}_{c}"
         for p in POLS for c in ("re", "im"))
@@ -81,25 +136,8 @@ def ssins_parts(vis: str = "vis",
         for p in POLS)
     ins_cols = ", ".join(
         f"{f32(f'AVG(a_{p})')} AS {p}_amp" for p in POLS)
-    med_cols = ", ".join(f"{med(f'{p}_amp')} AS m_{p}" for p in POLS)
-    dev_cols = ", ".join(
-        f"{f32(f'ABS({p}_amp - m_{p})')} AS ad_{p}" for p in POLS)
-    mad_cols = ", ".join(f"{med(f'ad_{p}')} AS s_{p}" for p in POLS)
-    amp_keep = ", ".join(f"{p}_amp" for p in POLS)
-    m_keep = ", ".join(f"m_{p}" for p in POLS)
-    # scale floor: a degenerate channel (near-identical amplitudes) has
-    # MAD ~ float rounding noise, which would make any distinct value an
-    # astronomic z — clamp the robust scale to rel_floor x the median
-    # amplitude (the paper's noise-floor role)
-    def s_eff(p: str) -> str:
-        return f"GREATEST(s_{p}, {f32(f'{rel_floor!r} * m_{p}')})"
-
-    z_cols = ", ".join(
-        f"CASE WHEN {s_eff(p)} > 0 THEN"
-        f" {f32(f'({p}_amp - m_{p}) / ' + f32(f'{MAD_SIGMA} * {s_eff(p)}'))}"
-        f" ELSE CAST(0.0 AS DOUBLE) END AS z_{p}" for p in POLS)
-    z_keep = ", ".join(f"z_{p}" for p in POLS)
-    greatest = "GREATEST(" + ", ".join(f"z_{p}" for p in POLS) + ")"
+    score_ctes, final = scoring_parts("ssins_ins", threshold,
+                                      median_fn, rel_floor)
     ctes = f"""ssins_cube AS (
   SELECT t, chan, bl, {cube_cols}
   FROM {vis}
@@ -119,27 +157,7 @@ ssins_ins AS (
   FROM ssins_amps
   GROUP BY t, chan
 ),
-ssins_med AS (
-  SELECT t, chan, {amp_keep}, n_bl, {med_cols}
-  FROM ssins_ins
-),
-ssins_dev AS (
-  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {dev_cols}
-  FROM ssins_med
-),
-ssins_mad AS (
-  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {mad_cols}
-  FROM ssins_dev
-),
-ssins_scored AS (
-  SELECT t, chan, {amp_keep}, n_bl, {z_cols}
-  FROM ssins_mad
-)"""
-    final = (
-        f"SELECT t, chan, {amp_keep}, n_bl, {z_keep},"
-        f" ({greatest} > CAST({threshold!r} AS DOUBLE)) AS rfi_flag"
-        f" FROM ssins_scored"
-    )
+{score_ctes}"""
     return ctes, final
 
 

@@ -48,11 +48,18 @@ def encoded_value(t: int, bl: int, chan: int, float_idx: int) -> float:
 def write_gpubox(path: str, cc_idx: int, num_ants: int, num_fine: int,
                  num_timesteps: int, obsid: int = 0,
                  gps_start: float = 0.0, int_time_s: float = 1.0,
-                 skip_timesteps: tuple[int, ...] = ()) -> None:
+                 skip_timesteps: tuple[int, ...] = (),
+                 t_start: int = 0,
+                 burst: tuple[int, int, float] | None = None) -> None:
     """Write a synthetic gpubox file: primary metadata HDU + one IMAGE HDU
     per timestep of shape (n_baselines, num_fine*8) f32, coordinate-
     encoded values. ``skip_timesteps`` omits HDUs to exercise the
-    missing-slab path (S2)."""
+    missing-slab path (S2). ``t_start`` offsets the TSIDX cards — a
+    later time *segment* of the same observation (the correlator's
+    batch-01, batch-02, … files). ``burst`` = (t_global, chan_global,
+    amp) adds a broadband amplitude spike at one (t, chan) cell on
+    every baseline — an injected RFI event for the live-monitoring
+    example."""
     n_bl = len(baseline_pairs(num_ants))
     blobs = [fc.pad_block(b"".join([
         fc.card("SIMPLE", True), fc.card("BITPIX", 8), fc.card("NAXIS", 0),
@@ -63,20 +70,25 @@ def write_gpubox(path: str, cc_idx: int, num_ants: int, num_fine: int,
     for t in range(num_timesteps):
         if t in skip_timesteps:
             continue
+        tg = t_start + t
         hdr = fc.pad_block(b"".join([
             fc.card("XTENSION", "IMAGE"), fc.card("BITPIX", -32),
             fc.card("NAXIS", 2), fc.card("NAXIS1", num_fine * FLOATS_PER_CHAN),
             fc.card("NAXIS2", n_bl), fc.card("PCOUNT", 0),
             fc.card("GCOUNT", 1),
-            fc.card("MWATIME", int(gps_start + t * int_time_s)),
-            fc.card("TSIDX", t), fc.end_card()]))
+            fc.card("MWATIME", int(gps_start + tg * int_time_s)),
+            fc.card("TSIDX", tg), fc.end_card()]))
         data = np.empty((n_bl, num_fine * FLOATS_PER_CHAN), dtype=">f4")
         for bl in range(n_bl):
             for chan in range(num_fine):
                 for k in range(FLOATS_PER_CHAN):
                     # encode the GLOBAL channel so files differ per cc
-                    data[bl, chan * FLOATS_PER_CHAN + k] = encoded_value(
-                        t, bl, cc_idx * num_fine + chan, k)
+                    v = encoded_value(
+                        tg, bl, cc_idx * num_fine + chan, k)
+                    if (burst is not None and tg == burst[0]
+                            and cc_idx * num_fine + chan == burst[1]):
+                        v += burst[2]
+                    data[bl, chan * FLOATS_PER_CHAN + k] = v
         blobs.append(hdr)
         blobs.append(fc.pad_block(data.tobytes(), b"\x00"))
     with open(path, "wb") as f:

@@ -114,6 +114,19 @@ def ins_from_updates(updates: DataFrame) -> DataFrame:
                  F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bl")))
 
 
+def score_drained(ins: DataFrame,
+                  threshold: float = 5.0) -> DataFrame:
+    """Per-channel median/MAD robust scoring over a drained incoherent
+    noise image — the batch operator's scoring CTEs run relationally on
+    the streaming output (the theta-twin post-algebra pattern)."""
+    from birli_spark.operators.ssins import scoring_parts
+
+    spark = ins.sparkSession
+    ins.createOrReplaceTempView("ssins_drained_ins")
+    ctes, final = scoring_parts("ssins_drained_ins", threshold)
+    return spark.sql(f"WITH {ctes} {final}")
+
+
 def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_ssins") -> DataFrame:
     out = ssins_amp_stream(read_vis_stream(spark, sf_dir))

@@ -132,3 +132,18 @@ def test_pretrain_data_pipeline_example(spark, tmp_path):
     rows = {r.source: (r.n_docs, r.n_kept) for r in rep.collect()}
     assert sum(n for n, _ in rows.values()) == stats["n_in"]
     assert sum(k for _, k in rows.values()) == stats["n_out"]
+
+
+def test_live_rfi_monitor_example(spark):
+    sys.modules.pop("examples.live_rfi_monitor", None)
+    mod = runpy.run_path("examples/live_rfi_monitor.py")
+    real_stop = spark.stop
+    try:
+        spark.stop = lambda: None
+        result = mod["main"]()
+    finally:
+        spark.stop = real_stop
+    assert result["crossed_boundary"] is True
+    burst_t, burst_chan = mod["BURST"][0], mod["BURST"][1]
+    assert (burst_t, burst_chan) in result["flagged"]
+    assert (burst_t + 1, burst_chan) in result["flagged"]
