@@ -156,6 +156,14 @@ def _q_uv_grid(spark, sf_dir):
     return gridding.uv_grid(geom)
 
 
+def _q_uv_grid_uniform(spark, sf_dir):
+    """IM2 — uniform-weighted uv gridding (the imager's -weight uniform):
+    every unflagged sample in a cell contributes equally."""
+    baked = weights.bake_flags_into_weights(syn.load_vis(spark, sf_dir))
+    geom = corrections.correct_geometry(baked, syn.load_dim(spark, "part_uvw"))
+    return gridding.uv_grid_uniform(geom)
+
+
 def _q_digital(spark, sf_dir):
     return corrections.correct_digital_gains(
         syn.load_vis(spark, sf_dir), syn.load_dim(spark, "digital_gains"))
@@ -1361,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests against the reference's published vectors).
         "f11_ssins_spectra": _q_ssins,
         "im1_uv_grid": _q_uv_grid,
+        "im2_uv_grid_uniform": _q_uv_grid_uniform,
         "pipeline_preprocess_ssins": _q_pipeline_ssins,
         "c1_van_vleck": _q_van_vleck,
         "f9_rfi_sumthreshold": _q_rfi,
@@ -1865,6 +1874,16 @@ def oracle_sql() -> dict[str, str]:
             + f"part_uvw AS ({syn.PART_UVW_SQL}), geom AS ("
             + corrections.geom_oracle_select("baked", "part_uvw", _COLS)
             + ") " + gridding.uv_grid_oracle_select("geom")),
+        "im2_uv_grid_uniform": (
+            f"WITH vis AS ({syn.vis_sql()}), baked AS (SELECT "
+            + ", ".join(
+                "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+                if c == "weight" else c
+                for c in _COLS)
+            + " FROM vis), "
+            + f"part_uvw AS ({syn.PART_UVW_SQL}), geom AS ("
+            + corrections.geom_oracle_select("baked", "part_uvw", _COLS)
+            + ") " + gridding.uv_grid_uniform_oracle_select("geom")),
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
         "t25_dsir_weights": text.dsir_weights_oracle_sql(),

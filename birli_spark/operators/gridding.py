@@ -78,6 +78,52 @@ def uv_grid(vis: DataFrame,
     )
 
 
+def uv_grid_uniform_fragments(cell_lambda: float = DEFAULT_CELL_LAMBDA
+                              ) -> tuple[dict[str, str], dict[str, str]]:
+    """Uniform-weighting combine: every unflagged visibility in a cell
+    contributes equally (each sample effectively reweighted by 1/N_cell)
+    — the imager's ``-weight uniform`` counterpart to the natural
+    weighting of :func:`uv_grid_fragments`."""
+    keys, _ = uv_grid_fragments(cell_lambda)
+    n_pos = "SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END)"
+    aggs: dict[str, str] = {}
+    for p in POLS:
+        for c in ("re", "im"):
+            aggs[f"{p}_{c}"] = f32(
+                f"SUM(CASE WHEN weight > 0 THEN ({p}_{c})"
+                f" ELSE 0.0 END) / ({n_pos})")
+    aggs["n_vis"] = f"CAST({n_pos} AS BIGINT)"
+    return keys, aggs
+
+
+def uv_grid_uniform(vis: DataFrame,
+                    cell_lambda: float = DEFAULT_CELL_LAMBDA) -> DataFrame:
+    """Uniform-weighted uv-grid — same single partial+final aggregation
+    shape as :func:`uv_grid`; only the combine expressions differ."""
+    keys, aggs = uv_grid_uniform_fragments(cell_lambda)
+    return (
+        vis.filter(F.col("ant1") != F.col("ant2"))
+        .groupBy(*(F.expr(frag).alias(name) for name, frag in keys.items()))
+        .agg(*(F.expr(frag).alias(name) for name, frag in aggs.items()))
+        .filter(F.col("n_vis") > 0)
+    )
+
+
+def uv_grid_uniform_oracle_select(vis: str = "vis",
+                                  cell_lambda: float = DEFAULT_CELL_LAMBDA
+                                  ) -> str:
+    keys, aggs = uv_grid_uniform_fragments(cell_lambda)
+    key_cols = ", ".join(f"{frag} AS {name}" for name, frag in keys.items())
+    agg_cols = ", ".join(f"{frag} AS {name}" for name, frag in aggs.items())
+    group = ", ".join(str(i + 1) for i in range(len(keys)))
+    return (
+        f"SELECT {key_cols}, {agg_cols} FROM {vis}"
+        f" WHERE ant1 <> ant2"
+        f" GROUP BY {group}"
+        f" HAVING SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) > 0"
+    )
+
+
 def uv_grid_oracle_select(vis: str = "vis",
                           cell_lambda: float = DEFAULT_CELL_LAMBDA) -> str:
     """The same gridding as ANSI SQL over a relation with (u, v, weight)."""

@@ -113,3 +113,28 @@ def test_uv_grid_drops_fully_flagged_cells(spark):
     grid = gridding.uv_grid(geom)
     assert grid.filter("chan = 3").count() == 0
     assert grid.filter("chan < 3").count() > 0
+
+
+def test_uv_grid_uniform_equal_contribution(spark):
+    vis = _toy_vis(spark).withColumn(
+        "weight", F.when(F.col("bl") == 1, 100.0).otherwise(8.0))
+    baked = bake_flags_into_weights(vis)
+    geom = baked.withColumn("u", F.col("ant1") * 30.0 - F.col("ant2") * 30.0) \
+                .withColumn("v", F.col("ant1") * 10.0 - F.col("ant2") * 10.0)
+    nat = {(r.chan, r.u_cell, r.v_cell): r.xx_re
+           for r in gridding.uv_grid(geom).collect()}
+    uni = {(r.chan, r.u_cell, r.v_cell): r.xx_re
+           for r in gridding.uv_grid_uniform(geom).collect()}
+    assert set(nat) == set(uni)
+    # uniform weighting ignores the inflated bl=1 weight: in any cell
+    # containing bl 1 plus others, the two weightings must differ
+    mixed = geom.filter("ant1 <> ant2").groupBy(
+        F.expr(gridding._cell("u", gridding.DEFAULT_CELL_LAMBDA)).alias("uc"),
+        F.expr(gridding._cell("v", gridding.DEFAULT_CELL_LAMBDA)).alias("vc"),
+        "chan").agg(
+        F.countDistinct("bl").alias("nbl"),
+        F.max((F.col("bl") == 1).cast("int")).alias("has1")).collect()
+    diff_cells = [(r.chan, r.uc, r.vc) for r in mixed
+                  if r.nbl > 1 and r.has1 == 1]
+    assert diff_cells and any(
+        abs(nat[c] - uni[c]) > 1e-9 for c in diff_cells)
