@@ -140,6 +140,12 @@ def _q_cable(spark, sf_dir):
         syn.load_vis(spark, sf_dir), syn.load_dim(spark, "antennas"))
 
 
+def _q_ssins_autos(spark, sf_dir):
+    """F12 — SSINS autocorrelation variant: per-antenna power diffs,
+    undiluted RFI sensitivity on A rows per (t, chan)."""
+    return ssins.ssins_autos(syn.load_vis(spark, sf_dir))
+
+
 def _q_ssins(spark, sf_dir):
     """F11 — SSINS incoherent noise spectra (Wilensky et al. 2019): the
     all-relational, JVM-side RFI detector complementing the F9
@@ -1368,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver records rows-only checks (validated instead by golden unit
         # tests against the reference's published vectors).
         "f11_ssins_spectra": _q_ssins,
+        "f12_ssins_autos": _q_ssins_autos,
         "im1_uv_grid": _q_uv_grid,
         "im2_uv_grid_uniform": _q_uv_grid_uniform,
         "pipeline_preprocess_ssins": _q_pipeline_ssins,
@@ -1864,6 +1871,9 @@ def oracle_sql() -> dict[str, str]:
         "f11_ssins_spectra": (
             f"WITH vis AS ({syn.vis_sql()}), "
             + " ".join(ssins.ssins_parts("vis", median_fn="quantile_cont"))),
+        "f12_ssins_autos": (
+            f"WITH vis AS ({syn.vis_sql()}), "
+            + " ".join(ssins.ssins_autos_parts("vis", median_fn="quantile_cont"))),
         "im1_uv_grid": (
             f"WITH vis AS ({syn.vis_sql()}), baked AS (SELECT "
             + ", ".join(

@@ -45,7 +45,9 @@ MAD_SIGMA = "1.4826"
 def scoring_parts(ins: str = "ssins_ins",
                   threshold: float = DEFAULT_THRESHOLD,
                   median_fn: str = "percentile",
-                  rel_floor: float = 0.01) -> tuple[str, str]:
+                  rel_floor: float = 0.01,
+                  pols: tuple[str, ...] = POLS,
+                  count_col: str = "n_bl") -> tuple[str, str]:
     """(CTE chain, final SELECT) of the per-channel robust scoring over
     an already-built incoherent noise image ``ins`` (columns t, chan,
     {pol}_amp, n_bl). Used standalone by the streaming twin to score a
@@ -59,12 +61,12 @@ def scoring_parts(ins: str = "ssins_ins",
         return f32(f"CAST({median_fn}({x}, 0.5)"
                    f" OVER (PARTITION BY chan) AS DOUBLE)")
 
-    med_cols = ", ".join(f"{med(f'{p}_amp')} AS m_{p}" for p in POLS)
+    med_cols = ", ".join(f"{med(f'{p}_amp')} AS m_{p}" for p in pols)
     dev_cols = ", ".join(
-        f"{f32(f'ABS({p}_amp - m_{p})')} AS ad_{p}" for p in POLS)
-    mad_cols = ", ".join(f"{med(f'ad_{p}')} AS s_{p}" for p in POLS)
-    amp_keep = ", ".join(f"{p}_amp" for p in POLS)
-    m_keep = ", ".join(f"m_{p}" for p in POLS)
+        f"{f32(f'ABS({p}_amp - m_{p})')} AS ad_{p}" for p in pols)
+    mad_cols = ", ".join(f"{med(f'ad_{p}')} AS s_{p}" for p in pols)
+    amp_keep = ", ".join(f"{p}_amp" for p in pols)
+    m_keep = ", ".join(f"m_{p}" for p in pols)
     # scale floor: a degenerate channel (near-identical amplitudes) has
     # MAD ~ float rounding noise, which would make any distinct value an
     # astronomic z — clamp the robust scale to rel_floor x the median
@@ -75,30 +77,30 @@ def scoring_parts(ins: str = "ssins_ins",
     z_cols = ", ".join(
         f"CASE WHEN {s_eff(p)} > 0 THEN"
         f" {f32(f'({p}_amp - m_{p}) / ' + f32(f'{MAD_SIGMA} * {s_eff(p)}'))}"
-        f" ELSE CAST(0.0 AS DOUBLE) END AS z_{p}" for p in POLS)
-    z_keep = ", ".join(f"z_{p}" for p in POLS)
+        f" ELSE CAST(0.0 AS DOUBLE) END AS z_{p}" for p in pols)
+    z_keep = ", ".join(f"z_{p}" for p in pols)
     # |z|: a contaminated sample inflates the difference on one side and
     # can deflate it on the other (the burst cancels part of the sky
     # change) — both samples of a contaminated difference are suspect
-    greatest = "GREATEST(" + ", ".join(f"ABS(z_{p})" for p in POLS) + ")"
+    greatest = "GREATEST(" + ", ".join(f"ABS(z_{p})" for p in pols) + ")"
     ctes = f"""ssins_med AS (
-  SELECT t, chan, {amp_keep}, n_bl, {med_cols}
+  SELECT t, chan, {amp_keep}, {count_col}, {med_cols}
   FROM {ins}
 ),
 ssins_dev AS (
-  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {dev_cols}
+  SELECT t, chan, {amp_keep}, {count_col}, {m_keep}, {dev_cols}
   FROM ssins_med
 ),
 ssins_mad AS (
-  SELECT t, chan, {amp_keep}, n_bl, {m_keep}, {mad_cols}
+  SELECT t, chan, {amp_keep}, {count_col}, {m_keep}, {mad_cols}
   FROM ssins_dev
 ),
 ssins_scored AS (
-  SELECT t, chan, {amp_keep}, n_bl, {z_cols}
+  SELECT t, chan, {amp_keep}, {count_col}, {z_cols}
   FROM ssins_mad
 )"""
     final = (
-        f"SELECT t, chan, {amp_keep}, n_bl, {z_keep},"
+        f"SELECT t, chan, {amp_keep}, {count_col}, {z_keep},"
         f" ({greatest} > CAST({threshold!r} AS DOUBLE)) AS rfi_flag"
         f" FROM ssins_scored"
     )
@@ -159,6 +161,64 @@ ssins_ins AS (
 ),
 {score_ctes}"""
     return ctes, final
+
+
+def ssins_autos_parts(vis: str = "vis",
+                      threshold: float = DEFAULT_THRESHOLD,
+                      median_fn: str = "percentile",
+                      rel_floor: float = 0.01) -> tuple[str, str]:
+    """F12 — the SSINS autocorrelation variant: autos measure total
+    received POWER per antenna (xx_re/yy_re of ant1 == ant2 rows), so
+    RFI that cross-correlations dilute by fringe-winding shows up at
+    full strength (the SSINS paper's autocorrelation spectra). Diff the
+    per-(ant, chan) power series over time, average |diff| incoherently
+    over antennas, score with the same per-channel median/MAD |z|.
+    Same one-linear-plan shape as F11 on a much smaller input (autos =
+    A rows per (t, chan) vs B baselines)."""
+    pols = ("xx", "yy")
+    cube_cols = ", ".join(
+        f"{f32(f'AVG({p}_re)')} AS p_{p}" for p in pols)
+    diff_cols = ", ".join(
+        f"p_{p} - LAG(p_{p}) OVER (PARTITION BY ant, chan ORDER BY t)"
+        f" AS d_{p}" for p in pols)
+    amp_cols = ", ".join(
+        f"{f32(f'ABS(d_{p})')} AS a_{p}" for p in pols)
+    ins_cols = ", ".join(
+        f"{f32(f'AVG(a_{p})')} AS {p}_amp" for p in pols)
+    score_ctes, final = scoring_parts(
+        "ssins_auto_ins", threshold, median_fn, rel_floor,
+        pols=pols, count_col="n_ant")
+    ctes = f"""ssins_auto_cube AS (
+  SELECT t, chan, ant1 AS ant, {cube_cols}
+  FROM {vis}
+  WHERE ant1 = ant2
+  GROUP BY t, chan, ant1
+),
+ssins_auto_diffs AS (
+  SELECT t, chan, ant, {diff_cols}
+  FROM ssins_auto_cube
+),
+ssins_auto_amps AS (
+  SELECT t, chan, {amp_cols}
+  FROM ssins_auto_diffs
+  WHERE d_xx IS NOT NULL
+),
+ssins_auto_ins AS (
+  SELECT t, chan, {ins_cols}, CAST(COUNT(*) AS BIGINT) AS n_ant
+  FROM ssins_auto_amps
+  GROUP BY t, chan
+),
+{score_ctes}"""
+    return ctes, final
+
+
+def ssins_autos(vis: DataFrame,
+                threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """Run the autocorrelation SSINS variant over a long-format vis."""
+    spark = vis.sparkSession
+    vis.createOrReplaceTempView("ssins_autos_input")
+    ctes, final = ssins_autos_parts("ssins_autos_input", threshold)
+    return spark.sql(f"WITH {ctes} {final}")
 
 
 def ssins_select(vis: str = "vis",

@@ -138,3 +138,20 @@ def test_uv_grid_uniform_equal_contribution(spark):
                   if r.nbl > 1 and r.has1 == 1]
     assert diff_cells and any(
         abs(nat[c] - uni[c]) > 1e-9 for c in diff_cells)
+
+
+def test_ssins_autos_burst_detected(spark):
+    # burst enters the autos' power column at (t=4, chan=2). The toy's
+    # 5-valued quantized jitter makes some clean channels' MAD tiny, so
+    # a few low-z cells flag too (a fixture artifact real thermal noise
+    # doesn't have) — the operator contract asserted here is that both
+    # burst-straddling cells flag and dominate every other z by orders
+    # of magnitude.
+    out = ssins.ssins_autos(
+        _toy_vis(spark, rfi_t=4, rfi_chan=2, amp=50.0)).collect()
+    flagged = {(r.t, r.chan) for r in out if r.rfi_flag}
+    assert {(4, 2), (5, 2)} <= flagged
+    z = {(r.t, r.chan): abs(r.z_xx) for r in out}
+    others = max(v for k, v in z.items() if k not in {(4, 2), (5, 2)})
+    assert min(z[(4, 2)], z[(5, 2)]) > 1000 * others
+    assert all(r.n_ant == 3 for r in out)   # 3 antennas' autos

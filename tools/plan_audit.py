@@ -150,7 +150,7 @@ HEADLINE = [
     "h19_min_cost_supplier", "h26_priority_lateness",
     "t28_leakage_safe_split", "t29_novelty", "ts2_dtw_pairs",
     "mm7_audio_landmarks", "o5_shard_manifest",
-    "f11_ssins_spectra", "im1_uv_grid", "im2_uv_grid_uniform",
+    "f11_ssins_spectra", "f12_ssins_autos", "im1_uv_grid", "im2_uv_grid_uniform",
     "pipeline_preprocess_ssins",
 ]
 
