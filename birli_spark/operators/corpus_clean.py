@@ -234,7 +234,7 @@ def classifier_score_oracle_sql() -> str:
     return f"""
 SELECT doc_id,
   CAST({X.size(d, toks)} AS BIGINT) AS n_toks,
-  {score} AS clf_score,
+  CAST({score} AS BIGINT) AS clf_score,
   {score} > 0 AS keep
 FROM documents"""
 
@@ -281,12 +281,12 @@ WITH per AS (
   FROM documents GROUP BY source),
 tot AS (SELECT SUM(weight) AS sum_w, SUM(n_docs) AS total_docs FROM per)
 SELECT source, n_docs, weight,
-  ({MIX_SCALE} * weight) // sum_w AS mix_ppm,
-  (total_docs * (({MIX_SCALE} * weight) // sum_w)) // {MIX_SCALE}
-    AS planned_docs,
-  LEAST(CAST({MIX_SCALE} AS BIGINT),
+  CAST(({MIX_SCALE} * weight) // sum_w AS BIGINT) AS mix_ppm,
+  CAST((total_docs * (({MIX_SCALE} * weight) // sum_w)) // {MIX_SCALE}
+    AS BIGINT) AS planned_docs,
+  CAST(LEAST(CAST({MIX_SCALE} AS BIGINT),
     ({MIX_SCALE} * ((total_docs * (({MIX_SCALE} * weight) // sum_w))
-     // {MIX_SCALE})) // n_docs) AS rate_ppm
+     // {MIX_SCALE})) // n_docs) AS BIGINT) AS rate_ppm
 FROM per CROSS JOIN tot"""
 
 

@@ -171,8 +171,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY {TS_US_DUCK}, event_id)),
 islands AS (
   SELECT user_id, value, ts_us,
-    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_seq
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
@@ -420,7 +420,7 @@ def json_extract_stats_oracle_sql() -> str:
     return f"""
 WITH e AS (
   SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
-SELECT event_type, COUNT(*) AS n_events, SUM(k) AS sum_k,
+SELECT event_type, COUNT(*) AS n_events, CAST(SUM(k) AS BIGINT) AS sum_k,
   MIN(k) AS min_k, MAX(k) AS max_k,
   {f32('CAST(SUM(k) AS DOUBLE) / COUNT(*)')} AS avg_k
 FROM e GROUP BY event_type"""
@@ -538,7 +538,7 @@ def funnel_oracle_sql() -> str:
             f"t{j} >= t{j - 1}" for j in range(1, i + 1)]
         conds.append(" AND ".join(parts))
     sums = ",\n    ".join(
-        f"SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS n{i}"
+        f"CAST(SUM(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
         for i, c in enumerate(conds))
     rows = "\nUNION ALL\n".join(
         f"SELECT {i + 1} AS stage_idx, '{s}' AS stage, n{i} AS n_users "
@@ -634,7 +634,8 @@ edges AS (
   FROM seq WHERE from_type IS NOT NULL
   GROUP BY from_type, event_type),
 totals AS (
-  SELECT from_type, SUM(n_edges) AS n_from FROM edges GROUP BY from_type)
+  SELECT from_type, CAST(SUM(n_edges) AS BIGINT) AS n_from
+  FROM edges GROUP BY from_type)
 SELECT e.from_type, e.to_type, e.n_edges, t.n_from
 FROM edges e JOIN totals t USING (from_type)"""
 
@@ -743,7 +744,7 @@ stats AS (
     SUM(cnt) OVER (PARTITION BY user_id) AS s,
     SUM(cnt * cnt) OVER (PARTITION BY user_id) AS s2
   FROM per_day)
-SELECT user_id, day, cnt, n_days, s
+SELECT user_id, day, cnt, n_days, CAST(s AS BIGINT) AS s
 FROM stats
 WHERE (cnt * n_days - s) > 0
   AND (cnt * n_days - s) * (cnt * n_days - s) > {k * k} * (n_days * s2 - s * s)"""

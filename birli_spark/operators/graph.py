@@ -119,8 +119,9 @@ nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
 ranks_0 AS (
   SELECT source, n_nodes, CAST({PR_ONE} AS BIGINT) // n_nodes AS r
   FROM nodes CROSS JOIN nn),{",".join(steps)}
-SELECT r.source, r.r AS rank_ticks,
-  COALESCE(o.n_out, 0) AS n_out, COALESCE(o.out_w, 0) AS out_w
+SELECT r.source, CAST(r.r AS BIGINT) AS rank_ticks,
+  COALESCE(o.n_out, 0) AS n_out,
+  CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_w
 FROM ranks_{iters} r LEFT JOIN outw o ON r.source = o.src"""
 
 

@@ -208,7 +208,7 @@ tagged AS (
       AS chars_delta
   FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
 SELECT source, action, COUNT(*) AS n_docs,
-  SUM(chars_delta) AS chars_delta
+  CAST(SUM(chars_delta) AS BIGINT) AS chars_delta
 FROM tagged GROUP BY source, action"""
 
 

@@ -50,7 +50,7 @@ def order_revenue_oracle_sql() -> str:
 SELECT o_orderpriority, COUNT(*) AS n_items,
   COUNT(DISTINCT o_orderkey) AS n_orders,
   SUM({_REV_TICKS}) / 10000.0 AS revenue,
-  SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority"""
@@ -177,7 +177,7 @@ def pricing_summary(lineitem: DataFrame,
 def pricing_summary_oracle_sql(cutoff: str = _Q1_CUTOFF) -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
   SUM({_PRICE_TICKS}) / 100.0 AS sum_base_price,
   SUM({_REV_TICKS}) / 10000.0 AS sum_disc_price,
   SUM({_CHARGE_TICKS}) / 1000000.0 AS sum_charge,
@@ -403,7 +403,7 @@ def large_orders(customer: DataFrame, orders: DataFrame,
 def large_orders_oracle_sql(min_qty: int = LARGE_ORDER_QTY) -> str:
     return f"""
 WITH big AS (
-  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty})
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
@@ -460,7 +460,7 @@ WITH agg AS (
     AND l_shipdate < TIMESTAMP '{end}')
 SELECT promo_ticks / 10000.0 AS promo_revenue,
   total_ticks / 10000.0 AS total_revenue,
-  (10000 * promo_ticks) // total_ticks AS promo_share_bp
+  CAST((10000 * promo_ticks) // total_ticks AS BIGINT) AS promo_share_bp
 FROM agg"""
 
 
@@ -785,7 +785,7 @@ WITH joined AS (
 SELECT o_year,
   CAST(SUM(CASE WHEN is_target = 1 THEN rev ELSE CAST(0 AS BIGINT) END)
        AS DOUBLE) / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
-  SUM(rev) AS total_ticks
+  CAST(SUM(rev) AS BIGINT) AS total_ticks
 FROM joined GROUP BY o_year"""
 
 
@@ -1016,7 +1016,7 @@ def excess_suppliers_oracle_sql(name_like: str = "blue", year: int = 1997,
                                 nation_prefix_max: int = 12) -> str:
     return f"""
 WITH shipped AS (
-  SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
   FROM lineitem
   WHERE EXTRACT(year FROM l_shipdate) = {year}
     AND l_partkey IN (SELECT p_partkey FROM part

@@ -104,7 +104,7 @@ def inverted_index_oracle_sql(num_shards: int = NUM_SHARDS,
     return f"""
 WITH {extra_ctes}{_tf_cte(table)}
 SELECT term, CAST(doc_id % {num_shards} AS INT) AS shard,
-  COUNT(*) AS n_docs, SUM(tf) AS tf_total,
+  COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS tf_total,
   string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
 FROM tf GROUP BY term, shard"""
 

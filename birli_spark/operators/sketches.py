@@ -443,9 +443,10 @@ joined AS (
 SELECT o_orderpriority,
   MAX(len(bits)) AS n_bits_set,
   COUNT(*) AS n_probed,
-  SUM(CAST(maybe AS BIGINT)) AS n_maybe,
-  SUM(CAST(is_member AS BIGINT)) AS n_members,
-  SUM(CAST(maybe AND NOT is_member AS BIGINT)) AS false_positives
+  CAST(SUM(CAST(maybe AS BIGINT)) AS BIGINT) AS n_maybe,
+  CAST(SUM(CAST(is_member AS BIGINT)) AS BIGINT) AS n_members,
+  CAST(SUM(CAST(maybe AND NOT is_member AS BIGINT)) AS BIGINT)
+    AS false_positives
 FROM joined GROUP BY o_orderpriority"""
 
 

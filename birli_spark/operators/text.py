@@ -275,8 +275,8 @@ t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
 dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term)
 SELECT doc_id, COUNT(*) AS n_tokens,
   COUNT(DISTINCT t.term) AS n_distinct,
-  SUM(CAST(df = 1 AS BIGINT)) AS n_hapax,
-  SUM(df) AS sum_df, MAX(df) AS max_df
+  CAST(SUM(CAST(df = 1 AS BIGINT)) AS BIGINT) AS n_hapax,
+  CAST(SUM(df) AS BIGINT) AS sum_df, MAX(df) AS max_df
 FROM t JOIN dfs ON t.term = dfs.term
 GROUP BY doc_id"""
 
@@ -684,7 +684,8 @@ WITH words AS (
     SELECT unnest({X.toks(X.DUCK)}) AS word FROM documents)
   WHERE word <> '' GROUP BY word),
 pairs AS (
-  SELECT pair, COUNT(*) AS n_words, SUM(wfreq) AS total_count FROM (
+  SELECT pair, COUNT(*) AS n_words,
+    CAST(SUM(wfreq) AS BIGINT) AS total_count FROM (
     SELECT wfreq, unnest(list_transform(range(1, length(word)),
                                         i -> substr(word, i, 2))) AS pair
     FROM words)
