@@ -344,12 +344,15 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
                      "jake": PT.PFB_JAKE_2022_200HZ,
                      "jake_oversampled": PT.OSPFB_JAKE_2025_200HZ}[
                 ctx.pfb_gains]
-            nfine = syn.NUM_FC
-            scr = corrections.scrunch_gains(
-                table, len(table) // nfine,
+            # fine_gain_rows raises on a non-divisible channelization
+            # (the reference rejects it with BadArrayShape,
+            # src/corrections.rs:489) instead of letting floor division
+            # silently misalign the scrunched curve
+            rows = corrections.fine_gain_rows(
+                table, syn.NUM_FC,
                 center_symmetric=ctx.pfb_gains != "cotter")
             fine_gains = spark.createDataFrame(
-                list(enumerate(scr)), "fc int, gain double")
+                rows, "fc int, gain double")
         else:
             fine_gains = spark.sql(
                 corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS))

@@ -53,12 +53,19 @@ def uv_grid_fragments(cell_lambda: float = DEFAULT_CELL_LAMBDA
         "v_cell": _cell("v", cell_lambda),
     }
     wsum_pos = "SUM(CASE WHEN weight > 0 THEN weight ELSE 0.0 END)"
+    n_pos = "SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END)"
     aggs: dict[str, str] = {}
     for p in POLS:
         for c in ("re", "im"):
+            # guard the division so an all-flagged cell yields 0.0, not
+            # 0.0/0.0 = NaN — the rows are dropped by the n_vis filter /
+            # HAVING either way, but this keeps the cross-engine hash
+            # independent of whether each engine prunes the group before
+            # or after projecting the aggregate
             aggs[f"{p}_{c}"] = f32(
+                f"CASE WHEN {n_pos} > 0 THEN "
                 f"SUM(CASE WHEN weight > 0 THEN ({p}_{c}) * weight"
-                f" ELSE 0.0 END) / ({wsum_pos})")
+                f" ELSE 0.0 END) / ({wsum_pos}) ELSE 0.0 END")
     aggs["grid_weight"] = f32(wsum_pos)
     aggs["n_vis"] = "CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT)"
     return keys, aggs
@@ -89,9 +96,11 @@ def uv_grid_uniform_fragments(cell_lambda: float = DEFAULT_CELL_LAMBDA
     aggs: dict[str, str] = {}
     for p in POLS:
         for c in ("re", "im"):
+            # same all-flagged-cell division guard as the natural variant
             aggs[f"{p}_{c}"] = f32(
+                f"CASE WHEN {n_pos} > 0 THEN "
                 f"SUM(CASE WHEN weight > 0 THEN ({p}_{c})"
-                f" ELSE 0.0 END) / ({n_pos})")
+                f" ELSE 0.0 END) / ({n_pos}) ELSE 0.0 END")
     aggs["n_vis"] = f"CAST({n_pos} AS BIGINT)"
     return keys, aggs
 

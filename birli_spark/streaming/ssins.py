@@ -21,6 +21,21 @@ cell values, so the subtraction is exact and the hashes match.
 in per-key time order — true for the correlator's append-only feed and
 the availableNow file source. The batch LAG diffs adjacent *rows* (not
 t, t−1 pairs), so gaps behave identically in both forms.
+
+**Cell-completeness assumption** (stronger, and *enforced*): every row
+of a (bl, chan, t) cell arrives in ONE micro-batch, because the mean is
+folded per micro-batch and the output mode is append (an emitted
+amplitude cannot be retracted when more rows for the same t arrive
+later). This holds for both supported layouts — the driver's one-file
+tables and the gpubox one-file-per-(coarse-channel, time-segment)
+stream, where a cell's chan maps to exactly one cc and its t to exactly
+one segment, and Spark's file source never splits a single file across
+micro-batches. A multi-part parquet directory that scatters one cell's
+rows over part files *violates* it; rather than silently emitting two
+amplitudes for the same t (diverging from the batch ``ssins_ins`` CTE),
+the transition raises when a batch's earliest t does not advance past
+the carried state's last t. Remedy: coalesce to cell-aligned files or
+run the batch operator.
 """
 
 from __future__ import annotations
@@ -69,6 +84,15 @@ def _fold_key(chan: int, bl: int, batch: pd.DataFrame,
     cells = (batch.groupby("t")[list(VIS_COLS)].mean().sort_index())
     out = []
     last_t = int(prev[0]) if prev is not None else None
+    if last_t is not None and len(cells) and int(cells.index.min()) <= last_t:
+        raise RuntimeError(
+            f"streaming SSINS cell-completeness violation: key "
+            f"(bl={bl}, chan={chan}) received t="
+            f"{int(cells.index.min())} after already folding t={last_t}; "
+            "a (bl, chan, t) cell straddled micro-batches (multi-part-file "
+            "input?) and its already-emitted amplitude cannot be retracted "
+            "in append mode — coalesce to cell-aligned files or use the "
+            "batch operator (operators/ssins.py)")
     prev_v = (np.array(prev[1:], dtype=np.float64)
               if prev is not None else None)
     for t, row in cells.iterrows():
