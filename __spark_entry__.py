@@ -44,8 +44,10 @@ from birli_spark.operators import (
     ssins,
     sketches,
     text,
+    vanvleck_sql,
     weights,
 )
+from birli_spark.functions import textsql
 from birli_spark.sinks import flagsink
 from birli_spark.sinks import ms as ms_sink
 from birli_spark.sinks import uvfits as uvfits_sink
@@ -298,6 +300,16 @@ def _q_pipeline_ssins(spark, sf_dir):
 
 
 def _q_van_vleck(spark, sf_dir):
+    """C1 as the RELATIONAL fixed-unroll Newton plan (hash-checkable
+    against the DuckDB oracle; see operators/vanvleck_sql.py). The
+    full-f64 UDF island stays the pipeline/CLI path and is gated
+    separately as c1b_van_vleck_udf."""
+    from birli_spark.operators import vanvleck_sql
+    return vanvleck_sql.van_vleck_spark(
+        spark, sf_dir, syn.VV_SAMPLE_SCALE, (3,))
+
+
+def _q_van_vleck_udf(spark, sf_dir):
     from birli_spark.operators import vanvleck
     vis = syn.load_vis_legacy(spark, sf_dir)
     return vanvleck.correct_van_vleck(vis, syn.VV_SAMPLE_SCALE, flagged_ants=[3])
@@ -1379,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "im2_uv_grid_uniform": _q_uv_grid_uniform,
         "pipeline_preprocess_ssins": _q_pipeline_ssins,
         "c1_van_vleck": _q_van_vleck,
+        "c1b_van_vleck_udf": _q_van_vleck_udf,
         "f9_rfi_sumthreshold": _q_rfi,
         "pipeline_preprocess_full": _q_pipeline_full,
         "s3_antenna_dim": _q_antenna_dim,
@@ -1629,6 +1642,10 @@ def oracle_sql() -> dict[str, str]:
                 if c == "weight" else c
                 for c in _COLS)
             + " FROM flagged"),
+        # C1 relational Newton: the DuckDB one-text form of the exact
+        # plan the Spark query executes (operators/vanvleck_sql.py)
+        "c1_van_vleck": vanvleck_sql.van_vleck_full_sql(
+            textsql.DUCK, syn.VV_SAMPLE_SCALE, (3,)),
         "c2_cable_correction": _with_vis(
             corrections.cable_oracle_select("vis", "antennas", _COLS),
             extra_ctes=f"antennas AS ({syn.ANTENNAS_SQL})"),

@@ -69,9 +69,13 @@ HEADLINE = [
     "f11_ssins_spectra",
     "im1_uv_grid",
     "pipeline_preprocess_ssins",
+    # c1_van_vleck is the hash-gated relational Newton plan as of round
+    # 3 (8x melted output rows vs the r2 UDF query under the same name);
+    # c1b is the old UDF island, kept for round-over-round continuity
+    "c1_van_vleck",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
-    "c1_van_vleck",
+    "c1b_van_vleck_udf",
     "f9_rfi_sumthreshold",
 ]
 
