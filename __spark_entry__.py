@@ -38,6 +38,7 @@ from birli_spark.operators import (
     picket,
     quantization,
     relational,
+    rfi_sql,
     search,
     selection,
     similarity,
@@ -315,10 +316,38 @@ def _q_van_vleck_udf(spark, sf_dir):
     return vanvleck.correct_van_vleck(vis, syn.VV_SAMPLE_SCALE, flagged_ants=[3])
 
 
-def _q_rfi(spark, sf_dir):
-    from birli_spark.operators import rfi
+def _f9_oracle_sql() -> str:
+    ctes, final = rfi_sql.flag_rfi_parts("cellv", "quantile_cont",
+                                         columns=_COLS)
+    return (f"WITH {pipeline.flagged_vis_oracle_cte()},\n"
+            f"cellv AS ({rfi_sql.cell_dedup_select('flagged', _COLS)}),\n"
+            f"{ctes}\n{final}")
+
+
+def _rfi_cell_view(spark, sf_dir):
+    """Deterministic cell-unique flagged vis (operators/rfi_sql.py::
+    cell_dedup_select) — the shared input of both F9 surfaces."""
     vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
-    return rfi.flag_rfi(vis)
+    vis.createOrReplaceTempView("f9_flagged")
+    cell = rfi_sql.cell_dedup_select("f9_flagged", tuple(vis.columns))
+    return spark.sql(cell), tuple(vis.columns)
+
+
+def _q_rfi(spark, sf_dir):
+    """F9 as the RELATIONAL window-function SumThreshold (hash-checkable
+    against the DuckDB oracle; operators/rfi_sql.py). The f64 UDF island
+    stays the pipeline/CLI path, gated as f9b_rfi_sumthreshold_udf."""
+    cell, cols = _rfi_cell_view(spark, sf_dir)
+    cell.createOrReplaceTempView("f9_cell")
+    ctes, final = rfi_sql.flag_rfi_parts("f9_cell", "percentile",
+                                         columns=cols)
+    return spark.sql(f"WITH {ctes} {final}")
+
+
+def _q_rfi_udf(spark, sf_dir):
+    from birli_spark.operators import rfi
+    cell, _ = _rfi_cell_view(spark, sf_dir)
+    return rfi.flag_rfi(cell)
 
 
 def _q_pipeline_full(spark, sf_dir):
@@ -1393,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_van_vleck": _q_van_vleck,
         "c1b_van_vleck_udf": _q_van_vleck_udf,
         "f9_rfi_sumthreshold": _q_rfi,
+        "f9b_rfi_sumthreshold_udf": _q_rfi_udf,
         "pipeline_preprocess_full": _q_pipeline_full,
         "s3_antenna_dim": _q_antenna_dim,
         "s1b_gpubox_fits_scan": _q_gpubox_scan,
@@ -1642,6 +1672,9 @@ def oracle_sql() -> dict[str, str]:
                 if c == "weight" else c
                 for c in _COLS)
             + " FROM flagged"),
+        # F9 relational SumThreshold: same window-function plan as the
+        # Spark query, integer-tick windows (operators/rfi_sql.py)
+        "f9_rfi_sumthreshold": _f9_oracle_sql(),
         # C1 relational Newton: the DuckDB one-text form of the exact
         # plan the Spark query executes (operators/vanvleck_sql.py)
         "c1_van_vleck": vanvleck_sql.van_vleck_full_sql(
