@@ -351,6 +351,13 @@ def _q_rfi_udf(spark, sf_dir):
 
 
 def _q_pipeline_full(spark, sf_dir):
+    """The COMPLETE reference flowchart including both former UDF
+    islands (C1 Van Vleck, F9 SumThreshold) as ONE hash-gated
+    relational plan (pipeline.preprocess_full_rel)."""
+    return pipeline.preprocess_full_rel(spark, sf_dir)
+
+
+def _q_pipeline_full_udf(spark, sf_dir):
     return pipeline.preprocess_full(spark, sf_dir)
 
 
@@ -1424,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_rfi_sumthreshold": _q_rfi,
         "f9b_rfi_sumthreshold_udf": _q_rfi_udf,
         "pipeline_preprocess_full": _q_pipeline_full,
+        "pipeline_preprocess_full_udf": _q_pipeline_full_udf,
         "s3_antenna_dim": _q_antenna_dim,
         "s1b_gpubox_fits_scan": _q_gpubox_scan,
         "s1c_gpubox_datasource": _q_gpubox_datasource,
@@ -1715,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "a4_rowcount_validation": _with_vis("SELECT COUNT(*) AS n_rows FROM vis"),
         "pipeline_preprocess": pipeline.preprocess_oracle_sql(),
         "pipeline_preprocess_ssins": pipeline.preprocess_oracle_sql(ssins_rfi=True),
+        "pipeline_preprocess_full": pipeline.preprocess_full_oracle_sql(),
         "s3_antenna_dim": syn.ANTENNAS_SQL,
         "s1b_gpubox_fits_scan": gpubox.expected_grid_sql(**_GPUBOX_SHAPE),
         "s1c_gpubox_datasource": gpubox.expected_grid_sql(**_GPUBOX_SHAPE),

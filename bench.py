@@ -69,6 +69,9 @@ HEADLINE = [
     "f11_ssins_spectra",
     "im1_uv_grid",
     "pipeline_preprocess_ssins",
+    # round 3: the complete flowchart incl. BOTH former UDF islands as
+    # one hash-gated relational plan (pipeline.preprocess_full_rel)
+    "pipeline_preprocess_full",
     # c1_van_vleck is the hash-gated relational Newton plan as of round
     # 3 (8x melted output rows vs the r2 UDF query under the same name);
     # c1b is the old UDF island, kept for round-over-round continuity

@@ -413,7 +413,7 @@ def van_vleck_steps(d: str, scale: float,
          " CAST(kk % 200 - 100 AS DOUBLE) / 2E3 AS kh0"
          " FROM (SELECT *, (t * 31 + chan * 7 + ant1 * 3 + ant2) AS kk"
          " FROM visr)"),
-        ("vis", f"SELECT rk, t, chan, ant1, ant2, {legacy_cols} FROM visb"),
+        ("vvvis", f"SELECT rk, t, chan, ant1, ant2, {legacy_cols} FROM visb"),
         ("sigk",
          f"SELECT t, chan, ant1 AS ant,"
          f" CASE WHEN pxx / {sc} < 0E0 THEN {_NAN}"
@@ -421,7 +421,7 @@ def van_vleck_steps(d: str, scale: float,
          f" CASE WHEN pyy / {sc} < 0E0 THEN {_NAN}"
          f" ELSE SQRT(pyy / {sc}) END AS shy"
          f" FROM (SELECT t, chan, ant1, MIN(xx_re) AS pxx, MIN(yy_re) AS pyy"
-         f" FROM vis WHERE ant1 = ant2{not_flagged} GROUP BY t, chan, ant1)"),
+         f" FROM vvvis WHERE ant1 = ant2{not_flagged} GROUP BY t, chan, ant1)"),
         ("sigs",
          "SELECT DISTINCT s FROM ("
          "SELECT shx AS s FROM sigk UNION ALL SELECT shy AS s FROM sigk) u"
@@ -433,7 +433,7 @@ def van_vleck_steps(d: str, scale: float,
          f" LEFT JOIN {sig_out} b ON k.shy = b.s"),
         ("j",
          "SELECT v.*, s1.sx AS s1x, s1.sy AS s1y, s2.sx AS s2x, s2.sy AS s2y"
-         " FROM vis v"
+         " FROM vvvis v"
          " LEFT JOIN sig s1 ON v.t = s1.t AND v.chan = s1.chan"
          " AND v.ant1 = s1.ant"
          " LEFT JOIN sig s2 ON v.t = s2.t AND v.chan = s2.chan"
@@ -534,3 +534,53 @@ def van_vleck_spark(spark, sf_dir: str, scale: float,
             df = df.localCheckpoint(eager=True)
         df.createOrReplaceTempView(name)
     return spark.sql(final)
+
+# ------------------------------------------------- wide (pipeline) form ---
+
+
+def van_vleck_wide_steps(d: str, scale: float,
+                         flagged_ants: tuple[int, ...] = (3,),
+                         lineitem: str = "lineitem",
+                         out: str = "vvwide",
+                         ) -> tuple[list[tuple[str, str]], set[str]]:
+    """:func:`van_vleck_steps` extended back to the WIDE vis layout for
+    pipeline composition: the per-component melt is pivoted on the row
+    key (MAX over exactly-one-non-null — order-free exact) and joined
+    back to the scan-side ``visr`` for the carried dimension columns
+    (bl, cc, fc, freq_hz, ts_gps, weight, flag). The closing relation
+    ``out`` has the standard vis schema with Van-Vleck-corrected,
+    f32-demoted pol values — the drop-in head of the preprocess chain."""
+    from birli_spark.sources import synthetic as syn
+
+    steps, final, barriers = van_vleck_steps(d, scale, flagged_ants,
+                                             lineitem)
+    pivots = ", ".join(
+        f"MAX(CASE WHEN comp = '{c}' THEN val END) AS {c}"
+        for c in _COMPS)
+    other = [c for c in syn.VIS_COLUMNS if c not in _COMPS]
+    cols = ", ".join([f"v.{c}" for c in other] + [f"w.{c}" for c in _COMPS])
+    steps = steps + [
+        ("vvmelt", final),
+        ("vvpiv", f"SELECT rk, {pivots} FROM vvmelt GROUP BY rk"),
+        (out, f"SELECT {cols} FROM visr v JOIN vvpiv w ON v.rk = w.rk"),
+    ]
+    return steps, barriers
+
+
+def van_vleck_spark_wide(spark, sf_dir: str, scale: float,
+                         flagged_ants: tuple[int, ...] = (3,)):
+    """Wide-layout relational C1 on Spark (see :func:`van_vleck_spark`
+    for the barrier strategy) — returns the corrected vis DataFrame."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+         .createOrReplaceTempView("c1rel_lineitem")
+    steps, barriers = van_vleck_wide_steps(
+        X.SPARK, scale, flagged_ants, "c1rel_lineitem")
+    df = None
+    for name, body in steps:
+        df = spark.sql(body)
+        if name in barriers:
+            if name.startswith(("vva_", "vvc_", "sigs", "tris")):
+                df = df.coalesce(1)
+            df = df.localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+    return df

@@ -48,7 +48,8 @@ def rule_flags(spark: SparkSession, vis: DataFrame) -> DataFrame:
 
 def preprocess_baked(spark: SparkSession, sf_dir: str,
                      vis: DataFrame | None = None,
-                     ssins_rfi: bool = False) -> DataFrame:
+                     ssins_rfi: bool = False,
+                     st_rfi: bool = False) -> DataFrame:
     """Pipeline up to (and including) flag→weight baking, before the
     averaging shuffle — the corrections chain fused as one projection.
     ``vis`` overrides the default scan (used by picket-fence ranges).
@@ -68,6 +69,29 @@ def preprocess_baked(spark: SparkSession, sf_dir: str,
         from birli_spark.operators import ssins
 
         vis = ssins.ssins_flag_vis(vis)
+    elif st_rfi:
+        # relational SumThreshold in the same slot: per-cell mask from
+        # the deterministic cell-unique reduction, OR-ed onto every row
+        from birli_spark.operators import rfi_sql
+
+        cols = tuple(vis.columns)
+        vis.createOrReplaceTempView("ppf_passbanded")
+        # the cell-unique image is (bl x t x chan)-sized — checkpoint it
+        # so the 24-layer window chain doesn't drag (and re-analyze) the
+        # whole upstream corrections plan behind each layer
+        spark.sql(rfi_sql.cell_dedup_select("ppf_passbanded", cols)) \
+             .localCheckpoint(eager=True) \
+             .createOrReplaceTempView("st_cell")
+        st_ctes, st_mask = rfi_sql.sumthreshold_parts(
+            "st_cell", median_fn="percentile")
+        rfid_cols = ", ".join(
+            "(p.flag OR m.det) AS flag" if c == "flag" else f"p.{c}"
+            for c in cols)
+        vis = spark.sql(
+            f"WITH {st_ctes}, st_maskr AS ({st_mask})"
+            f" SELECT {rfid_cols} FROM ppf_passbanded p"
+            f" JOIN st_maskr m ON p.ant1 = m.ant1 AND p.ant2 = m.ant2"
+            f" AND p.t = m.t AND p.chan = m.chan")
     vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
     vis = calibration.apply_di_calsol(vis, syn.load_dim(spark, "calsols"), CAL_RATIO)
     return weights.bake_flags_into_weights(vis)
@@ -116,6 +140,42 @@ def preprocess_full(spark: SparkSession, sf_dir: str,
     return averaging.average_time_freq(vis, avg_time, avg_freq)
 
 
+def preprocess_full_rel(spark: SparkSession, sf_dir: str,
+                        avg_time: int = AVG_TIME,
+                        avg_freq: int = AVG_FREQ) -> DataFrame:
+    """The COMPLETE reference flowchart INCLUDING both former UDF
+    islands, as one hash-gated relational plan: relational Van Vleck
+    (operators/vanvleck_sql.py, wide form) → rule flags → cable →
+    digital → passband → relational SumThreshold (operators/rfi_sql.py)
+    → geometry → calibration → bake → average. The UDF-island twin
+    (:func:`preprocess_full`) keeps reference-grade f64 numerics for the
+    CLI; this is the oracle-checkable spelling of the same pipeline."""
+    from birli_spark.operators import vanvleck_sql
+
+    wide = vanvleck_sql.van_vleck_spark_wide(
+        spark, sf_dir, syn.VV_SAMPLE_SCALE, (3,))
+    baked = preprocess_baked(spark, sf_dir, vis=wide, st_rfi=True)
+    return averaging.average_time_freq(baked, avg_time, avg_freq)
+
+
+def preprocess_full_oracle_sql(avg_time: int = AVG_TIME,
+                               avg_freq: int = AVG_FREQ) -> str:
+    """DuckDB one-text twin of :func:`preprocess_full_rel`."""
+    from birli_spark.functions import textsql as X
+    from birli_spark.operators import vanvleck_sql
+
+    steps, _ = vanvleck_sql.van_vleck_wide_steps(
+        X.DUCK, syn.VV_SAMPLE_SCALE, (3,))
+    pre = ",\n".join(
+        f"{n} AS {'MATERIALIZED ' if n == 'm1' else ''}({b})"
+        for n, b in steps)
+    baked = baked_oracle_ctes(pre_ctes=pre + ",",
+                              vis_cte="SELECT * FROM vvwide",
+                              st_rfi=True)
+    avg = averaging.averaging_oracle_select("baked", avg_time, avg_freq)
+    return f"WITH {baked} {avg}"
+
+
 def _flag_ctes() -> str:
     ts_f = flags.quack_oracle_select("timesteps", syn.GPS_START, OBS_END_GPS,
                                      quack_s=QUACK_S)
@@ -123,13 +183,17 @@ def _flag_ctes() -> str:
     return f"ts_flags AS ({ts_f}), bl_flags AS ({bl_f})"
 
 
-def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS, vis_where: str = "") -> str:
+def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS, vis_where: str = "",
+                           vis_cte: str | None = None) -> str:
     """CTE chain: vis → rule-flagged vis (shared by several oracles).
-    ``vis_where`` restricts the scan (picket-fence channel ranges)."""
+    ``vis_where`` restricts the scan (picket-fence channel ranges);
+    ``vis_cte`` overrides the vis body (e.g. the Van-Vleck-corrected
+    relation for the full-pipeline oracle)."""
     fc_pred = flags.fine_channel_pred_sql(syn.NUM_FC, n_edge=N_EDGE, is_legacy=IS_LEGACY)
     flagged = flags.set_flags_oracle_select(
         "vis", "ts_flags", "bl_flags", fc_pred, vis_columns)
-    vis_cte = syn.vis_sql()
+    if vis_cte is None:
+        vis_cte = syn.vis_sql()
     if vis_where:
         vis_cte = f"SELECT * FROM ({vis_cte}) WHERE {vis_where}"
     return (
@@ -141,19 +205,25 @@ def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS, vis_where: str = "") -> 
     )
 
 
-def baked_oracle_ctes(vis_where: str = "", ssins_rfi: bool = False) -> str:
+def baked_oracle_ctes(vis_where: str = "", ssins_rfi: bool = False,
+                      pre_ctes: str = "", vis_cte: str | None = None,
+                      st_rfi: bool = False) -> str:
     """CTE chain vis → … → ``baked`` (the pre-averaging pipeline state,
     incl. u/v/w from the geometry stage). With ``ssins_rfi`` the SSINS
     CTE chain (operators/ssins.py) is spliced in after the passband
     stage — the reference's AOFlagger slot — and its (t, chan) mask is
-    OR-ed into the flags."""
+    OR-ed into the flags; with ``st_rfi`` that slot runs the relational
+    SumThreshold (operators/rfi_sql.py) over the cell-unique reduction
+    instead, its per-cell mask OR-ed onto every row of the cell.
+    ``pre_ctes``/``vis_cte`` splice a replacement head (the Van Vleck
+    chain) before the rule-flag stage."""
     cols = syn.VIS_COLUMNS
     cols_uvw = tuple(cols) + ("u", "v", "w")
     cable = corrections.cable_oracle_select("flagged", "antennas", cols)
     digital = corrections.digital_oracle_select("cabled", "digital_gains", cols)
     fine_gains = corrections.fine_gains_values_sql(FINE_GAIN_ROWS)
     passband = corrections.passband_oracle_select("digitald", "fine_gains", cols)
-    geom_in = "rfid" if ssins_rfi else "passbanded"
+    geom_in = "rfid" if (ssins_rfi or st_rfi) else "passbanded"
     geom = corrections.geom_oracle_select(geom_in, "part_uvw", cols)
     cal = calibration.calibration_oracle_select("geomed", "calsols", CAL_RATIO, cols_uvw)
     baked_cols = ", ".join(
@@ -178,8 +248,26 @@ def baked_oracle_ctes(vis_where: str = "", ssins_rfi: bool = False) -> str:
             f" rfid AS (SELECT {rfid_cols} FROM passbanded p"
             f" LEFT JOIN ssins_mask m ON p.t = m.t AND p.chan = m.chan),"
         )
+    elif st_rfi:
+        from birli_spark.operators import rfi_sql
+
+        st_ctes, st_mask = rfi_sql.sumthreshold_parts(
+            "st_cell", median_fn="quantile_cont")
+        rfid_cols = ", ".join(
+            "(p.flag OR m.det) AS flag" if c == "flag" else f"p.{c}"
+            for c in cols
+        )
+        rfi_ctes = (
+            f" st_cell AS ({rfi_sql.cell_dedup_select('passbanded', cols)}),"
+            f" {st_ctes},"
+            f" st_maskr AS ({st_mask}),"
+            f" rfid AS (SELECT {rfid_cols} FROM passbanded p"
+            f" JOIN st_maskr m ON p.ant1 = m.ant1 AND p.ant2 = m.ant2"
+            f" AND p.t = m.t AND p.chan = m.chan),"
+        )
     return (
-        f"{flagged_vis_oracle_cte(vis_where=vis_where)},"
+        f"{pre_ctes}"
+        f"{flagged_vis_oracle_cte(vis_where=vis_where, vis_cte=vis_cte)},"
         f" digital_gains AS ({syn.DIGITAL_GAINS_SQL}),"
         f" fine_gains AS ({fine_gains}),"
         f" part_uvw AS ({syn.PART_UVW_SQL}),"
