@@ -1149,6 +1149,15 @@ def _q_neardup_clusters(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    """D5 as the LSH-bucketed scale shape (banded hyperplane sign
+    buckets + hot-bucket guard + exact-cosine verify); the brute
+    all-pairs form stays gated as d5b (the exactness baseline —
+    tests measure LSH recall against it)."""
+    from birli_spark.sources import corpus
+    return dedup.embedding_neardup_lsh(corpus.load_embeddings(spark, sf_dir))
+
+
+def _q_embedding_neardup_brute(spark, sf_dir):
     from birli_spark.operators import dedup
     from birli_spark.sources import corpus
     return dedup.embedding_neardup(corpus.load_embeddings(spark, sf_dir))
@@ -1463,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash_pairs": _q_simhash,
         "d5_embedding_neardup": _q_embedding_neardup,
+        "d5b_embedding_neardup_brute": _q_embedding_neardup_brute,
         "d6_neardup_clusters": _q_neardup_clusters,
         "d7_cluster_representatives": _q_cluster_reps,
         "t10_contamination": _q_contamination,
@@ -1798,7 +1808,8 @@ def oracle_sql() -> dict[str, str]:
         "d9_containment": dedup.shingle_containment_oracle_sql(),
         "d3_minhash_lsh": dedup.minhash_lsh_oracle_sql(),
         "d4_simhash_pairs": dedup.simhash_oracle_sql(),
-        "d5_embedding_neardup": dedup.embedding_neardup_oracle_sql(),
+        "d5_embedding_neardup": dedup.embedding_neardup_lsh_oracle_sql(),
+        "d5b_embedding_neardup_brute": dedup.embedding_neardup_oracle_sql(),
         "d6_neardup_clusters": dedup.neardup_clusters_oracle_sql(),
         "d7_cluster_representatives": dedup.cluster_representatives_oracle_sql(),
         "t10_contamination": dedup.contamination_oracle_sql(),

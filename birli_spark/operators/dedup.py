@@ -387,6 +387,123 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE {cos} >= {tau!r}"""
 
 
+#: D5 LSH operating point: bands of sign-bits over the deterministic
+#: hyperplanes of operators/similarity.py. 4 planes x 24 bands keeps
+#: per-pair recall high at the synthetic tau while the join stays
+#: bucket-shaped; on a real corpus (near-dups at cos >= 0.9, where
+#: P[sign agree] ~ 0.93/plane) the same banding prunes by ~2^planes.
+D5_PLANES_PER_BAND = 4
+D5_BANDS = 24
+#: hot-bucket skew guard (same role as D3's max_bucket): a band bucket
+#: with B members emits B^2 candidates, so the headline plan drops
+#: overfull buckets — recall needs only ONE surviving shared bucket.
+D5_MAX_BUCKET = 256
+
+
+def _d5_sig_bits(d: str, vec: str, bands: int = D5_BANDS,
+                 r: int = D5_PLANES_PER_BAND) -> str:
+    """The full bands*r sign-bit signature as ONE string — computed once
+    per vector (the expensive part: bands*r sequential-fold dot
+    products); band keys are substring slices of it."""
+    from birli_spark.operators.similarity import _plane_literal
+    bits = [
+        f"IF({X.dot(d, vec, _plane_literal(j, d))}"
+        f" >= CAST(0 AS DOUBLE), '1', '0')"
+        for j in range(bands * r)]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def embedding_neardup_lsh(emb: DataFrame, tau: float = 0.35,
+                          bands: int = D5_BANDS,
+                          r: int = D5_PLANES_PER_BAND,
+                          max_bucket: int | None = D5_MAX_BUCKET) -> DataFrame:
+    """Hyperplane-LSH candidate generation + exact-cosine verify — the
+    scale shape of D5 (VERDICT r2 §wrong-2): vectors land in per-band
+    sign-buckets, only same-bucket pairs are scored, one hot bucket
+    cannot dominate the join. The brute form
+    (:func:`embedding_neardup`) stays next door as the exactness
+    baseline; tests/test_new_ops_r3.py measures recall against it.
+
+    Candidate recall is probabilistic by construction (1 - (1-p^r)^bands
+    per pair, p = 1 - theta/pi): near-certain for true near-dups
+    (cos >= 0.9), ~90% at the synthetic tau=0.35 — the documented
+    LSH trade. The DuckDB oracle is the identical banding spelled in
+    the other dialect (spec parity, like D3/D4), so the driver gate
+    checks the plan, not the recall."""
+    n = emb.select("vec_id", "embedding",
+                   F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"))
+    # signature table: one bands*r dot-product pass per vector, then
+    # checkpointed — it feeds the bucket-size guard AND both join sides,
+    # and is a narrow (vec_id, sig) relation (the thing a production
+    # LSH pipeline persists as its signature index)
+    sig = (emb.select("vec_id",
+                      F.expr(_d5_sig_bits(X.SPARK, "embedding", bands, r))
+                      .alias("sig"))
+           .localCheckpoint(eager=True))
+    band_structs = [
+        F.struct(F.lit(k).alias("band"),
+                 F.expr(f"SUBSTRING(sig, {k * r + 1}, {r})").alias("key"))
+        for k in range(bands)]
+    banded = (sig.select("vec_id",
+                         F.explode(F.array(*band_structs)).alias("bk"))
+              .select("vec_id", F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key")))
+    if max_bucket is not None:
+        small = (banded.groupBy("band", "key")
+                 .agg(F.count("*").alias("bsz"))
+                 .filter(F.col("bsz") <= max_bucket)
+                 .select("band", "key"))
+        banded = banded.join(small, ["band", "key"], "left_semi")
+    a = banded.withColumnsRenamed({"vec_id": "vec_a"})
+    b = banded.withColumnsRenamed({"vec_id": "vec_b"})
+    cand = (a.join(b, ["band", "key"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    cos = (f"{X.dot(X.SPARK, 'na.embedding', 'nb.embedding')}"
+           f" / (na.nrm * nb.nrm)")
+    return (cand.join(n.alias("na"), F.col("vec_a") == F.col("na.vec_id"))
+            .join(n.alias("nb"), F.col("vec_b") == F.col("nb.vec_id"))
+            .select("vec_a", "vec_b", F.expr(cos).alias("cos"))
+            .filter(F.col("cos") >= tau))
+
+
+def embedding_neardup_lsh_oracle_sql(tau: float = 0.35,
+                                     bands: int = D5_BANDS,
+                                     r: int = D5_PLANES_PER_BAND,
+                                     max_bucket: int | None = D5_MAX_BUCKET,
+                                     ) -> str:
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {k} AS band,"
+        f" SUBSTRING(sig, {k * r + 1}, {r}) AS key FROM sig"
+        for k in range(bands))
+    guard = ""
+    if max_bucket is not None:
+        guard = f"""
+, small AS (SELECT band, key FROM banded GROUP BY band, key
+            HAVING COUNT(*) <= {max_bucket}),
+bandedk AS (SELECT b.* FROM banded b JOIN small s
+            ON b.band = s.band AND b.key = s.key)"""
+    src = "bandedk" if max_bucket is not None else "banded"
+    cos = f"{X.dot(X.DUCK, 'na.embedding', 'nb.embedding')} / (na.nrm * nb.nrm)"
+    return f"""
+WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm
+           FROM embeddings),
+sig AS (SELECT vec_id,
+          {_d5_sig_bits(X.DUCK, 'embedding', bands, r)} AS sig
+        FROM embeddings),
+banded AS (
+  {band_selects}){guard},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM {src} a JOIN {src} b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b, {cos} AS cos
+FROM cand c
+JOIN n na ON na.vec_id = c.vec_a
+JOIN n nb ON nb.vec_id = c.vec_b
+WHERE {cos} >= {tau!r}"""
+
+
 # ------------------------------------------- transitive clusters (D6) ---
 
 #: below this many edges the component graph fits trivially on the driver

@@ -31,10 +31,15 @@ EMB_DIM = 64
 
 
 def _plane(j: int, dim: int = EMB_DIM) -> list[float]:
-    """Deterministic pseudo-random hyperplane j: Knuth-multiplicative mix
-    of the flat index, mapped to [-1, 1]. Same literals in both engines."""
-    return [(((j * dim + i) * 2654435761) % 2001 - 1000) / 1000.0
-            for i in range(dim)]
+    """Deterministic pseudo-random hyperplane j, embedded as literal
+    doubles (identical text in both engines). Gaussian components from a
+    seeded PCG — a one-round Knuth-multiplicative mix leaves consecutive
+    planes correlated, which measurably costs banded-LSH recall (the
+    bands stop being independent trials)."""
+    import numpy as np
+
+    return [round(float(v), 9)
+            for v in np.random.default_rng(1000003 + j).standard_normal(dim)]
 
 
 def _plane_literal(j: int, d: str) -> str:

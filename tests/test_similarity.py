@@ -88,7 +88,9 @@ def test_planes_are_deterministic():
     p0 = similarity._plane(0)
     assert len(p0) == similarity.EMB_DIM
     assert p0 == similarity._plane(0)
-    assert all(-1.0 <= x <= 1.0 for x in p0)
+    # gaussian components: finite, zero-centred-ish, not all tiny
+    assert all(abs(x) < 6.0 for x in p0)
+    assert max(abs(x) for x in p0) > 0.5
     assert similarity._plane(1) != p0
 
 
