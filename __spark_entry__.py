@@ -263,6 +263,34 @@ def _q_geometry_phase_centre(spark, sf_dir):
         syn.load_vis(spark, sf_dir), part_uvw)
 
 
+#: C3c phase centre — the real fixture's (RAPHASE=0, DECPHASE=-27 deg)
+_PREC_PC = dict(ra_rad=0.0, dec_rad=-27.0 * 3.141592653589793 / 180.0)
+
+
+def _q_part_uvw_precessed(spark, sf_dir):
+    """C3c: the (t, ant) partial-UVW dim WITH IAU-2006 precession,
+    nutation (2000B leading terms), and ERA/GMST — first-principles, no
+    ERFA (operators/precession.py; validated to ~1.3 mm against
+    Cotter's real UVW dump in test_golden_cotter)."""
+    from birli_spark.operators import precession
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW c3c_antennas AS "
+              f"{syn.ANTENNAS_SQL}")
+    return spark.sql(precession.part_uvw_precessed_sql(
+        textsql.SPARK, gps_start=float(syn.GPS_START),
+        int_time_s=syn.INT_TIME_S, num_t=syn.NUM_T,
+        antennas="c3c_antennas", **_PREC_PC))
+
+
+def _prec_oracle_sql() -> str:
+    from birli_spark.operators import precession
+    steps, final = precession.part_uvw_precessed_steps(
+        textsql.DUCK, gps_start=float(syn.GPS_START),
+        int_time_s=syn.INT_TIME_S, num_t=syn.NUM_T,
+        antennas="ante", **_PREC_PC)
+    ctes = ",\n".join(f"{n} AS ({b})" for n, b in steps)
+    return f"WITH ante AS ({syn.ANTENNAS_SQL}),\n{ctes}\n{final}"
+
+
 def _q_calibration(spark, sf_dir):
     return calibration.apply_di_calsol(
         syn.load_vis(spark, sf_dir), syn.load_dim(spark, "calsols"),
@@ -1589,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_column_profile": _q_column_profile,
         "q2_k_anonymity": _q_k_anonymity,
         "c3b_geometry_phase_centre": _q_geometry_phase_centre,
+        "c3c_part_uvw_precessed": _q_part_uvw_precessed,
         "m4_incremental_agg": _q_incremental_agg,
         "t24_sequence_packing": _q_sequence_packing,
         "s1d_mwax_gpubox_scan": _q_mwax_gpubox_scan,
@@ -1938,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_column_profile": _profile_oracles()[0],
         "q2_k_anonymity": _profile_oracles()[1],
         "c3b_geometry_phase_centre": _geometry_pc_oracle(),
+        "c3c_part_uvw_precessed": _prec_oracle_sql(),
         "f11_ssins_spectra": (
             f"WITH vis AS ({syn.vis_sql()}), "
             + " ".join(ssins.ssins_parts("vis", median_fn="quantile_cont"))),
