@@ -119,15 +119,31 @@ def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
         heap = off2 + int(hdr.get("THEAP", n_rows * row_bytes))
         rows = np.frombuffer(table, dtype="u1").reshape(n_rows, row_bytes)
         unix_ms = int(hdr["TIME"]) * 1000 + int(hdr.get("MILLITIM", 0))
+        # int tiles (Rice path) carry the image scaling in the header
+        bscale = float(hdr.get("BSCALE", 1.0))
+        bzero = float(hdr.get("BZERO", 0.0))
+        bytepix = int(abs(int(hdr.get("ZBITPIX", 64))) // 8)
+        blocksize = 32
+        for zi in (1, 2):
+            if str(hdr.get(f"ZNAME{zi}", "")).strip() == "BLOCKSIZE":
+                blocksize = int(hdr[f"ZVAL{zi}"])
+            if str(hdr.get(f"ZNAME{zi}", "")).strip() == "BYTEPIX":
+                bytepix = int(hdr[f"ZVAL{zi}"])
         tiles = np.empty((n_rows, znaxis1 // 2, 2), dtype=np.float64)
         for r in range(n_rows):
             # col 1 = COMPRESSED_DATA (Rice; empty when cfitsio fell back
             # to gzip for float tiles), col 2 = GZIP_COMPRESSED_DATA
-            rice_cnt = int(np.frombuffer(rows[r][0:4], dtype=">u4")[0])
+            rice_cnt, rice_o = np.frombuffer(rows[r][0:8], dtype=">u4")
             if rice_cnt:
-                raise NotImplementedError(
-                    "Rice-coded tile; only the gzip fallback cfitsio uses "
-                    "for float images is implemented")
+                from birli_spark.functions.rice import rice_decode
+
+                ints = rice_decode(
+                    content[heap + int(rice_o):heap + int(rice_o)
+                            + int(rice_cnt)],
+                    znaxis1, bytepix=bytepix, blocksize=blocksize)
+                tiles[r] = (ints.astype(np.float64) * bscale
+                            + bzero).reshape(-1, 2)
+                continue
             cnt, o = np.frombuffer(rows[r][8:16], dtype=">u4")
             dec = zlib.decompress(
                 content[heap + int(o):heap + int(o) + int(cnt)], 47)
