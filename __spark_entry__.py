@@ -518,6 +518,14 @@ def _q_ms_rows(spark, sf_dir):
                            syn.GPS_START, syn.INT_TIME_S)
 
 
+def _q_ms_subtables(spark, sf_dir):
+    """O2b: the COMPLETE MS v2 subtable set (ANTENNA, SPECTRAL_WINDOW,
+    POLARIZATION, FIELD, FEED, ...) flattened to one hash-checked EAV
+    relation (sinks/ms_subtables.py)."""
+    from birli_spark.sinks import ms_subtables
+    return spark.sql(ms_subtables.subtables_bundle_sql())
+
+
 def _q_picket(spark, sf_dir):
     from birli_spark.operators import picket
     return picket.run_picket(spark, sf_dir, "0,1-2")
@@ -1478,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3c_mwaf_datasource": _q_mwaf_datasource,
         "o1_uvfits_rows": _q_uvfits_rows,
         "o2_ms_rows": _q_ms_rows,
+        "o2b_ms_subtables": _q_ms_subtables,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -1812,6 +1821,9 @@ def oracle_sql() -> dict[str, str]:
             + uvfits_sink.uvfits_rows_oracle_select(
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
+        "o2b_ms_subtables": __import__(
+            "birli_spark.sinks.ms_subtables",
+            fromlist=["x"]).subtables_bundle_sql(),
         "o2_ms_rows": (
             f"WITH {pipeline.baked_oracle_ctes()} "
             + ms_sink.ms_rows_oracle_select(
