@@ -428,11 +428,16 @@ def van_vleck_steps(d: str, scale: float,
          " WHERE NOT ISNAN(s)"),
         *sig_steps,
         ("sig",
-         f"SELECT k.t, k.chan, k.ant, a.sigma AS sx, b.sigma AS sy"
+         # the Newton-out relations are lattice-sized but checkpointed
+         # (no stats) — hint the broadcast Spark can't infer; DuckDB
+         # reads /*+ */ as a comment
+         f"SELECT /*+ BROADCAST(a, b) */"
+         f" k.t, k.chan, k.ant, a.sigma AS sx, b.sigma AS sy"
          f" FROM sigk k LEFT JOIN {sig_out} a ON k.shx = a.s"
          f" LEFT JOIN {sig_out} b ON k.shy = b.s"),
         ("j",
-         "SELECT v.*, s1.sx AS s1x, s1.sy AS s1y, s2.sx AS s2x, s2.sy AS s2y"
+         "SELECT /*+ BROADCAST(s1, s2) */"
+         " v.*, s1.sx AS s1x, s1.sy AS s1y, s2.sx AS s2x, s2.sy AS s2y"
          " FROM vvvis v"
          " LEFT JOIN sig s1 ON v.t = s1.t AND v.chan = s1.chan"
          " AND v.ant1 = s1.ant"
@@ -481,7 +486,7 @@ SELECT rk, t, chan, ant1, ant2, comp,
          THEN 0E0 - kval ELSE kval END)
     ELSE v END) AS FLOAT) AS DOUBLE) AS val
 FROM (
-  SELECT m1.*,
+  SELECT /*+ BROADCAST(sv) */ m1.*,
     CASE WHEN COALESCE(sv.accepted, FALSE)
          THEN ((SIGN(m1.kh) * sv.rho) * m1.sa_j) * m1.sb_j
          ELSE m1.kh END AS kval

@@ -61,8 +61,12 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -78,27 +82,41 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in os_:
             print(f"SKIP {name}: no oracle (rows-only) rows={len(sdf)}")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             n_skip += 1
             continue
         try:
             ddf = con.execute(os_[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"}
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
         dt = time.time() - t0
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+            results[name] = {"status": "fail", "rows": len(sdf),
+                             "problems": problems}
             n_fail += 1
         else:
             print(f"PASS {name} ({dt:.1f}s, rows={len(sdf)})")
+            results[name] = {"status": "pass", "rows": len(sdf),
+                             "sec": round(dt, 2)}
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_fail": n_fail, "n_rows_only": n_skip,
+                       "results": results}, f, indent=1, sort_keys=True)
     spark.stop()
     return 1 if n_fail else 0
 

@@ -38,6 +38,9 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            # 1-row node-count cross joins inside the rank recurrence
            "g1_source_pagerank",
            # broadcast hour-list band joins (hours = bounded dim)
+           # c1/pipeline_full: the 8-row pol-component melt VALUES cross
+           # (bounded build side by construction)
+           "c1_van_vleck", "pipeline_preprocess_full",
            "sk6_hll_windowed",
            # inherits i2's 1-row corpus-total and ann_brute's query-set
            # broadcast sides
@@ -107,7 +110,17 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           # dim; degree-ordering bounds it at web scale, AQE demotes here)
           "g2_triangle_stats",
           # co-keyed fact join (orders x lineitem)
-          "h26_priority_lateness"}
+          "h26_priority_lateness",
+          # F9 relational: the dense image grid (bl-t x bl-chan) joined
+          # to the fact samples, and the per-cell mask joined back onto
+          # the cells — at 100 TB the image IS fact-scale on both sides
+          # (the UDF island with baseline bucketing is the scale path;
+          # this is the hash-gated spelling)
+          "f9_rfi_sumthreshold",
+          # pipeline_full inherits f9's grid/mask joins plus the
+          # melt-pivot rejoin (visr x vvpiv co-keyed on the row key:
+          # both fact-scale by definition)
+          "pipeline_preprocess_full"}
 
 HEADLINE = [
     "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
@@ -152,6 +165,12 @@ HEADLINE = [
     "mm7_audio_landmarks", "o5_shard_manifest",
     "f11_ssins_spectra", "f12_ssins_autos", "im1_uv_grid", "im2_uv_grid_uniform",
     "pipeline_preprocess_ssins",
+    # round 3: relationalized UDF islands, LSH d5, precessed geometry,
+    # MS subtable bundle (c1/pipeline_full checkpoint their lattice-sized
+    # Newton relations, so those plans lead from ExistingRDD barriers)
+    "c1_van_vleck", "f9_rfi_sumthreshold", "pipeline_preprocess_full",
+    "d5_embedding_neardup", "c3c_part_uvw_precessed", "o2b_ms_subtables",
+    "o2_ms_rows",
 ]
 
 
