@@ -62,6 +62,8 @@ class Context:
     quack_time: float = 0.0
     flag_end: float = 0.0
     no_rfi: bool = True
+    precess: bool = False
+    dut1: float = 0.0
     rfi_sensitivity: float = 6.0
     ssins: bool = False
     ssins_threshold: float = 5.0
@@ -140,6 +142,15 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--pointing-centre", action="store_true",
                     help="phase-track the pointing centre from the obs "
                          "metadata instead of the default phase centre")
+    p.add_argument("--precess", action="store_true",
+                   help="compute the partial UVWs with full IAU-2006 "
+                        "precession + nutation + ERA/GMST (the "
+                        "reference's marlu precess_time behaviour, "
+                        "operators/precession.py) instead of the "
+                        "fixed-LST rotation")
+    p.add_argument("--dut1", type=float, default=0.0,
+                   help="UT1-UTC seconds (reference reads it from the "
+                        "metafits, src/cli.rs:293-298; default 0)")
     p.add_argument("--van-vleck", action="store_true")
     p.add_argument("--pfb-gains", "--passband-gains",
                    dest="pfb_gains",
@@ -247,6 +258,7 @@ def parse_args(argv: list[str]) -> Context:
         no_digital_gains=a.no_digital_gains,
         no_geometric_delay=a.no_geometric_delay,
         phase_centre=tuple(a.phase_centre) if a.phase_centre else None,
+        precess=a.precess, dut1=a.dut1,
         pointing_centre=a.pointing_centre,
         van_vleck=a.van_vleck,
         pfb_gains=corrections.select_passband_gains(
@@ -368,14 +380,27 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         if ctx.phase_centre or ctx.pointing_centre:
             import math
 
-            from birli_spark.operators import geometry
             # default pointing centre for the synthetic obs: zenith-ish
             ra_deg, dec_deg = (ctx.phase_centre if ctx.phase_centre
                                else (75.0, -26.7))
-            part_uvw = geometry.part_uvw_table(
-                spark, syn.load_dim(spark, "antennas"), syn.NUM_T,
-                ra_rad=math.radians(ra_deg), dec_rad=math.radians(dec_deg),
-                lst0_rad=1.0, int_time_s=syn.INT_TIME_S)
+            if ctx.precess:
+                from birli_spark.functions import textsql as X
+                from birli_spark.operators import precession
+                spark.sql("CREATE OR REPLACE TEMP VIEW cli_antennas AS "
+                          + syn.ANTENNAS_SQL)
+                part_uvw = spark.sql(precession.part_uvw_precessed_sql(
+                    X.SPARK, ra_rad=math.radians(ra_deg),
+                    dec_rad=math.radians(dec_deg),
+                    gps_start=float(syn.GPS_START),
+                    int_time_s=syn.INT_TIME_S, num_t=syn.NUM_T,
+                    antennas="cli_antennas", dut1_s=ctx.dut1))
+            else:
+                from birli_spark.operators import geometry
+                part_uvw = geometry.part_uvw_table(
+                    spark, syn.load_dim(spark, "antennas"), syn.NUM_T,
+                    ra_rad=math.radians(ra_deg),
+                    dec_rad=math.radians(dec_deg),
+                    lst0_rad=1.0, int_time_s=syn.INT_TIME_S)
         else:
             part_uvw = syn.load_dim(spark, "part_uvw")
         vis = corrections.correct_geometry(vis, part_uvw)

@@ -227,7 +227,8 @@ def part_uvw_precessed_steps(d: str, ra_rad: float, dec_rad: float,
           f" / 36525E0)")
     # ERA: 2 pi frac(era0 + rate * d); exact FMOD keeps the argument
     # small before the f32-demoted trig sees it
-    dd = "(jd_utc - 2451545E0)"       # dut1 = 0 in the gated spelling
+    dd = (f"(jd_utc + {_rp(dut1_s / 86400.0)} - 2451545E0)"
+          if dut1_s else "(jd_utc - 2451545E0)")
     era_frac = (f"((0.7790572732640E0 + 1.00273781191135448E0 * {dd})"
                 f" % 1E0)")
     args = [f"({_poly_sql(c, 'tc')} * {_rp(AS2R)})" for c in FUND]
@@ -329,9 +330,10 @@ def part_uvw_precessed_steps(d: str, ra_rad: float, dec_rad: float,
 def part_uvw_precessed_sql(d: str, ra_rad: float, dec_rad: float,
                            gps_start: float, int_time_s: float,
                            num_t: int, antennas: str = "antennas",
-                           ) -> str:
+                           dut1_s: float = 0.0) -> str:
     """One-text WITH form (the DuckDB oracle / composable Spark text)."""
     steps, final = part_uvw_precessed_steps(
-        d, ra_rad, dec_rad, gps_start, int_time_s, num_t, antennas)
+        d, ra_rad, dec_rad, gps_start, int_time_s, num_t, antennas,
+        dut1_s=dut1_s)
     ctes = ",\n".join(f"{n} AS ({b})" for n, b in steps)
     return f"WITH {ctes}\n{final}"

@@ -148,6 +148,27 @@ def test_cli_phase_centre(spark):
     assert w0[0].w != w1[0].w
 
 
+def test_cli_precess(spark):
+    """--precess swaps the fixed-LST rotation for the IAU-2006 chain
+    (operators/precession.py): same schema, different (real) UVWs; and
+    --dut1 shifts the Earth rotation angle measurably."""
+    from birli_spark import cli
+    plain = cli.build_plan(spark, cli.parse_args(
+        ["/root/testdata/sf0.001", "--phase-centre", "75.0", "-26.7"]))
+    prec = cli.build_plan(spark, cli.parse_args(
+        ["/root/testdata/sf0.001", "--phase-centre", "75.0", "-26.7",
+         "--precess"]))
+    dut = cli.build_plan(spark, cli.parse_args(
+        ["/root/testdata/sf0.001", "--phase-centre", "75.0", "-26.7",
+         "--precess", "--dut1", "-0.2"]))
+    def w(df):
+        return df.select("w").filter("t = 1 AND bl = 1").distinct().collect()
+    w0, w1, w2 = w(plain), w(prec), w(dut)
+    assert len(w0) == len(w1) == len(w2) == 1
+    assert w0[0].w != w1[0].w
+    assert w1[0].w != w2[0].w
+
+
 def test_part_uvw_rotation_identities(spark):
     """UVW rotation sanity: at H=0, u = y = east; and u²+v²+w² = x²+y²+z²
     (rotation preserves the norm)."""
