@@ -344,6 +344,17 @@ def _q_van_vleck_udf(spark, sf_dir):
     return vanvleck.correct_van_vleck(vis, syn.VV_SAMPLE_SCALE, flagged_ants=[3])
 
 
+def _st10_oracle_sql() -> str:
+    """Batch twin of the streaming SumThreshold mask: cell-unique
+    reduction of the RAW vis (the stream folds raw samples, rule flags
+    are a batch-pipeline stage) -> the relational mask."""
+    st_ctes, st_mask = rfi_sql.sumthreshold_parts(
+        "cellv", "quantile_cont", prefix="st10")
+    return (f"WITH vis AS ({syn.vis_sql()}),\n"
+            f"cellv AS ({rfi_sql.cell_dedup_select('vis', _COLS)}),\n"
+            f"{st_ctes}\n{st_mask}")
+
+
 def _f9_oracle_sql() -> str:
     ctes, final = rfi_sql.flag_rfi_parts("cellv", "quantile_cont",
                                          columns=_COLS)
@@ -652,6 +663,17 @@ def _q_stream_ssins(spark, sf_dir):
     updates = sssins.run_available_now(
         spark, sf_dir, _stream_tmp(spark, "q_ssins"))
     return sssins.ins_from_updates(updates)
+
+
+def _q_stream_rfi(spark, sf_dir):
+    """Streaming SumThreshold (F9 twin, st10): the image accumulates
+    statefully per (bl, chan) as the observation arrives; the
+    whole-image mask runs relationally over the drained image and is
+    oracle-checked against the BATCH SumThreshold plan."""
+    from birli_spark.streaming import rfi_stream
+    image = rfi_stream.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_rfi"))
+    return rfi_stream.mask_drained(image)
 
 
 def _q_stream_topk(spark, sf_dir):
@@ -1605,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "st9_stream_ssins": _q_stream_ssins,
+        "st10_stream_rfi": _q_stream_rfi,
         "m5_compaction_plan": _q_compaction_plan,
         "q3_referential_integrity": _q_ref_integrity,
         "t27_bigram_lm": _q_bigram_lm,
@@ -1956,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT t, chan, "
             + ", ".join(f"{p}_amp" for p in ("xx", "xy", "yx", "yy"))
             + ", n_bl FROM ssins_ins"),
+        "st10_stream_rfi": _st10_oracle_sql(),
         "m5_compaction_plan": _compaction_plan_oracle(),
         "q3_referential_integrity": _ref_integrity_oracle(),
         "t27_bigram_lm": text.bigram_lm_bits_oracle_sql(),

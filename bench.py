@@ -76,10 +76,15 @@ HEADLINE = [
     # 3 (8x melted output rows vs the r2 UDF query under the same name);
     # c1b is the old UDF island, kept for round-over-round continuity
     "c1_van_vleck",
+    # f9/d5 r2 semantics kept under the b-twins for round-over-round
+    # comparison (the primary names are the hash-gated relational plans
+    # as of round 3)
+    "f9_rfi_sumthreshold",
+    "d5b_embedding_neardup_brute",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",
-    "f9_rfi_sumthreshold",
+    "f9b_rfi_sumthreshold_udf",
 ]
 
 

@@ -70,7 +70,8 @@ def _frame(lo: str, hi: str) -> str:
 def sumthreshold_parts(vis: str = "flagged",
                        median_fn: str = "percentile",
                        base_sensitivity: float = 6.0,
-                       prefix: str = "st") -> tuple[str, str]:
+                       prefix: str = "st",
+                       vis_is_base: bool = False) -> tuple[str, str]:
     """(CTE chain, final mask SELECT) of SumThreshold over relation
     ``vis`` (the standard vis columns incl. ``flag``). The final SELECT
     yields (ant1, ant2, t, chan, det) for every PRESENT cell, where
@@ -93,11 +94,16 @@ def sumthreshold_parts(vis: str = "flagged",
     tick = (f"CAST(FLOOR(LEAST(GREATEST((amp - med) / {sig},"
             f" {-CLAMP!r}), {CLAMP!r}) * {float(TICKS)!r} + 5E-1)"
             f" AS BIGINT)")
-    ctes = [
+    base_body = (
+        # caller already built the image samples (e.g. the streaming
+        # twin's drained state, streaming/rfi_stream.py)
+        f"SELECT ant1, ant2, t, chan, prior, amp FROM {vis}"
+        if vis_is_base else
         # fact-side amplitude image samples (Stokes-I, rfi.py:113-115)
-        (f"{p}_base",
-         f"SELECT ant1, ant2, t, chan, flag AS prior,"
-         f" SQRT({re_} * {re_} + {im_} * {im_}) AS amp FROM {vis}"),
+        f"SELECT ant1, ant2, t, chan, flag AS prior,"
+        f" SQRT({re_} * {re_} + {im_} * {im_}) AS amp FROM {vis}")
+    ctes = [
+        (f"{p}_base", base_body),
         # dense per-baseline grid: this baseline's t-set x chan-set
         # (absent cells behave as flagged inside window sums and are
         # never reported, rfi.py:62-66)
