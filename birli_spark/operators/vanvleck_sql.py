@@ -136,8 +136,8 @@ def erf_sql(x: str) -> str:
 
 SQRT_2 = repr(float(np.sqrt(2.0)))
 SQRT_TAU = "2.5066282746310002"  # reference src/van_vleck.rs:377
-N_AUTO = 6    # sigma solves freeze in <= 2 iterations on fixtures + gate
-N_CROSS = 6   # cross solves freeze in <= 1 iteration on fixtures + gate
+N_AUTO = 4    # sigma solves freeze in <= 2 iterations on fixtures + gate
+N_CROSS = 3   # cross solves freeze in <= 1 iteration on fixtures + gate
 
 #: relative Newton tolerances (see module docstring: the f32-demoted
 #: integrand floors |delta| around 1e-6 relative, so the reference's
