@@ -383,6 +383,28 @@ def _q_rfi(spark, sf_dir):
     return spark.sql(f"WITH {ctes} {final}")
 
 
+def _q_rfi_sir(spark, sf_dir):
+    """F9c: SumThreshold -> SIR morphological dilation (Offringa & van
+    de Gronde 2012) — the two halves of AOFlagger's actual strategy
+    composed relationally (operators/rfi_sql.py::sir_parts)."""
+    cell, cols = _rfi_cell_view(spark, sf_dir)
+    cell.createOrReplaceTempView("f9c_cell")
+    st_ctes, st_mask = rfi_sql.sumthreshold_parts(
+        "f9c_cell", "percentile", prefix="f9c")
+    sir_ctes, sir_final = rfi_sql.sir_parts("f9c_mask")
+    return spark.sql(
+        f"WITH {st_ctes}, f9c_mask AS ({st_mask}), {sir_ctes} {sir_final}")
+
+
+def _f9c_oracle_sql() -> str:
+    st_ctes, st_mask = rfi_sql.sumthreshold_parts(
+        "cellv", "quantile_cont", prefix="f9c")
+    sir_ctes, sir_final = rfi_sql.sir_parts("f9c_mask")
+    return (f"WITH {pipeline.flagged_vis_oracle_cte()},\n"
+            f"cellv AS ({rfi_sql.cell_dedup_select('flagged', _COLS)}),\n"
+            f"{st_ctes}, f9c_mask AS ({st_mask}), {sir_ctes}\n{sir_final}")
+
+
 def _q_rfi_udf(spark, sf_dir):
     from birli_spark.operators import rfi
     cell, _ = _rfi_cell_view(spark, sf_dir)
@@ -1497,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1b_van_vleck_udf": _q_van_vleck_udf,
         "f9_rfi_sumthreshold": _q_rfi,
         "f9b_rfi_sumthreshold_udf": _q_rfi_udf,
+        "f9c_rfi_sir": _q_rfi_sir,
         "pipeline_preprocess_full": _q_pipeline_full,
         "pipeline_preprocess_full_udf": _q_pipeline_full_udf,
         "s3_antenna_dim": _q_antenna_dim,
@@ -1754,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         # F9 relational SumThreshold: same window-function plan as the
         # Spark query, integer-tick windows (operators/rfi_sql.py)
         "f9_rfi_sumthreshold": _f9_oracle_sql(),
+        "f9c_rfi_sir": _f9c_oracle_sql(),
         # C1 relational Newton: the DuckDB one-text form of the exact
         # plan the Spark query executes (operators/vanvleck_sql.py)
         "c1_van_vleck": vanvleck_sql.van_vleck_full_sql(

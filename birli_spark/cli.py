@@ -65,6 +65,7 @@ class Context:
     precess: bool = False
     dut1: float = 0.0
     rfi_sensitivity: float = 6.0
+    sir_eta: float | None = None
     ssins: bool = False
     ssins_threshold: float = 5.0
     no_cable_delay: bool = False
@@ -116,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seconds flagged before the end of the obs "
                         "(reference src/cli.rs:1104-1157)")
     p.add_argument("--no-rfi", action="store_true")
+    p.add_argument("--sir-eta", type=float, default=None,
+                   help="append the SIR morphological dilation "
+                        "(Offringa & van de Gronde 2012, aoflagger's "
+                        "post-pass) with this aggressiveness to the "
+                        "SumThreshold mask")
     p.add_argument("--ssins", action="store_true",
                    help="use the all-relational SSINS incoherent-noise "
                         "flagger (Wilensky et al. 2019) in the RFI slot "
@@ -253,6 +259,7 @@ def parse_args(argv: list[str]) -> Context:
         flag_autos=a.flag_autos, quack_time=a.quack_time,
         flag_end=a.flag_end, no_rfi=a.no_rfi,
         rfi_sensitivity=_strategy_sensitivity(a.aoflagger_strategy),
+        sir_eta=a.sir_eta,
         ssins=a.ssins, ssins_threshold=a.ssins_threshold,
         no_cable_delay=a.no_cable_delay,
         no_digital_gains=a.no_digital_gains,
@@ -375,7 +382,8 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
             vis = ssins_op.ssins_flag_vis(vis, threshold=ctx.ssins_threshold)
         else:
             from birli_spark.operators import rfi
-            vis = rfi.flag_rfi(vis, base_sensitivity=ctx.rfi_sensitivity)
+            vis = rfi.flag_rfi(vis, base_sensitivity=ctx.rfi_sensitivity,
+                               sir_eta=ctx.sir_eta)
     if not ctx.no_geometric_delay:
         if ctx.phase_centre or ctx.pointing_centre:
             import math

@@ -91,13 +91,16 @@ def sumthreshold_mask(img: np.ndarray, base_sensitivity: float = 6.0,
 
 
 def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
-             re_apply_existing: bool = True) -> DataFrame:
+             re_apply_existing: bool = True,
+             sir_eta: float | None = None) -> DataFrame:
     """Detect RFI per baseline and OR it into ``flag``.
 
     The per-baseline image is the Stokes-I amplitude
     ``|(xx + yy)| / 2`` over (t, chan) — the same reduction AOFlagger's MWA
     strategy feeds SumThreshold. ``re_apply_existing=True`` ORs with prior
     flags (reference src/flags.rs:414-418); False overwrites.
+    ``sir_eta`` appends the SIR morphological dilation (aoflagger's
+    post-pass; :func:`sir_mask`) to the detected mask.
     """
     cols = list(vis.columns)
     schema = vis.schema
@@ -121,6 +124,8 @@ def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
             img, base_sensitivity,
             existing=prior if re_apply_existing else None,
             valid=present)
+        if sir_eta is not None:
+            mask = sir_mask(mask, sir_eta)
         out = pdf.copy()
         detected = mask[rows, cs]
         out["flag"] = (pdf["flag"].to_numpy(dtype=bool) | detected) \
@@ -128,3 +133,41 @@ def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
         return out[cols]
 
     return vis.groupBy("ant1", "ant2").applyInPandas(per_baseline, schema=schema)
+
+
+# ------------------------------------------------- SIR morphology ---
+
+#: SIR aggressiveness ticks-per-unit: eta quantized to 1/SIR_D so the
+#: prefix sums are exact integers (float prefixes break >= ties at the
+#: rank boundary, and engines would disagree on sum association)
+SIR_D = 1000
+
+
+def sir_1d(flags: np.ndarray, eta: float = 0.2) -> np.ndarray:
+    """Scale-invariant rank (SIR) dilation along axis 1 (Offringa & van
+    de Gronde 2012, the morphological post-pass of AOFlagger's strategy
+    the reference executes via FFI, src/flags.rs:368-437): sample i is
+    flagged iff some window [j, k) containing i has at least
+    (1 - eta)(k - j) flagged samples. O(N) via integer-tick prefix
+    sums: with w = eta*D for flagged, (eta-1)*D for unflagged and P the
+    exclusive prefix sum, the condition is
+    max_{k > i} P(k) - min_{j <= i} P(j) >= 0."""
+    f = np.asarray(flags, dtype=bool)
+    en = int(round(eta * SIR_D))
+    w = np.where(f, en, en - SIR_D).astype(np.int64)
+    p = np.concatenate(
+        [np.zeros((f.shape[0], 1), np.int64), np.cumsum(w, axis=1)],
+        axis=1)
+    fwd_max = np.maximum.accumulate(p[:, ::-1], axis=1)[:, ::-1]
+    back_min = np.minimum.accumulate(p, axis=1)
+    return fwd_max[:, 1:] - back_min[:, :-1] >= 0
+
+
+def sir_mask(flags: np.ndarray, eta: float = 0.2) -> np.ndarray:
+    """SIR in both directions — time (axis 0) first, then frequency
+    (axis 1) on the time-dilated mask, OR-combined (aoflagger's
+    two-pass application; same direction order as the relational
+    spelling, rfi_sql.py::sir_parts)."""
+    t_pass = sir_1d(np.asarray(flags, dtype=bool).T, eta).T
+    f_pass = sir_1d(t_pass, eta)
+    return t_pass | f_pass

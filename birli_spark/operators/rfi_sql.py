@@ -212,3 +212,50 @@ def flag_rfi_parts(vis: str = "flagged",
         f" AND v.t = m.t AND v.chan = m.chan"
     )
     return f"{ctes},\n{prefix}_mask AS ({mask})", final
+
+
+# ------------------------------------------------- SIR morphology ---
+
+def sir_parts(mask: str = "st_mask", eta: float = 0.2,
+              prefix: str = "sir") -> tuple[str, str]:
+    """(CTE chain, final SELECT) of the scale-invariant-rank dilation
+    (Offringa & van de Gronde 2012 — the morphological post-pass of
+    AOFlagger's strategy, reference src/flags.rs:368-437 via FFI) over a
+    mask relation (ant1, ant2, t, chan, det): time direction, then
+    frequency on the time-dilated mask (rfi.py::sir_mask).
+
+    Per 1-D pass: with integer-tick weights w = eta*D (flagged) /
+    (eta-1)*D (unflagged) and P the exclusive prefix sum, sample i
+    dilates iff max_{k>i} P(k) - min_{j<=i} P(j) >= 0 — a running sum,
+    a forward running max, and a backward running min: three window
+    layers, all BIGINT (association-exact in both engines)."""
+    from birli_spark.operators.rfi import SIR_D
+
+    en = int(round(eta * SIR_D))
+    p = prefix
+
+    def pass_ctes(src: str, part: str, order: str,
+                  tag: str) -> list[tuple[str, str]]:
+        over = f"PARTITION BY ant1, ant2, {part} ORDER BY {order}"
+        return [
+            (f"{p}_{tag}p",
+             f"SELECT ant1, ant2, t, chan, det,"
+             f" SUM(CASE WHEN det THEN {en} ELSE {en - SIR_D} END)"
+             f" OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND"
+             f" CURRENT ROW) AS p_incl,"
+             f" CASE WHEN det THEN {en} ELSE {en - SIR_D} END AS w"
+             f" FROM {src}"),
+            (f"{p}_{tag}o",
+             f"SELECT ant1, ant2, t, chan,"
+             f" MAX(p_incl) OVER ({over} ROWS BETWEEN CURRENT ROW AND"
+             f" UNBOUNDED FOLLOWING)"
+             f" - MIN(p_incl - w) OVER ({over} ROWS BETWEEN UNBOUNDED"
+             f" PRECEDING AND CURRENT ROW) >= 0 AS det"
+             f" FROM {p}_{tag}p"),
+        ]
+
+    ctes = (pass_ctes(mask, "chan", "t", "t")
+            + pass_ctes(f"{p}_to", "t", "chan", "f"))
+    cte_text = ",\n".join(f"{n} AS ({b})" for n, b in ctes)
+    final = f"SELECT ant1, ant2, t, chan, det FROM {p}_fo"
+    return cte_text, final

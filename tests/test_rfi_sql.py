@@ -130,3 +130,90 @@ def test_matches_udf_and_duckdb(spark, sf_dir):
         else:
             eq = a == b
         assert eq.all(), f"col {c}: {(~eq).sum()} cross-engine diffs"
+
+
+# ------------------------------------------------- SIR morphology ---
+
+def test_sir_1d_matches_brute_force():
+    """Integer-tick SIR equals the O(N^3) definition on random masks
+    (windows containing i with >= (1-eta)|w| flagged samples)."""
+    from birli_spark.operators.rfi import SIR_D, sir_1d
+
+    def brute(f, eta):
+        en = int(round(eta * SIR_D))
+        n = len(f)
+        out = np.zeros(n, bool)
+        for i in range(n):
+            for j in range(i + 1):
+                for k in range(i + 1, n + 1):
+                    if int(f[j:k].sum()) * SIR_D >= (SIR_D - en) * (k - j):
+                        out[i] = True
+        return out
+
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        f = rng.random(14) < 0.3
+        eta = float(rng.choice([0.1, 0.2, 0.25, 0.4]))
+        assert (sir_1d(f[None, :], eta)[0] == brute(f, eta)).all()
+
+
+def test_sir_is_extensive_and_fills_gaps():
+    from birli_spark.operators.rfi import sir_mask
+    f = np.zeros((1, 20), bool)
+    f[0, [5, 6, 7, 9, 10]] = True
+    out = sir_mask(f, eta=0.2)
+    assert (out[f]).all()                 # extensive: keeps inputs
+    assert out[0, 8]                      # bridges the 1-gap at 80% density
+    assert not out[0, 0] and not out[0, 19]
+
+
+def test_sir_sql_matches_numpy():
+    from birli_spark.operators.rfi import sir_mask
+
+    rng = np.random.default_rng(9)
+    nt, nc = 24, 16
+    f = rng.random((nt, nc)) < 0.25
+    pdf = pd.DataFrame([
+        dict(ant1=0, ant2=2, t=t, chan=c, det=bool(f[t, c]))
+        for t in range(nt) for c in range(nc)])
+    con = duckdb.connect()
+    con.register("m0", pdf)
+    ctes, final = rfi_sql.sir_parts("m0", 0.2)
+    out = con.execute(f"WITH {ctes} {final}").df()
+    got = np.zeros((nt, nc), bool)
+    for _, r in out.iterrows():
+        got[int(r.t), int(r.chan)] = bool(r.det)
+    assert (got == sir_mask(f, 0.2)).all()
+
+
+def test_f9c_composition_matches_numpy(spark, sf_dir):
+    """The composed SumThreshold->SIR query equals the numpy pipeline
+    (sumthreshold_mask then sir_mask) on every baseline image."""
+    from birli_spark.operators.rfi import sir_mask, sumthreshold_mask
+    import __spark_entry__ as e
+
+    out = e.queries()["f9c_rfi_sir"](spark, sf_dir).toPandas()
+    vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
+    vis.createOrReplaceTempView("t_f9c_flagged")
+    cell = spark.sql(rfi_sql.cell_dedup_select(
+        "t_f9c_flagged", tuple(vis.columns))).toPandas()
+    for (a1, a2), grp in cell.groupby(["ant1", "ant2"]):
+        ts = np.sort(grp.t.unique())
+        cs = np.sort(grp.chan.unique())
+        ti = {v: i for i, v in enumerate(ts)}
+        ci = {v: i for i, v in enumerate(cs)}
+        img = np.zeros((len(ts), len(cs)))
+        prior = np.zeros(img.shape, bool)
+        present = np.zeros(img.shape, bool)
+        for _, r in grp.iterrows():
+            i, j = ti[r.t], ci[r.chan]
+            img[i, j] = np.hypot((r.xx_re + r.yy_re) / 2.0,
+                                 (r.xx_im + r.yy_im) / 2.0)
+            prior[i, j] = bool(r.flag)
+            present[i, j] = True
+        st = sumthreshold_mask(img, existing=prior, valid=present)
+        want = sir_mask(st, eta=0.2)
+        sub = out[(out.ant1 == a1) & (out.ant2 == a2)]
+        for _, r in sub.iterrows():
+            assert bool(r.det) == bool(want[ti[r.t], ci[r.chan]]), (
+                a1, a2, r.t, r.chan)

@@ -9,14 +9,15 @@ pair-generation operators, which is the point).
 
 Usage: python tools/scale_probe.py [N] [sf_dir]
 Last measured (N=10, sf0.1 → 50k docs / 50k vectors / 6M lineitem
-rows, local[32]): t26 7.0s, d3 9.7s, d6 11.6s, i2 5.3s, sk7 2.9s,
-t27 7.2s, d1 0.5s, d10 28.6s, f11 1.6s, im1 1.4s, pipeline_ssins 6.3s
-— all within ~linear of the 1× timings except the pair generators,
-whose growth is the inherent quadratic-in-duplicates pair mass (every
-vector gains 9 exact copies), not a plan regression. d5 (116s) is the
-documented BRUTE-FORCE O(N²) oracle baseline kept for correctness
-gating; d10 SemDeDup (within-cell N²/k) is the scale path and stays
-4× below it on identical input. The vis-side probes (f11 SSINS, im1
+rows, local[32], round 3): t26 7.7s, d3 9.8s, d6 11.5s, i2 5.1s,
+sk7 3.3s, t27 6.3s, d1 0.4s, d10 21.0s, f11 1.6s, im1 1.3s,
+pipeline_ssins 6.8s — all within ~linear of the 1× timings except the
+pair generators, whose growth is the inherent quadratic-in-duplicates
+pair mass (every vector gains 9 exact copies), not a plan regression.
+**d5 is now the LSH-bucketed path (round 3): 3.6s at 50k vectors where
+the r2 brute-force baseline took 116s** — the signature/bucket join
+scales ~linearly while brute is O(N²); the brute form survives as
+d5b for correctness gating. The vis-side probes (f11 SSINS, im1
 uv-grid, the RFI-inclusive pipeline) are flat: replicated rows densify
 cube cells and the map-side partial aggregation absorbs them before
 any exchange.
