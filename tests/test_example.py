@@ -147,3 +147,21 @@ def test_live_rfi_monitor_example(spark):
     burst_t, burst_chan = mod["BURST"][0], mod["BURST"][1]
     assert (burst_t, burst_chan) in result["flagged"]
     assert (burst_t + 1, burst_chan) in result["flagged"]
+
+
+def test_verified_pipeline_example(spark):
+    """The cross-engine verification demo: complete relational pipeline
+    run on Spark and DuckDB, bit-identical."""
+    import runpy
+
+    sys.modules.pop("examples.verified_pipeline", None)
+    mod = runpy.run_path("examples/verified_pipeline.py")
+    import birli_spark.session as sess
+    s = sess.get_spark("birli_spark_tests")
+    real_stop = s.stop
+    try:
+        s.stop = lambda: None
+        rc = mod["main"]("/root/testdata/sf0.001")
+    finally:
+        s.stop = real_stop
+    assert rc == 0

@@ -116,7 +116,7 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           # the cells — at 100 TB the image IS fact-scale on both sides
           # (the UDF island with baseline bucketing is the scale path;
           # this is the hash-gated spelling)
-          "f9_rfi_sumthreshold",
+          "f9_rfi_sumthreshold", "f9c_rfi_sir",
           # pipeline_full inherits f9's grid/mask joins plus the
           # melt-pivot rejoin (visr x vvpiv co-keyed on the row key:
           # both fact-scale by definition)
@@ -170,7 +170,7 @@ HEADLINE = [
     # Newton relations, so those plans lead from ExistingRDD barriers)
     "c1_van_vleck", "f9_rfi_sumthreshold", "pipeline_preprocess_full",
     "d5_embedding_neardup", "c3c_part_uvw_precessed", "o2b_ms_subtables",
-    "o2_ms_rows",
+    "o2_ms_rows", "f9c_rfi_sir",
 ]
 
 
