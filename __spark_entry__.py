@@ -333,8 +333,8 @@ def _q_van_vleck(spark, sf_dir):
     against the DuckDB oracle; see operators/vanvleck_sql.py). The
     full-f64 UDF island stays the pipeline/CLI path and is gated
     separately as c1b_van_vleck_udf."""
-    from birli_spark.operators import vanvleck_sql
-    return vanvleck_sql.van_vleck_spark(
+    from birli_spark.operators import vanvleck_sql as vv_sql
+    return vv_sql.van_vleck_spark_wide(
         spark, sf_dir, syn.VV_SAMPLE_SCALE, (3,))
 
 
@@ -1780,7 +1780,7 @@ def oracle_sql() -> dict[str, str]:
         "f9c_rfi_sir": _f9c_oracle_sql(),
         # C1 relational Newton: the DuckDB one-text form of the exact
         # plan the Spark query executes (operators/vanvleck_sql.py)
-        "c1_van_vleck": vanvleck_sql.van_vleck_full_sql(
+        "c1_van_vleck": vanvleck_sql.van_vleck_wide_sql(
             textsql.DUCK, syn.VV_SAMPLE_SCALE, (3,)),
         "c2_cable_correction": _with_vis(
             corrections.cable_oracle_select("vis", "antennas", _COLS),

@@ -559,15 +559,84 @@ def van_vleck_wide_steps(d: str, scale: float,
 
     steps, final, barriers = van_vleck_steps(d, scale, flagged_ants,
                                              lineitem)
-    pivots = ", ".join(
-        f"MAX(CASE WHEN comp = '{c}' THEN val END) AS {c}"
-        for c in _COMPS)
+    tri_out = "vvc_out"
+    sc = repr(float(scale)) + "E0" if "e" not in repr(float(scale)) \
+        else repr(float(scale))
     other = [c for c in syn.VIS_COLUMNS if c not in _COMPS]
-    cols = ", ".join([f"v.{c}" for c in other] + [f"w.{c}" for c in _COMPS])
+    other_list = ", ".join(other)
+    # widen the narrow chain (visb -> vvvis) to carry the dim columns so
+    # the assembly needs NO rejoin to the scan
+    widened = []
+    for name, body in steps:
+        if name in ("visb", "vvvis"):
+            body = body.replace("SELECT rk, t, chan, ant1, ant2,",
+                                f"SELECT rk, t, chan, ant1, ant2,"
+                                f" {other_list},", 1)
+        widened.append((name, body))
+    steps = widened
+    # the melt (m1) stays ONLY as the input of the distinct-triples
+    # build; the wide output assembles from `j` directly with EIGHT
+    # per-component broadcast joins to the lattice-sized solve table —
+    # no melt-pivot fact shuffle on the output path
+    hint = "/*+ BROADCAST(" + ", ".join(
+        f"sv_{c}" for c in _COMPS) + ") */ "
+    jw_cols = []
+    joins = []
+    for c in _COMPS:
+        # reference the INPUT pol columns (never the v_* aliases defined
+        # in the same SELECT — lateral alias resolution differs)
+        if c in ("xy_re", "yx_re"):
+            kh = f"CASE WHEN is_auto THEN khr ELSE {c} / {sc} END"
+        elif c in ("xy_im", "yx_im"):
+            kh = f"CASE WHEN is_auto THEN khi ELSE {c} / {sc} END"
+        else:
+            kh = f"{c} / {sc}"
+        sa = ("CASE WHEN is_auto THEN s1x"
+              + (" ELSE s1x END" if c.startswith("x") else " ELSE s1y END"))
+        sb = ("CASE WHEN is_auto THEN s1y ELSE "
+              + ("s2x END" if c in ("xx_re", "xx_im", "yx_re", "yx_im")
+                 else "s2y END"))
+        jw_cols.append(f"{kh} AS kh_{c}, {sa} AS sa_{c}, {sb} AS sb_{c}")
+        joins.append(
+            f" LEFT JOIN {tri_out} sv_{c}"
+            f" ON ABS(jw.kh_{c}) = sv_{c}.ka AND jw.sa_{c} = sv_{c}.sa"
+            f" AND jw.sb_{c} = sv_{c}.sb")
+    val_cols = []
+    for c in _COMPS:
+        solve = (f"((jw.is_auto AND jw.have1 AND jw.aok"
+                 f" AND '{c}' IN ('xy_re', 'xy_im', 'yx_re', 'yx_im'))"
+                 f" OR (NOT jw.is_auto AND jw.have1 AND jw.have2))")
+        kval = (f"CASE WHEN COALESCE(sv_{c}.accepted, FALSE)"
+                f" THEN ((SIGN(jw.kh_{c}) * sv_{c}.rho) * jw.sa_{c})"
+                f" * jw.sb_{c} ELSE jw.kh_{c} END")
+        arm = {"xx_re": f"{sc} * (jw.s1x * jw.s1x)",
+               "yy_re": f"{sc} * (jw.s1y * jw.s1y)",
+               "xx_im": "0E0", "yy_im": "0E0"}.get(c)
+        auto_arm = (f" WHEN jw.is_auto AND jw.have1 THEN {arm}"
+                    if arm is not None else "")
+        val_cols.append(
+            f"CAST(CAST((CASE{auto_arm}"
+            f" WHEN {solve} THEN {sc} * (CASE WHEN jw.is_auto"
+            f" AND '{c}' = 'yx_im' THEN 0E0 - ({kval})"
+            f" ELSE {kval} END)"
+            f" ELSE jw.v_{c} END) AS FLOAT) AS DOUBLE) AS {c}")
+    v_keep = ", ".join(f"{c} AS v_{c}" for c in _COMPS)
+    aok = ("COALESCE(NOT (khr > s1x * s1y OR khi > s1x * s1y), FALSE)"
+           " AS aok")
     steps = steps + [
-        ("vvmelt", final),
-        ("vvpiv", f"SELECT rk, {pivots} FROM vvmelt GROUP BY rk"),
-        (out, f"SELECT {cols} FROM visr v JOIN vvpiv w ON v.rk = w.rk"),
+        ("jw",
+         f"SELECT rk, t, chan, ant1, ant2, {other_list}, {v_keep},"
+         f" s1x, s1y, s2x, s2y, is_auto, have1, have2, {aok},"
+         f" {', '.join(jw_cols)}"
+         f" FROM (SELECT jj.*, jj.ant1 = jj.ant2 AS is_auto,"
+         f" {_fin('jj.s1x')} AS have1, {_fin('jj.s2x')} AS have2,"
+         f" jj.xy_re / {sc} AS khr, jj.xy_im / {sc} AS khi"
+         f" FROM j jj) i"),
+        (out,
+         f"SELECT {hint}"
+         + ", ".join(f"jw.{c}" for c in other) + ", "
+         + ", ".join(val_cols)
+         + " FROM jw" + "".join(joins)),
     ]
     return steps, barriers
 
@@ -589,3 +658,14 @@ def van_vleck_spark_wide(spark, sf_dir: str, scale: float,
             df = df.localCheckpoint(eager=True)
         df.createOrReplaceTempView(name)
     return df
+
+
+def van_vleck_wide_sql(d: str, scale: float,
+                       flagged_ants: tuple[int, ...] = (3,),
+                       lineitem: str = "lineitem") -> str:
+    """One-text WITH form of the WIDE plan (the c1 DuckDB oracle)."""
+    steps, _ = van_vleck_wide_steps(d, scale, flagged_ants, lineitem)
+    ctes = ",\n".join(
+        f"{n} AS {'MATERIALIZED ' if d == X.DUCK and n == 'm1' else ''}"
+        f"({b})" for n, b in steps)
+    return f"WITH {ctes}\nSELECT * FROM vvwide"
