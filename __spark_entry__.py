@@ -369,7 +369,11 @@ def _rfi_cell_view(spark, sf_dir):
     vis = pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir))
     vis.createOrReplaceTempView("f9_flagged")
     cell = rfi_sql.cell_dedup_select("f9_flagged", tuple(vis.columns))
-    return spark.sql(cell), tuple(vis.columns)
+    # cell-count-sized: checkpoint so the downstream window chains
+    # (24 SumThreshold layers, SIR passes, the UDF image grouping)
+    # don't re-analyze/re-run the scan+flags plan per consumer
+    return (spark.sql(cell).localCheckpoint(eager=True),
+            tuple(vis.columns))
 
 
 def _q_rfi(spark, sf_dir):
