@@ -182,3 +182,107 @@ def f32_expr(e: str) -> str:  # re-export for sink callers
 #: pol order in the UVFITS data cube (reference/marlu write XX YY XY YX)
 UVFITS_POLS = ("xx", "yy", "xy", "yx")
 assert set(UVFITS_POLS) == set(POLS)
+
+
+# ------------------------------------------- distributed writer ---
+
+def uvfits_header_bytes(n_chan: int, n_groups: int,
+                        object_name: str = "synthetic",
+                        jd_zero: float = GPS_EPOCH_JD) -> bytes:
+    """The (padded) random-groups header block :func:`write_uvfits`
+    emits — shared by the sequential and distributed writers."""
+    cards = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", -32, "IEEE float32"),
+        _card("NAXIS", 6),
+        _card("NAXIS1", 0, "random groups"),
+        _card("NAXIS2", 3, "re, im, weight"),
+        _card("NAXIS3", 4, "pols: XX YY XY YX"),
+        _card("NAXIS4", n_chan, "fine channels"),
+        _card("NAXIS5", 1), _card("NAXIS6", 1),
+        _card("GROUPS", True), _card("PCOUNT", len(PTYPES)),
+        _card("GCOUNT", n_groups),
+        _card("OBJECT", object_name),
+    ]
+    for i, pt in enumerate(PTYPES):
+        cards.append(_card(f"PTYPE{i + 1}", pt))
+        cards.append(_card(f"PSCAL{i + 1}", 1.0))
+        cards.append(_card(f"PZERO{i + 1}",
+                           jd_zero if pt == "DATE" else 0.0))
+    cards.append(f"{'END':<80}".encode("ascii"))
+    return _pad(b"".join(cards))
+
+
+def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
+                             object_name: str = "synthetic",
+                             jd_zero: float = GPS_EPOCH_JD) -> DataFrame:
+    """Executor-parallel random-groups writer: group records are FIXED
+    SIZE, so every (t_out, bl) group's byte offset is computable from
+    its dense grid index and each task ``pwrite``s its own disjoint
+    slice of the shared pre-sized file — write bandwidth scales with
+    executors (the mwaf sink's distributed pattern, sinks/mwaf.py:200,
+    applied to the single-file format). Requires a COMPLETE
+    (t_out × bl) group grid (the averaged pipeline output is one);
+    validated against GCOUNT. Byte-identical to :func:`write_uvfits`
+    (tests/test_sources_sinks.py).
+
+    ``rows`` is :func:`uvfits_group_rows` output. Returns the manifest
+    DataFrame (gidx ranges per task) — an action on it performs the
+    write; the header + file sizing happen driver-side first."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    t_dim = sorted(r[0] for r in rows.select("t_out").distinct().collect())
+    bl_dim = sorted(r[0] for r in rows.select("bl").distinct().collect())
+    chan_dim = sorted(
+        r[0] for r in rows.select("chan_out").distinct().collect())
+    if len(chan_dim) != n_chan:
+        raise ValueError(
+            f"{len(chan_dim)} distinct chan_out vs n_chan={n_chan}")
+    n_groups = len(t_dim) * len(bl_dim)
+    rec_floats = 5 + n_chan * 4 * 3
+    rec_size = rec_floats * 4
+    header = uvfits_header_bytes(n_chan, n_groups, object_name, jd_zero)
+    total = len(header) + n_groups * rec_size
+    if total % _BLOCK:
+        total += _BLOCK - total % _BLOCK
+    with open(path, "wb") as f:
+        f.write(header)
+        f.truncate(total)
+    t_rank = {v: i for i, v in enumerate(t_dim)}
+    bl_rank = {v: i for i, v in enumerate(bl_dim)}
+    spark = rows.sparkSession
+    t_rank_b = spark.sparkContext.broadcast(t_rank)
+    bl_rank_b = spark.sparkContext.broadcast(bl_rank)
+    n_bl = len(bl_dim)
+    header_len = len(header)
+
+    chan_dim_b = spark.sparkContext.broadcast(chan_dim)
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t_out, bl = key
+        gidx = t_rank_b.value[t_out] * n_bl + bl_rank_b.value[bl]
+        # absent output channels become zero-weight cells, exactly like
+        # the sequential path's reindex+fillna (examples/preprocess.py)
+        pdf = pdf.set_index("chan_out").reindex(chan_dim_b.value)
+        rec = np.empty(rec_floats, dtype=">f4")
+        r0 = pdf.dropna(subset=["bl_code"]).iloc[0]
+        rec[:5] = (r0.u, r0.v, r0.w, float(r0.bl_code), r0.jd - jd_zero)
+        data = np.zeros((n_chan, 4, 3), dtype=np.float64)
+        for p, pol in enumerate(UVFITS_POLS):
+            data[:, p, 0] = pdf[f"{pol}_re"].fillna(0.0).to_numpy()
+            data[:, p, 1] = pdf[f"{pol}_im"].fillna(0.0).to_numpy()
+            data[:, p, 2] = pdf["weight"].fillna(0.0).to_numpy()
+        rec[5:] = data.reshape(-1)
+        fd = os.open(path, os.O_WRONLY)
+        try:
+            os.pwrite(fd, rec.tobytes(), header_len + gidx * rec_size)
+        finally:
+            os.close(fd)
+        return pd.DataFrame([{"gidx": int(gidx), "t_out": int(t_out),
+                              "bl": int(bl)}])
+
+    return rows.groupBy("t_out", "bl").applyInPandas(
+        write_group, schema="gidx long, t_out int, bl int")

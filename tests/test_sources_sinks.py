@@ -212,3 +212,45 @@ def test_shard_export_roundtrip(spark, sf_dir, tmp_path):
     assert (got["count"].values == want["n_docs"].values).all()
     # budget respected up to one document's overshoot
     assert (manifest.groupby("source")["n_tokens"].max() <= 4000).all()
+
+
+def test_uvfits_distributed_writer_byte_identical(spark, sf_dir, tmp_path):
+    """The executor-parallel pwrite writer (fixed-size group records at
+    computed offsets) produces the byte-identical file the sequential
+    toLocalIterator writer produces."""
+    import numpy as np
+
+    from birli_spark import pipeline
+    from birli_spark.sinks import uvfits
+    from birli_spark.sources import synthetic as syn
+
+    baked = pipeline.preprocess_baked(spark, sf_dir)
+    rows_df = uvfits.uvfits_group_rows(
+        baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+        syn.GPS_START, syn.INT_TIME_S)
+
+    rows = rows_df.orderBy("t_out", "bl", "chan_out").toPandas()
+    all_chans = sorted(rows.chan_out.unique())
+    groups = []
+    for (_, _), grp in rows.groupby(["t_out", "bl"]):
+        grp = grp.set_index("chan_out").reindex(all_chans)
+        data = np.stack(
+            [np.stack([grp[f"{p}_re"].fillna(0.0),
+                       grp[f"{p}_im"].fillna(0.0),
+                       grp["weight"].fillna(0.0)], axis=-1)
+             for p in uvfits.UVFITS_POLS], axis=1)
+        g0 = grp.dropna(subset=["bl_code"]).iloc[0]
+        groups.append((g0.u, g0.v, g0.w, g0.bl_code, g0.jd, data))
+    seq = str(tmp_path / "seq.uvfits")
+    uvfits.write_uvfits(seq, iter(groups), len(all_chans), len(groups))
+
+    par = str(tmp_path / "par.uvfits")
+    manifest = uvfits.write_uvfits_distributed(
+        rows_df, par, len(all_chans)).toPandas()
+    assert len(manifest) == len(groups)
+    assert sorted(manifest.gidx) == list(range(len(groups)))
+
+    a = open(seq, "rb").read()
+    b = open(par, "rb").read()
+    assert len(a) == len(b)
+    assert a == b
