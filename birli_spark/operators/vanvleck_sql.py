@@ -496,8 +496,21 @@ FROM (
     # sigk/sig are (t, chan, ant)-sized and consumed twice by the double
     # sigma join — barrier them too so the auto aggregation runs once.
     barriers = {"sigk", "sigs", "sig", "tris", sig_out, tri_out}
-    barriers.update(n for n, _ in sig_steps if n.startswith("vva_s"))
-    barriers.update(n for n, _ in tri_steps if n.startswith("vvc_s"))
+    # barrier every OTHER Newton closer: one analyzed tree then holds two
+    # inlined iterations (bounded — measured no blowup and identical
+    # output), halving the lattice-chain job count; a full no-barrier
+    # chain is NOT faster (analysis cost of the fully-inlined tree eats
+    # the job savings) and risks the exponential-substitution OOM
+    import re as _re
+
+    def _odd_s(n: str) -> bool:
+        m = _re.fullmatch(r"vv[ac]_s(\d+)", n)
+        return bool(m) and int(m.group(1)) % 2 == 1
+
+    barriers.update(n for n, _ in sig_steps
+                    if n.startswith("vva_s") and not _odd_s(n))
+    barriers.update(n for n, _ in tri_steps
+                    if n.startswith("vvc_s") and not _odd_s(n))
     return steps, final, barriers
 
 

@@ -75,6 +75,12 @@ def preprocess_baked(spark: SparkSession, sf_dir: str,
         from birli_spark.operators import rfi_sql
 
         cols = tuple(vis.columns)
+        # the corrected fact feeds TWO consumers (the cell-unique image
+        # and the mask join-back): materialize it once so the upstream
+        # head (notably the relational Van Vleck chain in
+        # preprocess_full_rel) is not evaluated twice — the same
+        # persist-at-the-fan-out a cluster job would use
+        vis = vis.localCheckpoint(eager=True)
         vis.createOrReplaceTempView("ppf_passbanded")
         # the cell-unique image is (bl x t x chan)-sized — checkpoint it
         # so the 24-layer window chain doesn't drag (and re-analyze) the
