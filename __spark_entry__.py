@@ -400,6 +400,27 @@ def _q_rfi_sir(spark, sf_dir):
         f"WITH {st_ctes}, f9c_mask AS ({st_mask}), {sir_ctes} {sir_final}")
 
 
+def _q_rfi_strategy(spark, sf_dir):
+    """F9d: the published AOFlagger GENERIC strategy structure —
+    iterative SumThreshold at decreasing thresholds with a flag-masked
+    Gaussian sliding-window fit between iterations, final pass + SIR —
+    as one hash-gated relational chain (operators/rfi_sql.py::
+    aoflagger_strategy_steps; numpy twin rfi.py::
+    aoflagger_strategy_mask)."""
+    cell, cols = _rfi_cell_view(spark, sf_dir)
+    cell.createOrReplaceTempView("f9d_cell")
+    return rfi_sql.aoflagger_strategy_spark(spark, "f9d_cell",
+                                            prefix="f9d")
+
+
+def _f9d_oracle_sql() -> str:
+    ctes, final = rfi_sql.aoflagger_strategy_sql(
+        "cellv", "quantile_cont", prefix="f9d")
+    return (f"WITH {pipeline.flagged_vis_oracle_cte()},\n"
+            f"cellv AS ({rfi_sql.cell_dedup_select('flagged', _COLS)}),\n"
+            f"{ctes}\n{final}")
+
+
 def _f9c_oracle_sql() -> str:
     st_ctes, st_mask = rfi_sql.sumthreshold_parts(
         "cellv", "quantile_cont", prefix="f9c")
@@ -1524,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_rfi_sumthreshold": _q_rfi,
         "f9b_rfi_sumthreshold_udf": _q_rfi_udf,
         "f9c_rfi_sir": _q_rfi_sir,
+        "f9d_aoflagger_strategy": _q_rfi_strategy,
         "pipeline_preprocess_full": _q_pipeline_full,
         "pipeline_preprocess_full_udf": _q_pipeline_full_udf,
         "s3_antenna_dim": _q_antenna_dim,
@@ -1782,6 +1804,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark query, integer-tick windows (operators/rfi_sql.py)
         "f9_rfi_sumthreshold": _f9_oracle_sql(),
         "f9c_rfi_sir": _f9c_oracle_sql(),
+        "f9d_aoflagger_strategy": _f9d_oracle_sql(),
         # C1 relational Newton: the DuckDB one-text form of the exact
         # plan the Spark query executes (operators/vanvleck_sql.py)
         "c1_van_vleck": vanvleck_sql.van_vleck_wide_sql(

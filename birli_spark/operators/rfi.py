@@ -135,6 +135,232 @@ def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
     return vis.groupBy("ant1", "ant2").applyInPandas(per_baseline, schema=schema)
 
 
+# ------------------------------------- iterative AOFlagger strategy ---
+# F9d: the published aoflagger GENERIC strategy structure (Offringa,
+# aoflagger.readthedocs.io "the generic strategy"; the reference runs
+# the derived mwa-default via FFI, src/flags.rs:368-437): iterate
+# {SumThreshold at a decreasing threshold factor -> subtract a
+# flag-masked Gaussian sliding-window fit of the ORIGINAL image}, then a
+# final full-sensitivity SumThreshold and the SIR morphological pass.
+# Byte-parity with AOFlagger stays out of scope (SURVEY.md §7); what is
+# pinned here is the strategy SHAPE with the documented parameters:
+# 3 iterations, threshold factor step 2 (factors 4, 2, 1), a 21x31
+# Gaussian kernel with sigma 2.5 (time) x 5.0 (channels), SIR eta 0.2.
+#
+# Cross-engine exactness: the image is standardized by its f32-demoted
+# median/MAD once and quantized to INTEGER ticks; the Gaussian kernel is
+# quantized to integer weights; the sliding-window fit is then exact
+# BIGINT arithmetic (separable masked weighted mean, half-up integer
+# division), so every engine computes the identical residual image and
+# every SumThreshold call sees integer-valued amplitudes.
+
+#: ticks per sigma for the standardized image fed to the strategy
+LP_TICKS = 1 << 14
+#: clamp on |standardized amp| in sigma units (2^10 sigma) — keeps every
+#: windowed BIGINT sum far below 2^63
+LP_CLAMP_SIGMA = 1024.0
+#: integer scale of the quantized Gaussian kernel weights
+LP_KERNEL_SCALE = 1 << 11
+#: published generic-strategy kernel: 21 x 31 cells, sigma 2.5 x 5.0
+LP_RADIUS_T, LP_SIGMA_T = 10, 2.5
+LP_RADIUS_F, LP_SIGMA_F = 15, 5.0
+#: published generic-strategy iteration ladder
+AOF_ITERS = 3
+AOF_STEP = 2.0
+
+
+def lp_kernel(radius: int, sigma: float) -> tuple[int, ...]:
+    """Integer-quantized Gaussian kernel weights for offsets
+    -radius..radius (identical literals in the SQL spelling)."""
+    return tuple(
+        int(round(LP_KERNEL_SCALE * np.exp(-(d * d) / (2.0 * sigma * sigma))))
+        for d in range(-radius, radius + 1))
+
+
+def _f32(a):
+    return np.asarray(np.float32(a), dtype=np.float64)
+
+
+def _round_half_up(v: np.ndarray) -> np.ndarray:
+    return np.floor(v + 0.5).astype(np.int64)
+
+
+def standardize_ticks(img: np.ndarray, present: np.ndarray
+                      ) -> np.ndarray:
+    """f32-demoted median/MAD standardization -> clamped integer ticks.
+    sigma==0 / non-finite arm: off-median cells jump to the clamp (the
+    m=1 pass at any sensitivity then flags exactly those)."""
+    clamp = int(LP_CLAMP_SIGMA * LP_TICKS)
+    vals = img[present]
+    if vals.size == 0:
+        return np.zeros(img.shape, dtype=np.int64)
+    med = float(_f32(np.median(vals)))
+    ad = _f32(np.abs(img - med))
+    mad = float(_f32(np.median(ad[present])))
+    sigma = 1.4826 * mad
+    if not (sigma > 0.0 and np.isfinite(sigma)):
+        return np.where(img != med, np.int64(clamp), np.int64(0))
+    std = np.clip((img - med) / sigma, -LP_CLAMP_SIGMA, LP_CLAMP_SIGMA)
+    return _round_half_up(std * float(LP_TICKS))
+
+
+def _st_1d_ticks(rq: np.ndarray, work: np.ndarray, m: int, cq: int) -> None:
+    """Integer-tick SumThreshold pass along axis 1 (in place) — the
+    numpy mirror of one rfi_sql ladder step: flagged cells contribute
+    the threshold cq, full windows with sum > cq*m dilate."""
+    n = rq.shape[1]
+    if n < m:
+        return
+    adj = np.where(work, np.int64(cq), rq)
+    if m == 1:
+        work |= adj > cq
+        return
+    csum = np.cumsum(adj, axis=1)
+    wsum = csum[:, m - 1:].copy()
+    wsum[:, 1:] -= csum[:, :n - m]
+    exceed = wsum > np.int64(cq) * m
+    for off in range(m):
+        work[:, off:off + exceed.shape[1]] |= exceed
+
+
+def sumthreshold_ticks(x: np.ndarray, work0: np.ndarray,
+                       present: np.ndarray,
+                       sensitivity: float) -> np.ndarray:
+    """Tick-exact SumThreshold over an INTEGER image — the numpy mirror
+    of rfi_sql.sumthreshold_parts on a dense tick relation. Returns the
+    accumulated mask for ALL grid cells (absent cells stay flagged).
+    The call re-standardizes its input by the f32-demoted median/MAD of
+    the integer image and re-quantizes at TICKS per sigma, exactly as
+    the SQL does for any amp relation."""
+    from birli_spark.operators.rfi_sql import TICKS, CLAMP, _chi_ticks
+
+    img = x.astype(np.float64)
+    vals = img[present]
+    prior = work0 | ~present
+    if vals.size == 0:
+        return prior.copy()
+    med = float(_f32(np.median(vals)))
+    ad = _f32(np.abs(img - med))
+    mad = float(_f32(np.median(ad[present])))
+    sigma = 1.4826 * mad
+    if not (sigma > 0.0 and np.isfinite(sigma)):
+        return ((img != med) & present) | prior
+    rq = _round_half_up(
+        np.clip((img - med) / sigma, -CLAMP, CLAMP) * float(TICKS))
+    work = prior.copy()
+    for m in WINDOWS:
+        cq = _chi_ticks(sensitivity, m)
+        _st_1d_ticks(rq, work, m, cq)                 # time direction
+        ft = work.T.copy()
+        _st_1d_ticks(rq.T.copy(), ft, m, cq)          # freq direction
+        work |= ft.T
+    return work
+
+
+def lowpass_ticks(x: np.ndarray, unflagged: np.ndarray) -> np.ndarray:
+    """Separable flag-masked Gaussian sliding-window fit in exact
+    integer arithmetic: per-axis integer kernels, numerator/denominator
+    accumulated separately, half-up integer division; windows truncate
+    at the image edge (normalized by the weights actually present);
+    a fully-flagged window fits 0."""
+    gt = np.array(lp_kernel(LP_RADIUS_T, LP_SIGMA_T), dtype=np.int64)
+    gf = np.array(lp_kernel(LP_RADIUS_F, LP_SIGMA_F), dtype=np.int64)
+    m = unflagged.astype(np.int64)
+    xm = np.where(unflagged, x, np.int64(0))
+    nt, nc = x.shape
+    num1 = np.zeros_like(x)
+    den1 = np.zeros_like(x)
+    for k, d in enumerate(range(-LP_RADIUS_T, LP_RADIUS_T + 1)):
+        lo, hi = max(0, -d), min(nt, nt - d)
+        if hi <= lo:        # offset exceeds the image: nothing in range
+            continue
+        num1[lo:hi] += gt[k] * xm[lo + d:hi + d]
+        den1[lo:hi] += gt[k] * m[lo + d:hi + d]
+    num = np.zeros_like(x)
+    den = np.zeros_like(x)
+    for k, d in enumerate(range(-LP_RADIUS_F, LP_RADIUS_F + 1)):
+        lo, hi = max(0, -d), min(nc, nc - d)
+        if hi <= lo:
+            continue
+        num[:, lo:hi] += gf[k] * num1[:, lo + d:hi + d]
+        den[:, lo:hi] += gf[k] * den1[:, lo + d:hi + d]
+    # bg = round_half_up(num / den) via floor((2num + den) / (2den));
+    # numpy // IS floor division — the SQL spells the same floor through
+    # the math-mod subtraction (both engines' % truncates)
+    a = 2 * num + den
+    b = np.where(den > 0, 2 * den, np.int64(1))
+    return np.where(den > 0, a // b, np.int64(0))
+
+
+def aoflagger_strategy_mask(img: np.ndarray,
+                            base_sensitivity: float = 6.0,
+                            existing: np.ndarray | None = None,
+                            valid: np.ndarray | None = None,
+                            iterations: int = AOF_ITERS,
+                            step: float = AOF_STEP,
+                            eta: float | None = 0.2) -> np.ndarray:
+    """F9d — the iterative strategy over a (time x chan) amplitude
+    image: standardize to ticks once, then for each non-final iteration
+    SumThreshold at ``base_sensitivity * step^(iterations - i)`` and
+    re-fit the residual (original ticks minus the masked Gaussian fit);
+    final iteration at full sensitivity, then SIR (``eta=None`` skips).
+    Returns the mask for present cells (absent never reported)."""
+    img = np.asarray(img, dtype=np.float64)
+    present = (np.ones(img.shape, dtype=bool) if valid is None
+               else np.asarray(valid, dtype=bool))
+    prior = (np.zeros(img.shape, dtype=bool) if existing is None
+             else np.asarray(existing, dtype=bool))
+    x = standardize_ticks(img, present)
+    work = prior | ~present
+    resid = x
+    for i in range(1, iterations):
+        factor = step ** (iterations - i)
+        work = sumthreshold_ticks(resid, work, present,
+                                  base_sensitivity * factor)
+        bg = lowpass_ticks(x, ~work & present)
+        resid = x - bg
+    work = sumthreshold_ticks(resid, work, present, base_sensitivity)
+    det = (work & present) | prior
+    if eta is not None:
+        det = sir_mask(det, eta)
+    return det & present | (prior & present)
+
+
+def flag_rfi_strategy(vis: DataFrame, base_sensitivity: float = 6.0,
+                      eta: float | None = 0.2) -> DataFrame:
+    """F9d as the 100 TB UDF island: per-baseline images via ONE
+    ``groupBy(ant1, ant2).applyInPandas`` shuffle (bucketing by baseline
+    removes it), each image run through the iterative strategy
+    (:func:`aoflagger_strategy_mask`); the mask ORs into ``flag``."""
+    cols = list(vis.columns)
+    schema = vis.schema
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(pdf["t"].unique())
+        chans = np.sort(pdf["chan"].unique())
+        t_idx = {v: i for i, v in enumerate(ts)}
+        c_idx = {v: i for i, v in enumerate(chans)}
+        rows = pdf["t"].map(t_idx).to_numpy()
+        cs = pdf["chan"].map(c_idx).to_numpy()
+        img = np.zeros((len(ts), len(chans)), dtype=np.float64)
+        re = (pdf["xx_re"].to_numpy() + pdf["yy_re"].to_numpy()) / 2.0
+        im = (pdf["xx_im"].to_numpy() + pdf["yy_im"].to_numpy()) / 2.0
+        img[rows, cs] = np.hypot(re, im)
+        present = np.zeros(img.shape, dtype=bool)
+        present[rows, cs] = True
+        prior = np.zeros(img.shape, dtype=bool)
+        prior[rows, cs] = pdf["flag"].to_numpy(dtype=bool)
+        mask = aoflagger_strategy_mask(
+            img, base_sensitivity, existing=prior, valid=present,
+            eta=eta)
+        out = pdf.copy()
+        out["flag"] = pdf["flag"].to_numpy(dtype=bool) | mask[rows, cs]
+        return out[cols]
+
+    return vis.groupBy("ant1", "ant2").applyInPandas(per_baseline,
+                                                     schema=schema)
+
+
 # ------------------------------------------------- SIR morphology ---
 
 #: SIR aggressiveness ticks-per-unit: eta quantized to 1/SIR_D so the

@@ -67,11 +67,20 @@ def _frame(lo: str, hi: str) -> str:
     return f"ROWS BETWEEN {lo} AND {hi}"
 
 
-def sumthreshold_parts(vis: str = "flagged",
+def last_work_cte(prefix: str) -> str:
+    """Name of the CTE holding the post-ladder ``work`` column (all grid
+    cells, before the present-only final SELECT) — the chaining point
+    the iterative strategy (:func:`aoflagger_strategy_parts`) reads."""
+    return f"{prefix}_p{2 * len(WINDOWS)}b"
+
+
+def sumthreshold_steps(vis: str = "flagged",
                        median_fn: str = "percentile",
                        base_sensitivity: float = 6.0,
                        prefix: str = "st",
-                       vis_is_base: bool = False) -> tuple[str, str]:
+                       vis_is_base: bool = False,
+                       dense_base: bool = False,
+                       extra: tuple[str, ...] = ()) -> tuple[str, str]:
     """(CTE chain, final mask SELECT) of SumThreshold over relation
     ``vis`` (the standard vis columns incl. ``flag``). The final SELECT
     yields (ant1, ant2, t, chan, det) for every PRESENT cell, where
@@ -80,6 +89,17 @@ def sumthreshold_parts(vis: str = "flagged",
 
     ``median_fn``: "percentile" (Spark) / "quantile_cont" (DuckDB) —
     the one dialect split, identical to operators/ssins.py.
+
+    ``dense_base``: the caller's relation is ALREADY the dense grid with
+    columns (ant1, ant2, t, chan, prior, present, amp) — skip the
+    bt x bc grid build (the iterative strategy reuses one grid across
+    all its SumThreshold calls, so each call is pure window layers on
+    the same (ant1, ant2) partitioning: zero extra shuffles).
+
+    ``extra``: column names of ``vis`` (dense_base only) carried
+    untouched through every ladder CTE — the iterative strategy threads
+    the original tick image through each call this way instead of
+    re-joining it per iteration.
     """
     p = prefix
     med = f32(f"CAST({median_fn}(CASE WHEN present THEN amp END, 0.5)"
@@ -102,38 +122,49 @@ def sumthreshold_parts(vis: str = "flagged",
         # fact-side amplitude image samples (Stokes-I, rfi.py:113-115)
         f"SELECT ant1, ant2, t, chan, flag AS prior,"
         f" SQRT({re_} * {re_} + {im_} * {im_}) AS amp FROM {vis}")
+    if dense_base:
+        ex = "".join(f", {c}" for c in extra)
+        grid_ctes = [
+            (f"{p}_g0",
+             f"SELECT ant1, ant2, t, chan, prior, present, amp{ex}"
+             f" FROM {vis}")]
+    else:
+        grid_ctes = [
+            (f"{p}_base", base_body),
+            # dense per-baseline grid: this baseline's t-set x chan-set
+            # (absent cells behave as flagged inside window sums and are
+            # never reported, rfi.py:62-66)
+            (f"{p}_bt", f"SELECT DISTINCT ant1, ant2, t FROM {p}_base"),
+            (f"{p}_bc", f"SELECT DISTINCT ant1, ant2, chan FROM {p}_base"),
+            (f"{p}_g0",
+             f"SELECT g.ant1, g.ant2, g.t, g.chan,"
+             f" COALESCE(b.prior, FALSE) AS prior,"
+             f" b.ant1 IS NOT NULL AS present,"
+             f" COALESCE(b.amp, 0E0) AS amp"
+             f" FROM (SELECT bt.ant1, bt.ant2, bt.t, bc.chan FROM {p}_bt bt"
+             f" JOIN {p}_bc bc ON bt.ant1 = bc.ant1 AND bt.ant2 = bc.ant2) g"
+             f" LEFT JOIN {p}_base b ON g.ant1 = b.ant1 AND g.ant2 = b.ant2"
+             f" AND g.t = b.t AND g.chan = b.chan")]
+    ex = "".join(f", {c}" for c in extra)
     ctes = [
-        (f"{p}_base", base_body),
-        # dense per-baseline grid: this baseline's t-set x chan-set
-        # (absent cells behave as flagged inside window sums and are
-        # never reported, rfi.py:62-66)
-        (f"{p}_bt", f"SELECT DISTINCT ant1, ant2, t FROM {p}_base"),
-        (f"{p}_bc", f"SELECT DISTINCT ant1, ant2, chan FROM {p}_base"),
-        (f"{p}_g0",
-         f"SELECT g.ant1, g.ant2, g.t, g.chan,"
-         f" COALESCE(b.prior, FALSE) AS prior,"
-         f" b.ant1 IS NOT NULL AS present,"
-         f" COALESCE(b.amp, 0E0) AS amp"
-         f" FROM (SELECT bt.ant1, bt.ant2, bt.t, bc.chan FROM {p}_bt bt"
-         f" JOIN {p}_bc bc ON bt.ant1 = bc.ant1 AND bt.ant2 = bc.ant2) g"
-         f" LEFT JOIN {p}_base b ON g.ant1 = b.ant1 AND g.ant2 = b.ant2"
-         f" AND g.t = b.t AND g.chan = b.chan"),
+        *grid_ctes,
         # robust stats over present cells only (rfi.py:72-77), as
         # aggregate-as-window so the plan stays linear
         (f"{p}_med",
          f"SELECT *, {med} AS med FROM {p}_g0"),
         (f"{p}_mad",
-         f"SELECT ant1, ant2, t, chan, prior, present, amp, med,"
+         f"SELECT ant1, ant2, t, chan, prior, present, amp, med{ex},"
          f" {mad} AS mad FROM"
          f" (SELECT *, {f32('ABS(amp - med)')} AS ad FROM {p}_med)"),
         # integer-tick residuals; work0 = prior | ~present (rfi.py:81)
         (f"{p}_w0",
-         f"SELECT ant1, ant2, t, chan, prior, present, amp, med,"
+         f"SELECT ant1, ant2, t, chan, prior, present, amp, med{ex},"
          f" {sig_ok} AS sig_ok,"
          f" CASE WHEN {sig_ok} THEN {tick} ELSE CAST(0 AS BIGINT) END AS rq,"
          f" prior OR NOT present AS work FROM {p}_mad"),
     ]
-    carry = "ant1, ant2, t, chan, prior, present, amp, med, sig_ok, rq"
+    carry = ("ant1, ant2, t, chan, prior, present, amp, med"
+             + ex + ", sig_ok, rq")
     prev = f"{p}_w0"
     step = 0
     for m in WINDOWS:
@@ -161,7 +192,6 @@ def sumthreshold_parts(vis: str = "flagged",
                  f" AND wsum > {cq * m} THEN 1 ELSE 0 END)"
                  f" OVER ({over} {back}) = 1 AS work FROM {a}"))
             prev = b
-    cte_text = ",\n".join(f"{n} AS ({body})" for n, body in ctes)
     # flat-image arm: sigma 0 -> anything off the median is RFI
     # (rfi.py:78-80); otherwise (work & present) | prior
     final = (
@@ -170,7 +200,22 @@ def sumthreshold_parts(vis: str = "flagged",
         f" ELSE (amp <> med) OR prior END AS det"
         f" FROM {prev} WHERE present"
     )
-    return cte_text, final
+    return ctes, final
+
+
+def sumthreshold_parts(vis: str = "flagged",
+                       median_fn: str = "percentile",
+                       base_sensitivity: float = 6.0,
+                       prefix: str = "st",
+                       vis_is_base: bool = False,
+                       dense_base: bool = False,
+                       extra: tuple[str, ...] = ()) -> tuple[str, str]:
+    """One-text form of :func:`sumthreshold_steps` (CTE chain, final
+    mask SELECT) — the shape every existing caller splices into WITH."""
+    ctes, final = sumthreshold_steps(vis, median_fn, base_sensitivity,
+                                     prefix, vis_is_base, dense_base,
+                                     extra)
+    return ",\n".join(f"{n} AS ({b})" for n, b in ctes), final
 
 
 def cell_dedup_select(vis: str = "flagged",
@@ -217,7 +262,8 @@ def flag_rfi_parts(vis: str = "flagged",
 # ------------------------------------------------- SIR morphology ---
 
 def sir_parts(mask: str = "st_mask", eta: float = 0.2,
-              prefix: str = "sir") -> tuple[str, str]:
+              prefix: str = "sir",
+              extra: tuple[str, ...] = ()) -> tuple[str, str]:
     """(CTE chain, final SELECT) of the scale-invariant-rank dilation
     (Offringa & van de Gronde 2012 — the morphological post-pass of
     AOFlagger's strategy, reference src/flags.rs:368-437 via FFI) over a
@@ -233,20 +279,21 @@ def sir_parts(mask: str = "st_mask", eta: float = 0.2,
 
     en = int(round(eta * SIR_D))
     p = prefix
+    ex = "".join(f", {c}" for c in extra)
 
     def pass_ctes(src: str, part: str, order: str,
                   tag: str) -> list[tuple[str, str]]:
         over = f"PARTITION BY ant1, ant2, {part} ORDER BY {order}"
         return [
             (f"{p}_{tag}p",
-             f"SELECT ant1, ant2, t, chan, det,"
+             f"SELECT ant1, ant2, t, chan, det{ex},"
              f" SUM(CASE WHEN det THEN {en} ELSE {en - SIR_D} END)"
              f" OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING AND"
              f" CURRENT ROW) AS p_incl,"
              f" CASE WHEN det THEN {en} ELSE {en - SIR_D} END AS w"
              f" FROM {src}"),
             (f"{p}_{tag}o",
-             f"SELECT ant1, ant2, t, chan,"
+             f"SELECT ant1, ant2, t, chan{ex},"
              f" MAX(p_incl) OVER ({over} ROWS BETWEEN CURRENT ROW AND"
              f" UNBOUNDED FOLLOWING)"
              f" - MIN(p_incl - w) OVER ({over} ROWS BETWEEN UNBOUNDED"
@@ -257,5 +304,221 @@ def sir_parts(mask: str = "st_mask", eta: float = 0.2,
     ctes = (pass_ctes(mask, "chan", "t", "t")
             + pass_ctes(f"{p}_to", "t", "chan", "f"))
     cte_text = ",\n".join(f"{n} AS ({b})" for n, b in ctes)
-    final = f"SELECT ant1, ant2, t, chan, det FROM {p}_fo"
+    final = f"SELECT ant1, ant2, t, chan, det{ex} FROM {p}_fo"
     return cte_text, final
+
+
+# ------------------------------------ F9d: iterative AOFlagger strategy ---
+
+def _lp_off(col: str, d: int, over: str) -> str:
+    """Value of ``col`` at row offset ``d`` inside the window partition
+    (NULL past the edge — the kernel truncates like the numpy twin)."""
+    if d == 0:
+        return col
+    fn = "LEAD" if d > 0 else "LAG"
+    return f"{fn}({col}, {abs(d)}) OVER ({over})"
+
+
+def _lp_sum(col: str, kernel: tuple[int, ...], radius: int,
+            over: str) -> str:
+    return " + ".join(
+        f"{g} * COALESCE({_lp_off(col, dd, over)}, CAST(0 AS BIGINT))"
+        for dd, g in zip(range(-radius, radius + 1), kernel))
+
+
+def aoflagger_strategy_steps(vis: str = "flagged",
+                             median_fn: str = "percentile",
+                             base_sensitivity: float = 6.0,
+                             iterations: int | None = None,
+                             step: float | None = None,
+                             eta: float | None = 0.2,
+                             prefix: str = "aof",
+                             ) -> tuple[list[tuple[str, str]], str,
+                                        set[str]]:
+    """F9d — the published AOFlagger GENERIC strategy structure
+    (Offringa, aoflagger docs "the generic strategy"; the reference runs
+    the derived mwa-default via FFI, src/flags.rs:368-437) as ordered
+    relational steps: standardize the Stokes-I image to integer ticks
+    once, then iterate {SumThreshold at ``base_sensitivity *
+    step^(iterations-i)`` -> subtract the flag-masked separable Gaussian
+    sliding-window fit of the ORIGINAL tick image}, final SumThreshold
+    at full sensitivity, then SIR. All arithmetic after the one f32
+    median/MAD standardization is exact BIGINT (integer kernel weights,
+    half-up integer division), so both engines build identical residual
+    images; tick semantics mirror operators/rfi.py::
+    aoflagger_strategy_mask cell for cell.
+
+    Returns ``(steps, final_select, barrier_names)``; barriers mark the
+    grid-sized relations the Spark runner should ``localCheckpoint`` so
+    each iteration's ~30 window layers analyze against a materialized
+    input instead of the whole upstream chain. The one dialect split is
+    ``median_fn`` ("percentile" -> Spark, "quantile_cont" -> DuckDB);
+    integer division spells DIV / // accordingly.
+    """
+    from birli_spark.operators.rfi import (
+        AOF_ITERS, AOF_STEP, LP_CLAMP_SIGMA, LP_RADIUS_F, LP_RADIUS_T,
+        LP_SIGMA_F, LP_SIGMA_T, LP_TICKS, lp_kernel)
+
+    iterations = AOF_ITERS if iterations is None else iterations
+    step = AOF_STEP if step is None else step
+    idiv = "DIV" if median_fn == "percentile" else "//"
+    p = prefix
+    clampt = int(LP_CLAMP_SIGMA) * LP_TICKS
+    g_t = lp_kernel(LP_RADIUS_T, LP_SIGMA_T)
+    g_f = lp_kernel(LP_RADIUS_F, LP_SIGMA_F)
+
+    med = f32(f"CAST({median_fn}(CASE WHEN present THEN amp END, 0.5)"
+              f" OVER (PARTITION BY ant1, ant2) AS DOUBLE)")
+    mad = f32(f"CAST({median_fn}(CASE WHEN present THEN ad END, 0.5)"
+              f" OVER (PARTITION BY ant1, ant2) AS DOUBLE)")
+    re_ = "((xx_re + yy_re) / 2E0)"
+    im_ = "((xx_im + yy_im) / 2E0)"
+    sig = "(1.4826E0 * mad)"
+    sig_ok = (f"({sig} > 0E0 AND NOT ISNAN({sig})"
+              f" AND ABS({sig}) <> {_INF})")
+    tick = (f"CAST(FLOOR(LEAST(GREATEST((amp - med) / {sig},"
+            f" {-float(LP_CLAMP_SIGMA)!r}), {float(LP_CLAMP_SIGMA)!r})"
+            f" * {float(LP_TICKS)!r} + 5E-1) AS BIGINT)")
+    steps: list[tuple[str, str]] = [
+        (f"{p}_base",
+         f"SELECT ant1, ant2, t, chan, flag AS prior,"
+         f" SQRT({re_} * {re_} + {im_} * {im_}) AS amp FROM {vis}"),
+        (f"{p}_bt", f"SELECT DISTINCT ant1, ant2, t FROM {p}_base"),
+        (f"{p}_bc", f"SELECT DISTINCT ant1, ant2, chan FROM {p}_base"),
+        (f"{p}_g0",
+         f"SELECT g.ant1, g.ant2, g.t, g.chan,"
+         f" COALESCE(b.prior, FALSE) AS prior,"
+         f" b.ant1 IS NOT NULL AS present,"
+         f" COALESCE(b.amp, 0E0) AS amp"
+         f" FROM (SELECT bt.ant1, bt.ant2, bt.t, bc.chan FROM {p}_bt bt"
+         f" JOIN {p}_bc bc ON bt.ant1 = bc.ant1 AND bt.ant2 = bc.ant2) g"
+         f" LEFT JOIN {p}_base b ON g.ant1 = b.ant1 AND g.ant2 = b.ant2"
+         f" AND g.t = b.t AND g.chan = b.chan"),
+        (f"{p}_m1", f"SELECT *, {med} AS med FROM {p}_g0"),
+        (f"{p}_m2",
+         f"SELECT ant1, ant2, t, chan, prior, present, amp, med,"
+         f" {mad} AS mad FROM"
+         f" (SELECT *, {f32('ABS(amp - med)')} AS ad FROM {p}_m1)"),
+        # one standardization for the whole strategy; sigma==0 arm sends
+        # off-median cells to the clamp (rfi.py::standardize_ticks)
+        (f"{p}_x0",
+         f"SELECT ant1, ant2, t, chan, present,"
+         f" prior OR NOT present AS work,"
+         f" CASE WHEN {sig_ok} THEN {tick}"
+         f" WHEN amp <> med THEN CAST({clampt} AS BIGINT)"
+         f" ELSE CAST(0 AS BIGINT) END AS x FROM {p}_m2"),
+        (f"{p}_in0",
+         f"SELECT ant1, ant2, t, chan, work AS prior, present,"
+         f" CAST(x AS DOUBLE) AS amp, x FROM {p}_x0"),
+    ]
+    barriers = {f"{p}_x0"}
+    cur = f"{p}_in0"
+    for i in range(1, iterations):
+        factor = step ** (iterations - i)
+        sp = f"{p}s{i}"
+        st, _ = sumthreshold_steps(cur, median_fn,
+                                   base_sensitivity * factor,
+                                   prefix=sp, dense_base=True,
+                                   extra=("x",))
+        steps.extend(st)
+        last = last_work_cte(sp)
+        over_t = "PARTITION BY ant1, ant2, chan ORDER BY t"
+        over_f = "PARTITION BY ant1, ant2, t ORDER BY chan"
+        steps.extend([
+            # fold the ladder + flat arm into the accumulated mask
+            # (absent cells stay flagged for every later call)
+            (f"{p}_w{i}",
+             f"SELECT ant1, ant2, t, chan, present, x,"
+             f" CASE WHEN present THEN"
+             f" CASE WHEN sig_ok THEN work OR prior"
+             f" ELSE (amp <> med) OR prior END"
+             f" ELSE TRUE END AS work FROM {last}"),
+            (f"{p}_l{i}a",
+             f"SELECT ant1, ant2, t, chan, present, x, work,"
+             f" CASE WHEN NOT work AND present THEN x"
+             f" ELSE CAST(0 AS BIGINT) END AS xm,"
+             f" CASE WHEN NOT work AND present THEN CAST(1 AS BIGINT)"
+             f" ELSE CAST(0 AS BIGINT) END AS mi FROM {p}_w{i}"),
+            # separable masked Gaussian fit: time kernel then channel
+            # kernel, numerator / denominator as exact BIGINTs
+            (f"{p}_l{i}b",
+             f"SELECT ant1, ant2, t, chan, present, x, work,"
+             f" {_lp_sum('xm', g_t, LP_RADIUS_T, over_t)} AS num1,"
+             f" {_lp_sum('mi', g_t, LP_RADIUS_T, over_t)} AS den1"
+             f" FROM {p}_l{i}a"),
+            (f"{p}_l{i}c",
+             f"SELECT ant1, ant2, t, chan, present, x, work,"
+             f" {_lp_sum('num1', g_f, LP_RADIUS_F, over_f)} AS num2,"
+             f" {_lp_sum('den1', g_f, LP_RADIUS_F, over_f)} AS den2"
+             f" FROM {p}_l{i}b"),
+            # resid = x - round_half_up(num2/den2), spelled as the
+            # math-mod floor of (2 num + den)/(2 den) — exact in BIGINT,
+            # identical in both engines (numerator is an exact multiple)
+            (f"{p}_r{i}",
+             f"SELECT ant1, ant2, t, chan, work AS prior, present,"
+             f" CAST(x - (CASE WHEN den2 > 0 THEN"
+             f" ((2 * num2 + den2) - (((2 * num2 + den2) % (2 * den2)"
+             f" + 2 * den2) % (2 * den2))) {idiv} (2 * den2)"
+             f" ELSE CAST(0 AS BIGINT) END) AS DOUBLE) AS amp, x"
+             f" FROM {p}_l{i}c"),
+        ])
+        barriers.add(f"{p}_r{i}")
+        cur = f"{p}_r{i}"
+    sf_ = f"{p}sf"
+    st, _ = sumthreshold_steps(cur, median_fn, base_sensitivity,
+                               prefix=sf_, dense_base=True)
+    steps.extend(st)
+    last = last_work_cte(sf_)
+    steps.append(
+        (f"{p}_det",
+         f"SELECT ant1, ant2, t, chan, present,"
+         f" CASE WHEN present THEN"
+         f" CASE WHEN sig_ok THEN work OR prior"
+         f" ELSE (amp <> med) OR prior END"
+         f" ELSE FALSE END AS det FROM {last}"))
+    barriers.add(f"{p}_det")
+    if eta is None:
+        return steps, (f"SELECT ant1, ant2, t, chan, det FROM {p}_det"
+                       f" WHERE present"), barriers
+    # SIR over the DENSE grid (absent cells block dilation as
+    # unflagged=False cells, mirroring the numpy twin's image shape)
+    sir_ctes, _ = sir_parts(f"{p}_det", eta, prefix=f"{p}r",
+                            extra=("present",))
+    for part in sir_ctes.split(",\n"):
+        name, body = part.split(" AS (", 1)
+        steps.append((name.strip(), body[:-1]))
+    final = (f"SELECT ant1, ant2, t, chan, det FROM {p}r_fo"
+             f" WHERE present")
+    return steps, final, barriers
+
+
+def aoflagger_strategy_sql(vis: str = "flagged",
+                           median_fn: str = "quantile_cont",
+                           base_sensitivity: float = 6.0,
+                           eta: float | None = 0.2,
+                           prefix: str = "aof") -> tuple[str, str]:
+    """One-text WITH form of :func:`aoflagger_strategy_steps` (the
+    DuckDB oracle spelling)."""
+    steps, final, _ = aoflagger_strategy_steps(
+        vis, median_fn, base_sensitivity, eta=eta, prefix=prefix)
+    return ",\n".join(f"{n} AS ({b})" for n, b in steps), final
+
+
+def aoflagger_strategy_spark(spark, cell_view: str,
+                             base_sensitivity: float = 6.0,
+                             eta: float | None = 0.2,
+                             prefix: str = "aof"):
+    """Execute F9d on Spark: temp-view steps with ``localCheckpoint``
+    barriers at the grid-sized relations (standardized image, each
+    iteration's residual, the pre-SIR mask) so every ladder segment
+    analyzes against a materialized input. One (ant1, ant2)-prefix
+    partitioning serves every window in the chain."""
+    steps, final, barriers = aoflagger_strategy_steps(
+        cell_view, "percentile", base_sensitivity, eta=eta,
+        prefix=prefix)
+    for name, body in steps:
+        df = spark.sql(body)
+        if name in barriers:
+            df = df.localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+    return spark.sql(final)
