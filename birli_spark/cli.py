@@ -65,6 +65,7 @@ class Context:
     precess: bool = False
     dut1: float = 0.0
     rfi_sensitivity: float = 6.0
+    rfi_iterative: bool = False
     sir_eta: float | None = None
     ssins: bool = False
     ssins_threshold: float = 5.0
@@ -117,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="seconds flagged before the end of the obs "
                         "(reference src/cli.rs:1104-1157)")
     p.add_argument("--no-rfi", action="store_true")
+    p.add_argument("--rfi-iterative", action="store_true",
+                   help="run the ITERATIVE AOFlagger-strategy shape in "
+                        "the RFI slot (decreasing-threshold SumThreshold "
+                        "passes with a flag-masked Gaussian sliding-"
+                        "window fit between, final pass + SIR — "
+                        "operators/rfi.py::flag_rfi_strategy)")
     p.add_argument("--sir-eta", type=float, default=None,
                    help="append the SIR morphological dilation "
                         "(Offringa & van de Gronde 2012, aoflagger's "
@@ -259,6 +266,7 @@ def parse_args(argv: list[str]) -> Context:
         flag_autos=a.flag_autos, quack_time=a.quack_time,
         flag_end=a.flag_end, no_rfi=a.no_rfi,
         rfi_sensitivity=_strategy_sensitivity(a.aoflagger_strategy),
+        rfi_iterative=a.rfi_iterative,
         sir_eta=a.sir_eta,
         ssins=a.ssins, ssins_threshold=a.ssins_threshold,
         no_cable_delay=a.no_cable_delay,
@@ -380,6 +388,11 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         if ctx.ssins:
             from birli_spark.operators import ssins as ssins_op
             vis = ssins_op.ssins_flag_vis(vis, threshold=ctx.ssins_threshold)
+        elif ctx.rfi_iterative:
+            from birli_spark.operators import rfi
+            vis = rfi.flag_rfi_strategy(
+                vis, base_sensitivity=ctx.rfi_sensitivity,
+                eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2)
         else:
             from birli_spark.operators import rfi
             vis = rfi.flag_rfi(vis, base_sensitivity=ctx.rfi_sensitivity,

@@ -258,3 +258,13 @@ def test_cli_ssins_rfi_slot(spark, sf_dir):
     assert on.columns == off.columns
     # the SSINS mask can only ADD flags on top of the rule flags
     assert (on.filter("flag").count() >= off.filter("flag").count())
+
+
+def test_cli_iterative_rfi_slot(spark, sf_dir):
+    ctx = cli.parse_args([sf_dir, "--rfi-iterative", "--sir-eta", "0.1"])
+    assert ctx.rfi_iterative and not ctx.no_rfi and ctx.sir_eta == 0.1
+    off = cli.build_plan(spark, cli.parse_args([sf_dir, "--no-rfi"]))
+    on = cli.build_plan(spark, ctx)
+    assert on.columns == off.columns
+    # the iterative-strategy mask can only ADD flags on top of rule flags
+    assert (on.filter("flag").count() >= off.filter("flag").count())
