@@ -61,6 +61,7 @@ class Context:
     flag_autos: bool = False
     quack_time: float = 0.0
     flag_end: float = 0.0
+    no_flag_metafits: bool = False
     no_rfi: bool = True
     precess: bool = False
     dut1: float = 0.0
@@ -74,6 +75,7 @@ class Context:
     no_geometric_delay: bool = False
     phase_centre: tuple[float, float] | None = None
     pointing_centre: bool = False
+    emulate_cotter: bool = False
     van_vleck: bool = False
     pfb_gains: str = "none"
     apply_di_cal: str | None = None
@@ -85,6 +87,11 @@ class Context:
     uvfits_out: str | None = None
     ms_out: str | None = None
     flag_parquet_out: str | None = None
+    baseline_limit: int | None = None
+    timestep_limit: int | None = None
+    provided_chan_ranges: bool = False
+    dump_csv: str | None = None
+    dump_mode: str = "vis-only"
     dry_run: bool = False
 
 
@@ -117,6 +124,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flag-end", type=float, default=0.0,
                    help="seconds flagged before the end of the obs "
                         "(reference src/cli.rs:1104-1157)")
+    p.add_argument("--flag-init-steps", type=int, default=None,
+                   metavar="N", help="flag the first N timesteps "
+                        "(N x int_time seconds; overrides --quack-time, "
+                        "reference src/cli.rs:1141-1146)")
+    p.add_argument("--flag-end-steps", type=int, default=None,
+                   metavar="N", help="flag the last N timesteps "
+                        "(overrides --flag-end)")
+    p.add_argument("--no-flag-metafits", action="store_true",
+                   help="ignore antenna flags in the metadata "
+                        "(reference src/cli.rs:1029)")
     p.add_argument("--no-rfi", action="store_true")
     p.add_argument("--rfi-iterative", action="store_true",
                    help="run the ITERATIVE AOFlagger-strategy shape in "
@@ -155,6 +172,11 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--pointing-centre", action="store_true",
                     help="phase-track the pointing centre from the obs "
                          "metadata instead of the default phase centre")
+    p.add_argument("--emulate-cotter", action="store_true",
+                   help="use Cotter's array position (the public "
+                        "mwaconfig.h site defines) instead of the "
+                        "default MWA position for the derived UVW dim "
+                        "(reference src/cli.rs:1353-1363)")
     p.add_argument("--precess", action="store_true",
                    help="compute the partial UVWs with full IAU-2006 "
                         "precession + nutation + ERA/GMST (the "
@@ -195,6 +217,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-M", "--ms-out", type=str,
                    help="Measurement-Set MAIN-schema parquet output dir")
     p.add_argument("--flag-parquet", type=str)
+    p.add_argument("--baseline-limit", type=int, default=None,
+                   metavar="N", help="keep only the first N baselines "
+                        "(dev/debug truncation, reference "
+                        "src/cli.rs:3445)")
+    p.add_argument("--timestep-limit", type=int, default=None,
+                   metavar="N", help="keep only the first N timesteps")
+    p.add_argument("--provided-chan-ranges", action="store_true",
+                   help="only consider the coarse channels actually "
+                        "present in the input (reference "
+                        "src/cli.rs:673; a no-op on gap-free inputs)")
+    p.add_argument("--dump-csv", type=str, default=None, metavar="PATH",
+                   help="debug-dump the context-built output rows to "
+                        "ONE csv file (pair with --baseline-limit / "
+                        "--timestep-limit like the reference)")
+    p.add_argument("--dump-mode",
+                   choices=["vis-only", "weights-only", "both"],
+                   default="vis-only")
     p.add_argument("--dry-run", action="store_true")
     return p
 
@@ -263,8 +302,20 @@ def parse_args(argv: list[str]) -> Context:
             _edge_width_to_chans(a.flag_edge_width)
             if a.flag_edge_width is not None else a.flag_edge_chans),
         flag_dc=pipeline.IS_LEGACY if a.flag_dc is None else a.flag_dc,
-        flag_autos=a.flag_autos, quack_time=a.quack_time,
-        flag_end=a.flag_end, no_rfi=a.no_rfi,
+        flag_autos=a.flag_autos,
+        # steps variants override the seconds forms (reference converts
+        # N steps to N * int_time seconds, src/cli.rs:1141-1146)
+        quack_time=(a.flag_init_steps * syn.INT_TIME_S
+                    if a.flag_init_steps is not None else a.quack_time),
+        flag_end=(a.flag_end_steps * syn.INT_TIME_S
+                  if a.flag_end_steps is not None else a.flag_end),
+        no_flag_metafits=a.no_flag_metafits,
+        emulate_cotter=a.emulate_cotter,
+        baseline_limit=a.baseline_limit,
+        timestep_limit=a.timestep_limit,
+        provided_chan_ranges=a.provided_chan_ranges,
+        dump_csv=a.dump_csv, dump_mode=a.dump_mode,
+        no_rfi=a.no_rfi,
         rfi_sensitivity=_strategy_sensitivity(a.aoflagger_strategy),
         rfi_iterative=a.rfi_iterative,
         sir_eta=a.sir_eta,
@@ -323,6 +374,15 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         vis = selection.filter_antennas(vis, ants)
     if ctx.no_sel_autos:
         vis = selection.filter_autos(vis)
+    if ctx.timestep_limit is not None:
+        vis = vis.filter(F.col("t") < ctx.timestep_limit)
+    if ctx.baseline_limit is not None:
+        vis = vis.filter(F.col("bl") < ctx.baseline_limit)
+    if ctx.provided_chan_ranges and not ctx.sel_chan_ranges:
+        # restrict to the coarse channels the input actually carries —
+        # meaningful on picket-fence inputs with absent gpubox files
+        provided = [r.cc for r in vis.select("cc").distinct().collect()]
+        vis = vis.filter(F.col("cc").isin(provided))
 
     # Van Vleck first (reference pipeline order)
     if ctx.van_vleck:
@@ -339,6 +399,10 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
     if ctx.flag_times:
         ts_f = ts_f.withColumn(
             "ts_flag", F.col("ts_flag") | F.col("t").isin(ctx.flag_times))
+    if ctx.no_flag_metafits:
+        # ignore antenna flags in the metadata; explicit --flag-antennas
+        # still applies (reference src/cli.rs:1029)
+        ants = ants.withColumn("flagged", F.lit(False))
     if ctx.flag_antennas:
         ants = ants.withColumn(
             "flagged", F.col("flagged") | F.col("ant").isin(ctx.flag_antennas))
@@ -404,24 +468,30 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
             # default pointing centre for the synthetic obs: zenith-ish
             ra_deg, dec_deg = (ctx.phase_centre if ctx.phase_centre
                                else (75.0, -26.7))
+            from birli_spark.operators import precession as prc
+            lat = (prc.COTTER_LAT_RAD if ctx.emulate_cotter
+                   else prc.MWA_LAT_RAD)
+            lon = (prc.COTTER_LON_RAD if ctx.emulate_cotter
+                   else prc.MWA_LON_RAD)
             if ctx.precess:
                 from birli_spark.functions import textsql as X
-                from birli_spark.operators import precession
                 spark.sql("CREATE OR REPLACE TEMP VIEW cli_antennas AS "
                           + syn.ANTENNAS_SQL)
-                part_uvw = spark.sql(precession.part_uvw_precessed_sql(
+                part_uvw = spark.sql(prc.part_uvw_precessed_sql(
                     X.SPARK, ra_rad=math.radians(ra_deg),
                     dec_rad=math.radians(dec_deg),
                     gps_start=float(syn.GPS_START),
                     int_time_s=syn.INT_TIME_S, num_t=syn.NUM_T,
-                    antennas="cli_antennas", dut1_s=ctx.dut1))
+                    antennas="cli_antennas", dut1_s=ctx.dut1,
+                    lon_rad=lon, lat_rad=lat))
             else:
                 from birli_spark.operators import geometry
                 part_uvw = geometry.part_uvw_table(
                     spark, syn.load_dim(spark, "antennas"), syn.NUM_T,
                     ra_rad=math.radians(ra_deg),
                     dec_rad=math.radians(dec_deg),
-                    lst0_rad=1.0, int_time_s=syn.INT_TIME_S)
+                    lst0_rad=1.0, int_time_s=syn.INT_TIME_S,
+                    lat_rad=lat)
         else:
             part_uvw = syn.load_dim(spark, "part_uvw")
         vis = corrections.correct_geometry(vis, part_uvw)
@@ -431,6 +501,28 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
 
     # bake (F10); chunking/averaging happen in build_plan
     return weights.bake_flags_into_weights(vis)
+
+
+def _dump_csv(out: DataFrame, ctx: Context) -> str:
+    """Debug CSV dump of the context-built output (reference
+    --dump-csv/--dump-mode, src/cli.rs:3445): ONE file, streamed from
+    the executors via toLocalIterator (O(row) driver memory — pair with
+    --baseline-limit/--timestep-limit like the reference does)."""
+    keys = [c for c in ("t_out", "t", "bl", "ant1", "ant2", "cc",
+                        "fc_out", "fc", "chan") if c in out.columns]
+    pol = [c for c in out.columns
+           if c.endswith(("_re", "_im")) or c in ("u", "v", "w")]
+    wcols = [c for c in ("weight", "flag") if c in out.columns]
+    cols = {"vis-only": keys + pol,
+            "weights-only": keys + wcols,
+            "both": keys + pol + wcols}[ctx.dump_mode]
+    picked = out.select(*cols).orderBy(*keys)
+    with open(ctx.dump_csv, "w") as fh:
+        fh.write(",".join(cols) + "\n")
+        for row in picked.toLocalIterator():
+            fh.write(",".join(repr(v) if isinstance(v, float) else str(v)
+                              for v in row) + "\n")
+    return ctx.dump_csv
 
 
 def run(argv: list[str], spark: SparkSession | None = None) -> dict:
@@ -462,6 +554,8 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                                  gps_start=syn.GPS_START)
             result["flag_parquet"] = ctx.flag_parquet_out
         result["rows"] = out.count()
+        if ctx.dump_csv:
+            result["dump_csv"] = _dump_csv(out, ctx)
         if ctx.ms_out:
             from birli_spark.sinks import ms
             # the SAME context-built plan as every other sink — not a

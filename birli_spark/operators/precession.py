@@ -52,6 +52,11 @@ AS2R = math.pi / 648000.0      # arcsec -> rad
 #: MWA site (public marlu constants)
 MWA_LON_RAD = 2.0362898668561042
 MWA_LAT_RAD = -0.4660608448386394
+#: Cotter's site (the public mwaconfig.h defines; the reference's
+#: COTTER_MWA_* constants feed --emulate-cotter, src/cli.rs:1353-1363)
+COTTER_LAT_RAD = math.radians(-26.703319)
+COTTER_LON_RAD = math.radians(116.67081)
+COTTER_HEIGHT_M = 377.0
 #: GPS-UTC leap offset (s) valid 2017+ (the synthetic + fixture era)
 GPS_UTC_LEAP_S = 18.0
 #: JD of the GPS epoch 1980-01-06T00:00:00 UTC
@@ -330,10 +335,12 @@ def part_uvw_precessed_steps(d: str, ra_rad: float, dec_rad: float,
 def part_uvw_precessed_sql(d: str, ra_rad: float, dec_rad: float,
                            gps_start: float, int_time_s: float,
                            num_t: int, antennas: str = "antennas",
-                           dut1_s: float = 0.0) -> str:
+                           dut1_s: float = 0.0,
+                           lon_rad: float = MWA_LON_RAD,
+                           lat_rad: float = MWA_LAT_RAD) -> str:
     """One-text WITH form (the DuckDB oracle / composable Spark text)."""
     steps, final = part_uvw_precessed_steps(
         d, ra_rad, dec_rad, gps_start, int_time_s, num_t, antennas,
-        dut1_s=dut1_s)
+        dut1_s=dut1_s, lon_rad=lon_rad, lat_rad=lat_rad)
     ctes = ",\n".join(f"{n} AS ({b})" for n, b in steps)
     return f"WITH {ctes}\n{final}"

@@ -268,3 +268,67 @@ def test_cli_iterative_rfi_slot(spark, sf_dir):
     assert on.columns == off.columns
     # the iterative-strategy mask can only ADD flags on top of rule flags
     assert (on.filter("flag").count() >= off.filter("flag").count())
+
+
+def test_cli_flag_init_end_steps(spark, sf_dir):
+    """--flag-init-steps/--flag-end-steps are the N x int_time spelling
+    of --quack-time/--flag-end (reference src/cli.rs:1141-1146)."""
+    from birli_spark.sources import synthetic as syn
+
+    steps = cli.parse_args([sf_dir, "--flag-init-steps", "2",
+                            "--flag-end-steps", "1"])
+    assert steps.quack_time == 2 * syn.INT_TIME_S
+    assert steps.flag_end == 1 * syn.INT_TIME_S
+    secs = cli.parse_args([sf_dir, "--quack-time",
+                           str(2 * syn.INT_TIME_S),
+                           "--flag-end", str(syn.INT_TIME_S)])
+    a = cli.build_plan(spark, steps).select("t", "flag")
+    b = cli.build_plan(spark, secs).select("t", "flag")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_cli_no_flag_metafits(spark, sf_dir):
+    """--no-flag-metafits drops the metadata antenna flags but keeps
+    explicit --flag-antennas."""
+    base = cli.build_plan(spark, cli.parse_args([sf_dir]))
+    off = cli.build_plan(spark, cli.parse_args(
+        [sf_dir, "--no-flag-metafits"]))
+    assert off.filter("flag").count() <= base.filter("flag").count()
+    both = cli.build_plan(spark, cli.parse_args(
+        [sf_dir, "--no-flag-metafits", "--flag-antennas", "0"]))
+    assert both.filter("flag AND (ant1 = 0 OR ant2 = 0)").count() > 0
+
+
+def test_cli_limits_and_dump_csv(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "dump.csv")
+    ctx = cli.parse_args([sf_dir, "--timestep-limit", "2",
+                          "--baseline-limit", "3",
+                          "--dump-csv", path, "--dump-mode", "both"])
+    out = cli.build_plan(spark, ctx)
+    assert out.filter("t >= 2").count() == 0
+    assert out.filter("bl >= 3").count() == 0
+    res = cli.run([sf_dir, "--timestep-limit", "2", "--baseline-limit",
+                   "3", "--dump-csv", path, "--dump-mode", "both"],
+                  spark=spark)
+    import csv
+    with open(path) as fh:
+        rows = list(csv.reader(fh))
+    assert len(rows) - 1 == res["rows"]
+    assert "weight" in rows[0] and "xx_re" in rows[0]
+
+
+def test_cli_emulate_cotter_changes_uvws(spark, sf_dir):
+    """--emulate-cotter swaps the array position under the derived UVW
+    dim (reference src/cli.rs:1353-1363): same plan shape, different
+    u/v/w values."""
+    base = cli.build_plan(spark, cli.parse_args(
+        [sf_dir, "--phase-centre", "75", "-26.7", "--precess"]))
+    cot = cli.build_plan(spark, cli.parse_args(
+        [sf_dir, "--phase-centre", "75", "-26.7", "--precess",
+         "--emulate-cotter"]))
+    assert base.columns == cot.columns
+    j = (base.select("t", "bl", "chan", F.col("u").alias("u0"))
+         .join(cot.select("t", "bl", "chan", F.col("u").alias("u1")),
+               ["t", "bl", "chan"]))
+    diff = j.filter("abs(u0 - u1) > 1e-9").count()
+    assert diff > 0
