@@ -569,6 +569,26 @@ def _q_uvfits_rows(spark, sf_dir):
         syn.GPS_START, syn.INT_TIME_S)
 
 
+def _q_uvfits_file(spark, sf_dir):
+    """O1b: write the PHYSICAL random-groups UVFITS via the executor-
+    parallel writer, read the bytes back, hash-gate the content against
+    the f32-demoted oracle (sinks/uvfits.py::uvfits_file_rows) — and
+    double as the write-stage bench mirroring the reference's uvfits
+    write criterion benchmark (doc/benchmark_results.md)."""
+    import os
+    import tempfile
+    from birli_spark.sinks import uvfits
+    baked = pipeline.preprocess_baked(spark, sf_dir)
+    rows = uvfits.uvfits_group_rows(
+        baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+        syn.GPS_START, syn.INT_TIME_S)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"birli_spark_o1b_{os.path.basename(sf_dir.rstrip('/'))}.uvfits")
+    return uvfits.uvfits_file_rows(
+        spark, rows, path, jd_zero=uvfits.obs_jd_zero(syn.GPS_START))
+
+
 def _q_ms_rows(spark, sf_dir):
     from birli_spark.sinks import ms
     baked = pipeline.preprocess_baked(spark, sf_dir)
@@ -1556,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3b_mwaf_roundtrip": _q_mwaf_roundtrip,
         "o3c_mwaf_datasource": _q_mwaf_datasource,
         "o1_uvfits_rows": _q_uvfits_rows,
+        "o1b_uvfits_file": _q_uvfits_file,
         "o2_ms_rows": _q_ms_rows,
         "o2b_ms_subtables": _q_ms_subtables,
         "p5_picket_ranges": _q_picket,
@@ -1895,6 +1916,12 @@ def oracle_sql() -> dict[str, str]:
             + uvfits_sink.uvfits_rows_oracle_select(
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
+        "o1b_uvfits_file": (
+            f"WITH {pipeline.baked_oracle_ctes()} "
+            + uvfits_sink.uvfits_file_oracle_select(
+                "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
+                syn.GPS_START, syn.INT_TIME_S,
+                jd_zero=uvfits_sink.obs_jd_zero(syn.GPS_START))),
         "o2b_ms_subtables": __import__(
             "birli_spark.sinks.ms_subtables",
             fromlist=["x"]).subtables_bundle_sql(),

@@ -81,6 +81,10 @@ HEADLINE = [
     # as of round 3)
     "f9_rfi_sumthreshold",
     "d5b_embedding_neardup_brute",
+    # round 3: write-STAGE bench — the executor-parallel physical
+    # UVFITS write + byte read-back (the reference's uvfits write
+    # criterion stage, BASELINE.md), hash-gated as o1b
+    "o1b_uvfits_file",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",

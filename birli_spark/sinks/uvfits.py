@@ -286,3 +286,82 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
 
     return rows.groupBy("t_out", "bl").applyInPandas(
         write_group, schema="gidx long, t_out int, bl int")
+
+
+def obs_jd_zero(gps_start: float) -> float:
+    """PZERO for the DATE group param: the half-integral JD (the FITS
+    convention's noon boundary) at or just before the observation start.
+    Anchoring PZERO at the OBS — not the 1980 GPS epoch — keeps the
+    f32-stored day offset < 1, i.e. ~4 ms resolution instead of the
+    ~84 s ulp a 14500-day offset has: without this every few-second
+    timestep of a real observation collapses onto one stored DATE."""
+    import math
+
+    return math.floor(GPS_EPOCH_JD + gps_start / 86400.0 - 0.5) + 0.5
+
+
+def uvfits_file_rows(spark, rows: DataFrame, path: str,
+                     jd_zero: float = GPS_EPOCH_JD) -> DataFrame:
+    """O1b — the hash gate over the PHYSICAL file: write the random-
+    groups file via the executor-parallel writer, read the BYTES back
+    (:func:`read_uvfits`), and re-emit one row per (group, channel)
+    with every value exactly as the file stores it (f32). Pairs with
+    :func:`uvfits_file_oracle_select`, whose f32 demotions mirror the
+    FITS encode/decode — so a hash match certifies the file content,
+    not just the pre-sink relation.
+
+    The read-back is driver-side over the AVERAGED output (groups x
+    chans, orders of magnitude below the fact scan); the write itself
+    is executor-parallel."""
+    import pandas as pd
+
+    n_chan = rows.select("chan_out").distinct().count()
+    write_uvfits_distributed(rows, path, n_chan, jd_zero=jd_zero).count()
+    _, params, data = read_uvfits(path)
+    g = params.shape[0]
+    rec = {
+        "bl_code": np.repeat(params[:, 3].astype(np.int32), n_chan),
+        "jd": np.repeat(params[:, 4], n_chan),
+        "chan_out": np.tile(np.arange(n_chan, dtype=np.int32), g),
+        "u": np.repeat(params[:, 0], n_chan),
+        "v": np.repeat(params[:, 1], n_chan),
+        "w": np.repeat(params[:, 2], n_chan),
+    }
+    for p, pol in enumerate(UVFITS_POLS):
+        rec[f"{pol}_re"] = data[:, :, p, 0].reshape(-1)
+        rec[f"{pol}_im"] = data[:, :, p, 1].reshape(-1)
+    rec["weight"] = data[:, :, 0, 2].reshape(-1)
+    pdf = pd.DataFrame(rec)
+    pdf["flag"] = pdf["weight"] < 0
+    # drop the file's absent-cell padding: groups never written keep the
+    # pre-sized zeros (bl_code 0 — real codes are >= 257), and channels
+    # reindex-filled inside a group carry weight exactly 0 (a real baked
+    # cell is +/-|weight_factor| != 0). What remains is every real cell.
+    pdf = pdf[(pdf["bl_code"] > 0) & (pdf["weight"] != 0.0)]
+    return spark.createDataFrame(pdf.reset_index(drop=True))
+
+
+def uvfits_file_oracle_select(baked: str, avg_time: int, avg_freq: int,
+                              gps_start: float, int_time_s: float,
+                              jd_zero: float = GPS_EPOCH_JD) -> str:
+    """DuckDB twin of :func:`uvfits_file_rows`: the o1 row relation with
+    every file-stored value pushed through the same f32 round trip the
+    FITS encoding applies (params and data are BITPIX -32; DATE is
+    stored relative to PZERO then re-offset by the reader)."""
+    from birli_spark.functions.complex import f32
+
+    avg = averaging.averaging_oracle_select(baked, avg_time, avg_freq,
+                                            extra_mean_cols=("u", "v", "w"))
+    exprs = _group_param_exprs(gps_start, int_time_s, avg_time)
+    jz = f"CAST({jd_zero!r} AS DOUBLE)"
+    jd_rel = f32(f"({exprs['jd']}) - {jz}")
+    vis = ", ".join(
+        f"{f32(f'{pol}_{c}')} AS {pol}_{c}"
+        for pol in UVFITS_POLS for c in ("re", "im"))
+    return (
+        f"SELECT CAST({exprs['bl_code']} AS INT) AS bl_code,"
+        f" ({jz} + {jd_rel}) AS jd,"
+        f" CAST(chan_out AS INT) AS chan_out,"
+        f" {f32('u')} AS u, {f32('v')} AS v, {f32('w')} AS w,"
+        f" {vis}, {f32('weight')} AS weight,"
+        f" {f32('weight')} < 0E0 AS flag FROM ({avg})")

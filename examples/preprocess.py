@@ -100,7 +100,8 @@ def main(out_dir: str | None = None) -> dict:
         g0 = grp.dropna(subset=["bl_code"]).iloc[0]
         groups.append((g0.u, g0.v, g0.w, g0.bl_code, g0.jd, data))
     uv_path = os.path.join(out_dir, "preprocessed.uvfits")
-    uvfits.write_uvfits(uv_path, iter(groups), len(all_chans), len(groups))
+    uvfits.write_uvfits(uv_path, iter(groups), len(all_chans), len(groups),
+                        jd_zero=uvfits.obs_jd_zero(syn.GPS_START))
 
     result = {
         "raw_files": N_CC,

@@ -254,3 +254,44 @@ def test_uvfits_distributed_writer_byte_identical(spark, sf_dir, tmp_path):
     b = open(par, "rb").read()
     assert len(a) == len(b)
     assert a == b
+
+
+def test_uvfits_file_rows_gate(spark, sf_dir, tmp_path):
+    """O1b: the physical-file read-back relation matches the f32-demoted
+    oracle row for row (the driver's hash-gate property) — certifying
+    the BYTES, not just the pre-sink relation."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()["o1b_uvfits_file"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    ddf = con.execute(entry.oracle_sql()["o1b_uvfits_file"]).df()
+    key = sorted(sdf.columns)
+    sdf = sdf.sort_values(key).reset_index(drop=True)
+    ddf = ddf.sort_values(key).reset_index(drop=True)
+    assert len(sdf) == len(ddf) > 0
+    for c in sorted(sdf.columns):
+        assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
+
+
+def test_uvfits_obs_anchored_date_resolution(spark, sf_dir, tmp_path):
+    """Regression: with PZERO anchored at the OBS start (obs_jd_zero) —
+    not the 1980 GPS epoch — every averaged output timestep survives the
+    f32 DATE encoding distinctly (the epoch-anchored form collapsed all
+    of them into ~84 s ulp bins)."""
+    from birli_spark import pipeline
+    from birli_spark.sinks import uvfits
+    from birli_spark.sources import synthetic as syn
+
+    baked = pipeline.preprocess_baked(spark, sf_dir)
+    rows = uvfits.uvfits_group_rows(
+        baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+        syn.GPS_START, syn.INT_TIME_S)
+    n_t = rows.select("t_out").distinct().count()
+    path = str(tmp_path / "obs_anchor.uvfits")
+    out = uvfits.uvfits_file_rows(
+        spark, rows, path, jd_zero=uvfits.obs_jd_zero(syn.GPS_START))
+    assert out.select("jd").distinct().count() == n_t
