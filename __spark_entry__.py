@@ -596,6 +596,24 @@ def _q_ms_rows(spark, sf_dir):
                            syn.GPS_START, syn.INT_TIME_S)
 
 
+def _q_ms_file(spark, sf_dir):
+    """O2c: write the PHYSICAL casacore-layout Measurement Set
+    (executor-parallel MAIN bulk into table.f0 + full subtable tree,
+    sinks/ms_file.py — reference write_ms, src/io/mod.rs:542-595),
+    parse the bytes back with the independent reader, and hash-gate
+    every stored value against the f32-demoted oracle."""
+    import os
+    import tempfile
+    from birli_spark.sinks import ms_file
+    baked = pipeline.preprocess_baked(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"birli_spark_o2c_{os.path.basename(sf_dir.rstrip('/'))}.ms")
+    return ms_file.ms_file_rows(
+        spark, baked, path, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+        syn.GPS_START, syn.INT_TIME_S)
+
+
 def _q_ms_subtables(spark, sf_dir):
     """O2b: the COMPLETE MS v2 subtable set (ANTENNA, SPECTRAL_WINDOW,
     POLARIZATION, FIELD, FEED, ...) flattened to one hash-checked EAV
@@ -1579,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1b_uvfits_file": _q_uvfits_file,
         "o2_ms_rows": _q_ms_rows,
         "o2b_ms_subtables": _q_ms_subtables,
+        "o2c_ms_file": _q_ms_file,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -1928,6 +1947,13 @@ def oracle_sql() -> dict[str, str]:
         "o2_ms_rows": (
             f"WITH {pipeline.baked_oracle_ctes()} "
             + ms_sink.ms_rows_oracle_select(
+                "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
+                syn.GPS_START, syn.INT_TIME_S)),
+        "o2c_ms_file": (
+            f"WITH {pipeline.baked_oracle_ctes()} "
+            + __import__(
+                "birli_spark.sinks.ms_file",
+                fromlist=["x"]).ms_file_oracle_select(
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),

@@ -81,10 +81,12 @@ HEADLINE = [
     # as of round 3)
     "f9_rfi_sumthreshold",
     "d5b_embedding_neardup_brute",
-    # round 3: write-STAGE bench — the executor-parallel physical
-    # UVFITS write + byte read-back (the reference's uvfits write
-    # criterion stage, BASELINE.md), hash-gated as o1b
+    # round 3: write-STAGE benches — the executor-parallel physical
+    # UVFITS and casacore-layout MS writes + byte read-back (the
+    # reference's uvfits/ms write criterion stages, BASELINE.md),
+    # hash-gated as o1b/o2c
     "o1b_uvfits_file",
+    "o2c_ms_file",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",

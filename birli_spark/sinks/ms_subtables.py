@@ -43,9 +43,15 @@ def _obs_time_s() -> tuple[float, float]:
 
 def subtable_sqls(ra_rad: float = 0.0,
                   dec_rad: float = -0.4712388980384690,
+                  avg_freq: int = 1,
                   ) -> dict[str, str]:
     """name -> SELECT (valid in BOTH dialects: VALUES + arithmetic over
-    the antennas dim only). Array columns are long-format (idx, val)."""
+    the antennas dim only). Array columns are long-format (idx, val).
+
+    ``avg_freq`` > 1 describes the channelization AFTER frequency
+    averaging (bin centres, widened widths) — what the physical MS
+    (sinks/ms_file.py) must declare so SPECTRAL_WINDOW matches its
+    averaged MAIN; the o2b gate keeps the full-resolution default."""
     t0, t1 = _obs_time_s()
     ant = syn.ANTENNAS_SQL
     # ANTENNA: one row per antenna; POSITION long-format via a 3-row
@@ -64,8 +70,11 @@ def subtable_sqls(ra_rad: float = 0.0,
     }
     pos_case = (f"CASE idx WHEN 0 THEN {pos[0]} WHEN 1 THEN {pos[1]}"
                 f" ELSE {pos[2]} END")
-    n_chan = syn.NUM_CC * syn.NUM_FC
-    chan_freq = (f"CAST({syn.BASE_FREQ_HZ!r} + CAST(idx AS DOUBLE)"
+    n_chan = syn.NUM_CC * syn.NUM_FC // avg_freq
+    chan_width = syn.FINE_CHAN_WIDTH_HZ * avg_freq
+    # bin centre of each averaged output channel
+    chan_freq = (f"CAST({syn.BASE_FREQ_HZ!r} + (CAST(idx AS DOUBLE)"
+                 f" * {avg_freq} + {(avg_freq - 1) / 2.0!r})"
                  f" * {syn.FINE_CHAN_WIDTH_HZ!r} AS DOUBLE)")
     corr_case = ("CASE idx WHEN 0 THEN 9 WHEN 1 THEN 10 WHEN 2 THEN 11"
                  " ELSE 12 END")
@@ -84,10 +93,10 @@ def subtable_sqls(ra_rad: float = 0.0,
             f"SELECT 0 AS spectral_window_id, 'MWA_BAND' AS name,"
             f" {n_chan} AS num_chan, c.idx AS chan_idx,"
             f" {chan_freq} AS chan_freq_hz,"
-            f" CAST({syn.FINE_CHAN_WIDTH_HZ!r} AS DOUBLE) AS chan_width_hz,"
-            f" CAST({syn.FINE_CHAN_WIDTH_HZ!r} AS DOUBLE)"
+            f" CAST({chan_width!r} AS DOUBLE) AS chan_width_hz,"
+            f" CAST({chan_width!r} AS DOUBLE)"
             f" AS effective_bw_hz,"
-            f" CAST({syn.FINE_CHAN_WIDTH_HZ!r} AS DOUBLE) AS resolution_hz,"
+            f" CAST({chan_width!r} AS DOUBLE) AS resolution_hz,"
             f" CAST({syn.BASE_FREQ_HZ + syn.FINE_CHAN_WIDTH_HZ * (syn.NUM_CC * syn.NUM_FC - 1) / 2.0!r}"
             f" AS DOUBLE) AS ref_frequency_hz, FALSE AS flag_row"
             f" FROM (SELECT CAST(r AS INT) AS idx FROM"
