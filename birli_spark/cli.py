@@ -215,7 +215,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output .mwaf directory")
     p.add_argument("-u", "--uvfits-out", type=str)
     p.add_argument("-M", "--ms-out", type=str,
-                   help="Measurement-Set MAIN-schema parquet output dir")
+                   help="Measurement-Set output dir: a path ending in "
+                        ".ms gets the PHYSICAL casacore-layout tree "
+                        "(sinks/ms_file.py), anything else the "
+                        "MAIN-schema parquet form — mirroring the "
+                        "reference's birli -M out.ms")
     p.add_argument("--flag-parquet", type=str)
     p.add_argument("--baseline-limit", type=int, default=None,
                    metavar="N", help="keep only the first N baselines "
@@ -565,9 +569,16 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                 if c not in baked.columns:
                     # --no-geometric-delay: no UVWs were derived
                     baked = baked.withColumn(c, F.lit(0.0))
-            ms.write_ms_parquet(baked, ctx.ms_out, ctx.avg_time,
-                                ctx.avg_freq, gps_start=syn.GPS_START,
-                                int_time_s=syn.INT_TIME_S)
+            if ctx.ms_out.rstrip("/").endswith(".ms"):
+                from birli_spark.sinks import ms_file
+                ms_file.write_ms_casa(
+                    spark, baked, ctx.ms_out, ctx.avg_time,
+                    ctx.avg_freq, gps_start=syn.GPS_START,
+                    int_time_s=syn.INT_TIME_S)
+            else:
+                ms.write_ms_parquet(baked, ctx.ms_out, ctx.avg_time,
+                                    ctx.avg_freq, gps_start=syn.GPS_START,
+                                    int_time_s=syn.INT_TIME_S)
             result["ms_path"] = ctx.ms_out
         if ctx.uvfits_out:
             out.orderBy(*[c for c in ("t_out", "t") if c in out.columns],

@@ -135,6 +135,25 @@ def test_cli_ms_out(spark, tmp_path):
     assert any(n.startswith("time_block=") for n in os.listdir(out))
 
 
+def test_cli_ms_out_casa_layout(spark, tmp_path):
+    """-M path ending .ms writes the PHYSICAL casacore-layout tree
+    (reference birli -M out.ms); it parses back with the independent
+    reader and carries the full subtable set."""
+    import os
+
+    from birli_spark import cli
+    from birli_spark.sinks import ms_file
+
+    out = str(tmp_path / "obs.ms")
+    res = cli.run(["/root/testdata/sf0.001", "--avg-time-factor", "4",
+                   "--avg-freq-factor", "2", "-M", out], spark=spark)
+    assert res["ms_path"] == out
+    assert os.path.exists(os.path.join(out, "table.dat"))
+    t = ms_file.read_ms_casa(out)
+    assert t["MAIN"]["nrow"] > 0
+    assert "SPECTRAL_WINDOW" in t and "ANTENNA" in t
+
+
 def test_cli_phase_centre(spark):
     """--phase-centre recomputes partial UVWs from antenna positions; the
     first-principles w must differ from the synthetic dim's w."""
