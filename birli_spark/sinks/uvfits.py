@@ -315,6 +315,11 @@ def uvfits_file_rows(spark, rows: DataFrame, path: str,
     is executor-parallel."""
     import pandas as pd
 
+    # materialize the averaged relation ONCE: the dim probes below plus
+    # write_uvfits_distributed's own three distinct collects and the
+    # write action would otherwise each re-run the whole upstream
+    # pipeline (5 executions of the fact plan for one file)
+    rows = rows.localCheckpoint(eager=True)
     n_chan = rows.select("chan_out").distinct().count()
     write_uvfits_distributed(rows, path, n_chan, jd_zero=jd_zero).count()
     _, params, data = read_uvfits(path)
