@@ -614,6 +614,17 @@ def _q_ms_file(spark, sf_dir):
         syn.GPS_START, syn.INT_TIME_S)
 
 
+def _q_multi_obs(spark, sf_dir):
+    """MO1: the multi-OBSERVATION catalogue pipeline — N_OBS
+    observations (per-obs quack windows, per-epoch UVW dims, per-obs
+    gain drift) through ONE declarative plan whose obs axis never
+    appears in a join or group key (operators/multiobs.py). The Spark
+    query and the DuckDB oracle run literally the same SQL text."""
+    from birli_spark.operators import multiobs
+    syn.load_vis(spark, sf_dir)  # registers the lineitem view
+    return spark.sql(multiobs.multi_obs_preprocess_sql())
+
+
 def _q_ms_subtables(spark, sf_dir):
     """O2b: the COMPLETE MS v2 subtable set (ANTENNA, SPECTRAL_WINDOW,
     POLARIZATION, FIELD, FEED, ...) flattened to one hash-checked EAV
@@ -1598,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_ms_rows": _q_ms_rows,
         "o2b_ms_subtables": _q_ms_subtables,
         "o2c_ms_file": _q_ms_file,
+        "mo1_multi_obs_pipeline": _q_multi_obs,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -1956,6 +1968,9 @@ def oracle_sql() -> dict[str, str]:
                 fromlist=["x"]).ms_file_oracle_select(
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
+        "mo1_multi_obs_pipeline": __import__(
+            "birli_spark.operators.multiobs",
+            fromlist=["x"]).multi_obs_preprocess_sql(),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),

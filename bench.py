@@ -87,6 +87,9 @@ HEADLINE = [
     # hash-gated as o1b/o2c
     "o1b_uvfits_file",
     "o2c_ms_file",
+    # round 3: the multi-observation catalogue pipeline — the 100 TB
+    # axis (hundreds of obs) in ONE plan with a single fact shuffle
+    "mo1_multi_obs_pipeline",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",

@@ -1,0 +1,198 @@
+"""MO1 — multi-OBSERVATION catalogue pipeline (beyond-ref).
+
+The reference processes ONE observation per invocation (BirliContext
+holds a single CorrelatorContext, src/cli.rs:1584-1954). At the scale
+this engine targets, the 100 TB axis IS the observation catalogue — a
+night of MWA data is hundreds of ~200 GB observations — and the
+Spark-native move is to run the whole catalogue through ONE declarative
+plan: per-obs metadata (start epoch, quack window, per-epoch partial
+UVWs) becomes dimension relations keyed by a global timestep index, the
+corrections chain stays the same fused projection + broadcast joins it
+is for one obs, and the single averaging shuffle keys on
+(t_out, chan_out, bl) whose global-t blocks never straddle an
+observation boundary (NUM_T % avg_time == 0 is asserted) — so the obs
+axis is embarrassingly parallel WITHOUT appearing in any join or group
+key. Scale shape: adding observations adds input splits and shuffle
+rows, never stages, and partition-by-obs layouts prune naturally.
+
+Everything here is ONE SQL text valid in both dialects — the Spark
+query and the DuckDB oracle run literally the same string, so the
+driver hash gate certifies the whole catalogue plan.
+
+Per-obs realism knobs (all exact arithmetic, cross-engine-safe):
+observation o starts ``OBS_STRIDE_S`` after its predecessor (so quack
+re-triggers at each obs head), its partial UVWs drift by o/4 metres
+(epochs differ), and its visibilities scale by (8+o)/8 (receiver gain
+drift) — making every observation's output distinguishable end to end.
+"""
+
+from __future__ import annotations
+
+from birli_spark import pipeline
+from birli_spark.functions.complex import VIS_COLS
+from birli_spark.operators import calibration, corrections, flags
+from birli_spark.sources import synthetic as syn
+
+N_OBS = 3
+#: start-to-start stride: the obs span plus an 8 s slew gap
+OBS_STRIDE_S = syn.NUM_T * syn.INT_TIME_S + 8.0
+
+
+def _obs_values() -> str:
+    vals = ", ".join(f"({o})" for o in range(N_OBS))
+    return f"(VALUES {vals}) AS o(obs_id)"
+
+
+def multi_vis_cte(lineitem: str = "lineitem") -> str:
+    """The catalogue fact relation: the per-obs vis derivation crossed
+    with the obs dimension — global t = obs_id * NUM_T + t, epochs
+    shifted by the stride, visibilities scaled by (8 + obs_id) / 8."""
+    base = syn.vis_sql(lineitem)
+    cols = []
+    for c in syn.VIS_COLUMNS:
+        if c == "t":
+            cols.append(f"CAST(obs_id * {syn.NUM_T} + t AS INT) AS t")
+        elif c == "ts_gps":
+            cols.append(
+                f"CAST(ts_gps + obs_id * CAST({OBS_STRIDE_S!r} AS DOUBLE)"
+                f" AS DOUBLE) AS ts_gps")
+        elif c in VIS_COLS:
+            cols.append(
+                f"({c} * (CAST(8 + obs_id AS DOUBLE) / 8E0)) AS {c}")
+        else:
+            cols.append(c)
+    return (f"SELECT {', '.join(cols)} FROM ({base}) v"
+            f" CROSS JOIN {_obs_values()}")
+
+
+def mo_timesteps_cte() -> str:
+    """Catalogue timestep dimension: obs × per-obs timesteps, global t."""
+    return (
+        f"SELECT CAST(obs_id * {syn.NUM_T} + t AS INT) AS t,"
+        f" CAST(ts_gps + obs_id * CAST({OBS_STRIDE_S!r} AS DOUBLE)"
+        f" AS DOUBLE) AS ts_gps, obs_id"
+        f" FROM ({syn.TIMESTEPS_SQL}) ts CROSS JOIN {_obs_values()}")
+
+
+def mo_ts_flags_cte() -> str:
+    """Per-obs quack flags (F2 semantics, reference
+    finalise_flag_settings src/flags.rs:165-172, re-anchored at EVERY
+    observation's own start): flag = ts_gps < obs_start + quack_s."""
+    quack_edge = syn.GPS_START + pipeline.QUACK_S
+    return (
+        f"SELECT t, ts_gps, (ts_gps < CAST({quack_edge!r} AS DOUBLE)"
+        f" + obs_id * CAST({OBS_STRIDE_S!r} AS DOUBLE)) AS ts_flag"
+        f" FROM mo_timesteps")
+
+
+def mo_part_uvw_cte() -> str:
+    """Catalogue partial-UVW dimension: per-obs epochs give per-obs
+    UVWs — the synthetic dim drifts by obs_id / 4 metres (stands in for
+    the per-centroid precession the real table carries, C3c)."""
+    return (
+        f"SELECT CAST(obs_id * {syn.NUM_T} + t AS INT) AS t, ant,"
+        f" (u + CAST(obs_id AS DOUBLE) / 4E0) AS u,"
+        f" (v + CAST(obs_id AS DOUBLE) / 4E0) AS v,"
+        f" (w + CAST(obs_id AS DOUBLE) / 4E3) AS w"
+        f" FROM ({syn.PART_UVW_SQL}) p CROSS JOIN {_obs_values()}")
+
+
+#: ticks per unit for the catalogue averaging sums (exact BIGINTs)
+AVG_TICKS = 1 << 20
+
+
+def _tick(x: str) -> str:
+    return f"CAST(FLOOR(({x}) * {float(AVG_TICKS)!r} + 5E-1) AS BIGINT)"
+
+
+def mo_averaging_select(vis: str, avg_time: int, avg_freq: int) -> str:
+    """A1 semantics with **association-stable sums**: every float sum
+    quantized to integer ticks (2^20/unit) of the f32-demoted baked
+    values, so Spark's sliding accumulator and DuckDB's aggregation
+    order produce the SAME BIGINT — the rfi_sql.py integer-tick pattern
+    applied to the averaging shuffle. The single-obs averaging keeps
+    plain float sums (its values are pinned by the Cotter golden dump);
+    at catalogue scale the cell population is unbounded, so the
+    catalogue op makes determinism structural rather than
+    data-dependent. Resolution 2^-20 of a unit (~1e-6), far below the
+    f32 demotion the output passes through anyway."""
+    n_unflagged = "SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END)"
+    wsum_pos_t = f"SUM(CASE WHEN weight > 0 THEN {_tick('weight')} ELSE 0 END)"
+    frags: dict[str, str] = {}
+    from birli_spark.functions.complex import f32
+    for c in VIS_COLS:
+        wsum_t = (f"SUM(CASE WHEN weight > 0 THEN {_tick(f'({c}) * weight')}"
+                  f" ELSE 0 END)")
+        plain_t = f"SUM({_tick(c)})"
+        # tick factors cancel in the weighted-mean ratio; the
+        # all-flagged plain mean divides its single factor back out
+        frags[c] = f32(
+            f"CASE WHEN {n_unflagged} > 0"
+            f" THEN CAST({wsum_t} AS DOUBLE) / CAST({wsum_pos_t} AS DOUBLE)"
+            f" ELSE CAST({plain_t} AS DOUBLE) / {float(AVG_TICKS)!r}"
+            f" / CAST(COUNT(*) AS DOUBLE) END")
+    frags["weight"] = f32(
+        f"CAST(CASE WHEN {n_unflagged} > 0 THEN {wsum_pos_t}"
+        f" ELSE SUM({_tick('weight')}) END AS DOUBLE) / {float(AVG_TICKS)!r}")
+    frags["flag"] = f"({n_unflagged} = 0)"
+    frags["n_samples"] = "CAST(COUNT(*) AS BIGINT)"
+    sel = ", ".join(f"{f} AS {n}" for n, f in frags.items())
+    return (
+        f"SELECT t_out, chan_out, bl, ant1, ant2, {sel} FROM ("
+        f"SELECT *, CAST(FLOOR(t / {avg_time}) AS INT) AS t_out,"
+        f" CAST(FLOOR(chan / {avg_freq}) AS INT) AS chan_out FROM {vis}) g"
+        f" GROUP BY t_out, chan_out, bl, ant1, ant2")
+
+
+def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
+                             avg_freq: int = pipeline.AVG_FREQ,
+                             lineitem: str = "lineitem") -> str:
+    """The catalogue pipeline as one dual-dialect query: rule flags
+    (per-obs quack) → cable → digital → passband → geometry (per-obs
+    UVWs) → DI calibration → bake → average, closing with the obs_id
+    recovered from the global block index. Stage fragments are the
+    SAME builders the single-obs pipeline/oracle uses — zero forked
+    arithmetic."""
+    assert syn.NUM_T % avg_time == 0, \
+        "averaging blocks must not straddle observation boundaries"
+    cols = syn.VIS_COLUMNS
+    cols_uvw = tuple(cols) + ("u", "v", "w")
+    fc_pred = flags.fine_channel_pred_sql(
+        syn.NUM_FC, n_edge=pipeline.N_EDGE, is_legacy=pipeline.IS_LEGACY)
+    flagged = flags.set_flags_oracle_select(
+        "vis", "ts_flags", "bl_flags", fc_pred, cols)
+    bl_f = flags.baseline_flags_oracle_select("antennas")
+    cable = corrections.cable_oracle_select("flagged", "antennas", cols)
+    digital = corrections.digital_oracle_select(
+        "cabled", "digital_gains", cols)
+    fine_gains = corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS)
+    passband = corrections.passband_oracle_select(
+        "digitald", "fine_gains", cols)
+    geom = corrections.geom_oracle_select("passbanded", "part_uvw", cols)
+    cal = calibration.calibration_oracle_select(
+        "geomed", "calsols", pipeline.CAL_RATIO, cols_uvw)
+    baked_cols = ", ".join(
+        "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+        if c == "weight" else c
+        for c in cols_uvw)
+    avg = mo_averaging_select("baked", avg_time, avg_freq)
+    blocks_per_obs = syn.NUM_T // avg_time
+    return (
+        f"WITH vis AS ({multi_vis_cte(lineitem)}),"
+        f" antennas AS ({syn.ANTENNAS_SQL}),"
+        f" mo_timesteps AS ({mo_timesteps_cte()}),"
+        f" ts_flags AS ({mo_ts_flags_cte()}),"
+        f" bl_flags AS ({bl_f}),"
+        f" digital_gains AS ({syn.DIGITAL_GAINS_SQL}),"
+        f" fine_gains AS ({fine_gains}),"
+        f" part_uvw AS ({mo_part_uvw_cte()}),"
+        f" calsols AS ({syn.CALSOLS_SQL}),"
+        f" flagged AS ({flagged}),"
+        f" cabled AS ({cable}),"
+        f" digitald AS ({digital}),"
+        f" passbanded AS ({passband}),"
+        f" geomed AS ({geom}),"
+        f" caled AS ({cal}),"
+        f" baked AS (SELECT {baked_cols} FROM caled)"
+        f" SELECT CAST(FLOOR(t_out / {blocks_per_obs}) AS INT) AS obs_id,"
+        f" a.* FROM ({avg}) a")

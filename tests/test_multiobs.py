@@ -1,0 +1,76 @@
+"""MO1 — multi-observation catalogue pipeline (operators/multiobs.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from birli_spark.operators import multiobs
+from birli_spark.sources import synthetic as syn
+
+
+@pytest.fixture(scope="module")
+def mo_out(spark, sf_dir):
+    syn.load_vis(spark, sf_dir)
+    return spark.sql(multiobs.multi_obs_preprocess_sql()).toPandas()
+
+
+def test_obs_axis_shape(mo_out):
+    """N_OBS observations, each the full single-obs output grid."""
+    counts = mo_out.groupby("obs_id").size()
+    assert sorted(counts.index) == list(range(multiobs.N_OBS))
+    assert counts.nunique() == 1  # identical per-obs grids
+
+
+def test_per_obs_gain_drift(mo_out):
+    """The corrections chain is linear in the visibilities, so obs o's
+    averaged output is obs 0's scaled by (8+o)/8 — up to the f32/tick
+    rounding of the stage demotions."""
+    blocks = syn.NUM_T // 4  # AVG_TIME
+    base = mo_out[mo_out.obs_id == 0].set_index(
+        ["t_out", "chan_out", "bl"]).sort_index()
+    for o in range(1, multiobs.N_OBS):
+        sub = mo_out[mo_out.obs_id == o].copy()
+        sub["t_out"] = sub["t_out"] - o * blocks
+        sub = sub.set_index(["t_out", "chan_out", "bl"]).sort_index()
+        scale = (8 + o) / 8
+        for c in ("xx_re", "yy_im"):
+            np.testing.assert_allclose(
+                sub[c].to_numpy(), base[c].to_numpy() * scale,
+                rtol=2e-4, atol=2e-5)
+        # flag pattern identical per obs (quack re-anchored at each
+        # obs start, same baseline/edge rules)
+        assert (sub["flag"].to_numpy() == base["flag"].to_numpy()).all()
+
+
+def test_obs_axis_adds_no_shuffles(spark, sf_dir):
+    """The catalogue plan has exactly ONE fact shuffle (the averaging
+    hash aggregate) — the obs axis appears in no join or group key, so
+    it scales as input splits only."""
+    syn.load_vis(spark, sf_dir)
+    plan = spark.sql(
+        multiobs.multi_obs_preprocess_sql())._jdf.queryExecution() \
+        .executedPlan().toString()
+    fact_shuffles = plan.count("Exchange hashpartitioning")
+    assert fact_shuffles == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()["mo1_multi_obs_pipeline"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    ddf = con.execute(entry.oracle_sql()["mo1_multi_obs_pipeline"]).df()
+    key = sorted(sdf.columns)
+    assert key == sorted(ddf.columns)
+    sdf = sdf.sort_values(key).reset_index(drop=True)
+    ddf = ddf.sort_values(key).reset_index(drop=True)
+    assert len(sdf) == len(ddf) > 0
+    for c in key:
+        assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
