@@ -625,6 +625,15 @@ def _q_multi_obs(spark, sf_dir):
     return spark.sql(multiobs.multi_obs_preprocess_sql())
 
 
+def _q_multi_obs_ssins(spark, sf_dir):
+    """MO2: the catalogue pipeline with PER-OBSERVATION SSINS RFI in
+    the reference's flagger slot — each obs differenced and scored
+    against its own channel statistics, still one plan."""
+    from birli_spark.operators import multiobs
+    syn.load_vis(spark, sf_dir)
+    return spark.sql(multiobs.multi_obs_preprocess_sql(ssins=True))
+
+
 def _q_ms_subtables(spark, sf_dir):
     """O2b: the COMPLETE MS v2 subtable set (ANTENNA, SPECTRAL_WINDOW,
     POLARIZATION, FIELD, FEED, ...) flattened to one hash-checked EAV
@@ -1610,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2b_ms_subtables": _q_ms_subtables,
         "o2c_ms_file": _q_ms_file,
         "mo1_multi_obs_pipeline": _q_multi_obs,
+        "mo2_multi_obs_ssins": _q_multi_obs_ssins,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -1971,6 +1981,10 @@ def oracle_sql() -> dict[str, str]:
         "mo1_multi_obs_pipeline": __import__(
             "birli_spark.operators.multiobs",
             fromlist=["x"]).multi_obs_preprocess_sql(),
+        "mo2_multi_obs_ssins": __import__(
+            "birli_spark.operators.multiobs",
+            fromlist=["x"]).multi_obs_preprocess_sql(
+                ssins=True, median_fn="quantile_cont"),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),

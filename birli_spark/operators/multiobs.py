@@ -146,13 +146,23 @@ def mo_averaging_select(vis: str, avg_time: int, avg_freq: int) -> str:
 
 def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
                              avg_freq: int = pipeline.AVG_FREQ,
-                             lineitem: str = "lineitem") -> str:
+                             lineitem: str = "lineitem",
+                             ssins: bool = False,
+                             median_fn: str = "percentile") -> str:
     """The catalogue pipeline as one dual-dialect query: rule flags
-    (per-obs quack) → cable → digital → passband → geometry (per-obs
-    UVWs) → DI calibration → bake → average, closing with the obs_id
-    recovered from the global block index. Stage fragments are the
-    SAME builders the single-obs pipeline/oracle uses — zero forked
-    arithmetic."""
+    (per-obs quack) → cable → digital → passband → [per-obs SSINS RFI]
+    → geometry (per-obs UVWs) → DI calibration → bake → average,
+    closing with the obs_id recovered from the global block index.
+    Stage fragments are the SAME builders the single-obs
+    pipeline/oracle uses — zero forked arithmetic.
+
+    ``ssins=True`` runs the SSINS flagger in the reference's RFI slot
+    with PER-OBSERVATION statistics (operators/ssins.py ``obs_expr``):
+    the time differencing never lags across an obs boundary, and each
+    obs is scored against its own per-channel median/MAD — one obs's
+    RFI storm cannot poison its neighbours' thresholds. ``median_fn``
+    is the one dialect split ("percentile" Spark, "quantile_cont"
+    DuckDB)."""
     assert syn.NUM_T % avg_time == 0, \
         "averaging blocks must not straddle observation boundaries"
     cols = syn.VIS_COLUMNS
@@ -168,7 +178,25 @@ def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
     fine_gains = corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS)
     passband = corrections.passband_oracle_select(
         "digitald", "fine_gains", cols)
-    geom = corrections.geom_oracle_select("passbanded", "part_uvw", cols)
+    rfi_ctes = ""
+    geom_in = "passbanded"
+    if ssins:
+        from birli_spark.operators import ssins as ssins_mod
+
+        ss_ctes, ss_final = ssins_mod.ssins_parts(
+            "passbanded", median_fn=median_fn,
+            obs_expr=f"CAST(FLOOR(t / {syn.NUM_T}) AS INT)")
+        rfid_cols = ", ".join(
+            "(p.flag OR COALESCE(m.rfi_flag, FALSE)) AS flag"
+            if c == "flag" else f"p.{c}" for c in cols)
+        # global t is obs-unique, so the mask joins back on (t, chan)
+        rfi_ctes = (
+            f" {ss_ctes},"
+            f" ssins_mask AS ({ss_final}),"
+            f" rfid AS (SELECT {rfid_cols} FROM passbanded p"
+            f" LEFT JOIN ssins_mask m ON p.t = m.t AND p.chan = m.chan),")
+        geom_in = "rfid"
+    geom = corrections.geom_oracle_select(geom_in, "part_uvw", cols)
     cal = calibration.calibration_oracle_select(
         "geomed", "calsols", pipeline.CAL_RATIO, cols_uvw)
     baked_cols = ", ".join(
@@ -191,6 +219,7 @@ def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
         f" cabled AS ({cable}),"
         f" digitald AS ({digital}),"
         f" passbanded AS ({passband}),"
+        f"{rfi_ctes}"
         f" geomed AS ({geom}),"
         f" caled AS ({cal}),"
         f" baked AS (SELECT {baked_cols} FROM caled)"

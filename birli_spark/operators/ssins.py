@@ -47,19 +47,28 @@ def scoring_parts(ins: str = "ssins_ins",
                   median_fn: str = "percentile",
                   rel_floor: float = 0.01,
                   pols: tuple[str, ...] = POLS,
-                  count_col: str = "n_bl") -> tuple[str, str]:
+                  count_col: str = "n_bl",
+                  per_obs: bool = False) -> tuple[str, str]:
     """(CTE chain, final SELECT) of the per-channel robust scoring over
     an already-built incoherent noise image ``ins`` (columns t, chan,
     {pol}_amp, n_bl). Used standalone by the streaming twin to score a
     DRAINED image (streaming/ssins.py), and composed by
-    :func:`ssins_parts` for the batch derivation."""
+    :func:`ssins_parts` for the batch derivation.
+
+    ``per_obs``: the image carries an ``obs_id`` column and every
+    median/MAD partitions by (obs_id, chan) — each observation of a
+    catalogue is scored against ITS OWN channel statistics (the
+    multi-obs pipeline, operators/multiobs.py). Default text is
+    byte-identical to the single-obs form."""
+    ek = "obs_id, " if per_obs else ""
+
     def med(x: str) -> str:
         # aggregate-as-window over the whole channel partition: keeps the
         # med/MAD stats in the SAME linear plan as the image (a groupBy +
         # join-back would make Spark inline the CTE and re-scan the fact
         # table once per consumer)
         return f32(f"CAST({median_fn}({x}, 0.5)"
-                   f" OVER (PARTITION BY chan) AS DOUBLE)")
+                   f" OVER (PARTITION BY {ek}chan) AS DOUBLE)")
 
     med_cols = ", ".join(f"{med(f'{p}_amp')} AS m_{p}" for p in pols)
     dev_cols = ", ".join(
@@ -84,23 +93,23 @@ def scoring_parts(ins: str = "ssins_ins",
     # change) — both samples of a contaminated difference are suspect
     greatest = "GREATEST(" + ", ".join(f"ABS(z_{p})" for p in pols) + ")"
     ctes = f"""ssins_med AS (
-  SELECT t, chan, {amp_keep}, {count_col}, {med_cols}
+  SELECT {ek}t, chan, {amp_keep}, {count_col}, {med_cols}
   FROM {ins}
 ),
 ssins_dev AS (
-  SELECT t, chan, {amp_keep}, {count_col}, {m_keep}, {dev_cols}
+  SELECT {ek}t, chan, {amp_keep}, {count_col}, {m_keep}, {dev_cols}
   FROM ssins_med
 ),
 ssins_mad AS (
-  SELECT t, chan, {amp_keep}, {count_col}, {m_keep}, {mad_cols}
+  SELECT {ek}t, chan, {amp_keep}, {count_col}, {m_keep}, {mad_cols}
   FROM ssins_dev
 ),
 ssins_scored AS (
-  SELECT t, chan, {amp_keep}, {count_col}, {z_cols}
+  SELECT {ek}t, chan, {amp_keep}, {count_col}, {z_cols}
   FROM ssins_mad
 )"""
     final = (
-        f"SELECT t, chan, {amp_keep}, {count_col}, {z_keep},"
+        f"SELECT {ek}t, chan, {amp_keep}, {count_col}, {z_keep},"
         f" ({greatest} > CAST({threshold!r} AS DOUBLE)) AS rfi_flag"
         f" FROM ssins_scored"
     )
@@ -110,7 +119,8 @@ ssins_scored AS (
 def ssins_parts(vis: str = "vis",
                 threshold: float = DEFAULT_THRESHOLD,
                 median_fn: str = "percentile",
-                rel_floor: float = 0.01) -> tuple[str, str]:
+                rel_floor: float = 0.01,
+                obs_expr: str | None = None) -> tuple[str, str]:
     """(CTE chain, final SELECT) of the SSINS derivation — split so
     callers can prepend their own CTEs (the oracle prepends the synthetic
     vis derivation).
@@ -125,12 +135,22 @@ def ssins_parts(vis: str = "vis",
     Output: one row per (t, chan) differenced cell — per-pol incoherent
     mean amplitudes, contributing-baseline count, per-pol per-channel
     robust z-scores, and the ``rfi_flag`` disjunction.
+
+    ``obs_expr``: an expression over ``vis`` identifying the
+    observation (e.g. ``FLOOR(t / NUM_T)`` on a catalogue's global
+    timestep index). When given, the time differencing NEVER lags
+    across an observation boundary and all scoring statistics are
+    per-(obs, chan) — the multi-obs catalogue form. Default text stays
+    byte-identical to the single-obs derivation.
     """
+    ek = "obs_id, " if obs_expr else ""
+    head = f"{obs_expr} AS obs_id, " if obs_expr else ""
+    gk = f"{obs_expr}, " if obs_expr else ""
     cube_cols = ", ".join(
         f"{f32(f'AVG({p}_{c})')} AS {p}_{c}"
         for p in POLS for c in ("re", "im"))
-    lag = ("{x} - LAG({x}) OVER (PARTITION BY bl, chan ORDER BY t)"
-           " AS d_{x}")
+    lag = ("{x} - LAG({x}) OVER (PARTITION BY " + ek
+           + "bl, chan ORDER BY t) AS d_{x}")
     diff_cols = ", ".join(
         lag.format(x=f"{p}_{c}") for p in POLS for c in ("re", "im"))
     amp_cols = ", ".join(
@@ -139,25 +159,26 @@ def ssins_parts(vis: str = "vis",
     ins_cols = ", ".join(
         f"{f32(f'AVG(a_{p})')} AS {p}_amp" for p in POLS)
     score_ctes, final = scoring_parts("ssins_ins", threshold,
-                                      median_fn, rel_floor)
+                                      median_fn, rel_floor,
+                                      per_obs=obs_expr is not None)
     ctes = f"""ssins_cube AS (
-  SELECT t, chan, bl, {cube_cols}
+  SELECT {head}t, chan, bl, {cube_cols}
   FROM {vis}
-  GROUP BY t, chan, bl
+  GROUP BY {gk}t, chan, bl
 ),
 ssins_diffs AS (
-  SELECT t, chan, bl, {diff_cols}
+  SELECT {ek}t, chan, bl, {diff_cols}
   FROM ssins_cube
 ),
 ssins_amps AS (
-  SELECT t, chan, {amp_cols}
+  SELECT {ek}t, chan, {amp_cols}
   FROM ssins_diffs
   WHERE d_xx_re IS NOT NULL
 ),
 ssins_ins AS (
-  SELECT t, chan, {ins_cols}, CAST(COUNT(*) AS BIGINT) AS n_bl
+  SELECT {ek}t, chan, {ins_cols}, CAST(COUNT(*) AS BIGINT) AS n_bl
   FROM ssins_amps
-  GROUP BY t, chan
+  GROUP BY {ek}t, chan
 ),
 {score_ctes}"""
     return ctes, final

@@ -57,6 +57,51 @@ def test_obs_axis_adds_no_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_per_obs_ssins_scale_invariance(spark, sf_dir):
+    """MO2: SSINS z-scores are scale-invariant ((amp-med)/MAD), so with
+    per-obs statistics every observation's RFI mask must be IDENTICAL
+    across the catalogue despite the per-obs gain drift. Pooled
+    (non-per-obs) statistics would mix the three scale populations and
+    break this equality — this is the sharp test that the scoring is
+    truly per observation."""
+    from birli_spark.operators import ssins as ssins_mod
+
+    syn.load_vis(spark, sf_dir)
+    ctes, final = ssins_mod.ssins_parts(
+        "visq", obs_expr=f"CAST(FLOOR(t / {syn.NUM_T}) AS INT)")
+    mask = spark.sql(
+        f"WITH visq AS ({multiobs.multi_vis_cte()}), {ctes} {final}"
+    ).toPandas()
+    assert mask["obs_id"].nunique() == multiobs.N_OBS
+    base = mask[mask.obs_id == 0].sort_values(["t", "chan"])
+    for o in range(1, multiobs.N_OBS):
+        sub = mask[mask.obs_id == o].sort_values(["t", "chan"])
+        assert (sub["rfi_flag"].to_numpy()
+                == base["rfi_flag"].to_numpy()).all()
+        # and the underlying z-scores agree to f32 rounding
+        np.testing.assert_allclose(sub["z_xx"].to_numpy(),
+                                   base["z_xx"].to_numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_mo2_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()["mo2_multi_obs_ssins"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    ddf = con.execute(entry.oracle_sql()["mo2_multi_obs_ssins"]).df()
+    key = sorted(sdf.columns)
+    sdf = sdf.sort_values(key).reset_index(drop=True)
+    ddf = ddf.sort_values(key).reset_index(drop=True)
+    assert len(sdf) == len(ddf) > 0
+    for c in key:
+        assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
+
+
 def test_matches_duckdb_oracle(spark, sf_dir):
     import duckdb
 
