@@ -634,6 +634,14 @@ def _q_multi_obs_ssins(spark, sf_dir):
     return spark.sql(multiobs.multi_obs_preprocess_sql(ssins=True))
 
 
+def _q_multi_obs_occupancy(spark, sf_dir):
+    """MO3: per-observation flag-occupancy QA over the catalogue —
+    the per-obs acceptance rollup an archive run records."""
+    from birli_spark.operators import multiobs
+    syn.load_vis(spark, sf_dir)
+    return spark.sql(multiobs.mo_occupancy_sql())
+
+
 def _q_ms_subtables(spark, sf_dir):
     """O2b: the COMPLETE MS v2 subtable set (ANTENNA, SPECTRAL_WINDOW,
     POLARIZATION, FIELD, FEED, ...) flattened to one hash-checked EAV
@@ -1620,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2c_ms_file": _q_ms_file,
         "mo1_multi_obs_pipeline": _q_multi_obs,
         "mo2_multi_obs_ssins": _q_multi_obs_ssins,
+        "mo3_multi_obs_occupancy": _q_multi_obs_occupancy,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -1985,6 +1994,9 @@ def oracle_sql() -> dict[str, str]:
             "birli_spark.operators.multiobs",
             fromlist=["x"]).multi_obs_preprocess_sql(
                 ssins=True, median_fn="quantile_cont"),
+        "mo3_multi_obs_occupancy": __import__(
+            "birli_spark.operators.multiobs",
+            fromlist=["x"]).mo_occupancy_sql(),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),

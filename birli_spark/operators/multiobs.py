@@ -97,6 +97,34 @@ def mo_part_uvw_cte() -> str:
         f" FROM ({syn.PART_UVW_SQL}) p CROSS JOIN {_obs_values()}")
 
 
+def mo_occupancy_sql(lineitem: str = "lineitem") -> str:
+    """MO3 — per-observation flag-occupancy QA (A2 keyed by obs): the
+    archive-side acceptance check a catalogue run emits per obs. One
+    dual-dialect query: catalogue vis → per-obs rule flags → one tiny
+    (obs, cc, fc)-keyed aggregate with map-side combine (output
+    cardinality = obs × channels, independent of fact size)."""
+    from birli_spark.operators import occupancy
+
+    cols = syn.VIS_COLUMNS
+    fc_pred = flags.fine_channel_pred_sql(
+        syn.NUM_FC, n_edge=pipeline.N_EDGE, is_legacy=pipeline.IS_LEGACY)
+    flagged = flags.set_flags_oracle_select(
+        "vis", "ts_flags", "bl_flags", fc_pred, cols)
+    bl_f = flags.baseline_flags_oracle_select("antennas")
+    occ = occupancy.occupancy_oracle_select(
+        "mo_flagged", keys=("obs_id", "cc", "fc"))
+    return (
+        f"WITH vis AS ({multi_vis_cte(lineitem)}),"
+        f" antennas AS ({syn.ANTENNAS_SQL}),"
+        f" mo_timesteps AS ({mo_timesteps_cte()}),"
+        f" ts_flags AS ({mo_ts_flags_cte()}),"
+        f" bl_flags AS ({bl_f}),"
+        f" flagged AS ({flagged}),"
+        f" mo_flagged AS (SELECT CAST(FLOOR(t / {syn.NUM_T}) AS INT)"
+        f" AS obs_id, f.* FROM flagged f)"
+        f" {occ}")
+
+
 #: ticks per unit for the catalogue averaging sums (exact BIGINTs)
 AVG_TICKS = 1 << 20
 

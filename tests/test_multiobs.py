@@ -102,6 +102,22 @@ def test_mo2_matches_duckdb_oracle(spark, sf_dir):
         assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
 
 
+def test_mo3_occupancy_per_obs_identical(spark, sf_dir):
+    """MO3: the rule-flag pattern (quack re-anchored per obs, shared
+    baseline/edge rules) is identical per observation, so every obs's
+    occupancy rollup must match obs 0's exactly."""
+    syn.load_vis(spark, sf_dir)
+    occ = spark.sql(multiobs.mo_occupancy_sql()).toPandas()
+    assert occ["obs_id"].nunique() == multiobs.N_OBS
+    base = occ[occ.obs_id == 0].sort_values(["cc", "fc"])
+    for o in range(1, multiobs.N_OBS):
+        sub = occ[occ.obs_id == o].sort_values(["cc", "fc"])
+        assert (sub["n_flagged"].to_numpy()
+                == base["n_flagged"].to_numpy()).all()
+        assert (sub["occupancy"].to_numpy()
+                == base["occupancy"].to_numpy()).all()
+
+
 def test_matches_duckdb_oracle(spark, sf_dir):
     import duckdb
 
