@@ -38,12 +38,13 @@ N_OBS = 3
 OBS_STRIDE_S = syn.NUM_T * syn.INT_TIME_S + 8.0
 
 
-def _obs_values() -> str:
-    vals = ", ".join(f"({o})" for o in range(N_OBS))
+def _obs_values(n_obs: int = None) -> str:
+    vals = ", ".join(f"({o})" for o in range(n_obs or N_OBS))
     return f"(VALUES {vals}) AS o(obs_id)"
 
 
-def multi_vis_cte(lineitem: str = "lineitem") -> str:
+def multi_vis_cte(lineitem: str = "lineitem",
+                  n_obs: int | None = None) -> str:
     """The catalogue fact relation: the per-obs vis derivation crossed
     with the obs dimension — global t = obs_id * NUM_T + t, epochs
     shifted by the stride, visibilities scaled by (8 + obs_id) / 8."""
@@ -62,16 +63,16 @@ def multi_vis_cte(lineitem: str = "lineitem") -> str:
         else:
             cols.append(c)
     return (f"SELECT {', '.join(cols)} FROM ({base}) v"
-            f" CROSS JOIN {_obs_values()}")
+            f" CROSS JOIN {_obs_values(n_obs)}")
 
 
-def mo_timesteps_cte() -> str:
+def mo_timesteps_cte(n_obs: int | None = None) -> str:
     """Catalogue timestep dimension: obs × per-obs timesteps, global t."""
     return (
         f"SELECT CAST(obs_id * {syn.NUM_T} + t AS INT) AS t,"
         f" CAST(ts_gps + obs_id * CAST({OBS_STRIDE_S!r} AS DOUBLE)"
         f" AS DOUBLE) AS ts_gps, obs_id"
-        f" FROM ({syn.TIMESTEPS_SQL}) ts CROSS JOIN {_obs_values()}")
+        f" FROM ({syn.TIMESTEPS_SQL}) ts CROSS JOIN {_obs_values(n_obs)}")
 
 
 def mo_ts_flags_cte() -> str:
@@ -85,7 +86,7 @@ def mo_ts_flags_cte() -> str:
         f" FROM mo_timesteps")
 
 
-def mo_part_uvw_cte() -> str:
+def mo_part_uvw_cte(n_obs: int | None = None) -> str:
     """Catalogue partial-UVW dimension: per-obs epochs give per-obs
     UVWs — the synthetic dim drifts by obs_id / 4 metres (stands in for
     the per-centroid precession the real table carries, C3c)."""
@@ -94,7 +95,7 @@ def mo_part_uvw_cte() -> str:
         f" (u + CAST(obs_id AS DOUBLE) / 4E0) AS u,"
         f" (v + CAST(obs_id AS DOUBLE) / 4E0) AS v,"
         f" (w + CAST(obs_id AS DOUBLE) / 4E3) AS w"
-        f" FROM ({syn.PART_UVW_SQL}) p CROSS JOIN {_obs_values()}")
+        f" FROM ({syn.PART_UVW_SQL}) p CROSS JOIN {_obs_values(n_obs)}")
 
 
 def mo_occupancy_sql(lineitem: str = "lineitem") -> str:
@@ -176,7 +177,8 @@ def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
                              avg_freq: int = pipeline.AVG_FREQ,
                              lineitem: str = "lineitem",
                              ssins: bool = False,
-                             median_fn: str = "percentile") -> str:
+                             median_fn: str = "percentile",
+                             n_obs: int | None = None) -> str:
     """The catalogue pipeline as one dual-dialect query: rule flags
     (per-obs quack) → cable → digital → passband → [per-obs SSINS RFI]
     → geometry (per-obs UVWs) → DI calibration → bake → average,
@@ -234,14 +236,14 @@ def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
     avg = mo_averaging_select("baked", avg_time, avg_freq)
     blocks_per_obs = syn.NUM_T // avg_time
     return (
-        f"WITH vis AS ({multi_vis_cte(lineitem)}),"
+        f"WITH vis AS ({multi_vis_cte(lineitem, n_obs)}),"
         f" antennas AS ({syn.ANTENNAS_SQL}),"
-        f" mo_timesteps AS ({mo_timesteps_cte()}),"
+        f" mo_timesteps AS ({mo_timesteps_cte(n_obs)}),"
         f" ts_flags AS ({mo_ts_flags_cte()}),"
         f" bl_flags AS ({bl_f}),"
         f" digital_gains AS ({syn.DIGITAL_GAINS_SQL}),"
         f" fine_gains AS ({fine_gains}),"
-        f" part_uvw AS ({mo_part_uvw_cte()}),"
+        f" part_uvw AS ({mo_part_uvw_cte(n_obs)}),"
         f" calsols AS ({syn.CALSOLS_SQL}),"
         f" flagged AS ({flagged}),"
         f" cabled AS ({cable}),"
