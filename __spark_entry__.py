@@ -642,6 +642,19 @@ def _q_multi_obs_occupancy(spark, sf_dir):
     return spark.sql(multiobs.mo_occupancy_sql())
 
 
+def _q_multi_obs_uvfits(spark, sf_dir):
+    """MO4: the catalogue write stage — one physical UVFITS file PER
+    OBSERVATION, written executor-parallel in one job (per-obs
+    obs-anchored DATE PZERO), bytes read back and hash-gated."""
+    import os
+    import tempfile
+    from birli_spark.operators import multiobs
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"birli_spark_mo4_{os.path.basename(sf_dir.rstrip('/'))}")
+    return multiobs.mo_uvfits_gate_rows(spark, sf_dir, out)
+
+
 def _q_ms_subtables(spark, sf_dir):
     """O2b: the COMPLETE MS v2 subtable set (ANTENNA, SPECTRAL_WINDOW,
     POLARIZATION, FIELD, FEED, ...) flattened to one hash-checked EAV
@@ -1629,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mo1_multi_obs_pipeline": _q_multi_obs,
         "mo2_multi_obs_ssins": _q_multi_obs_ssins,
         "mo3_multi_obs_occupancy": _q_multi_obs_occupancy,
+        "mo4_multi_obs_uvfits": _q_multi_obs_uvfits,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -1997,6 +2011,9 @@ def oracle_sql() -> dict[str, str]:
         "mo3_multi_obs_occupancy": __import__(
             "birli_spark.operators.multiobs",
             fromlist=["x"]).mo_occupancy_sql(),
+        "mo4_multi_obs_uvfits": __import__(
+            "birli_spark.operators.multiobs",
+            fromlist=["x"]).mo_uvfits_files_oracle_sql(),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),

@@ -87,9 +87,11 @@ HEADLINE = [
     # hash-gated as o1b/o2c
     "o1b_uvfits_file",
     "o2c_ms_file",
-    # round 3: the multi-observation catalogue pipeline — the 100 TB
-    # axis (hundreds of obs) in ONE plan with a single fact shuffle
+    # round 3: the multi-observation catalogue — the 100 TB axis
+    # (hundreds of obs) in ONE plan with a single fact shuffle, and the
+    # per-obs UVFITS fan-out write stage
     "mo1_multi_obs_pipeline",
+    "mo4_multi_obs_uvfits",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",

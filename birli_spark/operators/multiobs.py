@@ -134,7 +134,8 @@ def _tick(x: str) -> str:
     return f"CAST(FLOOR(({x}) * {float(AVG_TICKS)!r} + 5E-1) AS BIGINT)"
 
 
-def mo_averaging_select(vis: str, avg_time: int, avg_freq: int) -> str:
+def mo_averaging_select(vis: str, avg_time: int, avg_freq: int,
+                        extra_mean_cols: tuple[str, ...] = ()) -> str:
     """A1 semantics with **association-stable sums**: every float sum
     quantized to integer ticks (2^20/unit) of the f32-demoted baked
     values, so Spark's sliding accumulator and DuckDB's aggregation
@@ -165,6 +166,12 @@ def mo_averaging_select(vis: str, avg_time: int, avg_freq: int) -> str:
         f" ELSE SUM({_tick('weight')}) END AS DOUBLE) / {float(AVG_TICKS)!r}")
     frags["flag"] = f"({n_unflagged} = 0)"
     frags["n_samples"] = "CAST(COUNT(*) AS BIGINT)"
+    for c in extra_mean_cols:
+        # plain block mean (per-block UVWs for the sink), tick-stable
+        # like every other sum here
+        frags[c] = f32(
+            f"CAST(SUM({_tick(c)}) AS DOUBLE) / {float(AVG_TICKS)!r}"
+            f" / CAST(COUNT(*) AS DOUBLE)")
     sel = ", ".join(f"{f} AS {n}" for n, f in frags.items())
     return (
         f"SELECT t_out, chan_out, bl, ant1, ant2, {sel} FROM ("
@@ -195,6 +202,19 @@ def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
     DuckDB)."""
     assert syn.NUM_T % avg_time == 0, \
         "averaging blocks must not straddle observation boundaries"
+    avg = mo_averaging_select("baked", avg_time, avg_freq)
+    blocks_per_obs = syn.NUM_T // avg_time
+    return (
+        f"WITH {mo_baked_ctes(lineitem, ssins, median_fn, n_obs)}"
+        f" SELECT CAST(FLOOR(t_out / {blocks_per_obs}) AS INT) AS obs_id,"
+        f" a.* FROM ({avg}) a")
+
+
+def mo_baked_ctes(lineitem: str = "lineitem", ssins: bool = False,
+                  median_fn: str = "percentile",
+                  n_obs: int | None = None) -> str:
+    """The catalogue CTE chain ``vis → … → baked`` shared by the
+    pipeline closers (averaged output, UVFITS rows)."""
     cols = syn.VIS_COLUMNS
     cols_uvw = tuple(cols) + ("u", "v", "w")
     fc_pred = flags.fine_channel_pred_sql(
@@ -233,10 +253,8 @@ def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
         "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
         if c == "weight" else c
         for c in cols_uvw)
-    avg = mo_averaging_select("baked", avg_time, avg_freq)
-    blocks_per_obs = syn.NUM_T // avg_time
     return (
-        f"WITH vis AS ({multi_vis_cte(lineitem, n_obs)}),"
+        f"vis AS ({multi_vis_cte(lineitem, n_obs)}),"
         f" antennas AS ({syn.ANTENNAS_SQL}),"
         f" mo_timesteps AS ({mo_timesteps_cte(n_obs)}),"
         f" ts_flags AS ({mo_ts_flags_cte()}),"
@@ -252,6 +270,110 @@ def multi_obs_preprocess_sql(avg_time: int = pipeline.AVG_TIME,
         f"{rfi_ctes}"
         f" geomed AS ({geom}),"
         f" caled AS ({cal}),"
-        f" baked AS (SELECT {baked_cols} FROM caled)"
-        f" SELECT CAST(FLOOR(t_out / {blocks_per_obs}) AS INT) AS obs_id,"
-        f" a.* FROM ({avg}) a")
+        f" baked AS (SELECT {baked_cols} FROM caled)")
+
+
+def mo_uvfits_rows_sql(avg_time: int = pipeline.AVG_TIME,
+                       avg_freq: int = pipeline.AVG_FREQ,
+                       lineitem: str = "lineitem",
+                       n_obs: int | None = None) -> str:
+    """MO4 rows — the catalogue's UVFITS random-group relation: the
+    averaged output (tick-stable means incl. per-block UVWs) plus the
+    per-OBS group params — the 256-coded baseline and a JD whose block
+    centroid re-anchors at every observation's own start epoch (the
+    stride includes the slew gap, so global block index alone would
+    drift). One dual-dialect text, same convention as
+    sinks/uvfits.py::uvfits_group_rows."""
+    from birli_spark.sinks.uvfits import GPS_EPOCH_JD
+
+    assert syn.NUM_T % avg_time == 0
+    blocks = syn.NUM_T // avg_time
+
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    avg = mo_averaging_select("baked", avg_time, avg_freq,
+                              extra_mean_cols=("u", "v", "w"))
+    obs = f"CAST(FLOOR(t_out / {blocks}) AS INT)"
+    lt = f"(t_out - ({obs}) * {blocks})"
+    centroid = (f"({d(syn.GPS_START)}"
+                f" + CAST({obs} AS DOUBLE) * {d(OBS_STRIDE_S)}"
+                f" + ({lt} * {avg_time}) * {d(syn.INT_TIME_S)}"
+                f" + {d(avg_time * syn.INT_TIME_S / 2.0)})")
+    return (
+        f"WITH {mo_baked_ctes(lineitem, n_obs=n_obs)}"
+        f" SELECT {obs} AS obs_id, t_out, chan_out, bl, ant1, ant2,"
+        f" CAST(256 * (ant1 + 1) + (ant2 + 1) AS INT) AS bl_code,"
+        f" ({d(GPS_EPOCH_JD)} + {centroid} / {d(86400.0)}) AS jd,"
+        f" u, v, w, {', '.join(VIS_COLS)}, weight, flag, n_samples"
+        f" FROM ({avg}) a")
+
+
+def mo_uvfits_gate_rows(spark, sf_dir: str, out_dir: str,
+                        avg_time: int = pipeline.AVG_TIME,
+                        avg_freq: int = pipeline.AVG_FREQ):
+    """MO4 — write the per-obs UVFITS fan-out, read every file's BYTES
+    back, re-emit one row per (obs, group, channel) exactly as stored
+    (all f32). Pairs with :func:`mo_uvfits_files_oracle_sql`."""
+    import numpy as np
+    import pandas as pd
+
+    from birli_spark.sinks import uvfits
+
+    syn.load_vis(spark, sf_dir)
+    rows = spark.sql(mo_uvfits_rows_sql(avg_time, avg_freq))
+    n_chan = syn.NUM_CC * syn.NUM_FC // avg_freq
+    paths = uvfits.write_uvfits_catalogue(
+        rows, out_dir, n_chan, syn.GPS_START, OBS_STRIDE_S,
+        syn.NUM_T // avg_time)
+    frames = []
+    for o, path in sorted(paths.items()):
+        _, params, data = uvfits.read_uvfits(path)
+        g = params.shape[0]
+        rec = {
+            "obs_id": np.full(g * n_chan, o, dtype=np.int32),
+            "bl_code": np.repeat(params[:, 3].astype(np.int32), n_chan),
+            "jd": np.repeat(params[:, 4], n_chan),
+            "chan_out": np.tile(np.arange(n_chan, dtype=np.int32), g),
+            "u": np.repeat(params[:, 0], n_chan),
+            "v": np.repeat(params[:, 1], n_chan),
+            "w": np.repeat(params[:, 2], n_chan),
+        }
+        for p, pol in enumerate(uvfits.UVFITS_POLS):
+            rec[f"{pol}_re"] = data[:, :, p, 0].reshape(-1)
+            rec[f"{pol}_im"] = data[:, :, p, 1].reshape(-1)
+        rec["weight"] = data[:, :, 0, 2].reshape(-1)
+        frames.append(pd.DataFrame(rec))
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf["flag"] = pdf["weight"] < 0
+    pdf = pdf[(pdf["bl_code"] > 0) & (pdf["weight"] != 0.0)]
+    return spark.createDataFrame(pdf.reset_index(drop=True))
+
+
+def mo_uvfits_files_oracle_sql(avg_time: int = pipeline.AVG_TIME,
+                               avg_freq: int = pipeline.AVG_FREQ,
+                               lineitem: str = "lineitem") -> str:
+    """DuckDB twin of :func:`mo_uvfits_gate_rows`: the mo rows relation
+    with every file-stored value pushed through the f32 round trip —
+    DATE relative to the PER-OBS PZERO (sinks/uvfits.py::obs_jd_zero
+    spelled in SQL with the same operation order)."""
+    from birli_spark.functions.complex import f32
+    from birli_spark.sinks.uvfits import GPS_EPOCH_JD
+
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    rows = mo_uvfits_rows_sql(avg_time, avg_freq, lineitem)
+    jz = (f"(FLOOR({d(GPS_EPOCH_JD)} + ({d(syn.GPS_START)}"
+          f" + CAST(obs_id AS DOUBLE) * {d(OBS_STRIDE_S)})"
+          f" / {d(86400.0)} - 5E-1) + 5E-1)")
+    vis = ", ".join(
+        f"{f32(f'{p}_{c}')} AS {p}_{c}"
+        for p in ("xx", "yy", "xy", "yx") for c in ("re", "im"))
+    return (
+        f"SELECT obs_id, bl_code, ({jz} + {f32(f'jd - {jz}')}) AS jd,"
+        f" CAST(chan_out AS INT) AS chan_out,"
+        f" {f32('u')} AS u, {f32('v')} AS v, {f32('w')} AS w,"
+        f" {vis}, {f32('weight')} AS weight,"
+        f" {f32('weight')} < 0E0 AS flag FROM ({rows})"
+        f" WHERE {f32('weight')} <> 0E0")

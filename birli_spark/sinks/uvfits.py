@@ -288,6 +288,98 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
         write_group, schema="gidx long, t_out int, bl int")
 
 
+def write_uvfits_catalogue(rows: DataFrame, out_dir: str, n_chan: int,
+                           gps_start: float, stride_s: float,
+                           blocks_per_obs: int) -> dict[int, str]:
+    """MO4 — one random-groups UVFITS file PER OBSERVATION, written in
+    one distributed job: the catalogue's (obs, block, bl) group grid is
+    uniform, so every group's byte offset inside ITS OBS'S file is
+    computable (the :func:`write_uvfits_distributed` fixed-record
+    argument, fanned out across files). Each file's DATE PZERO anchors
+    at its own obs start (:func:`obs_jd_zero`), keeping per-timestep f32
+    resolution for every obs in the catalogue. Returns
+    {obs_id: path}; the write happens on the executors (one task per
+    (t_out, bl) group, ~n_obs x blocks x baselines tasks).
+
+    ``rows`` is the mo_uvfits_rows relation (operators/multiobs.py):
+    obs_id, global t_out, bl/chan_out grid, group params, pol values."""
+    import os
+
+    import pandas as pd
+
+    rows = rows.localCheckpoint(eager=True)
+    obs_dim = sorted(r[0] for r in rows.select("obs_id").distinct().collect())
+    t_dim = sorted(r[0] for r in rows.select("t_out").distinct().collect())
+    bl_dim = sorted(r[0] for r in rows.select("bl").distinct().collect())
+    chan_dim = sorted(
+        r[0] for r in rows.select("chan_out").distinct().collect())
+    if len(chan_dim) != n_chan:
+        raise ValueError(
+            f"{len(chan_dim)} distinct chan_out vs n_chan={n_chan}")
+    if len(t_dim) != len(obs_dim) * blocks_per_obs:
+        raise ValueError("ragged catalogue grid: "
+                         f"{len(t_dim)} blocks != {len(obs_dim)} obs"
+                         f" x {blocks_per_obs}")
+    n_bl = len(bl_dim)
+    rec_floats = 5 + n_chan * 4 * 3
+    rec_size = rec_floats * 4
+    n_groups = blocks_per_obs * n_bl
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[int, str] = {}
+    jd_zeros: dict[int, float] = {}
+    for o in obs_dim:
+        jd_zeros[o] = obs_jd_zero(gps_start + o * stride_s)
+        paths[o] = os.path.join(out_dir, f"obs_{o}.uvfits")
+        header = uvfits_header_bytes(n_chan, n_groups,
+                                     object_name=f"obs_{o}",
+                                     jd_zero=jd_zeros[o])
+        total = len(header) + n_groups * rec_size
+        if total % _BLOCK:
+            total += _BLOCK - total % _BLOCK
+        with open(paths[o], "wb") as f:
+            f.write(header)
+            f.truncate(total)
+        header_len = len(header)  # identical across obs (same card set)
+
+    spark = rows.sparkSession
+    bl_rank_b = spark.sparkContext.broadcast(
+        {v: i for i, v in enumerate(bl_dim)})
+    chan_dim_b = spark.sparkContext.broadcast(chan_dim)
+    paths_b = spark.sparkContext.broadcast(paths)
+    jz_b = spark.sparkContext.broadcast(jd_zeros)
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t_out, bl = int(key[0]), int(key[1])
+        obs = t_out // blocks_per_obs
+        gidx = (t_out - obs * blocks_per_obs) * n_bl \
+            + bl_rank_b.value[bl]
+        pdf = pdf.set_index("chan_out").reindex(chan_dim_b.value)
+        rec = np.empty(rec_floats, dtype=">f4")
+        r0 = pdf.dropna(subset=["bl_code"]).iloc[0]
+        rec[:5] = (r0.u, r0.v, r0.w, float(r0.bl_code),
+                   r0.jd - jz_b.value[obs])
+        data = np.zeros((n_chan, 4, 3), dtype=np.float64)
+        for p, pol in enumerate(UVFITS_POLS):
+            data[:, p, 0] = pdf[f"{pol}_re"].fillna(0.0).to_numpy()
+            data[:, p, 1] = pdf[f"{pol}_im"].fillna(0.0).to_numpy()
+            data[:, p, 2] = pdf["weight"].fillna(0.0).to_numpy()
+        rec[5:] = data.reshape(-1)
+        fd = os.open(paths_b.value[obs], os.O_WRONLY)
+        try:
+            os.pwrite(fd, rec.tobytes(), header_len + gidx * rec_size)
+        finally:
+            os.close(fd)
+        return pd.DataFrame([{"obs_id": obs, "gidx": int(gidx)}])
+
+    n = (rows.groupBy("t_out", "bl")
+         .applyInPandas(write_group, schema="obs_id int, gidx long")
+         .count())
+    if n != len(obs_dim) * n_groups:
+        raise ValueError(f"wrote {n} groups, planned "
+                         f"{len(obs_dim) * n_groups}")
+    return paths
+
+
 def obs_jd_zero(gps_start: float) -> float:
     """PZERO for the DATE group param: the half-integral JD (the FITS
     convention's noon boundary) at or just before the observation start.

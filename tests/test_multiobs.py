@@ -118,6 +118,55 @@ def test_mo3_occupancy_per_obs_identical(spark, sf_dir):
                 == base["occupancy"].to_numpy()).all()
 
 
+def test_mo4_uvfits_fanout(spark, sf_dir, tmp_path):
+    """MO4: one physical UVFITS per obs, written in one distributed
+    job; every file parses standalone with the standard reader and its
+    DATE PZERO anchors at ITS OWN obs start."""
+    import os
+
+    from birli_spark.operators import multiobs as mo
+    from birli_spark.sinks import uvfits
+
+    out = str(tmp_path / "cat")
+    df = mo.mo_uvfits_gate_rows(spark, sf_dir, out)
+    n = df.count()
+    assert n > 0 and df.select("obs_id").distinct().count() == mo.N_OBS
+    files = sorted(os.listdir(out))
+    assert files == [f"obs_{o}.uvfits" for o in range(mo.N_OBS)]
+    for o in range(mo.N_OBS):
+        header, params, data = uvfits.read_uvfits(
+            os.path.join(out, f"obs_{o}.uvfits"))
+        assert header["PZERO5"] == uvfits.obs_jd_zero(
+            syn.GPS_START + o * mo.OBS_STRIDE_S)
+        assert params.shape[0] == header["GCOUNT"]
+        # every group's JD sits inside this obs's span
+        lo = uvfits.GPS_EPOCH_JD + (syn.GPS_START
+                                    + o * mo.OBS_STRIDE_S) / 86400.0
+        hi = lo + syn.NUM_T * syn.INT_TIME_S / 86400.0
+        assert ((params[:, 4] >= lo - 1e-6)
+                & (params[:, 4] <= hi + 1e-6)).all()
+
+
+def test_mo4_matches_duckdb_oracle(spark, sf_dir, tmp_path):
+    import duckdb
+
+    from birli_spark.operators import multiobs as mo
+
+    sdf = mo.mo_uvfits_gate_rows(
+        spark, sf_dir, str(tmp_path / "cat2")).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    ddf = con.execute(mo.mo_uvfits_files_oracle_sql()).df()
+    key = sorted(sdf.columns)
+    assert key == sorted(ddf.columns)
+    sdf = sdf.sort_values(key).reset_index(drop=True)
+    ddf = ddf.sort_values(key).reset_index(drop=True)
+    assert len(sdf) == len(ddf) > 0
+    for c in key:
+        assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
+
+
 def test_matches_duckdb_oracle(spark, sf_dir):
     import duckdb
 
