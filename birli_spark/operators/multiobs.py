@@ -239,11 +239,14 @@ def mo_baked_ctes(lineitem: str = "lineitem", ssins: bool = False,
         rfid_cols = ", ".join(
             "(p.flag OR COALESCE(m.rfi_flag, FALSE)) AS flag"
             if c == "flag" else f"p.{c}" for c in cols)
-        # global t is obs-unique, so the mask joins back on (t, chan)
+        # global t is obs-unique, so the mask joins back on (t, chan);
+        # the mask is obs x t x chan rows behind a window chain Catalyst
+        # can't size — hint the broadcast (a comment to DuckDB)
         rfi_ctes = (
             f" {ss_ctes},"
             f" ssins_mask AS ({ss_final}),"
-            f" rfid AS (SELECT {rfid_cols} FROM passbanded p"
+            f" rfid AS (SELECT /*+ BROADCAST(m) */ {rfid_cols}"
+            f" FROM passbanded p"
             f" LEFT JOIN ssins_mask m ON p.t = m.t AND p.chan = m.chan),")
         geom_in = "rfid"
     geom = corrections.geom_oracle_select(geom_in, "part_uvw", cols)

@@ -45,6 +45,11 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            # inherits i2's 1-row corpus-total and ann_brute's query-set
            # broadcast sides
            "i3_rrf_fusion",
+           # the catalogue suite's obs-dim VALUES cross (3-row broadcast
+           # side replicating the fact scan per observation — the
+           # deliberate catalogue expansion, bounded by the obs count)
+           "mo1_multi_obs_pipeline", "mo2_multi_obs_ssins",
+           "mo3_multi_obs_occupancy",
            # 1-row scalar-aggregate broadcast (global total / global avg)
            # against a bounded aggregate or dim-scale probe side — the
            # canonical decorrelated-scalar-subquery plan
@@ -171,6 +176,11 @@ HEADLINE = [
     "c1_van_vleck", "f9_rfi_sumthreshold", "pipeline_preprocess_full",
     "d5_embedding_neardup", "c3c_part_uvw_precessed", "o2b_ms_subtables",
     "o2_ms_rows", "f9c_rfi_sir",
+    # round 3 additions: the UVFITS row relation behind the physical
+    # byte gates and the multi-observation catalogue suite (mo4's gate
+    # itself is a file read-back, so its PLAN surface is mo1's)
+    "o1_uvfits_rows", "mo1_multi_obs_pipeline", "mo2_multi_obs_ssins",
+    "mo3_multi_obs_occupancy",
 ]
 
 
