@@ -791,6 +791,18 @@ def _q_stream_ssins(spark, sf_dir):
     return sssins.ins_from_updates(updates)
 
 
+def _q_stream_mo_ssins(spark, sf_dir):
+    """st11 — streaming CATALOGUE SSINS (MO2 twin): the state key is
+    (obs, bl, chan) so no lag crosses an observation boundary; the
+    per-obs incoherent noise image is oracle-checked against the batch
+    catalogue ssins_ins CTE."""
+    from birli_spark.streaming import ssins as sssins
+    updates = sssins.run_available_now_multiobs(
+        spark, sf_dir, _stream_tmp(spark, "q_mo_ssins"))
+    return sssins.ins_from_updates(updates).selectExpr(
+        f"CAST(FLOOR(t / {syn.NUM_T}) AS INT) AS obs_id", "*")
+
+
 def _q_stream_rfi(spark, sf_dir):
     """Streaming SumThreshold (F9 twin, st10): the image accumulates
     statefully per (bl, chan) as the observation arrives; the
@@ -1761,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk7_theta_pairs": _q_theta_pairs,
         "st8_stream_theta": _q_stream_theta,
         "st9_stream_ssins": _q_stream_ssins,
+        "st11_stream_multiobs_ssins": _q_stream_mo_ssins,
         "st10_stream_rfi": _q_stream_rfi,
         "m5_compaction_plan": _q_compaction_plan,
         "q3_referential_integrity": _q_ref_integrity,
@@ -2139,6 +2152,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH vis AS ({syn.vis_sql()}), "
             + ssins.ssins_parts("vis", median_fn="quantile_cont")[0]
             + " SELECT t, chan, "
+            + ", ".join(f"{p}_amp" for p in ("xx", "xy", "yx", "yy"))
+            + ", n_bl FROM ssins_ins"),
+        "st11_stream_multiobs_ssins": (
+            "WITH vis AS ("
+            + __import__("birli_spark.operators.multiobs",
+                         fromlist=["x"]).multi_vis_cte() + "), "
+            + ssins.ssins_parts(
+                "vis", median_fn="quantile_cont",
+                obs_expr=f"CAST(FLOOR(t / {syn.NUM_T}) AS INT)")[0]
+            + " SELECT obs_id, t, chan, "
             + ", ".join(f"{p}_amp" for p in ("xx", "xy", "yx", "yy"))
             + ", n_bl FROM ssins_ins"),
         "st10_stream_rfi": _st10_oracle_sql(),

@@ -162,3 +162,86 @@ def run_available_now(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table(query_name)
+
+
+# ------------------------------------------- catalogue twin (MO2) ---
+
+def read_vis_stream_multiobs(spark: SparkSession, sf_dir: str,
+                             n_obs: int | None = None) -> DataFrame:
+    """The CATALOGUE live feed: each arriving file fans out per obs as
+    a pure projection (explode over a literal obs array — no
+    stream-static join needed), then the same per-obs transforms as
+    ``operators/multiobs.multi_vis_cte`` (global t, epoch stride, gain
+    drift). One micro-batch still contains every (obs, bl, chan, t)
+    cell whole, so the cell-completeness contract holds per obs."""
+    from birli_spark.operators import multiobs as mo
+
+    n = n_obs or mo.N_OBS
+    base = read_vis_stream(spark, sf_dir)
+    fan = base.withColumn(
+        "obs_id", F.explode(F.array(*[F.lit(o) for o in range(n)])))
+    exprs = ["obs_id"]
+    for c in syn.VIS_COLUMNS:
+        if c == "t":
+            exprs.append(f"CAST(obs_id * {syn.NUM_T} + t AS INT) AS t")
+        elif c == "ts_gps":
+            exprs.append(
+                f"CAST(ts_gps + obs_id * CAST({mo.OBS_STRIDE_S!r}"
+                f" AS DOUBLE) AS DOUBLE) AS ts_gps")
+        elif c in VIS_COLS:
+            exprs.append(
+                f"({c} * (CAST(8 + obs_id AS DOUBLE) / 8E0)) AS {c}")
+        else:
+            exprs.append(c)
+    return fan.selectExpr(*exprs)
+
+
+def ssins_amp_stream_multiobs(stream: DataFrame) -> DataFrame:
+    """Per-(obs, bl, chan) stateful differencing: the state key carries
+    the obs, so no lag ever crosses an observation boundary — the
+    streaming mirror of ``ssins_parts(obs_expr=...)``."""
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        _obs, bl, chan = key
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        prev = tuple(state.get) if state.exists else None
+        out, new_state = _fold_key(chan, bl, batch, prev)
+        state.update(new_state)
+        if len(out):
+            yield out
+
+    return (stream
+            .select("obs_id", "t", "chan", "bl", *VIS_COLS)
+            .groupBy("obs_id", "bl", "chan")
+            .applyInPandasWithState(
+                fn, OUTPUT_SCHEMA, STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout))
+
+
+def score_drained_multiobs(ins: DataFrame,
+                           threshold: float = 5.0) -> DataFrame:
+    """Per-(obs, chan) robust scoring over the drained catalogue image
+    (obs recovered from the global t the amplitudes carry)."""
+    from birli_spark.operators.ssins import scoring_parts
+
+    spark = ins.sparkSession
+    ins.selectExpr(f"CAST(FLOOR(t / {syn.NUM_T}) AS INT) AS obs_id",
+                   "*").createOrReplaceTempView("ssins_mo_drained_ins")
+    ctes, final = scoring_parts("ssins_mo_drained_ins", threshold,
+                                per_obs=True)
+    return spark.sql(f"WITH {ctes} {final}")
+
+
+def run_available_now_multiobs(spark: SparkSession, sf_dir: str,
+                               query_name: str = "stream_mo_ssins",
+                               n_obs: int | None = None) -> DataFrame:
+    out = ssins_amp_stream_multiobs(
+        read_vis_stream_multiobs(spark, sf_dir, n_obs))
+    q = (out.writeStream
+         .format("memory")
+         .queryName(query_name)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(query_name)

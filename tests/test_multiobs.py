@@ -167,6 +167,32 @@ def test_mo4_matches_duckdb_oracle(spark, sf_dir, tmp_path):
         assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
 
 
+def test_st11_stream_catalogue_parity(spark, sf_dir):
+    """st11: the streaming catalogue SSINS (state key (obs, bl, chan))
+    drains to the SAME per-obs scored mask as the batch catalogue
+    derivation — flags AND z-scores, not just the image."""
+    from birli_spark.operators import ssins as ssins_mod
+    from birli_spark.streaming import ssins as sssins
+
+    updates = sssins.run_available_now_multiobs(
+        spark, sf_dir, "t_mo_ssins_parity")
+    scored = sssins.score_drained_multiobs(
+        sssins.ins_from_updates(updates)).toPandas()
+
+    syn.load_vis(spark, sf_dir)
+    ctes, final = ssins_mod.ssins_parts(
+        "visq", obs_expr=f"CAST(FLOOR(t / {syn.NUM_T}) AS INT)")
+    batch = spark.sql(
+        f"WITH visq AS ({multiobs.multi_vis_cte()}), {ctes} {final}"
+    ).toPandas()
+    key = ["obs_id", "t", "chan"]
+    scored = scored.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(scored) == len(batch) > 0
+    for c in ("rfi_flag", "z_xx", "xx_amp", "n_bl"):
+        assert (scored[c].to_numpy() == batch[c].to_numpy()).all(), c
+
+
 def test_matches_duckdb_oracle(spark, sf_dir):
     import duckdb
 
