@@ -165,3 +165,20 @@ def test_verified_pipeline_example(spark):
     finally:
         s.stop = real_stop
     assert rc == 0
+
+
+def test_catalogue_example_end_to_end():
+    sys.modules.pop("examples.catalogue_pipeline", None)
+    mod = runpy.run_path("examples/catalogue_pipeline.py")
+    import birli_spark.session as sess
+    spark = sess.get_spark("birli_spark_tests")
+    real_stop = spark.stop
+    try:
+        spark.stop = lambda: None
+        result = mod["main"]("/root/testdata/sf0.001")
+    finally:
+        spark.stop = real_stop
+    assert result["obs"] == 3
+    assert set(result["per_obs_rows"].values()) == {384}
+    assert result["files"] == [f"obs_{o}.uvfits" for o in range(3)]
+    assert result["cells"] > 0
