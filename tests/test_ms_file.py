@@ -73,6 +73,89 @@ def test_casa_table_roundtrip_all_dtypes(tmp_path):
     assert info.startswith("Type = Test\nSubType = \n\n")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+    _dtypes = st.sampled_from(
+        ["bool", "int", "float", "double", "complex", "string"])
+
+    @st.composite
+    def _table(draw):
+        nrow = draw(st.integers(0, 6))
+        ncol = draw(st.integers(1, 5))
+        cols = []
+        for i in range(ncol):
+            dtype = draw(_dtypes)
+            shape = draw(st.sampled_from([None, (2,), (3, 2)]))
+            if dtype == "bool":
+                elem = st.booleans()
+            elif dtype == "int":
+                elem = st.integers(-2**31, 2**31 - 1)
+            elif dtype in ("float", "double"):
+                elem = st.floats(allow_nan=False, width=32)
+            elif dtype == "complex":
+                elem = st.tuples(
+                    st.floats(allow_nan=False, width=32),
+                    st.floats(allow_nan=False, width=32)
+                ).map(lambda t: complex(*t))
+            else:
+                elem = st.text(
+                    alphabet=st.characters(codec="utf-8"), max_size=8)
+            if shape is None:
+                vals = [draw(elem) for _ in range(nrow)]
+            else:
+                n_el = int(np.prod(shape))
+                base = {"bool": np.bool_, "int": np.int32,
+                        "float": np.float32, "double": np.float64,
+                        "complex": np.complex64}.get(dtype, object)
+                vals = [np.array([draw(elem) for _ in range(n_el)],
+                                 dtype=base).reshape(shape)
+                        for _ in range(nrow)]
+            cols.append({"name": f"C{i}", "dtype": dtype,
+                         "shape": shape, "values": vals})
+        return nrow, cols
+
+    @settings(max_examples=25, deadline=None)
+    @given(_table())
+    def test_casa_table_roundtrip_property(tmp_path_factory, tb):
+        """Property: ANY table of supported column kinds survives the
+        write → independent-parse roundtrip value-for-value (the format
+        description is self-consistent over the whole input space, not
+        just the MS schema)."""
+        nrow, cols = tb
+        path = str(tmp_path_factory.mktemp("prop") / "t")
+        casa_tables.write_table(path, "P", cols, nrow, info_type="Prop")
+        t = casa_tables.read_table(path)
+        assert t["nrow"] == nrow
+        for col in cols:
+            got = t["columns"][col["name"]]
+            if col["shape"] is None:
+                if col["dtype"] == "string":
+                    assert list(got) == [str(v) for v in col["values"]]
+                elif col["dtype"] in ("float",):
+                    np.testing.assert_array_equal(
+                        got, np.array(col["values"], np.float32))
+                elif col["dtype"] == "complex":
+                    np.testing.assert_array_equal(
+                        got, np.array(col["values"], np.complex64))
+                else:
+                    assert list(got) == list(col["values"])
+            else:
+                want = (np.stack(col["values"]) if nrow else
+                        np.zeros((0, *col["shape"])))
+                if col["dtype"] == "string":
+                    assert [c.tolist() for c in got] == \
+                        [w.tolist() for w in want]
+                else:
+                    np.testing.assert_array_equal(got, want)
+
+
 def test_casa_table_rejects_bad_magic(tmp_path):
     p = tmp_path / "bad"
     p.mkdir()
