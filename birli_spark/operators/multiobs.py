@@ -43,12 +43,12 @@ def _obs_values(n_obs: int = None) -> str:
     return f"(VALUES {vals}) AS o(obs_id)"
 
 
-def multi_vis_cte(lineitem: str = "lineitem",
-                  n_obs: int | None = None) -> str:
-    """The catalogue fact relation: the per-obs vis derivation crossed
-    with the obs dimension — global t = obs_id * NUM_T + t, epochs
-    shifted by the stride, visibilities scaled by (8 + obs_id) / 8."""
-    base = syn.vis_sql(lineitem)
+def mo_vis_col_exprs() -> list[str]:
+    """Per-column obs transforms over a relation carrying the vis
+    columns plus ``obs_id`` — global t = obs_id * NUM_T + t, epochs
+    shifted by the stride, visibilities scaled by (8 + obs_id) / 8.
+    Shared by :func:`multi_vis_cte` and the streaming catalogue feed
+    (streaming/ssins.py) so the batch/stream twins cannot drift."""
     cols = []
     for c in syn.VIS_COLUMNS:
         if c == "t":
@@ -62,7 +62,16 @@ def multi_vis_cte(lineitem: str = "lineitem",
                 f"({c} * (CAST(8 + obs_id AS DOUBLE) / 8E0)) AS {c}")
         else:
             cols.append(c)
-    return (f"SELECT {', '.join(cols)} FROM ({base}) v"
+    return cols
+
+
+def multi_vis_cte(lineitem: str = "lineitem",
+                  n_obs: int | None = None) -> str:
+    """The catalogue fact relation: the per-obs vis derivation crossed
+    with the obs dimension (column transforms in
+    :func:`mo_vis_col_exprs`)."""
+    base = syn.vis_sql(lineitem)
+    return (f"SELECT {', '.join(mo_vis_col_exprs())} FROM ({base}) v"
             f" CROSS JOIN {_obs_values(n_obs)}")
 
 
@@ -98,7 +107,8 @@ def mo_part_uvw_cte(n_obs: int | None = None) -> str:
         f" FROM ({syn.PART_UVW_SQL}) p CROSS JOIN {_obs_values(n_obs)}")
 
 
-def mo_occupancy_sql(lineitem: str = "lineitem") -> str:
+def mo_occupancy_sql(lineitem: str = "lineitem",
+                     n_obs: int | None = None) -> str:
     """MO3 — per-observation flag-occupancy QA (A2 keyed by obs): the
     archive-side acceptance check a catalogue run emits per obs. One
     dual-dialect query: catalogue vis → per-obs rule flags → one tiny
@@ -115,9 +125,9 @@ def mo_occupancy_sql(lineitem: str = "lineitem") -> str:
     occ = occupancy.occupancy_oracle_select(
         "mo_flagged", keys=("obs_id", "cc", "fc"))
     return (
-        f"WITH vis AS ({multi_vis_cte(lineitem)}),"
+        f"WITH vis AS ({multi_vis_cte(lineitem, n_obs)}),"
         f" antennas AS ({syn.ANTENNAS_SQL}),"
-        f" mo_timesteps AS ({mo_timesteps_cte()}),"
+        f" mo_timesteps AS ({mo_timesteps_cte(n_obs)}),"
         f" ts_flags AS ({mo_ts_flags_cte()}),"
         f" bl_flags AS ({bl_f}),"
         f" flagged AS ({flagged}),"
@@ -314,7 +324,8 @@ def mo_uvfits_rows_sql(avg_time: int = pipeline.AVG_TIME,
 
 def mo_uvfits_gate_rows(spark, sf_dir: str, out_dir: str,
                         avg_time: int = pipeline.AVG_TIME,
-                        avg_freq: int = pipeline.AVG_FREQ):
+                        avg_freq: int = pipeline.AVG_FREQ,
+                        n_obs: int | None = None):
     """MO4 — write the per-obs UVFITS fan-out, read every file's BYTES
     back, re-emit one row per (obs, group, channel) exactly as stored
     (all f32). Pairs with :func:`mo_uvfits_files_oracle_sql`."""
@@ -324,32 +335,20 @@ def mo_uvfits_gate_rows(spark, sf_dir: str, out_dir: str,
     from birli_spark.sinks import uvfits
 
     syn.load_vis(spark, sf_dir)
-    rows = spark.sql(mo_uvfits_rows_sql(avg_time, avg_freq))
+    rows = spark.sql(mo_uvfits_rows_sql(avg_time, avg_freq,
+                                        n_obs=n_obs))
     n_chan = syn.NUM_CC * syn.NUM_FC // avg_freq
     paths = uvfits.write_uvfits_catalogue(
         rows, out_dir, n_chan, syn.GPS_START, OBS_STRIDE_S,
         syn.NUM_T // avg_time)
     frames = []
     for o, path in sorted(paths.items()):
-        _, params, data = uvfits.read_uvfits(path)
-        g = params.shape[0]
-        rec = {
-            "obs_id": np.full(g * n_chan, o, dtype=np.int32),
-            "bl_code": np.repeat(params[:, 3].astype(np.int32), n_chan),
-            "jd": np.repeat(params[:, 4], n_chan),
-            "chan_out": np.tile(np.arange(n_chan, dtype=np.int32), g),
-            "u": np.repeat(params[:, 0], n_chan),
-            "v": np.repeat(params[:, 1], n_chan),
-            "w": np.repeat(params[:, 2], n_chan),
-        }
-        for p, pol in enumerate(uvfits.UVFITS_POLS):
-            rec[f"{pol}_re"] = data[:, :, p, 0].reshape(-1)
-            rec[f"{pol}_im"] = data[:, :, p, 1].reshape(-1)
-        rec["weight"] = data[:, :, 0, 2].reshape(-1)
-        frames.append(pd.DataFrame(rec))
+        # the SAME read-back + padding-drop as the o1b gate
+        # (sinks/uvfits.py::file_cells_frame) — one shared convention
+        frame = uvfits.file_cells_frame(path, n_chan)
+        frame.insert(0, "obs_id", np.int32(o))
+        frames.append(frame)
     pdf = pd.concat(frames, ignore_index=True)
-    pdf["flag"] = pdf["weight"] < 0
-    pdf = pdf[(pdf["bl_code"] > 0) & (pdf["weight"] != 0.0)]
     return spark.createDataFrame(pdf.reset_index(drop=True))
 
 

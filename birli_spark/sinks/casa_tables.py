@@ -117,6 +117,60 @@ def write_table(path: str, name: str, columns: list[dict],
     columns.
     """
     os.makedirs(path, exist_ok=True)
+    write_table_dat(path, name, columns, nrow, keywords=keywords,
+                    info_type=info_type, info_subtype=info_subtype,
+                    readme=readme)
+
+    # ---- table.f0: StManAipsIO{seqnr, nrow, ncol, per-column data}
+    w = AipsWriter()
+    w.putstart("StManAipsIO", 2)
+    w.put_uint(0)
+    w.put_uint(nrow)
+    w.put_uint(len(columns))
+    for col in columns:
+        dtype, shape = col["dtype"], col.get("shape")
+        w.putstart("StManColumnAipsIO", 2)
+        w.put_int(_TP[dtype] + (0 if shape is None else TP_ARRAY_OFFSET))
+        w.put_uint(nrow)
+        vals = col["values"]
+        if shape is None:
+            for v in vals:
+                _put_scalar(w, dtype, v)
+        else:
+            for cell in vals:
+                a = np.ascontiguousarray(cell)
+                if tuple(a.shape) != tuple(shape):
+                    raise ValueError(
+                        f"{col['name']}: cell shape {a.shape} != "
+                        f"declared {shape}")
+                w.put_uint(a.ndim)
+                for d in a.shape:
+                    w.put_int(d)
+                if dtype == "string":
+                    for s in a.reshape(-1):
+                        w.put_string(str(s))
+                elif dtype == "complex":
+                    w.put_bytes(a.astype(">c8").tobytes())
+                else:
+                    w.put_bytes(a.astype(
+                        {"bool": ">u1", "int": ">i4", "float": ">f4",
+                         "double": ">f8"}[dtype]).tobytes())
+        w.putend()
+    w.putend()
+    with open(os.path.join(path, "table.f0"), "wb") as f:
+        f.write(w.getvalue())
+
+
+def write_table_dat(path: str, name: str, columns: list[dict],
+                    nrow: int, *, keywords: dict | None = None,
+                    info_type: str = "", info_subtype: str = "",
+                    readme: str = "") -> None:
+    """``table.dat`` + ``table.info`` only — the shared serializer for
+    both :func:`write_table` (which adds the full ``table.f0``) and the
+    MS MAIN writer (sinks/ms_file.py, whose f0 bulk goes through the
+    executor-parallel path). ``columns`` need only name/dtype/shape
+    (+optional comment/keywords) here — values are f0's business."""
+    os.makedirs(path, exist_ok=True)
     keywords = keywords or {}
 
     # ---- table.dat: Table{nrow, format, name, TableDesc, ColumnSet}
@@ -157,45 +211,6 @@ def write_table(path: str, name: str, columns: list[dict],
     w.putend()
     w.putend()  # Table
     with open(os.path.join(path, "table.dat"), "wb") as f:
-        f.write(w.getvalue())
-
-    # ---- table.f0: StManAipsIO{seqnr, nrow, ncol, per-column data}
-    w = AipsWriter()
-    w.putstart("StManAipsIO", 2)
-    w.put_uint(0)
-    w.put_uint(nrow)
-    w.put_uint(len(columns))
-    for col in columns:
-        dtype, shape = col["dtype"], col.get("shape")
-        w.putstart("StManColumnAipsIO", 2)
-        w.put_int(_TP[dtype] + (0 if shape is None else TP_ARRAY_OFFSET))
-        w.put_uint(nrow)
-        vals = col["values"]
-        if shape is None:
-            for v in vals:
-                _put_scalar(w, dtype, v)
-        else:
-            for cell in vals:
-                a = np.ascontiguousarray(cell)
-                if tuple(a.shape) != tuple(shape):
-                    raise ValueError(
-                        f"{col['name']}: cell shape {a.shape} != "
-                        f"declared {shape}")
-                w.put_uint(a.ndim)
-                for d in a.shape:
-                    w.put_int(d)
-                if dtype == "string":
-                    for s in a.reshape(-1):
-                        w.put_string(str(s))
-                elif dtype == "complex":
-                    w.put_bytes(a.astype(">c8").tobytes())
-                else:
-                    w.put_bytes(a.astype(
-                        {"bool": ">u1", "int": ">i4", "float": ">f4",
-                         "double": ">f8"}[dtype]).tobytes())
-        w.putend()
-    w.putend()
-    with open(os.path.join(path, "table.f0"), "wb") as f:
         f.write(w.getvalue())
 
     # ---- table.info (TableInfo::flush layout: plain text)

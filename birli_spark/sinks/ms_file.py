@@ -38,7 +38,7 @@ from birli_spark.functions.complex import POLS, VIS_COLS, f32
 from birli_spark.sinks import casa_tables
 from birli_spark.sinks import ms as ms_main
 from birli_spark.sinks import ms_subtables
-from birli_spark.sinks.casa_io import MAGIC, AipsWriter
+from birli_spark.sinks.casa_io import MAGIC, TP_ARRAY_OFFSET
 
 #: casacore correlation order in the reference's MS output (Stokes
 #: enum XX=9, XY=10, YX=11, YY=12 — ms_subtables.CORR_TYPES)
@@ -117,7 +117,7 @@ def plan_f0_layout(columns_meta: list[dict], nrow: int
         chdr = _obj_header("StManColumnAipsIO", 2, payload)
         tp = casa_tables._TP[meta["dtype"]]
         if meta.get("shape") is not None:
-            tp += 13
+            tp += TP_ARRAY_OFFSET
         blobs.append((off, chdr + struct.pack(">iI", tp, nrow)))
         off += len(chdr) + 8
         sections[meta["name"]] = (off, _cell_size(meta))
@@ -293,50 +293,14 @@ def write_ms_casa(spark: SparkSession, baked: DataFrame, out_dir: str,
 
 def _write_main_dat(out_dir: str, meta: list[dict], nrow: int,
                     keywords: dict) -> None:
-    """table.dat + table.info for MAIN without touching table.f0
-    (casa_tables.write_table would also write data; MAIN's data goes
-    through the parallel path)."""
-    w = AipsWriter()
-    w.putstart("Table", 2)
-    w.put_uint(nrow)
-    w.put_uint(0)
-    w.put_string("MAIN")
-    w.putstart("TableDesc", 2)
-    w.put_string("MAIN")
-    w.put_string("")
-    w.put_string("")
-    casa_tables._put_keywords(w, keywords)
-    w.put_uint(len(meta))
-    for col in meta:
-        shape = col.get("shape")
-        w.putstart("ColumnDesc", 1)
-        w.put_string(col["name"])
-        w.put_string("")
-        w.put_string("StManAipsIO")
-        w.put_string("StManAipsIO")
-        tp = casa_tables._TP[col["dtype"]]
-        w.put_int(tp if shape is None else tp + 13)
-        w.put_int(0)
-        w.put_int(0 if shape is None else len(shape))
-        if shape is not None:
-            w.put_bool(True)
-            for dim in shape:
-                w.put_int(dim)
-        casa_tables._put_keywords(w, {})
-        w.putend()
-    w.putend()
-    w.putstart("ColumnSet", 1)
-    w.put_uint(nrow)
-    w.put_uint(1)
-    w.put_string("StManAipsIO")
-    w.put_uint(0)
-    w.putend()
-    w.putend()
-    with open(os.path.join(out_dir, "table.dat"), "wb") as f:
-        f.write(w.getvalue())
-    with open(os.path.join(out_dir, "table.info"), "w") as f:
-        f.write("Type = Measurement Set\nSubType = \n\n"
-                "birli_spark O2c casacore-layout emission\n")
+    """table.dat + table.info for MAIN without touching table.f0 —
+    MAIN's bulk data goes through the executor-parallel path, so only
+    the shared dat serializer runs here (one serializer, one parser:
+    casa_tables.write_table_dat / read_table cannot drift apart)."""
+    casa_tables.write_table_dat(
+        out_dir, "MAIN", meta, nrow, keywords=keywords,
+        info_type="Measurement Set",
+        readme="birli_spark O2c casacore-layout emission")
 
 
 #: (dtype, shape-group) per subtable column, derived from

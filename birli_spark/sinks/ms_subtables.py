@@ -51,7 +51,16 @@ def subtable_sqls(ra_rad: float = 0.0,
     ``avg_freq`` > 1 describes the channelization AFTER frequency
     averaging (bin centres, widened widths) — what the physical MS
     (sinks/ms_file.py) must declare so SPECTRAL_WINDOW matches its
-    averaged MAIN; the o2b gate keeps the full-resolution default."""
+    averaged MAIN; the o2b gate keeps the full-resolution default.
+    A non-divisor factor would make SPECTRAL_WINDOW (floor) contradict
+    MAIN's ceil-edged channel axis, so it fails loudly — the same
+    BadArrayShape posture as the reference's passband scrunch
+    (src/corrections.rs:489)."""
+    if (syn.NUM_CC * syn.NUM_FC) % avg_freq:
+        raise ValueError(
+            f"avg_freq={avg_freq} does not divide the "
+            f"{syn.NUM_CC * syn.NUM_FC}-channel axis; SPECTRAL_WINDOW "
+            f"would contradict MAIN's averaged DATA shape")
     t0, t1 = _obs_time_s()
     ant = syn.ANTENNAS_SQL
     # ANTENNA: one row per antenna; POSITION long-format via a 3-row

@@ -405,8 +405,6 @@ def uvfits_file_rows(spark, rows: DataFrame, path: str,
     The read-back is driver-side over the AVERAGED output (groups x
     chans, orders of magnitude below the fact scan); the write itself
     is executor-parallel."""
-    import pandas as pd
-
     # materialize the averaged relation ONCE: the dim probes below plus
     # write_uvfits_distributed's own three distinct collects and the
     # write action would otherwise each re-run the whole upstream
@@ -414,6 +412,20 @@ def uvfits_file_rows(spark, rows: DataFrame, path: str,
     rows = rows.localCheckpoint(eager=True)
     n_chan = rows.select("chan_out").distinct().count()
     write_uvfits_distributed(rows, path, n_chan, jd_zero=jd_zero).count()
+    return spark.createDataFrame(
+        file_cells_frame(path, n_chan).reset_index(drop=True))
+
+
+def file_cells_frame(path: str, n_chan: int):
+    """One pandas row per (group, channel) with every value exactly as
+    the file stores it — the shared read-back for the byte gates (o1b
+    single file, mo4 per-obs fan-out). Drops the file's absent-cell
+    padding: groups never written keep the pre-sized zeros (bl_code 0 —
+    real codes are >= 257), and channels reindex-filled inside a group
+    carry weight exactly 0 (a real baked cell is +/-|weight_factor|
+    != 0). What remains is every real cell."""
+    import pandas as pd
+
     _, params, data = read_uvfits(path)
     g = params.shape[0]
     rec = {
@@ -430,12 +442,7 @@ def uvfits_file_rows(spark, rows: DataFrame, path: str,
     rec["weight"] = data[:, :, 0, 2].reshape(-1)
     pdf = pd.DataFrame(rec)
     pdf["flag"] = pdf["weight"] < 0
-    # drop the file's absent-cell padding: groups never written keep the
-    # pre-sized zeros (bl_code 0 — real codes are >= 257), and channels
-    # reindex-filled inside a group carry weight exactly 0 (a real baked
-    # cell is +/-|weight_factor| != 0). What remains is every real cell.
-    pdf = pdf[(pdf["bl_code"] > 0) & (pdf["weight"] != 0.0)]
-    return spark.createDataFrame(pdf.reset_index(drop=True))
+    return pdf[(pdf["bl_code"] > 0) & (pdf["weight"] != 0.0)]
 
 
 def uvfits_file_oracle_select(baked: str, avg_time: int, avg_freq: int,
@@ -461,4 +468,7 @@ def uvfits_file_oracle_select(baked: str, avg_time: int, avg_freq: int,
         f" CAST(chan_out AS INT) AS chan_out,"
         f" {f32('u')} AS u, {f32('v')} AS v, {f32('w')} AS w,"
         f" {vis}, {f32('weight')} AS weight,"
-        f" {f32('weight')} < 0E0 AS flag FROM ({avg})")
+        f" {f32('weight')} < 0E0 AS flag FROM ({avg})"
+        # mirror the gate's padding drop: a stored weight of exactly 0
+        # is indistinguishable from reindex fill, so both sides drop it
+        f" WHERE {f32('weight')} <> 0E0")

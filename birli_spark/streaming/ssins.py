@@ -180,20 +180,9 @@ def read_vis_stream_multiobs(spark: SparkSession, sf_dir: str,
     base = read_vis_stream(spark, sf_dir)
     fan = base.withColumn(
         "obs_id", F.explode(F.array(*[F.lit(o) for o in range(n)])))
-    exprs = ["obs_id"]
-    for c in syn.VIS_COLUMNS:
-        if c == "t":
-            exprs.append(f"CAST(obs_id * {syn.NUM_T} + t AS INT) AS t")
-        elif c == "ts_gps":
-            exprs.append(
-                f"CAST(ts_gps + obs_id * CAST({mo.OBS_STRIDE_S!r}"
-                f" AS DOUBLE) AS DOUBLE) AS ts_gps")
-        elif c in VIS_COLS:
-            exprs.append(
-                f"({c} * (CAST(8 + obs_id AS DOUBLE) / 8E0)) AS {c}")
-        else:
-            exprs.append(c)
-    return fan.selectExpr(*exprs)
+    # the SAME per-column transforms as the batch multi_vis_cte — one
+    # shared builder, so the twins cannot drift
+    return fan.selectExpr("obs_id", *mo.mo_vis_col_exprs())
 
 
 def ssins_amp_stream_multiobs(stream: DataFrame) -> DataFrame:

@@ -47,14 +47,15 @@ def main(sf_dir: str = "/root/testdata/sf0.001",
                       .agg(F.count("*").alias("rows")).collect()}
         print(f"averaged output rows per obs: {per_obs}")
 
-        occ = spark.sql(multiobs.mo_occupancy_sql())
+        occ = spark.sql(multiobs.mo_occupancy_sql(n_obs=n))
         worst = occ.orderBy(occ.occupancy.desc()).limit(3).collect()
         print("worst-occupancy channels:",
               [(r.obs_id, r.cc, r.fc, round(r.occupancy, 3))
                for r in worst])
 
         uv_dir = os.path.join(tempfile.mkdtemp(), "catalogue_uvfits")
-        gate = multiobs.mo_uvfits_gate_rows(spark, sf_dir, uv_dir)
+        gate = multiobs.mo_uvfits_gate_rows(spark, sf_dir, uv_dir,
+                                            n_obs=n)
         n_cells = gate.count()
         files = sorted(os.listdir(uv_dir))
         print(f"wrote {len(files)} uvfits files "
