@@ -224,7 +224,16 @@ def mo_baked_ctes(lineitem: str = "lineitem", ssins: bool = False,
                   median_fn: str = "percentile",
                   n_obs: int | None = None) -> str:
     """The catalogue CTE chain ``vis → … → baked`` shared by the
-    pipeline closers (averaged output, UVFITS rows)."""
+    pipeline closers (averaged output, UVFITS rows).
+
+    Deliberately parallel to ``pipeline.baked_oracle_ctes`` rather than
+    parameterizing it: the catalogue swaps three dims (timesteps,
+    ts_flags, part_uvw) and the RFI obs_expr, and the single-obs
+    builder's text is the established hash gate for 10+ queries —
+    threading overrides through it risks byte-drift there for little
+    sharing here (the stage FRAGMENTS, where the arithmetic lives, are
+    already the same builders). Divergence in stage order is caught by
+    both suites' oracles."""
     cols = syn.VIS_COLUMNS
     cols_uvw = tuple(cols) + ("u", "v", "w")
     fc_pred = flags.fine_channel_pred_sql(

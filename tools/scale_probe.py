@@ -45,7 +45,11 @@ PROBES = ["t26_substring_dedup", "d3_minhash_lsh", "d6_neardup_clusters",
           # aggregate over the Nx-replicated fact table (denser cells —
           # the cube/grid partial aggregation must absorb the growth
           # map-side)
-          "f11_ssins_spectra", "im1_uv_grid", "pipeline_preprocess_ssins"]
+          "f11_ssins_spectra", "im1_uv_grid", "pipeline_preprocess_ssins",
+          # write-stage probes: the physical UVFITS and casacore-layout
+          # MS byte gates (pipeline + executor-parallel write +
+          # read-back) against the replicated fact
+          "o1b_uvfits_file", "o2c_ms_file"]
 
 
 def replicate(spark, src: str, out: str, n: int) -> None:
