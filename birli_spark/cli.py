@@ -213,7 +213,12 @@ def build_parser() -> argparse.ArgumentParser:
     chunk.add_argument("--max-memory", type=float, metavar="GIBIBYTES")
     p.add_argument("-f", "--flag-template", type=str,
                    help="output .mwaf directory")
-    p.add_argument("-u", "--uvfits-out", type=str)
+    p.add_argument("-u", "--uvfits-out", type=str,
+                   help="visibility output: a path ending in .uvfits "
+                        "gets the PHYSICAL random-groups file via the "
+                        "executor-parallel writer (mirroring the "
+                        "reference's birli -u out.uvfits), anything "
+                        "else the ordered parquet relation")
     p.add_argument("-M", "--ms-out", type=str,
                    help="Measurement-Set output dir: a path ending in "
                         ".ms gets the PHYSICAL casacore-layout tree "
@@ -581,8 +586,26 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                                     int_time_s=syn.INT_TIME_S)
             result["ms_path"] = ctx.ms_out
         if ctx.uvfits_out:
-            out.orderBy(*[c for c in ("t_out", "t") if c in out.columns],
-                        "bl").write.mode("overwrite").parquet(ctx.uvfits_out)
+            if ctx.uvfits_out.endswith(".uvfits"):
+                # the PHYSICAL random-groups file, executor-parallel,
+                # from the same context-built plan as every other sink
+                from birli_spark.sinks import uvfits as uvsink
+                baked = build_baked(spark, ctx)
+                for c in ("u", "v", "w"):
+                    if c not in baked.columns:
+                        baked = baked.withColumn(c, F.lit(0.0))
+                rows = uvsink.uvfits_group_rows(
+                    baked, ctx.avg_time, ctx.avg_freq,
+                    syn.GPS_START, syn.INT_TIME_S).localCheckpoint(
+                        eager=True)
+                n_chan = rows.select("chan_out").distinct().count()
+                uvsink.write_uvfits_distributed(
+                    rows, ctx.uvfits_out, n_chan,
+                    jd_zero=uvsink.obs_jd_zero(syn.GPS_START)).count()
+            else:
+                out.orderBy(
+                    *[c for c in ("t_out", "t") if c in out.columns],
+                    "bl").write.mode("overwrite").parquet(ctx.uvfits_out)
             result["out_path"] = ctx.uvfits_out
         return result
     finally:

@@ -154,6 +154,26 @@ def test_cli_ms_out_casa_layout(spark, tmp_path):
     assert "SPECTRAL_WINDOW" in t and "ANTENNA" in t
 
 
+def test_cli_uvfits_out_physical(spark, tmp_path):
+    """-u path ending .uvfits writes the PHYSICAL random-groups file
+    (reference birli -u out.uvfits) with obs-anchored DATE PZERO; it
+    parses with the standard reader and covers the full group grid."""
+    import numpy as np
+
+    from birli_spark import cli
+    from birli_spark.sinks import uvfits
+    from birli_spark.sources import synthetic as syn
+
+    out = str(tmp_path / "obs.uvfits")
+    res = cli.run(["/root/testdata/sf0.001", "--avg-time-factor", "4",
+                   "--avg-freq-factor", "2", "-u", out], spark=spark)
+    assert res["out_path"] == out
+    header, params, data = uvfits.read_uvfits(out)
+    assert header["GCOUNT"] == params.shape[0] > 0
+    assert header["PZERO5"] == uvfits.obs_jd_zero(syn.GPS_START)
+    assert np.isfinite(data).all()
+
+
 def test_cli_phase_centre(spark):
     """--phase-centre recomputes partial UVWs from antenna positions; the
     first-principles w must differ from the synthetic dim's w."""
