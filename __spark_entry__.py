@@ -655,6 +655,20 @@ def _q_multi_obs_uvfits(spark, sf_dir):
     return multiobs.mo_uvfits_gate_rows(spark, sf_dir, out)
 
 
+def _q_multi_obs_ms(spark, sf_dir):
+    """MO5: the catalogue's MS write stage — one physical
+    casacore-layout Measurement Set per observation, all MAIN bulk
+    written in a single distributed job; trees parsed back and every
+    stored value hash-gated."""
+    import os
+    import tempfile
+    from birli_spark.operators import multiobs
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"birli_spark_mo5_{os.path.basename(sf_dir.rstrip('/'))}")
+    return multiobs.mo_ms_gate_rows(spark, sf_dir, out)
+
+
 def _q_ms_subtables(spark, sf_dir):
     """O2b: the COMPLETE MS v2 subtable set (ANTENNA, SPECTRAL_WINDOW,
     POLARIZATION, FIELD, FEED, ...) flattened to one hash-checked EAV
@@ -1655,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mo2_multi_obs_ssins": _q_multi_obs_ssins,
         "mo3_multi_obs_occupancy": _q_multi_obs_occupancy,
         "mo4_multi_obs_uvfits": _q_multi_obs_uvfits,
+        "mo5_multi_obs_ms": _q_multi_obs_ms,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -2027,6 +2042,9 @@ def oracle_sql() -> dict[str, str]:
         "mo4_multi_obs_uvfits": __import__(
             "birli_spark.operators.multiobs",
             fromlist=["x"]).mo_uvfits_files_oracle_sql(),
+        "mo5_multi_obs_ms": __import__(
+            "birli_spark.operators.multiobs",
+            fromlist=["x"]).mo_ms_files_oracle_sql(),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),

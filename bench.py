@@ -92,6 +92,7 @@ HEADLINE = [
     # per-obs UVFITS fan-out write stage
     "mo1_multi_obs_pipeline",
     "mo4_multi_obs_uvfits",
+    "mo5_multi_obs_ms",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",

@@ -308,20 +308,13 @@ def mo_uvfits_rows_sql(avg_time: int = pipeline.AVG_TIME,
     sinks/uvfits.py::uvfits_group_rows."""
     from birli_spark.sinks.uvfits import GPS_EPOCH_JD
 
-    assert syn.NUM_T % avg_time == 0
-    blocks = syn.NUM_T // avg_time
+    obs, centroid = mo_centroid_exprs(avg_time)
 
     def d(x: float) -> str:
         return f"CAST({x!r} AS DOUBLE)"
 
     avg = mo_averaging_select("baked", avg_time, avg_freq,
                               extra_mean_cols=("u", "v", "w"))
-    obs = f"CAST(FLOOR(t_out / {blocks}) AS INT)"
-    lt = f"(t_out - ({obs}) * {blocks})"
-    centroid = (f"({d(syn.GPS_START)}"
-                f" + CAST({obs} AS DOUBLE) * {d(OBS_STRIDE_S)}"
-                f" + ({lt} * {avg_time}) * {d(syn.INT_TIME_S)}"
-                f" + {d(avg_time * syn.INT_TIME_S / 2.0)})")
     return (
         f"WITH {mo_baked_ctes(lineitem, n_obs=n_obs)}"
         f" SELECT {obs} AS obs_id, t_out, chan_out, bl, ant1, ant2,"
@@ -329,6 +322,124 @@ def mo_uvfits_rows_sql(avg_time: int = pipeline.AVG_TIME,
         f" ({d(GPS_EPOCH_JD)} + {centroid} / {d(86400.0)}) AS jd,"
         f" u, v, w, {', '.join(VIS_COLS)}, weight, flag, n_samples"
         f" FROM ({avg}) a")
+
+
+def mo_centroid_exprs(avg_time: int) -> tuple[str, str]:
+    """(obs_id expr, per-obs block-centroid GPS expr) over a relation
+    carrying the global block index ``t_out`` — the block centroid
+    re-anchors at every observation's own start epoch (the stride
+    includes the slew gap, so a global-index centroid would drift).
+    Shared by the UVFITS (JD) and MS (MJD TAI) catalogue sinks."""
+    assert syn.NUM_T % avg_time == 0
+    blocks = syn.NUM_T // avg_time
+
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    obs = f"CAST(FLOOR(t_out / {blocks}) AS INT)"
+    lt = f"(t_out - ({obs}) * {blocks})"
+    centroid = (f"({d(syn.GPS_START)}"
+                f" + CAST({obs} AS DOUBLE) * {d(OBS_STRIDE_S)}"
+                f" + ({lt} * {avg_time}) * {d(syn.INT_TIME_S)}"
+                f" + {d(avg_time * syn.INT_TIME_S / 2.0)})")
+    return obs, centroid
+
+
+def mo_ms_rows_sql(avg_time: int = pipeline.AVG_TIME,
+                   avg_freq: int = pipeline.AVG_FREQ,
+                   lineitem: str = "lineitem",
+                   n_obs: int | None = None) -> str:
+    """MO5 rows — the catalogue's MS MAIN relation: the o2 column set
+    (sinks/ms.py naming) with per-OBS epochs (MJD TAI seconds anchored
+    at each observation's own start) plus obs_id and the GLOBAL block
+    index as time_block. One dual-dialect text."""
+    from birli_spark.sinks.ms import GPS_EPOCH_MJD, GPS_TAI_OFFSET_S
+
+    obs, centroid = mo_centroid_exprs(avg_time)
+
+    def d(x: float) -> str:
+        return f"CAST({x!r} AS DOUBLE)"
+
+    avg = mo_averaging_select("baked", avg_time, avg_freq,
+                              extra_mean_cols=("u", "v", "w"))
+    time = (f"({d(GPS_EPOCH_MJD * 86400.0)} + {centroid}"
+            f" + {d(GPS_TAI_OFFSET_S)})")
+    data = ", ".join(f"{c} AS data_{c}" for c in VIS_COLS)
+    return (
+        f"WITH {mo_baked_ctes(lineitem, n_obs=n_obs)}"
+        f" SELECT {obs} AS obs_id, {time} AS time_mjd_s,"
+        f" ant1 AS antenna1, ant2 AS antenna2, chan_out AS chan,"
+        f" u AS uvw_u, v AS uvw_v, w AS uvw_w, {data}, weight, flag,"
+        f" t_out AS time_block FROM ({avg}) a")
+
+
+def mo_ms_gate_rows(spark, sf_dir: str, out_dir: str,
+                    avg_time: int = pipeline.AVG_TIME,
+                    avg_freq: int = pipeline.AVG_FREQ,
+                    n_obs: int | None = None):
+    """MO5 — write the per-obs casacore-layout MS fan-out, parse every
+    tree back with the independent reader, re-emit one row per (obs,
+    row, channel) exactly as stored. Pairs with
+    :func:`mo_ms_files_oracle_sql`."""
+    import numpy as np
+    import pandas as pd
+
+    from birli_spark.sinks import ms_file
+
+    syn.load_vis(spark, sf_dir)
+    rows = spark.sql(mo_ms_rows_sql(avg_time, avg_freq, n_obs=n_obs))
+    blocks = syn.NUM_T // avg_time
+    paths = ms_file.write_ms_casa_catalogue(
+        spark, rows, out_dir, avg_freq, blocks,
+        interval=avg_time * syn.INT_TIME_S)
+    frames = []
+    for o, path in sorted(paths.items()):
+        t = ms_file.read_ms_casa(path)["MAIN"]
+        c = t["columns"]
+        g = t["nrow"]
+        n_chan = c["DATA"].shape[1]
+        rec = {
+            "obs_id": np.full(g * n_chan, o, dtype=np.int32),
+            "time_mjd_s": np.repeat(c["TIME"], n_chan),
+            "antenna1": np.repeat(c["ANTENNA1"], n_chan),
+            "antenna2": np.repeat(c["ANTENNA2"], n_chan),
+            # scan restarts at 1 per obs -> global block index
+            "time_block": np.repeat(
+                c["SCAN_NUMBER"] - 1 + o * blocks, n_chan),
+            "chan": np.tile(np.arange(n_chan, dtype=np.int32), g),
+            "uvw_u": np.repeat(c["UVW"][:, 0], n_chan),
+            "uvw_v": np.repeat(c["UVW"][:, 1], n_chan),
+            "uvw_w": np.repeat(c["UVW"][:, 2], n_chan),
+            "weight": c["WEIGHT_SPECTRUM"][:, :, 0].reshape(-1)
+            .astype(np.float64),
+            "flag": c["FLAG"][:, :, 0].reshape(-1),
+        }
+        for p, pol in enumerate(ms_file.MS_POLS):
+            cell = c["DATA"][:, :, p].reshape(-1)
+            rec[f"data_{pol}_re"] = cell.real.astype(np.float64)
+            rec[f"data_{pol}_im"] = cell.imag.astype(np.float64)
+        frames.append(pd.DataFrame(rec))
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf = pdf[pdf["weight"] != 0.0]
+    return spark.createDataFrame(pdf.reset_index(drop=True))
+
+
+def mo_ms_files_oracle_sql(avg_time: int = pipeline.AVG_TIME,
+                           avg_freq: int = pipeline.AVG_FREQ,
+                           lineitem: str = "lineitem") -> str:
+    """DuckDB twin of :func:`mo_ms_gate_rows`: the mo MS relation with
+    the file's f32 round trip on DATA/WEIGHT (TIME/UVW stay f64)."""
+    from birli_spark.functions.complex import f32
+
+    inner = mo_ms_rows_sql(avg_time, avg_freq, lineitem)
+    data = ", ".join(f"{f32(f'data_{c}')} AS data_{c}" for c in VIS_COLS)
+    return (
+        f"SELECT obs_id, time_mjd_s, CAST(antenna1 AS INT) AS antenna1,"
+        f" CAST(antenna2 AS INT) AS antenna2,"
+        f" CAST(time_block AS INT) AS time_block,"
+        f" CAST(chan AS INT) AS chan, uvw_u, uvw_v, uvw_w,"
+        f" {data}, {f32('weight')} AS weight, flag"
+        f" FROM ({inner}) WHERE {f32('weight')} <> 0E0")
 
 
 def mo_uvfits_gate_rows(spark, sf_dir: str, out_dir: str,

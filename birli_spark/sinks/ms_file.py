@@ -219,62 +219,8 @@ def write_ms_casa(spark: SparkSession, baked: DataFrame, out_dir: str,
 
     def write_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tb = int(key[0])
-        row0 = offsets_b.value[tb]
-        chans = chan_b.value
-        nc = len(chans)
-        pdf = pdf.sort_values(["antenna1", "antenna2", "chan"])
-        pairs = pdf[["antenna1", "antenna2"]].drop_duplicates().sort_values(
-            ["antenna1", "antenna2"])
-        g = len(pairs)
-        # dense (pair, chan) grid; absent cells -> zero weight + flag
-        idx = pd.MultiIndex.from_arrays(
-            [pdf.antenna1, pdf.antenna2, pdf.chan])
-        full = pd.MultiIndex.from_tuples(
-            [(a1, a2, c) for a1, a2 in pairs.itertuples(index=False)
-             for c in chans])
-        pdf = pdf.set_index(idx).reindex(full)
-        data = np.zeros((g, nc, 4), dtype=np.complex64)
-        for p, pol in enumerate(MS_POLS):
-            re = pdf[f"data_{pol}_re"].fillna(0.0).to_numpy()
-            im = pdf[f"data_{pol}_im"].fillna(0.0).to_numpy()
-            data[:, :, p] = (re + 1j * im).reshape(g, nc)
-        wt = pdf["weight"].fillna(0.0).to_numpy().reshape(g, nc)
-        fl_raw = pdf["flag"].to_numpy()
-        fl = np.where(pd.isna(fl_raw), True,
-                      fl_raw).astype(bool).reshape(g, nc)
-        wspec = np.repeat(wt[:, :, None], 4, axis=2).astype(np.float32)
-        flag = np.repeat(fl[:, :, None], 4, axis=2)
-        first = pdf.groupby(level=[0, 1], sort=True).first()
-        time = first["time_mjd_s"].to_numpy()
-        uvw = first[["uvw_u", "uvw_v", "uvw_w"]].to_numpy()
-        a1 = pairs["antenna1"].to_numpy(dtype=np.int32)
-        a2 = pairs["antenna2"].to_numpy(dtype=np.int32)
-        zeros = np.zeros(g, dtype=np.int32)
-        weight = wspec.sum(axis=1)
-        vals = {
-            "TIME": time, "TIME_CENTROID": time,
-            "ANTENNA1": a1, "ANTENNA2": a2,
-            "DATA_DESC_ID": zeros, "FIELD_ID": zeros,
-            "SCAN_NUMBER": np.full(g, tb + 1, dtype=np.int32),
-            "ARRAY_ID": zeros, "OBSERVATION_ID": zeros,
-            "PROCESSOR_ID": zeros, "STATE_ID": zeros,
-            "FEED1": zeros, "FEED2": zeros,
-            "INTERVAL": np.full(g, interval),
-            "EXPOSURE": np.full(g, interval),
-            "UVW": uvw, "DATA": data, "FLAG": flag,
-            "WEIGHT": weight, "SIGMA": np.ones((g, 4), np.float32),
-            "WEIGHT_SPECTRUM": wspec,
-            "FLAG_ROW": flag.all(axis=(1, 2)),
-        }
-        fd = os.open(f0, os.O_WRONLY)
-        try:
-            for m in meta:
-                base, csize = sections[m["name"]]
-                os.pwrite(fd, _pack_cells(vals[m["name"]],
-                                          m.get("shape"), m["dtype"]),
-                          base + row0 * csize)
-        finally:
-            os.close(fd)
+        vals, g = _block_vals(pdf, chan_b.value, interval, scan=tb + 1)
+        _pwrite_block(f0, meta, sections, offsets_b.value[tb], vals)
         return pd.DataFrame([{"time_block": tb, "rows": g}])
 
     written = (rows.groupBy("time_block")
@@ -289,6 +235,147 @@ def write_ms_casa(spark: SparkSession, baked: DataFrame, out_dir: str,
     # matches MAIN's DATA axis)
     _write_subtables(spark, out_dir, avg_freq)
     return nrow
+
+
+def _block_vals(pdf, chans, interval: float, scan: int):
+    """One time block's MAIN cells from its relation rows: the dense
+    (pair, chan) grid with zero-weight/flagged fill for absent cells —
+    shared by the single-obs writer and the catalogue fan-out."""
+    import pandas as pd
+
+    nc = len(chans)
+    pdf = pdf.sort_values(["antenna1", "antenna2", "chan"])
+    pairs = pdf[["antenna1", "antenna2"]].drop_duplicates().sort_values(
+        ["antenna1", "antenna2"])
+    g = len(pairs)
+    idx = pd.MultiIndex.from_arrays(
+        [pdf.antenna1, pdf.antenna2, pdf.chan])
+    full = pd.MultiIndex.from_tuples(
+        [(a1, a2, c) for a1, a2 in pairs.itertuples(index=False)
+         for c in chans])
+    pdf = pdf.set_index(idx).reindex(full)
+    data = np.zeros((g, nc, 4), dtype=np.complex64)
+    for p, pol in enumerate(MS_POLS):
+        re = pdf[f"data_{pol}_re"].fillna(0.0).to_numpy()
+        im = pdf[f"data_{pol}_im"].fillna(0.0).to_numpy()
+        data[:, :, p] = (re + 1j * im).reshape(g, nc)
+    wt = pdf["weight"].fillna(0.0).to_numpy().reshape(g, nc)
+    fl_raw = pdf["flag"].to_numpy()
+    fl = np.where(pd.isna(fl_raw), True,
+                  fl_raw).astype(bool).reshape(g, nc)
+    wspec = np.repeat(wt[:, :, None], 4, axis=2).astype(np.float32)
+    flag = np.repeat(fl[:, :, None], 4, axis=2)
+    first = pdf.groupby(level=[0, 1], sort=True).first()
+    time = first["time_mjd_s"].to_numpy()
+    uvw = first[["uvw_u", "uvw_v", "uvw_w"]].to_numpy()
+    a1 = pairs["antenna1"].to_numpy(dtype=np.int32)
+    a2 = pairs["antenna2"].to_numpy(dtype=np.int32)
+    zeros = np.zeros(g, dtype=np.int32)
+    weight = wspec.sum(axis=1)
+    vals = {
+        "TIME": time, "TIME_CENTROID": time,
+        "ANTENNA1": a1, "ANTENNA2": a2,
+        "DATA_DESC_ID": zeros, "FIELD_ID": zeros,
+        "SCAN_NUMBER": np.full(g, scan, dtype=np.int32),
+        "ARRAY_ID": zeros, "OBSERVATION_ID": zeros,
+        "PROCESSOR_ID": zeros, "STATE_ID": zeros,
+        "FEED1": zeros, "FEED2": zeros,
+        "INTERVAL": np.full(g, interval),
+        "EXPOSURE": np.full(g, interval),
+        "UVW": uvw, "DATA": data, "FLAG": flag,
+        "WEIGHT": weight, "SIGMA": np.ones((g, 4), np.float32),
+        "WEIGHT_SPECTRUM": wspec,
+        "FLAG_ROW": flag.all(axis=(1, 2)),
+    }
+    return vals, g
+
+
+def _pwrite_block(f0: str, meta: list[dict], sections: dict,
+                  row0: int, vals: dict) -> None:
+    fd = os.open(f0, os.O_WRONLY)
+    try:
+        for m in meta:
+            base, csize = sections[m["name"]]
+            os.pwrite(fd, _pack_cells(vals[m["name"]],
+                                      m.get("shape"), m["dtype"]),
+                      base + row0 * csize)
+    finally:
+        os.close(fd)
+
+
+def write_ms_casa_catalogue(spark: SparkSession, rows: DataFrame,
+                            out_dir: str, avg_freq: int,
+                            blocks_per_obs: int,
+                            interval: float) -> dict[int, str]:
+    """MO5 — one casacore-layout MS PER OBSERVATION, all MAIN bulk
+    written in a single distributed job: each (global time block) task
+    resolves its obs, and pwrites its contiguous row range into THAT
+    obs's pre-sized ``table.f0`` (the per-file fixed-offset argument of
+    :func:`write_ms_casa`, fanned out across files exactly like the
+    UVFITS catalogue sink, sinks/uvfits.py::write_uvfits_catalogue).
+    Scan numbers restart at 1 inside every obs's MS, as a per-obs
+    casacore reader expects. Returns {obs_id: path}.
+
+    ``rows`` is the mo MS MAIN relation (operators/multiobs.py::
+    mo_ms_rows_sql): obs_id + global time_block + the o2 column set."""
+    rows = rows.localCheckpoint(eager=True)
+    chan_dim = sorted(r[0] for r in
+                      rows.select("chan").distinct().collect())
+    n_chan = len(chan_dim)
+    counts = {r["time_block"]: r["n"] for r in
+              rows.selectExpr("time_block", "antenna1", "antenna2")
+                  .distinct().groupBy("time_block").count()
+                  .withColumnRenamed("count", "n").collect()}
+    meta = _main_columns_meta(n_chan)
+    obs_ids = sorted({tb // blocks_per_obs for tb in counts})
+    offsets: dict[int, int] = {}
+    paths: dict[int, str] = {}
+    sections_by_obs: dict[int, dict] = {}
+    os.makedirs(out_dir, exist_ok=True)
+    keywords = {"MS_VERSION": ("float", 2.0)}
+    for name in ms_subtables.subtable_sqls(avg_freq=avg_freq):
+        keywords[name] = ("table", name)
+    for o in obs_ids:
+        tbs = sorted(tb for tb in counts if tb // blocks_per_obs == o)
+        nrow_o = 0
+        for tb in tbs:
+            offsets[tb] = nrow_o
+            nrow_o += counts[tb]
+        path = os.path.join(out_dir, f"obs_{o}.ms")
+        paths[o] = path
+        total, sections, header_map = plan_f0_layout(meta, nrow_o)
+        sections_by_obs[o] = sections
+        _write_main_dat(path, meta, nrow_o, keywords)
+        with open(os.path.join(path, "table.f0"), "wb") as f:
+            f.truncate(total)
+            _replay_blobs(f, header_map)
+        _write_subtables(spark, path, avg_freq)
+
+    import pandas as pd
+
+    offsets_b = spark.sparkContext.broadcast(offsets)
+    chan_b = spark.sparkContext.broadcast(chan_dim)
+    paths_b = spark.sparkContext.broadcast(paths)
+    sections_b = spark.sparkContext.broadcast(sections_by_obs)
+
+    def write_block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tb = int(key[0])
+        obs = tb // blocks_per_obs
+        scan = tb - obs * blocks_per_obs + 1
+        vals, g = _block_vals(pdf, chan_b.value, interval, scan=scan)
+        _pwrite_block(os.path.join(paths_b.value[obs], "table.f0"),
+                      meta, sections_b.value[obs],
+                      offsets_b.value[tb], vals)
+        return pd.DataFrame([{"time_block": tb, "rows": g}])
+
+    written = (rows.groupBy("time_block")
+               .applyInPandas(write_block,
+                              schema="time_block int, rows int")
+               .agg({"rows": "sum"}).collect()[0][0])
+    if written != sum(counts.values()):
+        raise ValueError(f"wrote {written} MAIN rows, planned "
+                         f"{sum(counts.values())}")
+    return paths
 
 
 def _write_main_dat(out_dir: str, meta: list[dict], nrow: int,

@@ -167,6 +167,63 @@ def test_mo4_matches_duckdb_oracle(spark, sf_dir, tmp_path):
         assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
 
 
+def test_mo5_ms_fanout(spark, sf_dir, tmp_path):
+    """MO5: one physical casacore-layout MS per obs, written in one
+    distributed job; every tree parses standalone with the independent
+    reader, scans restart at 1 per obs, and TIME anchors at each obs's
+    own epoch."""
+    import os
+
+    from birli_spark import pipeline
+    from birli_spark.operators import multiobs as mo
+    from birli_spark.sinks import ms as ms_rel
+    from birli_spark.sinks import ms_file
+
+    out = str(tmp_path / "cat_ms")
+    df = mo.mo_ms_gate_rows(spark, sf_dir, out)
+    assert df.count() > 0
+    assert df.select("obs_id").distinct().count() == mo.N_OBS
+    assert sorted(os.listdir(out)) == \
+        [f"obs_{o}.ms" for o in range(mo.N_OBS)]
+    t0 = None
+    for o in range(mo.N_OBS):
+        t = ms_file.read_ms_casa(os.path.join(out, f"obs_{o}.ms"))
+        main = t["MAIN"]
+        assert "SPECTRAL_WINDOW" in t
+        scans = main["columns"]["SCAN_NUMBER"]
+        assert scans.min() == 1  # per-obs restart
+        times = main["columns"]["TIME"]
+        lo = (ms_rel.GPS_EPOCH_MJD * 86400.0 + syn.GPS_START
+              + o * mo.OBS_STRIDE_S + ms_rel.GPS_TAI_OFFSET_S)
+        hi = lo + syn.NUM_T * syn.INT_TIME_S
+        assert ((times >= lo) & (times <= hi)).all()
+        if o == 0:
+            t0 = main["nrow"]
+        else:
+            assert main["nrow"] == t0  # uniform catalogue grid
+    assert pipeline.AVG_TIME  # anchor the import
+
+
+def test_mo5_matches_duckdb_oracle(spark, sf_dir, tmp_path):
+    import duckdb
+
+    from birli_spark.operators import multiobs as mo
+
+    sdf = mo.mo_ms_gate_rows(
+        spark, sf_dir, str(tmp_path / "cat_ms2")).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    ddf = con.execute(mo.mo_ms_files_oracle_sql()).df()
+    key = sorted(sdf.columns)
+    assert key == sorted(ddf.columns)
+    sdf = sdf.sort_values(key).reset_index(drop=True)
+    ddf = ddf.sort_values(key).reset_index(drop=True)
+    assert len(sdf) == len(ddf) > 0
+    for c in key:
+        assert (sdf[c].to_numpy() == ddf[c].to_numpy()).all(), c
+
+
 def test_st11_stream_catalogue_parity(spark, sf_dir):
     """st11: the streaming catalogue SSINS (state key (obs, bl, chan))
     drains to the SAME per-obs scored mask as the batch catalogue
