@@ -177,8 +177,9 @@ HEADLINE = [
     "d5_embedding_neardup", "c3c_part_uvw_precessed", "o2b_ms_subtables",
     "o2_ms_rows", "f9c_rfi_sir",
     # round 3 additions: the UVFITS row relation behind the physical
-    # byte gates and the multi-observation catalogue suite (mo4's gate
-    # itself is a file read-back, so its PLAN surface is mo1's)
+    # byte gates and the multi-observation catalogue suite (the mo4/mo5
+    # gates are file read-backs, so their PLAN surfaces are mo1's
+    # baked chain + the averaging closer)
     "o1_uvfits_rows", "mo1_multi_obs_pipeline", "mo2_multi_obs_ssins",
     "mo3_multi_obs_occupancy",
 ]
