@@ -565,43 +565,56 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
         result["rows"] = out.count()
         if ctx.dump_csv:
             result["dump_csv"] = _dump_csv(out, ctx)
+        # the physical sinks share ONE context-built baked plan (the
+        # SAME plan as every other surface — CLI options must reach the
+        # files too), computed lazily and only when a sink needs it
+        baked_shared = None
+
+        def get_baked():
+            nonlocal baked_shared
+            if baked_shared is None:
+                b = build_baked(spark, ctx)
+                for c in ("u", "v", "w"):
+                    if c not in b.columns:
+                        # --no-geometric-delay: no UVWs were derived
+                        b = b.withColumn(c, F.lit(0.0))
+                baked_shared = b
+            return baked_shared
+
         if ctx.ms_out:
             from birli_spark.sinks import ms
-            # the SAME context-built plan as every other sink — not a
-            # fixed default pipeline (CLI options must reach the MS too)
-            baked = build_baked(spark, ctx)
-            for c in ("u", "v", "w"):
-                if c not in baked.columns:
-                    # --no-geometric-delay: no UVWs were derived
-                    baked = baked.withColumn(c, F.lit(0.0))
             if ctx.ms_out.rstrip("/").endswith(".ms"):
                 from birli_spark.sinks import ms_file
                 ms_file.write_ms_casa(
-                    spark, baked, ctx.ms_out, ctx.avg_time,
+                    spark, get_baked(), ctx.ms_out, ctx.avg_time,
                     ctx.avg_freq, gps_start=syn.GPS_START,
                     int_time_s=syn.INT_TIME_S)
             else:
-                ms.write_ms_parquet(baked, ctx.ms_out, ctx.avg_time,
-                                    ctx.avg_freq, gps_start=syn.GPS_START,
-                                    int_time_s=syn.INT_TIME_S)
+                ms.write_ms_parquet(
+                    get_baked(), ctx.ms_out, ctx.avg_time,
+                    ctx.avg_freq, gps_start=syn.GPS_START,
+                    int_time_s=syn.INT_TIME_S)
             result["ms_path"] = ctx.ms_out
         if ctx.uvfits_out:
-            if ctx.uvfits_out.endswith(".uvfits"):
-                # the PHYSICAL random-groups file, executor-parallel,
-                # from the same context-built plan as every other sink
+            if ctx.uvfits_out.rstrip("/").endswith(".uvfits"):
+                # the PHYSICAL random-groups file, executor-parallel
                 from birli_spark.sinks import uvfits as uvsink
-                baked = build_baked(spark, ctx)
-                for c in ("u", "v", "w"):
-                    if c not in baked.columns:
-                        baked = baked.withColumn(c, F.lit(0.0))
                 rows = uvsink.uvfits_group_rows(
-                    baked, ctx.avg_time, ctx.avg_freq,
+                    get_baked(), ctx.avg_time, ctx.avg_freq,
                     syn.GPS_START, syn.INT_TIME_S).localCheckpoint(
                         eager=True)
                 n_chan = rows.select("chan_out").distinct().count()
-                uvsink.write_uvfits_distributed(
+                n_t = rows.select("t_out").distinct().count()
+                n_bl = rows.select("bl").distinct().count()
+                written = uvsink.write_uvfits_distributed(
                     rows, ctx.uvfits_out, n_chan,
                     jd_zero=uvsink.obs_jd_zero(syn.GPS_START)).count()
+                if written != n_t * n_bl:
+                    # never hand external FITS readers a file whose
+                    # declared GCOUNT includes never-written groups
+                    raise ValueError(
+                        f"uvfits grid incomplete: wrote {written} "
+                        f"groups, declared {n_t * n_bl}")
             else:
                 out.orderBy(
                     *[c for c in ("t_out", "t") if c in out.columns],

@@ -394,33 +394,14 @@ def mo_ms_gate_rows(spark, sf_dir: str, out_dir: str,
         interval=avg_time * syn.INT_TIME_S)
     frames = []
     for o, path in sorted(paths.items()):
-        t = ms_file.read_ms_casa(path)["MAIN"]
-        c = t["columns"]
-        g = t["nrow"]
-        n_chan = c["DATA"].shape[1]
-        rec = {
-            "obs_id": np.full(g * n_chan, o, dtype=np.int32),
-            "time_mjd_s": np.repeat(c["TIME"], n_chan),
-            "antenna1": np.repeat(c["ANTENNA1"], n_chan),
-            "antenna2": np.repeat(c["ANTENNA2"], n_chan),
-            # scan restarts at 1 per obs -> global block index
-            "time_block": np.repeat(
-                c["SCAN_NUMBER"] - 1 + o * blocks, n_chan),
-            "chan": np.tile(np.arange(n_chan, dtype=np.int32), g),
-            "uvw_u": np.repeat(c["UVW"][:, 0], n_chan),
-            "uvw_v": np.repeat(c["UVW"][:, 1], n_chan),
-            "uvw_w": np.repeat(c["UVW"][:, 2], n_chan),
-            "weight": c["WEIGHT_SPECTRUM"][:, :, 0].reshape(-1)
-            .astype(np.float64),
-            "flag": c["FLAG"][:, :, 0].reshape(-1),
-        }
-        for p, pol in enumerate(ms_file.MS_POLS):
-            cell = c["DATA"][:, :, p].reshape(-1)
-            rec[f"data_{pol}_re"] = cell.real.astype(np.float64)
-            rec[f"data_{pol}_im"] = cell.imag.astype(np.float64)
-        frames.append(pd.DataFrame(rec))
+        # the SAME read-back + padding-drop as the o2c gate
+        # (sinks/ms_file.py::main_cells_frame); scans restart at 1 per
+        # obs, so the global block index needs the obs offset back
+        frame = ms_file.main_cells_frame(
+            path, time_block_offset=o * blocks)
+        frame.insert(0, "obs_id", np.int32(o))
+        frames.append(frame)
     pdf = pd.concat(frames, ignore_index=True)
-    pdf = pdf[pdf["weight"] != 0.0]
     return spark.createDataFrame(pdf.reset_index(drop=True))
 
 

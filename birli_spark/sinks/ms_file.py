@@ -349,7 +349,15 @@ def write_ms_casa_catalogue(spark: SparkSession, rows: DataFrame,
         with open(os.path.join(path, "table.f0"), "wb") as f:
             f.truncate(total)
             _replay_blobs(f, header_map)
-        _write_subtables(spark, path, avg_freq)
+
+    # subtables are obs-invariant: materialize the frames ONCE and
+    # stamp them into every obs directory (not n_obs x 10 dim jobs)
+    subtables = _collect_subtables(spark, avg_freq)
+    for o in obs_ids:
+        for name, columns, nrow_s, info_type, readme in subtables:
+            casa_tables.write_table(
+                os.path.join(paths[o], name), name, columns, nrow_s,
+                info_type=info_type, readme=readme)
 
     import pandas as pd
 
@@ -411,6 +419,21 @@ def _write_subtables(spark: SparkSession, out_dir: str,
                      avg_freq: int = 1) -> None:
     """Pivot the long-format subtable relations (ms_subtables) into
     per-row array cells and emit each as a casacore-layout directory."""
+    for name, columns, nrow, info_type, readme in _collect_subtables(
+            spark, avg_freq):
+        casa_tables.write_table(
+            os.path.join(out_dir, name), name, columns, nrow,
+            info_type=info_type, readme=readme)
+
+
+def _collect_subtables(spark: SparkSession, avg_freq: int = 1
+                       ) -> list[tuple]:
+    """Materialize every subtable ONCE as (name, columns, nrow,
+    info_type, readme) — the subtables are obs-invariant, so the
+    catalogue fan-out (write_ms_casa_catalogue) collects here a single
+    time and stamps the same frames into every obs directory instead of
+    re-running the dim jobs per observation."""
+    out = []
     for name, sql in ms_subtables.subtable_sqls(avg_freq=avg_freq).items():
         pdf = spark.sql(sql).toPandas()
         axis, arr_cols = _SUB_ARRAY_AXES.get(name, (None, {}))
@@ -448,10 +471,10 @@ def _write_subtables(spark: SparkSession, out_dir: str,
                                 .removesuffix("_M"),
                                 "dtype": dtype,
                                 "shape": None, "values": vals.tolist()})
-        casa_tables.write_table(
-            os.path.join(out_dir, name), name, columns, len(base),
-            info_type="IERS" if name == "OBSERVATION" else "",
-            readme=f"MS v2 {name} subtable")
+        out.append((name, columns, len(base),
+                    "IERS" if name == "OBSERVATION" else "",
+                    f"MS v2 {name} subtable"))
+    return out
 
 
 def read_ms_casa(path: str) -> dict[str, dict]:
@@ -474,10 +497,22 @@ def ms_file_rows(spark: SparkSession, baked: DataFrame, path: str,
     independent reader, re-emit one row per (row, channel) with every
     value exactly as stored (DATA/WEIGHT_SPECTRUM are f32 in the file;
     TIME/UVW are f64). Pairs with :func:`ms_file_oracle_select`."""
-    import pandas as pd
-
     write_ms_casa(spark, baked, path, avg_time, avg_freq,
                   gps_start, int_time_s)
+    return spark.createDataFrame(
+        main_cells_frame(path).reset_index(drop=True))
+
+
+def main_cells_frame(path: str, time_block_offset: int = 0):
+    """One pandas row per (MAIN row, channel) with every value exactly
+    as the file stores it — the shared read-back for the MS byte gates
+    (o2c single tree, mo5 per-obs fan-out, which passes its obs's
+    global-block offset since scans restart at 1 per obs). Drops the
+    reindex-filled absent cells (same invariant as the UVFITS byte
+    gate, sinks/uvfits.py::file_cells_frame: a real baked cell carries
+    weight = +/-|weight_factor| != 0)."""
+    import pandas as pd
+
     t = read_ms_casa(path)["MAIN"]
     c = t["columns"]
     g = t["nrow"]
@@ -486,7 +521,8 @@ def ms_file_rows(spark: SparkSession, baked: DataFrame, path: str,
         "time_mjd_s": np.repeat(c["TIME"], n_chan),
         "antenna1": np.repeat(c["ANTENNA1"], n_chan),
         "antenna2": np.repeat(c["ANTENNA2"], n_chan),
-        "time_block": np.repeat(c["SCAN_NUMBER"] - 1, n_chan),
+        "time_block": np.repeat(
+            c["SCAN_NUMBER"] - 1 + time_block_offset, n_chan),
         "chan": np.tile(np.arange(n_chan, dtype=np.int32), g),
         "uvw_u": np.repeat(c["UVW"][:, 0], n_chan),
         "uvw_v": np.repeat(c["UVW"][:, 1], n_chan),
@@ -500,11 +536,7 @@ def ms_file_rows(spark: SparkSession, baked: DataFrame, path: str,
         rec[f"data_{pol}_re"] = cell.real.astype(np.float64)
         rec[f"data_{pol}_im"] = cell.imag.astype(np.float64)
     pdf = pd.DataFrame(rec)
-    # drop reindex-filled absent cells (same invariant as the UVFITS
-    # byte gate, sinks/uvfits.py::uvfits_file_rows: a real baked cell
-    # carries weight = +/-|weight_factor| != 0)
-    pdf = pdf[pdf["weight"] != 0.0]
-    return spark.createDataFrame(pdf.reset_index(drop=True))
+    return pdf[pdf["weight"] != 0.0]
 
 
 def ms_file_oracle_select(baked: str, avg_time: int, avg_freq: int,
