@@ -31,15 +31,13 @@ EMB_DIM = 64
 
 
 def _plane(j: int, dim: int = EMB_DIM) -> list[float]:
-    """Deterministic pseudo-random hyperplane j, embedded as literal
-    doubles (identical text in both engines). Gaussian components from a
-    seeded PCG — a one-round Knuth-multiplicative mix leaves consecutive
-    planes correlated, which measurably costs banded-LSH recall (the
-    bands stop being independent trials)."""
-    import numpy as np
+    """Frozen deterministic hyperplane j (literal doubles — identical
+    expression text in both engines; values pinned in
+    functions/lsh_planes.py, see its derivation docstring)."""
+    from birli_spark.functions.lsh_planes import PLANES
 
-    return [round(float(v), 9)
-            for v in np.random.default_rng(1000003 + j).standard_normal(dim)]
+    assert dim == EMB_DIM, "planes are frozen at EMB_DIM components"
+    return list(PLANES[j])
 
 
 def _plane_literal(j: int, d: str) -> str:

@@ -33,6 +33,7 @@ import struct
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from birli_spark.functions.complex import POLS, VIS_COLS, f32
 from birli_spark.sinks import casa_tables
@@ -322,10 +323,24 @@ def write_ms_casa_catalogue(spark: SparkSession, rows: DataFrame,
     chan_dim = sorted(r[0] for r in
                       rows.select("chan").distinct().collect())
     n_chan = len(chan_dim)
-    counts = {r["time_block"]: r["n"] for r in
-              rows.selectExpr("time_block", "antenna1", "antenna2")
-                  .distinct().groupBy("time_block").count()
-                  .withColumnRenamed("count", "n").collect()}
+    blocks = rows.selectExpr("time_block", "obs_id", "antenna1",
+                             "antenna2").distinct() \
+        .groupBy("time_block").agg(
+            F.count("*").alias("n"),
+            F.min("obs_id").alias("o_lo"), F.max("obs_id").alias("o_hi")) \
+        .collect()
+    counts = {r["time_block"]: r["n"] for r in blocks}
+    # block→file routing below recomputes obs as tb // blocks_per_obs —
+    # valid only when the relation's obs_id IS that value (dense 0..N-1
+    # ids, obs-major global blocks). Validate up front instead of
+    # silently pwriting rows into the wrong obs's file.
+    for r in blocks:
+        want = r["time_block"] // blocks_per_obs
+        if r["o_lo"] != want or r["o_hi"] != want:
+            raise ValueError(
+                f"time_block {r['time_block']} carries obs_id "
+                f"{r['o_lo']}..{r['o_hi']}, expected dense obs-major "
+                f"{want} (= time_block // {blocks_per_obs})")
     meta = _main_columns_meta(n_chan)
     obs_ids = sorted({tb // blocks_per_obs for tb in counts})
     offsets: dict[int, int] = {}

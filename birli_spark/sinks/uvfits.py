@@ -320,6 +320,14 @@ def write_uvfits_catalogue(rows: DataFrame, out_dir: str, n_chan: int,
         raise ValueError("ragged catalogue grid: "
                          f"{len(t_dim)} blocks != {len(obs_dim)} obs"
                          f" x {blocks_per_obs}")
+    # write_group recovers obs as t_out // blocks_per_obs — valid only
+    # for dense 0..N-1 obs ids with obs-major dense global block indices.
+    # Validate up front rather than KeyError (or wrong-file pwrite) later.
+    if obs_dim != list(range(len(obs_dim))):
+        raise ValueError(f"obs ids must be dense 0..N-1, got {obs_dim[:8]}…")
+    if t_dim != list(range(len(t_dim))):
+        raise ValueError("t_out must be obs-major dense 0..N*blocks-1, "
+                         f"got {t_dim[:8]}…")
     n_bl = len(bl_dim)
     rec_floats = 5 + n_chan * 4 * 3
     rec_size = rec_floats * 4

@@ -135,6 +135,11 @@ def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
             # to gzip for float tiles), col 2 = GZIP_COMPRESSED_DATA
             rice_cnt, rice_o = np.frombuffer(rows[r][0:8], dtype=">u4")
             if rice_cnt:
+                if int(hdr.get("ZBITPIX", 0)) <= 0 or bytepix not in (1, 2, 4):
+                    raise ValueError(
+                        "Rice COMPRESSED_DATA requires an integer image: "
+                        f"ZBITPIX={hdr.get('ZBITPIX')!r} / BYTEPIX={bytepix} "
+                        "(expected ZBITPIX > 0 and BYTEPIX in {8,16,32})")
                 from birli_spark.functions.rice import rice_decode
 
                 ints = rice_decode(

@@ -70,7 +70,8 @@ def _fold_key(ant1: int, ant2: int, chan: int, batch: pd.DataFrame,
         "amp": np.sqrt(re * re + im * im),
         "prior": cells["flag"].to_numpy(bool),
     })
-    new_last = int(cells.index.max()) if len(cells) else (last_t or -1)
+    new_last = int(cells.index.max()) if len(cells) else (
+        -1 if last_t is None else last_t)
     return out, new_last
 
 
