@@ -393,13 +393,10 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         provided = [r.cc for r in vis.select("cc").distinct().collect()]
         vis = vis.filter(F.col("cc").isin(provided))
 
-    # Van Vleck first (reference pipeline order)
-    if ctx.van_vleck:
-        from birli_spark.operators import vanvleck
-        vis = vanvleck.correct_van_vleck(
-            vis, syn.VV_SAMPLE_SCALE, flagged_ants=ctx.flag_antennas or None)
-
-    # flags (F1-F7)
+    # flags (F1-F7) precede the corrections: since v0.18.0 the
+    # reference gates Van Vleck / cable / digital / passband on the
+    # cell's unflagged timestep ranges (src/preprocessing.rs:249-253,
+    # RELEASES.md:17-19), so the flag state must exist first
     ts = syn.load_dim(spark, "timesteps")
     ants = syn.load_dim(spark, "antennas")
     ts_f = flags.flag_timesteps_quack(
@@ -427,12 +424,18 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
             [(cc, True) for cc in ctx.flag_coarse_chans], "cc int, cc_flag boolean")
     vis = flags.set_flags(vis, ts_f, bl_f, fc_pred, cc_flags=cc_f)
 
-    # corrections (C2, C4, C5, C3, C6)
+    # corrections (C1, C2, C4, C5, C3, C6) under the v0.18.0 flag gate
+    vis = corrections.attach_cell_gate(vis)
+    if ctx.van_vleck:
+        from birli_spark.operators import vanvleck
+        vis = vanvleck.correct_van_vleck(
+            vis, syn.VV_SAMPLE_SCALE, flagged_ants=ctx.flag_antennas or None,
+            gate_col=corrections.GATE_COL)
     if not ctx.no_cable_delay:
-        vis = corrections.correct_cable_lengths(vis, ants)
+        vis = corrections.correct_cable_lengths(vis, ants, gated=True)
     if not ctx.no_digital_gains:
         vis = corrections.correct_digital_gains(
-            vis, syn.load_dim(spark, "digital_gains"))
+            vis, syn.load_dim(spark, "digital_gains"), gated=True)
     if ctx.pfb_gains != "none":
         if ctx.pfb_gains in ("cotter", "jake", "jake_oversampled"):
             # the REAL published tables (the legacy one validated
@@ -456,7 +459,8 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         else:
             fine_gains = spark.sql(
                 corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS))
-        vis = corrections.correct_passband_gains(vis, fine_gains)
+        vis = corrections.correct_passband_gains(vis, fine_gains, gated=True)
+    vis = vis.drop(corrections.GATE_COL)
     if not ctx.no_rfi:
         if ctx.ssins:
             from birli_spark.operators import ssins as ssins_op

@@ -20,6 +20,54 @@ from birli_spark.functions.complex import POLS, VIS_COLS, f32, rot_im, rot_re
 TAU = "6.283185307179586"
 VEL_C = "299792458.0"
 
+#: the flag-gate column corrections read when ``gated=True``
+GATE_COL = "_caf"
+
+
+# ------------------------------------------------ v0.18.0 flag gating
+def cell_gate(vis: DataFrame) -> DataFrame:
+    """The (t, cc, _caf) gate dimension: ``_caf`` (cell-all-flagged) is
+    true iff EVERY flag in the (timestep, coarse-channel) cell is set.
+
+    Since v0.18.0 the reference applies Van Vleck / cable / digital /
+    passband corrections only to the unflagged timestep ranges of each
+    coarse-channel chunk (RELEASES.md:17-19; the
+    ``get_unflagged_timestep_ranges`` loop, src/preprocessing.rs:249-253
+    + src/flags.rs:586-613) — a fully-flagged (t, cc) cell keeps its raw
+    values, which the averaging all-flagged fallback then surfaces.
+
+    The aggregate map-side-combines to T x CC rows (dimension-sized at
+    any fact scale) and is broadcast back; its input sub-plan prunes to
+    the flag-rule key columns only, so the extra scan reads a tiny
+    column subset of the fact."""
+    return vis.groupBy("t", "cc").agg(
+        F.expr("bool_and(flag)").alias(GATE_COL))
+
+
+def attach_cell_gate(vis: DataFrame,
+                     gate: DataFrame | None = None) -> DataFrame:
+    """Broadcast-join the :func:`cell_gate` dimension onto the fact as a
+    ``_caf`` boolean column (``gate`` overrides with a precomputed /
+    checkpointed gate relation)."""
+    if gate is None:
+        gate = cell_gate(vis)
+    return vis.join(F.broadcast(gate), ["t", "cc"])
+
+
+def cell_gate_oracle_select(flagged: str = "flagged") -> str:
+    """Oracle SQL twin of :func:`cell_gate`."""
+    return (f"SELECT t, cc, BOOL_AND(flag) AS {GATE_COL}"
+            f" FROM {flagged} GROUP BY t, cc")
+
+
+def _gate_frags(frags: dict[str, str]) -> dict[str, str]:
+    """Wrap each corrected fragment in the v0.18.0 flag gate: a
+    fully-flagged cell passes the raw column through."""
+    return {
+        c: f"CASE WHEN {GATE_COL} THEN {c} ELSE {expr} END"
+        for c, expr in frags.items()
+    }
+
 
 # ---------------------------------------------------------------- C2: cable
 def _cable_fragments(l1x: str, l1y: str, l2x: str, l2y: str) -> dict[str, str]:
@@ -43,12 +91,14 @@ def _cable_fragments(l1x: str, l1y: str, l2x: str, l2y: str) -> dict[str, str]:
     return out
 
 
-def correct_cable_lengths(vis: DataFrame, antennas: DataFrame) -> DataFrame:
+def correct_cable_lengths(vis: DataFrame, antennas: DataFrame,
+                          gated: bool = False) -> DataFrame:
     """C2 — cable-length correction (reference correct_cable_lengths,
     src/corrections.rs:72-145): rotate each pol by
     ``exp(-j*tau*dL_pol*freq/c)``; dL from the antenna dimension, joined
     twice (ant1, ant2) — both joins broadcast, so the fact table never
-    shuffles."""
+    shuffles. ``gated`` applies the v0.18.0 flag gate (``vis`` must
+    carry the :func:`attach_cell_gate` column)."""
     a1 = F.broadcast(antennas.select(
         F.col("ant").alias("ant1"),
         F.col("elec_length_x_m").alias("_l1x"),
@@ -61,18 +111,23 @@ def correct_cable_lengths(vis: DataFrame, antennas: DataFrame) -> DataFrame:
     ))
     joined = vis.join(a1, "ant1").join(a2, "ant2")
     frags = _cable_fragments("_l1x", "_l1y", "_l2x", "_l2y")
+    if gated:
+        frags = _gate_frags(frags)
     return joined.select(
         *[F.expr(frags[c]).alias(c) if c in frags else F.col(c) for c in vis.columns]
     )
 
 
 def cable_oracle_select(vis: str = "vis", antennas: str = "antennas",
-                        vis_columns: tuple[str, ...] = ()) -> str:
+                        vis_columns: tuple[str, ...] = (),
+                        gated: bool = False) -> str:
     """DuckDB oracle for C2 — same fragments, SQL joins."""
     frags = _cable_fragments(
         "a1.elec_length_x_m", "a1.elec_length_y_m",
         "a2.elec_length_x_m", "a2.elec_length_y_m",
     )
+    if gated:
+        frags = _gate_frags(frags)
     cols = ", ".join(
         f"{frags[c]} AS {c}" if c in frags else f"v.{c}" for c in vis_columns
     )
@@ -152,7 +207,8 @@ def _digital_fragments(g1x: str, g1y: str, g2x: str, g2y: str) -> dict[str, str]
     }
 
 
-def correct_digital_gains(vis: DataFrame, digital_gains: DataFrame) -> DataFrame:
+def correct_digital_gains(vis: DataFrame, digital_gains: DataFrame,
+                          gated: bool = False) -> DataFrame:
     """C4 — divide each pol by the product of the two antennas' digital
     gains for the coarse channel (reference correct_digital_gains,
     src/corrections.rs:324-424); gains come from the metafits per
@@ -167,14 +223,19 @@ def correct_digital_gains(vis: DataFrame, digital_gains: DataFrame) -> DataFrame
     ))
     joined = vis.join(g1, ["ant1", "cc"]).join(g2, ["ant2", "cc"])
     frags = _digital_fragments("_g1x", "_g1y", "_g2x", "_g2y")
+    if gated:
+        frags = _gate_frags(frags)
     return joined.select(
         *[F.expr(frags[c]).alias(c) if c in frags else F.col(c) for c in vis.columns]
     )
 
 
 def digital_oracle_select(vis: str = "vis", gains: str = "digital_gains",
-                          vis_columns: tuple[str, ...] = ()) -> str:
+                          vis_columns: tuple[str, ...] = (),
+                          gated: bool = False) -> str:
     frags = _digital_fragments("g1.gain_x", "g1.gain_y", "g2.gain_x", "g2.gain_y")
+    if gated:
+        frags = _gate_frags(frags)
     cols = ", ".join(
         f"{frags[c]} AS {c}" if c in frags else f"v.{c}" for c in vis_columns
     )
@@ -257,7 +318,8 @@ def fine_gains_values_sql(rows: list[tuple[int, float]]) -> str:
     )
 
 
-def correct_passband_gains(vis: DataFrame, fine_gains: DataFrame) -> DataFrame:
+def correct_passband_gains(vis: DataFrame, fine_gains: DataFrame,
+                           gated: bool = False) -> DataFrame:
     """C5 — PFB passband correction (reference
     correct_coarse_passband_gains, src/corrections.rs:453-522): per fine
     channel within each coarse, vis /= gain and weight *= gain. ``fine_gains``
@@ -265,14 +327,19 @@ def correct_passband_gains(vis: DataFrame, fine_gains: DataFrame) -> DataFrame:
     g = F.broadcast(fine_gains.select("fc", F.col("gain").alias("_pg")))
     joined = vis.join(g, "fc")
     frags = _passband_fragments("_pg")
+    if gated:
+        frags = _gate_frags(frags)
     return joined.select(
         *[F.expr(frags[c]).alias(c) if c in frags else F.col(c) for c in vis.columns]
     )
 
 
 def passband_oracle_select(vis: str = "vis", fine_gains: str = "fine_gains",
-                           vis_columns: tuple[str, ...] = ()) -> str:
+                           vis_columns: tuple[str, ...] = (),
+                           gated: bool = False) -> str:
     frags = _passband_fragments("g.gain")
+    if gated:
+        frags = _gate_frags(frags)
     cols = ", ".join(
         f"{frags[c]} AS {c}" if c in frags else f"v.{c}" for c in vis_columns
     )
@@ -317,6 +384,7 @@ def select_passband_gains(option: str | None, mwa_version: str,
 
 
 __all__ = [
+    "GATE_COL", "cell_gate", "attach_cell_gate", "cell_gate_oracle_select",
     "correct_cable_lengths", "cable_oracle_select",
     "correct_geometry", "geom_oracle_select",
     "correct_digital_gains", "digital_oracle_select",

@@ -241,12 +241,24 @@ def mo_baked_ctes(lineitem: str = "lineitem", ssins: bool = False,
     flagged = flags.set_flags_oracle_select(
         "vis", "ts_flags", "bl_flags", fc_pred, cols)
     bl_f = flags.baseline_flags_oracle_select("antennas")
-    cable = corrections.cable_oracle_select("flagged", "antennas", cols)
+    # v0.18.0 flag gate (pipeline.baked_oracle_ctes pattern): C2/C4/C5
+    # leave fully-flagged (t, cc) cells raw. Global t is obs-unique, so
+    # the (t, cc) cell key needs no obs column; the gate is obs x T x CC
+    # rows — broadcast (hinted: the agg sits behind the multi-obs CTE
+    # fan-out, where Catalyst has no stats; DuckDB reads /*+ */ as a
+    # comment)
+    cols_g = tuple(cols) + (corrections.GATE_COL,)
+    gate = corrections.cell_gate_oracle_select("flagged")
+    flaggedg = (f"SELECT /*+ BROADCAST(g) */ f.*, g.{corrections.GATE_COL}"
+                f" FROM flagged f"
+                f" JOIN cell_gate g ON f.t = g.t AND f.cc = g.cc")
+    cable = corrections.cable_oracle_select("flaggedg", "antennas", cols_g,
+                                            gated=True)
     digital = corrections.digital_oracle_select(
-        "cabled", "digital_gains", cols)
+        "cabled", "digital_gains", cols_g, gated=True)
     fine_gains = corrections.fine_gains_values_sql(pipeline.FINE_GAIN_ROWS)
     passband = corrections.passband_oracle_select(
-        "digitald", "fine_gains", cols)
+        "digitald", "fine_gains", cols, gated=True)
     rfi_ctes = ""
     geom_in = "passbanded"
     if ssins:
@@ -286,6 +298,8 @@ def mo_baked_ctes(lineitem: str = "lineitem", ssins: bool = False,
         f" part_uvw AS ({mo_part_uvw_cte(n_obs)}),"
         f" calsols AS ({syn.CALSOLS_SQL}),"
         f" flagged AS ({flagged}),"
+        f" cell_gate AS ({gate}),"
+        f" flaggedg AS ({flaggedg}),"
         f" cabled AS ({cable}),"
         f" digitald AS ({digital}),"
         f" passbanded AS ({passband}),"

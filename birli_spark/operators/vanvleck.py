@@ -344,13 +344,21 @@ def auto_sigmas(vis: DataFrame, sample_scale: float,
 
 
 def correct_van_vleck(vis: DataFrame, sample_scale: float,
-                      flagged_ants: list[int] | None = None) -> DataFrame:
+                      flagged_ants: list[int] | None = None,
+                      gate_col: str | None = None) -> DataFrame:
     """Full C1: sigma table → double join → vectorized cross/auto solve.
 
     ``sample_scale`` = fine_chan_width_hz * int_time_ms / 500 * bscale
     (get_vv_sample_scale, src/van_vleck.rs:318-329).
     Rows whose sigma is unavailable (flagged ant / missing auto) pass
     through unchanged, like the reference's ``_ => {}`` arm (:305).
+
+    ``gate_col`` names a boolean cell-all-flagged column on ``vis``
+    (corrections.attach_cell_gate): rows of fully-flagged (t, cc) cells
+    pass through raw, matching v0.18.0's unflagged-timestep-range gate
+    (src/preprocessing.rs:249-253). Gated cells' autos still feed the
+    sigma table — harmless, since a cell's sigma is only consumed by
+    that same cell's (masked) rows.
     """
     # both join sides consume the sigma table — persist so the Newton
     # solve (groupBy + mapInPandas over all autos) runs once, not twice
@@ -364,14 +372,14 @@ def correct_van_vleck(vis: DataFrame, sample_scale: float,
     joined = (vis.join(s1, ["t", "chan", "ant1"], "left")
                  .join(s2, ["t", "chan", "ant2"], "left"))
     out_cols = list(vis.columns)
-    schema = ", ".join(
-        {
-            "t": "t int", "ant1": "ant1 int", "ant2": "ant2 int",
-            "bl": "bl int", "cc": "cc int", "fc": "fc int", "chan": "chan int",
-            "flag": "flag boolean",
-        }.get(c, f"{c} double")
-        for c in out_cols
-    )
+    int_or_bool = {
+        "t": "t int", "ant1": "ant1 int", "ant2": "ant2 int",
+        "bl": "bl int", "cc": "cc int", "fc": "fc int", "chan": "chan int",
+        "flag": "flag boolean",
+    }
+    if gate_col is not None:
+        int_or_bool[gate_col] = f"{gate_col} boolean"
+    schema = ", ".join(int_or_bool.get(c, f"{c} double") for c in out_cols)
 
     def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in batches:
@@ -385,6 +393,10 @@ def correct_van_vleck(vis: DataFrame, sample_scale: float,
             s2y = pdf_["_s2y"].to_numpy()
             have1 = np.isfinite(s1x)
             have2 = np.isfinite(s2x)
+            if gate_col is not None:
+                ungated = ~pdf_[gate_col].to_numpy(dtype=bool)
+                have1 = have1 & ungated
+                have2 = have2 & ungated
             vals = {c: pdf_[c].to_numpy(dtype=np.float64).copy() for c in VIS_COLS}
 
             # --- unflagged autos (src/van_vleck.rs:230-266)

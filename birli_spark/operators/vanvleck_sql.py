@@ -560,6 +560,8 @@ def van_vleck_wide_steps(d: str, scale: float,
                          flagged_ants: tuple[int, ...] = (3,),
                          lineitem: str = "lineitem",
                          out: str = "vvwide",
+                         gate: str | None = None,
+                         gate_ctes: tuple[tuple[str, str], ...] = (),
                          ) -> tuple[list[tuple[str, str]], set[str]]:
     """:func:`van_vleck_steps` extended back to the WIDE vis layout for
     pipeline composition: the per-component melt is pivoted on the row
@@ -567,7 +569,13 @@ def van_vleck_wide_steps(d: str, scale: float,
     back to the scan-side ``visr`` for the carried dimension columns
     (bl, cc, fc, freq_hz, ts_gps, weight, flag). The closing relation
     ``out`` has the standard vis schema with Van-Vleck-corrected,
-    f32-demoted pol values — the drop-in head of the preprocess chain."""
+    f32-demoted pol values — the drop-in head of the preprocess chain.
+
+    ``gate`` names a (t, cc, _caf) relation (plus any ``gate_ctes``
+    defining it, spliced before the assembly): when set, rows of
+    fully-flagged (t, cc) cells pass through RAW — the v0.18.0
+    unflagged-timestep-range correction gate
+    (src/preprocessing.rs:249-253, RELEASES.md:17-19)."""
     from birli_spark.sources import synthetic as syn
 
     steps, final, barriers = van_vleck_steps(d, scale, flagged_ants,
@@ -592,7 +600,7 @@ def van_vleck_wide_steps(d: str, scale: float,
     # per-component broadcast joins to the lattice-sized solve table —
     # no melt-pivot fact shuffle on the output path
     hint = "/*+ BROADCAST(" + ", ".join(
-        f"sv_{c}" for c in _COMPS) + ") */ "
+        [f"sv_{c}" for c in _COMPS] + (["g"] if gate else [])) + ") */ "
     jw_cols = []
     joins = []
     for c in _COMPS:
@@ -627,8 +635,10 @@ def van_vleck_wide_steps(d: str, scale: float,
                "xx_im": "0E0", "yy_im": "0E0"}.get(c)
         auto_arm = (f" WHEN jw.is_auto AND jw.have1 THEN {arm}"
                     if arm is not None else "")
+        gate_arm = (f" WHEN COALESCE(g._caf, FALSE) THEN jw.v_{c}"
+                    if gate else "")
         val_cols.append(
-            f"CAST(CAST((CASE{auto_arm}"
+            f"CAST(CAST((CASE{gate_arm}{auto_arm}"
             f" WHEN {solve} THEN {sc} * (CASE WHEN jw.is_auto"
             f" AND '{c}' = 'yx_im' THEN 0E0 - ({kval})"
             f" ELSE {kval} END)"
@@ -636,7 +646,9 @@ def van_vleck_wide_steps(d: str, scale: float,
     v_keep = ", ".join(f"{c} AS v_{c}" for c in _COMPS)
     aok = ("COALESCE(NOT (khr > s1x * s1y OR khi > s1x * s1y), FALSE)"
            " AS aok")
-    steps = steps + [
+    gate_join = (f" LEFT JOIN {gate} g ON jw.t = g.t AND jw.cc = g.cc"
+                 if gate else "")
+    steps = steps + list(gate_ctes) + [
         ("jw",
          f"SELECT rk, t, chan, ant1, ant2, {other_list}, {v_keep},"
          f" s1x, s1y, s2x, s2y, is_auto, have1, have2, {aok},"
@@ -649,19 +661,22 @@ def van_vleck_wide_steps(d: str, scale: float,
          f"SELECT {hint}"
          + ", ".join(f"jw.{c}" for c in other) + ", "
          + ", ".join(val_cols)
-         + " FROM jw" + "".join(joins)),
+         + " FROM jw" + "".join(joins) + gate_join),
     ]
     return steps, barriers
 
 
 def van_vleck_spark_wide(spark, sf_dir: str, scale: float,
-                         flagged_ants: tuple[int, ...] = (3,)):
+                         flagged_ants: tuple[int, ...] = (3,),
+                         gate: str | None = None):
     """Wide-layout relational C1 on Spark (see :func:`van_vleck_spark`
-    for the barrier strategy) — returns the corrected vis DataFrame."""
+    for the barrier strategy) — returns the corrected vis DataFrame.
+    ``gate`` names a pre-registered (t, cc, _caf) temp view (the caller
+    checkpoints it — pipeline.preprocess_full_rel)."""
     spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
          .createOrReplaceTempView("c1rel_lineitem")
     steps, barriers = van_vleck_wide_steps(
-        X.SPARK, scale, flagged_ants, "c1rel_lineitem")
+        X.SPARK, scale, flagged_ants, "c1rel_lineitem", gate=gate)
     df = None
     for name, body in steps:
         df = spark.sql(body)

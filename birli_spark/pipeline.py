@@ -49,19 +49,31 @@ def rule_flags(spark: SparkSession, vis: DataFrame) -> DataFrame:
 def preprocess_baked(spark: SparkSession, sf_dir: str,
                      vis: DataFrame | None = None,
                      ssins_rfi: bool = False,
-                     st_rfi: bool = False) -> DataFrame:
+                     st_rfi: bool = False,
+                     gate: DataFrame | None = None) -> DataFrame:
     """Pipeline up to (and including) flag→weight baking, before the
     averaging shuffle — the corrections chain fused as one projection.
     ``vis`` overrides the default scan (used by picket-fence ranges).
     Output keeps the u/v/w columns the geometry stage emits (consumed by
-    the UVFITS sink)."""
+    the UVFITS sink).
+
+    C2/C4/C5 run under the v0.18.0 flag gate (corrections only touch
+    unflagged (t, cc) cells — RELEASES.md:17-19,
+    src/preprocessing.rs:249-253); ``gate`` supplies a precomputed
+    (t, cc, _caf) relation (the full-relational pipeline reuses its
+    pre-Van-Vleck gate so the gate aggregate never re-executes the
+    Van Vleck chain)."""
     if vis is None:
         vis = syn.load_vis(spark, sf_dir)
     vis = rule_flags(spark, vis)
-    vis = corrections.correct_cable_lengths(vis, syn.load_dim(spark, "antennas"))
-    vis = corrections.correct_digital_gains(vis, syn.load_dim(spark, "digital_gains"))
+    vis = corrections.attach_cell_gate(vis, gate=gate)
+    vis = corrections.correct_cable_lengths(
+        vis, syn.load_dim(spark, "antennas"), gated=True)
+    vis = corrections.correct_digital_gains(
+        vis, syn.load_dim(spark, "digital_gains"), gated=True)
     fine_gains = spark.sql(corrections.fine_gains_values_sql(FINE_GAIN_ROWS))
-    vis = corrections.correct_passband_gains(vis, fine_gains)
+    vis = corrections.correct_passband_gains(vis, fine_gains, gated=True)
+    vis = vis.drop(corrections.GATE_COL)
     if ssins_rfi:
         # all-relational RFI where the reference runs AOFlagger
         # (after passband, before geometry — src/preprocessing.rs:291-329);
@@ -123,8 +135,9 @@ def preprocess(spark: SparkSession, sf_dir: str,
 def preprocess_full(spark: SparkSession, sf_dir: str,
                     avg_time: int = AVG_TIME, avg_freq: int = AVG_FREQ) -> DataFrame:
     """The complete pipeline including the UDF islands, in reference order
-    (README.md:498-543): Van Vleck → rule flags → cable → digital →
-    passband → SumThreshold RFI → geometry → calibration → bake → average.
+    (README.md:498-543): rule flags → Van Vleck → cable → digital →
+    passband → SumThreshold RFI → geometry → calibration → bake → average
+    (C1–C5 under the v0.18.0 flag gate).
 
     Uses the legacy vis variant whose autos are sighat-encoded (the valid
     Van Vleck domain). No SQL oracle — the islands are iterative; the
@@ -132,13 +145,23 @@ def preprocess_full(spark: SparkSession, sf_dir: str,
     """
     from birli_spark.operators import rfi, vanvleck
 
+    # flag rules precede the corrections so the v0.18.0 gate can read
+    # them — the reference initializes flag_array before its correction
+    # loop and gates every correction (incl. Van Vleck) on the cell's
+    # unflagged timestep ranges (src/preprocessing.rs:249-253)
     vis = syn.load_vis_legacy(spark, sf_dir)
-    vis = vanvleck.correct_van_vleck(vis, syn.VV_SAMPLE_SCALE, flagged_ants=[3])
     vis = rule_flags(spark, vis)
-    vis = corrections.correct_cable_lengths(vis, syn.load_dim(spark, "antennas"))
-    vis = corrections.correct_digital_gains(vis, syn.load_dim(spark, "digital_gains"))
+    vis = corrections.attach_cell_gate(vis)
+    vis = vanvleck.correct_van_vleck(vis, syn.VV_SAMPLE_SCALE,
+                                     flagged_ants=[3],
+                                     gate_col=corrections.GATE_COL)
+    vis = corrections.correct_cable_lengths(
+        vis, syn.load_dim(spark, "antennas"), gated=True)
+    vis = corrections.correct_digital_gains(
+        vis, syn.load_dim(spark, "digital_gains"), gated=True)
     fine_gains = spark.sql(corrections.fine_gains_values_sql(FINE_GAIN_ROWS))
-    vis = corrections.correct_passband_gains(vis, fine_gains)
+    vis = corrections.correct_passband_gains(vis, fine_gains, gated=True)
+    vis = vis.drop(corrections.GATE_COL)
     vis = rfi.flag_rfi(vis)
     vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
     vis = calibration.apply_di_calsol(vis, syn.load_dim(spark, "calsols"), CAL_RATIO)
@@ -158,26 +181,48 @@ def preprocess_full_rel(spark: SparkSession, sf_dir: str,
     CLI; this is the oracle-checkable spelling of the same pipeline."""
     from birli_spark.operators import vanvleck_sql
 
+    # v0.18.0 gate computed ONCE from the pre-correction flag state
+    # (flags never depend on pol values and Van Vleck carries the flag
+    # column through unchanged, so pre-VV == post-VV gate), then
+    # checkpointed: the gate aggregate never re-executes the Van Vleck
+    # chain, and the VV assembly and the C2–C5 chain share one
+    # dimension-sized relation
+    gate_df = corrections.cell_gate(
+        rule_flags(spark, syn.load_vis_legacy(spark, sf_dir))) \
+        .coalesce(1).localCheckpoint(eager=True)
+    gate_df.createOrReplaceTempView("vv_gate")
     wide = vanvleck_sql.van_vleck_spark_wide(
-        spark, sf_dir, syn.VV_SAMPLE_SCALE, (3,))
-    baked = preprocess_baked(spark, sf_dir, vis=wide, st_rfi=True)
+        spark, sf_dir, syn.VV_SAMPLE_SCALE, (3,), gate="vv_gate")
+    baked = preprocess_baked(spark, sf_dir, vis=wide, st_rfi=True,
+                             gate=gate_df)
     return averaging.average_time_freq(baked, avg_time, avg_freq)
 
 
 def preprocess_full_oracle_sql(avg_time: int = AVG_TIME,
                                avg_freq: int = AVG_FREQ) -> str:
-    """DuckDB one-text twin of :func:`preprocess_full_rel`."""
+    """DuckDB one-text twin of :func:`preprocess_full_rel`. The flag-dim
+    CTEs are hoisted BEFORE the Van Vleck chain so its v0.18.0 gate
+    (``vv_gate``, computed from the pre-correction flag state over the
+    legacy-encoded vis) can reference them."""
     from birli_spark.functions import textsql as X
     from birli_spark.operators import vanvleck_sql
 
+    fc_pred = flags.fine_channel_pred_sql(syn.NUM_FC, n_edge=N_EDGE,
+                                          is_legacy=IS_LEGACY)
+    gate_ctes = (
+        ("vvgf", flags.set_flags_oracle_select(
+            "vvvis", "ts_flags", "bl_flags", fc_pred, ("t", "cc", "flag"))),
+        ("vv_gate", corrections.cell_gate_oracle_select("vvgf")),
+    )
     steps, _ = vanvleck_sql.van_vleck_wide_steps(
-        X.DUCK, syn.VV_SAMPLE_SCALE, (3,))
+        X.DUCK, syn.VV_SAMPLE_SCALE, (3,), gate="vv_gate",
+        gate_ctes=gate_ctes)
     pre = ",\n".join(
         f"{n} AS {'MATERIALIZED ' if n == 'm1' else ''}({b})"
         for n, b in steps)
     baked = baked_oracle_ctes(pre_ctes=pre + ",",
                               vis_cte="SELECT * FROM vvwide",
-                              st_rfi=True)
+                              st_rfi=True, dims_before_pre=True)
     avg = averaging.averaging_oracle_select("baked", avg_time, avg_freq)
     return f"WITH {baked} {avg}"
 
@@ -190,11 +235,14 @@ def _flag_ctes() -> str:
 
 
 def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS, vis_where: str = "",
-                           vis_cte: str | None = None) -> str:
+                           vis_cte: str | None = None,
+                           include_dims: bool = True) -> str:
     """CTE chain: vis → rule-flagged vis (shared by several oracles).
     ``vis_where`` restricts the scan (picket-fence channel ranges);
     ``vis_cte`` overrides the vis body (e.g. the Van-Vleck-corrected
-    relation for the full-pipeline oracle)."""
+    relation for the full-pipeline oracle). ``include_dims=False`` omits
+    the antennas/timesteps/flag-dim CTEs (for callers that hoisted them
+    earlier in the WITH chain)."""
     fc_pred = flags.fine_channel_pred_sql(syn.NUM_FC, n_edge=N_EDGE, is_legacy=IS_LEGACY)
     flagged = flags.set_flags_oracle_select(
         "vis", "ts_flags", "bl_flags", fc_pred, vis_columns)
@@ -202,18 +250,22 @@ def flagged_vis_oracle_cte(vis_columns=syn.VIS_COLUMNS, vis_where: str = "",
         vis_cte = syn.vis_sql()
     if vis_where:
         vis_cte = f"SELECT * FROM ({vis_cte}) WHERE {vis_where}"
-    return (
-        f"vis AS ({vis_cte}),"
+    dims = (
         f" antennas AS ({syn.ANTENNAS_SQL}),"
         f" timesteps AS ({syn.TIMESTEPS_SQL}),"
         f" {_flag_ctes()},"
+    ) if include_dims else ""
+    return (
+        f"vis AS ({vis_cte}),"
+        f"{dims}"
         f" flagged AS ({flagged})"
     )
 
 
 def baked_oracle_ctes(vis_where: str = "", ssins_rfi: bool = False,
                       pre_ctes: str = "", vis_cte: str | None = None,
-                      st_rfi: bool = False) -> str:
+                      st_rfi: bool = False,
+                      dims_before_pre: bool = False) -> str:
     """CTE chain vis → … → ``baked`` (the pre-averaging pipeline state,
     incl. u/v/w from the geometry stage). With ``ssins_rfi`` the SSINS
     CTE chain (operators/ssins.py) is spliced in after the passband
@@ -225,10 +277,21 @@ def baked_oracle_ctes(vis_where: str = "", ssins_rfi: bool = False,
     chain) before the rule-flag stage."""
     cols = syn.VIS_COLUMNS
     cols_uvw = tuple(cols) + ("u", "v", "w")
-    cable = corrections.cable_oracle_select("flagged", "antennas", cols)
-    digital = corrections.digital_oracle_select("cabled", "digital_gains", cols)
+    # v0.18.0 flag gate: C2/C4/C5 leave fully-flagged (t, cc) cells raw —
+    # the gate column rides along through cable/digital and is dropped by
+    # the passband select's output list
+    cols_g = tuple(cols) + (corrections.GATE_COL,)
+    gate = corrections.cell_gate_oracle_select("flagged")
+    flaggedg = (f"SELECT /*+ BROADCAST(g) */ f.*, g.{corrections.GATE_COL}"
+                f" FROM flagged f"
+                f" JOIN cell_gate g ON f.t = g.t AND f.cc = g.cc")
+    cable = corrections.cable_oracle_select("flaggedg", "antennas", cols_g,
+                                            gated=True)
+    digital = corrections.digital_oracle_select("cabled", "digital_gains",
+                                                cols_g, gated=True)
     fine_gains = corrections.fine_gains_values_sql(FINE_GAIN_ROWS)
-    passband = corrections.passband_oracle_select("digitald", "fine_gains", cols)
+    passband = corrections.passband_oracle_select("digitald", "fine_gains",
+                                                  cols, gated=True)
     geom_in = "rfid" if (ssins_rfi or st_rfi) else "passbanded"
     geom = corrections.geom_oracle_select(geom_in, "part_uvw", cols)
     cal = calibration.calibration_oracle_select("geomed", "calsols", CAL_RATIO, cols_uvw)
@@ -271,13 +334,23 @@ def baked_oracle_ctes(vis_where: str = "", ssins_rfi: bool = False,
             f" JOIN st_maskr m ON p.ant1 = m.ant1 AND p.ant2 = m.ant2"
             f" AND p.t = m.t AND p.chan = m.chan),"
         )
+    dim_head = ""
+    if dims_before_pre:
+        # the pre-CTE chain (Van Vleck + its v0.18.0 gate) references
+        # the flag dims — hoist them in front of it
+        dim_head = (f"antennas AS ({syn.ANTENNAS_SQL}),"
+                    f" timesteps AS ({syn.TIMESTEPS_SQL}),"
+                    f" {_flag_ctes()}, ")
     return (
+        f"{dim_head}"
         f"{pre_ctes}"
-        f"{flagged_vis_oracle_cte(vis_where=vis_where, vis_cte=vis_cte)},"
+        f"{flagged_vis_oracle_cte(vis_where=vis_where, vis_cte=vis_cte, include_dims=not dims_before_pre)},"
         f" digital_gains AS ({syn.DIGITAL_GAINS_SQL}),"
         f" fine_gains AS ({fine_gains}),"
         f" part_uvw AS ({syn.PART_UVW_SQL}),"
         f" calsols AS ({syn.CALSOLS_SQL}),"
+        f" cell_gate AS ({gate}),"
+        f" flaggedg AS ({flaggedg}),"
         f" cabled AS ({cable}),"
         f" digitald AS ({digital}),"
         f" passbanded AS ({passband}),"
