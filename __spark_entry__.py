@@ -421,6 +421,29 @@ def _f9d_oracle_sql() -> str:
             f"{ctes}\n{final}")
 
 
+def _q_rfi_mwa(spark, sf_dir):
+    """F9e: the mwa-default AOFlagger ORCHESTRATION the reference FFIs
+    (src/flags.rs:354-437) — per-polarization iterative ladders with
+    timestep/channel-RMS thresholding and the frequency-downsampled
+    Gaussian re-fit, pol masks OR-joined, all-pol-zero flagging, SIR,
+    final timestep-RMS — as one hash-gated relational chain
+    (operators/rfi_sql.py::mwa_strategy_steps; numpy twin rfi.py::
+    mwa_strategy_mask_pols, flag-for-flag measured against the
+    reference's own cotter mwa-default golden in
+    tests/test_golden_mwa_flags.py)."""
+    cell, cols = _rfi_cell_view(spark, sf_dir)
+    cell.createOrReplaceTempView("f9e_cell")
+    return rfi_sql.mwa_strategy_spark(spark, "f9e_cell", prefix="f9e")
+
+
+def _f9e_oracle_sql() -> str:
+    ctes, final = rfi_sql.mwa_strategy_sql(
+        "cellv", "quantile_cont", prefix="f9e")
+    return (f"WITH {pipeline.flagged_vis_oracle_cte()},\n"
+            f"cellv AS ({rfi_sql.cell_dedup_select('flagged', _COLS)}),\n"
+            f"{ctes}\n{final}")
+
+
 def _f9c_oracle_sql() -> str:
     st_ctes, st_mask = rfi_sql.sumthreshold_parts(
         "cellv", "quantile_cont", prefix="f9c")
@@ -1651,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9b_rfi_sumthreshold_udf": _q_rfi_udf,
         "f9c_rfi_sir": _q_rfi_sir,
         "f9d_aoflagger_strategy": _q_rfi_strategy,
+        "f9e_rfi_mwa_strategy": _q_rfi_mwa,
         "pipeline_preprocess_full": _q_pipeline_full,
         "pipeline_preprocess_full_udf": _q_pipeline_full_udf,
         "s3_antenna_dim": _q_antenna_dim,
@@ -1918,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "f9_rfi_sumthreshold": _f9_oracle_sql(),
         "f9c_rfi_sir": _f9c_oracle_sql(),
         "f9d_aoflagger_strategy": _f9d_oracle_sql(),
+        "f9e_rfi_mwa_strategy": _f9e_oracle_sql(),
         # C1 relational Newton: the DuckDB one-text form of the exact
         # plan the Spark query executes (operators/vanvleck_sql.py)
         "c1_van_vleck": vanvleck_sql.van_vleck_wide_sql(

@@ -80,6 +80,8 @@ HEADLINE = [
     # comparison (the primary names are the hash-gated relational plans
     # as of round 3)
     "f9_rfi_sumthreshold",
+    # f9e: the mwa-default orchestration as a relational chain (r4)
+    "f9e_rfi_mwa_strategy",
     "d5b_embedding_neardup_brute",
     # round 3: write-STAGE benches — the executor-parallel physical
     # UVFITS and casacore-layout MS writes + byte read-back (the

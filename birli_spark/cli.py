@@ -66,6 +66,7 @@ class Context:
     precess: bool = False
     dut1: float = 0.0
     rfi_sensitivity: float = 6.0
+    rfi_strategy: str = "mwa"
     rfi_iterative: bool = False
     sir_eta: float | None = None
     ssins: bool = False
@@ -152,12 +153,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of the SumThreshold UDF island")
     p.add_argument("--ssins-threshold", type=float, default=5.0,
                    metavar="Z", help="SSINS robust z-score flag threshold")
-    p.add_argument("--aoflagger-strategy", type=str, default="default",
-                   help="RFI strategy preset: 'default' (sensitivity 6), "
-                        "'sensitive' (4.5), 'conservative' (8), or a "
-                        "numeric base sensitivity (the reference points "
-                        "this flag at a Lua strategy file; this engine's "
-                        "SumThreshold implementation exposes the "
+    p.add_argument("--aoflagger-strategy", type=str, default="mwa",
+                   help="RFI strategy: 'mwa' (DEFAULT — the mwa-default "
+                        "orchestration the reference FFIs via "
+                        "FindStrategyFileMWA, src/flags.rs:354-356: "
+                        "per-pol iterative ladders + timestep/channel "
+                        "RMS + downsampled re-fit + SIR, operators/"
+                        "rfi.py::flag_rfi_mwa), 'generic' (the generic "
+                        "iterative strategy, flag_rfi_strategy), "
+                        "'default' (plain SumThreshold at sensitivity "
+                        "6), 'sensitive' (4.5), 'conservative' (8), or "
+                        "a numeric base sensitivity (the reference "
+                        "points this flag at a Lua strategy file; this "
+                        "engine's implementation exposes the "
                         "strategy's sensitivity knob)")
     p.add_argument("--no-cable-delay", action="store_true")
     p.add_argument("--no-digital-gains", action="store_true")
@@ -248,7 +256,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 _STRATEGY_SENSITIVITY = {"default": 6.0, "sensitive": 4.5,
-                         "conservative": 8.0}
+                         "conservative": 8.0, "mwa": 6.0,
+                         "generic": 6.0}
 
 
 def _strategy_sensitivity(strategy: str) -> float:
@@ -326,6 +335,9 @@ def parse_args(argv: list[str]) -> Context:
         dump_csv=a.dump_csv, dump_mode=a.dump_mode,
         no_rfi=a.no_rfi,
         rfi_sensitivity=_strategy_sensitivity(a.aoflagger_strategy),
+        rfi_strategy=(a.aoflagger_strategy
+                      if a.aoflagger_strategy in ("mwa", "generic")
+                      else "sumthreshold"),
         rfi_iterative=a.rfi_iterative,
         sir_eta=a.sir_eta,
         ssins=a.ssins, ssins_threshold=a.ssins_threshold,
@@ -465,9 +477,16 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
         if ctx.ssins:
             from birli_spark.operators import ssins as ssins_op
             vis = ssins_op.ssins_flag_vis(vis, threshold=ctx.ssins_threshold)
-        elif ctx.rfi_iterative:
+        elif ctx.rfi_iterative or ctx.rfi_strategy == "generic":
             from birli_spark.operators import rfi
             vis = rfi.flag_rfi_strategy(
+                vis, base_sensitivity=ctx.rfi_sensitivity,
+                eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2)
+        elif ctx.rfi_strategy == "mwa":
+            # the reference's DEFAULT: FindStrategyFileMWA ->
+            # mwa-default.lua via FFI (src/flags.rs:354-437)
+            from birli_spark.operators import rfi
+            vis = rfi.flag_rfi_mwa(
                 vis, base_sensitivity=ctx.rfi_sensitivity,
                 eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2)
         else:

@@ -83,10 +83,14 @@ def sumthreshold_mask(img: np.ndarray, base_sensitivity: float = 6.0,
     chi1 = base_sensitivity * sigma
     for m in WINDOWS:
         chi = chi1 / (RHO ** np.log2(m))
-        _sumthreshold_1d(resid, work, m, chi)                  # time direction
-        ft = work.T.copy()
-        _sumthreshold_1d(resid.T.copy(), ft, m, chi)           # freq direction
-        work |= ft.T
+        # time direction (axis 0) first, then frequency — the SAME
+        # sequential order as the relational ladder
+        # (rfi_sql.sumthreshold_steps: per m, the t pass then the chan
+        # pass reading the t pass's work state)
+        tw = work.T.copy()
+        _sumthreshold_1d(resid.T.copy(), tw, m, chi)           # time
+        work = tw.T.copy()
+        _sumthreshold_1d(resid, work, m, chi)                  # freq
     return (work & present) | prior
 
 
@@ -250,10 +254,12 @@ def sumthreshold_ticks(x: np.ndarray, work0: np.ndarray,
     work = prior.copy()
     for m in WINDOWS:
         cq = _chi_ticks(sensitivity, m)
-        _st_1d_ticks(rq, work, m, cq)                 # time direction
-        ft = work.T.copy()
-        _st_1d_ticks(rq.T.copy(), ft, m, cq)          # freq direction
-        work |= ft.T
+        # time direction (axis 0) first, then frequency — sequential,
+        # matching rfi_sql.sumthreshold_steps' ladder order
+        tw = work.T.copy()
+        _st_1d_ticks(rq.T.copy(), tw, m, cq)          # time
+        work = tw.T.copy()
+        _st_1d_ticks(rq, work, m, cq)                 # freq
     return work
 
 
@@ -397,3 +403,265 @@ def sir_mask(flags: np.ndarray, eta: float = 0.2) -> np.ndarray:
     t_pass = sir_1d(np.asarray(flags, dtype=bool).T, eta).T
     f_pass = sir_1d(t_pass, eta)
     return t_pass | f_pass
+
+
+# -------------------------------- F9e: the mwa-default orchestration ---
+# The reference flags RFI by FFI-ing the REAL AOFlagger and loading its
+# installed mwa-default.lua (src/flags.rs:354-437; the goldens in
+# tests/data/1254670392_avg were produced by `cotter -flag-strategy
+# .../strategies/mwa-default.lua`, tests/data/README.md:394-412). f9e
+# composes the f9d primitives with that strategy's published
+# orchestration (aoflagger.readthedocs.io, "included strategies" /
+# data/strategies/*.lua):
+#
+#   per polarization (amplitude representation):
+#     for i in 1..iterations-1:
+#       factor = step^(iterations - i)
+#       SumThreshold at base_sensitivity * factor (time + freq)
+#       threshold_timestep_rms(3.5)   | computed from the same mask,
+#       threshold_channel_rms(3*factor, both sides) | then OR-joined
+#       background = masked Gaussian fit of the ORIGINAL image on the
+#         (time, chan/FREQ_RESIZE) downsampled grid, upsampled back
+#       residual = original - background
+#     SumThreshold at base_sensitivity
+#   join pol masks (OR); flag all-pol-zero samples;
+#   scale_invariant_rank_operator(eta, eta); threshold_timestep_rms(4.0)
+#
+# Byte parity with AOFlagger stays out of scope (float Gaussian kernel
+# vs integer ticks, Winsorized stats vs median/MAD); what is gated is
+# (a) cross-engine tick-exactness of THIS spelling (tests/
+# test_mwa_strategy.py) and (b) the measured flag-for-flag agreement
+# against the reference's own cotter mwa-default golden
+# (tests/test_golden_mwa_flags.py — ~98% of (bl, t, chan) cells,
+# residual concentrated at the legacy DC-spike channel where the
+# decision is threshold-marginal).
+
+#: published mwa-default orchestration constants
+MWA_FREQ_RESIZE = 3
+MWA_CH_RMS = 3.0
+MWA_TS_RMS = 3.5
+MWA_FINAL_TS_RMS = 4.0
+MWA_POLS = ("xx", "xy", "yx", "yy")
+
+
+def lowpass_resized_ticks(x: np.ndarray, unflagged: np.ndarray,
+                          rf: int = MWA_FREQ_RESIZE) -> np.ndarray:
+    """:func:`lowpass_ticks` on the (time, chan // rf)-downsampled grid,
+    replicated back (aoflagger downsample(1, rf, masked) ->
+    low_pass_filter -> upsample): per block, the masked mean in half-up
+    integer ticks; the separable kernels then run at group resolution
+    with the group-occupancy mask."""
+    if rf <= 1:
+        return lowpass_ticks(x, unflagged)
+    nt, nc = x.shape
+    ng = (nc + rf - 1) // rf
+    xm = np.where(unflagged, x, np.int64(0))
+    mi = unflagged.astype(np.int64)
+    xg = np.zeros((nt, ng), dtype=np.int64)
+    mg = np.zeros((nt, ng), dtype=np.int64)
+    for g in range(ng):
+        sl = slice(g * rf, min((g + 1) * rf, nc))
+        s = xm[:, sl].sum(axis=1)
+        m = mi[:, sl].sum(axis=1)
+        a = 2 * s + m
+        b = np.where(m > 0, 2 * m, np.int64(1))
+        xg[:, g] = np.where(m > 0, a // b, np.int64(0))
+        mg[:, g] = (m > 0).astype(np.int64)
+    gt = np.array(lp_kernel(LP_RADIUS_T, LP_SIGMA_T), dtype=np.int64)
+    gf = np.array(lp_kernel(LP_RADIUS_F, LP_SIGMA_F), dtype=np.int64)
+    num1 = np.zeros_like(xg)
+    den1 = np.zeros_like(xg)
+    for k, d in enumerate(range(-LP_RADIUS_T, LP_RADIUS_T + 1)):
+        lo, hi = max(0, -d), min(nt, nt - d)
+        if hi <= lo:
+            continue
+        num1[lo:hi] += gt[k] * (xg * mg)[lo + d:hi + d]
+        den1[lo:hi] += gt[k] * mg[lo + d:hi + d]
+    num = np.zeros_like(xg)
+    den = np.zeros_like(xg)
+    for k, d in enumerate(range(-LP_RADIUS_F, LP_RADIUS_F + 1)):
+        lo, hi = max(0, -d), min(ng, ng - d)
+        if hi <= lo:
+            continue
+        num[:, lo:hi] += gf[k] * num1[:, lo + d:hi + d]
+        den[:, lo:hi] += gf[k] * den1[:, lo + d:hi + d]
+    a = 2 * num + den
+    b = np.where(den > 0, 2 * den, np.int64(1))
+    bg_g = np.where(den > 0, a // b, np.int64(0))
+    idx = np.minimum(np.arange(nc) // rf, ng - 1)
+    return bg_g[:, idx]
+
+
+def _rms_lines(x: np.ndarray, ok: np.ndarray, axis: int) -> np.ndarray:
+    """f32 RMS of the integer image per line perpendicular to ``axis``
+    (axis=0 -> one value per channel, axis=1 -> per timestep): the sum
+    of squares is an exact BIGINT (association-free), the single
+    division + SQRT deterministic, demoted like every scalar both
+    engines must agree on. Empty lines -> NaN."""
+    sumsq = np.where(ok, x * x, np.int64(0)).sum(axis=axis)
+    n = ok.sum(axis=axis)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rms = _f32(np.sqrt(sumsq.astype(np.float64)
+                           / np.where(n > 0, n, 1)))
+    return np.where(n > 0, rms, np.nan)
+
+
+def _rms_outliers(rms: np.ndarray, thr: float, both: bool) -> np.ndarray:
+    """Lines whose RMS deviates more than ``thr`` robust sigmas from the
+    median line RMS (median/MAD in place of aoflagger's Winsorized
+    mean/stddev — the documented stand-in)."""
+    have = np.isfinite(rms)
+    if have.sum() < 2:
+        return np.zeros(rms.shape, bool)
+    med = float(_f32(np.median(rms[have])))
+    mad = float(_f32(np.median(np.abs(rms[have] - med))))
+    sig = 1.4826 * mad
+    if not (sig > 0.0 and np.isfinite(sig)):
+        return np.zeros(rms.shape, bool)
+    out = rms > med + thr * sig
+    if both:
+        out = out | (rms < med - thr * sig)
+    return np.where(have, out, False)
+
+
+def channel_rms_ticks(x: np.ndarray, work: np.ndarray,
+                      present: np.ndarray, thr: float) -> np.ndarray:
+    """aoflagger.threshold_channel_rms(thr, true): whole channels whose
+    unflagged RMS is an outlier (both sides)."""
+    return _rms_outliers(_rms_lines(x, ~work & present, 0), thr, True)
+
+
+def timestep_rms_ticks(x: np.ndarray, work: np.ndarray,
+                       present: np.ndarray, thr: float) -> np.ndarray:
+    """aoflagger.threshold_timestep_rms(thr): whole timesteps whose
+    unflagged RMS is a HIGH outlier."""
+    return _rms_outliers(_rms_lines(x, ~work & present, 1), thr, False)
+
+
+def mwa_strategy_mask(img: np.ndarray,
+                      base_sensitivity: float = 6.0,
+                      existing: np.ndarray | None = None,
+                      valid: np.ndarray | None = None,
+                      iterations: int = AOF_ITERS,
+                      step: float = AOF_STEP,
+                      rf: int = MWA_FREQ_RESIZE,
+                      ch_rms: float | None = MWA_CH_RMS,
+                      ts_rms: float | None = MWA_TS_RMS) -> np.ndarray:
+    """The single-polarization mwa-default iteration ladder (NO SIR and
+    no final timestep-RMS — those run once on the joined pol masks,
+    :func:`mwa_strategy_mask_pols`). Returns the pre-SIR mask for
+    present cells."""
+    img = np.asarray(img, dtype=np.float64)
+    present = (np.ones(img.shape, dtype=bool) if valid is None
+               else np.asarray(valid, dtype=bool))
+    prior = (np.zeros(img.shape, dtype=bool) if existing is None
+             else np.asarray(existing, dtype=bool))
+    x = standardize_ticks(img, present)
+    work = prior | ~present
+    resid = x
+    for i in range(1, iterations):
+        factor = step ** (iterations - i)
+        work = sumthreshold_ticks(resid, work, present,
+                                  base_sensitivity * factor)
+        if ts_rms is not None:
+            tm = timestep_rms_ticks(resid, work, present, ts_rms)
+            work = work | tm[:, None]
+        if ch_rms is not None:
+            cm = channel_rms_ticks(resid, work, present, ch_rms * factor)
+            work = work | cm[None, :]
+        bg = lowpass_resized_ticks(x, ~work & present, rf)
+        resid = x - bg
+    work = sumthreshold_ticks(resid, work, present, base_sensitivity)
+    return (work & present) | prior
+
+
+def mwa_strategy_mask_pols(pol_imgs: dict, *,
+                           base_sensitivity: float = 6.0,
+                           existing: np.ndarray | None = None,
+                           valid: np.ndarray | None = None,
+                           iterations: int = AOF_ITERS,
+                           step: float = AOF_STEP,
+                           rf: int = MWA_FREQ_RESIZE,
+                           ch_rms: float | None = MWA_CH_RMS,
+                           ts_rms: float | None = MWA_TS_RMS,
+                           final_ts_rms: float | None = MWA_FINAL_TS_RMS,
+                           eta: float | None = 0.2) -> np.ndarray:
+    """F9e — the full mwa-default orchestration over per-polarization
+    amplitude images: per-pol ladders OR-joined, all-pol-zero samples
+    flagged (aoflagger flag_zeros), SIR once on the joined mask, final
+    threshold_timestep_rms(4.0) over all (chan, pol) cells."""
+    shapes = {im.shape for im in pol_imgs.values()}
+    assert len(shapes) == 1
+    shape = shapes.pop()
+    present = (np.ones(shape, dtype=bool) if valid is None
+               else np.asarray(valid, dtype=bool))
+    prior = (np.zeros(shape, dtype=bool) if existing is None
+             else np.asarray(existing, dtype=bool))
+    det = np.zeros(shape, dtype=bool)
+    for p in MWA_POLS:
+        det |= mwa_strategy_mask(
+            pol_imgs[p], base_sensitivity, existing=prior, valid=present,
+            iterations=iterations, step=step, rf=rf, ch_rms=ch_rms,
+            ts_rms=ts_rms)
+    zeros = np.ones(shape, dtype=bool)
+    for p in MWA_POLS:
+        zeros &= np.asarray(pol_imgs[p], dtype=np.float64) == 0.0
+    det |= zeros & present
+    if eta is not None:
+        det = sir_mask(det, eta)
+    if final_ts_rms is not None:
+        # joint RMS per timestep over every (chan, pol) unflagged cell
+        ok = ~det & ~prior & present
+        sumsq = np.zeros(shape[0], dtype=np.int64)
+        n = np.zeros(shape[0], dtype=np.int64)
+        for p in MWA_POLS:
+            xp = standardize_ticks(
+                np.asarray(pol_imgs[p], dtype=np.float64), present)
+            sumsq += np.where(ok, xp * xp, np.int64(0)).sum(axis=1)
+            n += ok.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rms = _f32(np.sqrt(sumsq.astype(np.float64)
+                               / np.where(n > 0, n, 1)))
+        tm = _rms_outliers(np.where(n > 0, rms, np.nan),
+                           final_ts_rms, False)
+        det = det | tm[:, None]
+    return (det & present) | (prior & present)
+
+
+def flag_rfi_mwa(vis: DataFrame, base_sensitivity: float = 6.0,
+                 eta: float | None = 0.2) -> DataFrame:
+    """F9e as the 100 TB UDF island (same shape as
+    :func:`flag_rfi_strategy`): per-baseline polarization images via ONE
+    ``groupBy(ant1, ant2).applyInPandas`` shuffle, each run through the
+    mwa-default orchestration; the joined mask ORs into ``flag``."""
+    cols = list(vis.columns)
+    schema = vis.schema
+
+    def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(pdf["t"].unique())
+        chans = np.sort(pdf["chan"].unique())
+        t_idx = {v: i for i, v in enumerate(ts)}
+        c_idx = {v: i for i, v in enumerate(chans)}
+        rows = pdf["t"].map(t_idx).to_numpy()
+        cs = pdf["chan"].map(c_idx).to_numpy()
+        shape = (len(ts), len(chans))
+        pol_imgs = {}
+        for p in MWA_POLS:
+            re = pdf[f"{p}_re"].to_numpy(dtype=np.float64)
+            im = pdf[f"{p}_im"].to_numpy(dtype=np.float64)
+            img = np.zeros(shape, dtype=np.float64)
+            img[rows, cs] = np.hypot(re, im)
+            pol_imgs[p] = img
+        present = np.zeros(shape, dtype=bool)
+        present[rows, cs] = True
+        prior = np.zeros(shape, dtype=bool)
+        prior[rows, cs] = pdf["flag"].to_numpy(dtype=bool)
+        mask = mwa_strategy_mask_pols(
+            pol_imgs, base_sensitivity=base_sensitivity,
+            existing=prior, valid=present, eta=eta)
+        out = pdf.copy()
+        out["flag"] = pdf["flag"].to_numpy(dtype=bool) | mask[rows, cs]
+        return out[cols]
+
+    return vis.groupBy("ant1", "ant2").applyInPandas(per_baseline,
+                                                     schema=schema)

@@ -1,0 +1,113 @@
+"""F9e golden: flag-for-flag comparison against the reference's own
+cotter mwa-default run.
+
+The reference flags RFI by FFI-ing the real AOFlagger with its
+installed mwa-default.lua (src/flags.rs:354-437). Its committed fixture
+`tests/data/1254670392_avg/1254670392.cotter.none.uvfits.csv` is the
+CSV dump of `cotter -flag-strategy .../strategies/mwa-default.lua` on
+the real (full-obs, averaged-to-2s/40kHz) 1254670392 visibilities with
+every correction and preflag disabled (tests/data/README.md:394-412):
+the dumped vis are exactly what the flagger saw, and the weight SIGNS
+are its per-(baseline, timestep, channel) flag decisions — 11 cross
+baselines x 2 timesteps x 768 channels of real-data golden flags.
+
+Byte parity with AOFlagger is out of scope (float Gaussian kernel and
+Winsorized statistics vs our integer ticks and median/MAD); this test
+MEASURES the agreement of the f9e orchestration and pins it as a
+regression gate. Measured at the published defaults (rf=3, chi_1=6
+sigma): 0.9804 of cells agree; disagreements concentrate at the legacy
+DC-spike channel (chan % 32 == 16) where the decision is
+threshold-marginal, and at isolated single-cell margins.
+"""
+
+from __future__ import annotations
+
+import csv
+import pathlib
+
+import numpy as np
+import pytest
+
+from birli_spark.operators import rfi
+
+GOLDEN_CSV = pathlib.Path(
+    "/root/reference/tests/data/1254670392_avg/"
+    "1254670392.cotter.none.uvfits.csv")
+
+needs_golden = pytest.mark.skipif(not GOLDEN_CSV.exists(),
+                                  reason="reference fixture not present")
+
+
+def load_golden():
+    """-> {(ant1, ant2): (pol amplitude images (2, 768), cotter flags)}"""
+    vis: dict = {}
+    wt: dict = {}
+    with GOLDEN_CSV.open() as f:
+        r = csv.reader(f)
+        next(r)
+        for row in r:
+            t, bl, pol, typ = (row[0].strip(), int(row[1]),
+                               row[5].strip(), row[6].strip())
+            vals = row[7:]
+            if typ == "vis":
+                vis[(t, bl, pol)] = np.array(
+                    [complex(v.strip().replace("(", "").replace(")", ""))
+                     for v in vals])
+            else:
+                wt[(t, bl, pol)] = np.array([float(v) for v in vals])
+    ts = sorted({k[0] for k in wt})
+    data = {}
+    for bl in sorted({k[1] for k in wt}):
+        a1, a2 = bl // 256, bl % 256
+        pol_imgs = {p: np.abs(np.stack([vis[(t, bl, p)] for t in ts]))
+                    for p in rfi.MWA_POLS}
+        flags = np.stack([wt[(t, bl, "xx")] < 0 for t in ts])
+        # flags are pol-joint in the dump (aoflagger masks are shared)
+        for p in ("xy", "yx", "yy"):
+            for i, t in enumerate(ts):
+                assert ((wt[(t, bl, p)] < 0) == flags[i]).all()
+        data[(a1, a2)] = (pol_imgs, flags)
+    return data
+
+
+@needs_golden
+def test_mwa_strategy_agreement_vs_cotter_golden():
+    data = load_golden()
+    tp = fp = fn = tn = 0
+    for (a1, a2), (pol_imgs, fl) in data.items():
+        if a1 == a2:
+            continue  # cotter never RFI-flags autos (-noflagautos)
+        det = rfi.mwa_strategy_mask_pols(pol_imgs)
+        tp += int((det & fl).sum())
+        fp += int((det & ~fl).sum())
+        fn += int((~det & fl).sum())
+        tn += int((~det & ~fl).sum())
+    n = tp + fp + fn + tn
+    agree = (tp + tn) / n
+    recall = tp / (tp + fn)
+    # measured 2026-08: agree=0.9804, recall=0.726, fp=212/16896 at the
+    # published defaults — regression gate with a small buffer
+    assert n == 11 * 2 * 768
+    assert agree >= 0.975, (agree, tp, fp, fn)
+    assert recall >= 0.65, (recall, tp, fn)
+    # the flagger must stay in the golden's order of magnitude: neither
+    # silent (no detections) nor storm-flagging
+    assert 0.015 <= (tp + fp) / n <= 0.06
+
+
+@needs_golden
+def test_mwa_strategy_autos_residual_confined_to_subband_edges():
+    """The auto (1, 1) has ZERO golden flags. Our strategy's documented
+    residual on autos: the steep PFB rolloff at the subband EDGE
+    channels outruns the integer Gaussian fit and gets flagged (cotter's
+    float fit tolerated it). Pin that the mid-subband body stays clean —
+    edge channels are F3-preflagged in any real pipeline (the reference
+    flags 80 kHz edges by default), so this residual is inert there."""
+    data = load_golden()
+    pol_imgs, fl = data[(1, 1)]
+    assert fl.sum() == 0
+    det = rfi.mwa_strategy_mask_pols(pol_imgs)
+    edgeish = {0, 1, 2, 3, 16, 28, 29, 30, 31}
+    body = np.array([c % 32 not in edgeish for c in range(768)])
+    assert det[:, body].mean() < 0.01, det[:, body].mean()
+    assert det.mean() < 0.25
