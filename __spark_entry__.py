@@ -83,6 +83,24 @@ def _q_select_ranges(spark, sf_dir):
         syn.load_vis(spark, sf_dir), t_min=2, t_max=10, coarse_chans=(0, 2))
 
 
+def _q_select_ranges_partitioned(spark, sf_dir):
+    """P1b — the SAME range selection over the MATERIALIZED cc-
+    partitioned parquet layout (sources/synthetic.py::
+    materialize_vis_partitioned): proves the 100 TB layout claim end to
+    end — the cc predicate becomes a PartitionFilters directory prune
+    (asserted on the plan in tests/test_partitioned_layout.py), and the
+    result hash-matches the derived-scan p1 oracle."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(),
+                       "birli_vis_cc_" + sf_dir.strip("/").replace("/", "_"))
+    syn.materialize_vis_partitioned(spark, sf_dir, out)
+    vis = spark.read.parquet(out).select(*syn.VIS_COLUMNS)
+    return selection.select_ranges(vis, t_min=2, t_max=10,
+                                   coarse_chans=(0, 2))
+
+
 def _q_retain_antennas(spark, sf_dir):
     return selection.retain_antennas(syn.load_vis(spark, sf_dir), (0, 1, 2))
 
@@ -1641,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_vis_scan": _q_vis_scan,
         "s2_missing_slabs": _q_missing_slabs,
         "p1_select_ranges": _q_select_ranges,
+        "p1b_partitioned_scan": _q_select_ranges_partitioned,
         "p2_retain_antennas": _q_retain_antennas,
         "p3_filter_flagged_ants": _q_filter_flagged_ants,
         "p4_filter_autos": _q_filter_autos,
@@ -1903,6 +1922,8 @@ def oracle_sql() -> dict[str, str]:
         "s1_vis_scan": syn.vis_sql(),
         "s2_missing_slabs": missing_slabs,
         "p1_select_ranges": _with_vis(
+            f"SELECT {cols} FROM vis WHERE t >= 2 AND t < 10 AND cc IN (0, 2)"),
+        "p1b_partitioned_scan": _with_vis(
             f"SELECT {cols} FROM vis WHERE t >= 2 AND t < 10 AND cc IN (0, 2)"),
         "p2_retain_antennas": _with_vis(
             f"SELECT {cols} FROM vis WHERE ant1 IN (0, 1, 2) AND ant2 IN (0, 1, 2)"),

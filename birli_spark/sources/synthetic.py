@@ -179,6 +179,20 @@ def load_dim(spark: SparkSession, name: str) -> DataFrame:
     return spark.sql(DIM_SQL[name])
 
 
+def materialize_vis_partitioned(spark: SparkSession, sf_dir: str,
+                                out_dir: str) -> str:
+    """Write the derived vis fact as REAL parquet PARTITIONED BY cc —
+    the 100 TB layout :func:`load_vis`'s docstring claims ("the fact
+    table would be real parquet partitioned by (cc, t)"): coarse-chan
+    predicates then prune whole directories at plan time
+    (PartitionFilters in the scan node) instead of reading and
+    filtering. tests/test_partitioned_layout.py asserts the pruning on
+    the physical plan; the p1b query keeps the layout oracle-gated."""
+    load_vis(spark, sf_dir).write.mode("overwrite") \
+        .partitionBy("cc").parquet(out_dir)
+    return out_dir
+
+
 #: Van Vleck sample scale for the synthetic obs: fine_chan_width_hz *
 #: int_time_ms / 500 * bscale(=0.5 legacy default) — reference
 #: get_vv_sample_scale, src/van_vleck.rs:318-329. 40kHz * 2000ms/500 = 160k.
