@@ -115,6 +115,11 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sys.argv[1:] if n in qs and n not in HEADLINE
     ]
+    # controlled-A/B hook (VERDICT r3 ask 3): restrict the measured list
+    # (comma-separated) without changing the session shape or warmup
+    override = os.environ.get("SPARK_GRAFT_QUERIES")
+    if override:
+        names = [n for n in override.split(",") if n in qs]
     # warm the JVM + parquet footers once with the cheapest query
     run_query(qs["s1_vis_scan"](spark, sf_dir).limit(1))
 

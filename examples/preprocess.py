@@ -68,11 +68,15 @@ def main(out_dir: str | None = None) -> dict:
     mwaf_paths = mwaf.write_mwaf_set(
         vis, mwaf_dir, obsid=1297526432, gps_start=syn.GPS_START)
 
-    # 5. corrections (cable + digital gains over the scanned table)
+    # 5. corrections under the v0.18.0 flag gate (cable + digital
+    # gains only touch unflagged (t, cc) cells; geometry is ungated,
+    # like the reference)
     from birli_spark.operators import corrections
-    vis = corrections.correct_cable_lengths(vis, ants)
+    vis = corrections.attach_cell_gate(vis)
+    vis = corrections.correct_cable_lengths(vis, ants, gated=True)
     vis = corrections.correct_digital_gains(
-        vis, syn.load_dim(spark, "digital_gains"))
+        vis, syn.load_dim(spark, "digital_gains"), gated=True)
+    vis = vis.drop(corrections.GATE_COL)
     vis = corrections.correct_geometry(vis, syn.load_dim(spark, "part_uvw"))
 
     # 6. bake + average (F10 + A1)

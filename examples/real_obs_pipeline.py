@@ -80,8 +80,11 @@ def run(out_dir: str, spark=None):
         ctx["n_fine_per_coarse"], n_edge=0, is_legacy=True)
     vis = flags.set_flags(vis, ts_f, bl_f, fc_pred)
 
-    # --- C2 cable correction with the real electrical lengths
-    vis = corrections.correct_cable_lengths(vis, ants)
+    # --- C2 cable correction with the real electrical lengths,
+    # under the v0.18.0 flag gate (fully-flagged cells stay raw)
+    vis = corrections.attach_cell_gate(vis)
+    vis = corrections.correct_cable_lengths(vis, ants, gated=True)
+    vis = vis.drop(corrections.GATE_COL)
 
     # --- F10 + A1: bake flags, average 2 timesteps x 2 fine chans
     baked = weights.bake_flags_into_weights(vis)

@@ -18,9 +18,17 @@ pair mass (every vector gains 9 exact copies), not a plan regression.
 The write-stage probes grow sublinearly: the averaged group grid is
 fixed, so 10× denser cells only thicken the map-side partials ahead of
 the same-size file write.
-Catalogue axis (round 3): mo1 at sf0.1 runs 3.6s with 3 obs and 2.5s
-with 12 obs warm — 4x the fact rows for no wall-clock growth (32 cores
-absorb the row mass; stage and shuffle counts are obs-invariant).
+Catalogue axis (round 4, probed to 48 obs): mo1 at sf0.1 runs 3.7s
+with 12 obs and 4.4s with 48 obs warm — 16x the fact rows of the 3-obs
+shape for ~flat wall-clock (32 cores absorb the row mass; stage and
+shuffle counts are obs-invariant). The MO4/MO5 WRITE stages, split
+rows-build vs write+byte-gate (clean single-job run):
+  mo4: rows 5.4/2.5/3.8s, write+gate 5.7/7.8/12.7s at 3/12/48 obs
+  mo5: rows 2.0/2.4/4.3s, write+gate 3.2/4.7/8.4s at 3/12/48 obs
+— the rows build is obs-flat; write+gate grows ~1.6-1.8x per 4x obs,
+and that growth is the GATE's driver-side byte read-back (one file per
+obs re-parsed for the hash check), not the distributed write itself —
+files/obs stay the parallel axis.
 **d5 is now the LSH-bucketed path (round 3): 3.6s at 50k vectors where
 the r2 brute-force baseline took 116s** — the signature/bucket join
 scales ~linearly while brute is O(N²); the brute form survives as
@@ -103,16 +111,39 @@ def main() -> None:
 
     # catalogue-axis probe: the multi-obs pipeline must scale ~linearly
     # in observation count (the obs axis is input splits only — no new
-    # stages, no new join keys)
+    # stages, no new join keys). Probed to 48 obs (r4 ask 6), with the
+    # MO4/MO5 WRITE stages split into rows-build vs write+byte-gate.
     from birli_spark.operators import multiobs
     from birli_spark.sources import synthetic as syn
 
     syn.load_vis(spark, src)
-    for n_obs in (3, 12):
+    for n_obs in (3, 12, 48):
         t0 = time.time()
         spark.sql(multiobs.multi_obs_preprocess_sql(n_obs=n_obs)) \
              .write.format("noop").mode("overwrite").save()
         print(f"mo1[n_obs={n_obs}]: {time.time() - t0:.1f}s")
+    for n_obs in (3, 12, 48):
+        t0 = time.time()
+        spark.sql(multiobs.mo_uvfits_rows_sql(n_obs=n_obs)) \
+             .write.format("noop").mode("overwrite").save()
+        t_rows = time.time() - t0
+        t0 = time.time()
+        multiobs.mo_uvfits_gate_rows(
+            spark, src, f"/tmp/scale_probe_mo4_{n_obs}", n_obs=n_obs) \
+            .write.format("noop").mode("overwrite").save()
+        print(f"mo4[n_obs={n_obs}]: rows {t_rows:.1f}s,"
+              f" write+gate {time.time() - t0:.1f}s")
+    for n_obs in (3, 12, 48):
+        t0 = time.time()
+        spark.sql(multiobs.mo_ms_rows_sql(n_obs=n_obs)) \
+             .write.format("noop").mode("overwrite").save()
+        t_rows = time.time() - t0
+        t0 = time.time()
+        multiobs.mo_ms_gate_rows(
+            spark, src, f"/tmp/scale_probe_mo5_{n_obs}", n_obs=n_obs) \
+            .write.format("noop").mode("overwrite").save()
+        print(f"mo5[n_obs={n_obs}]: rows {t_rows:.1f}s,"
+              f" write+gate {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":
