@@ -1381,6 +1381,18 @@ def _q_containment(spark, sf_dir):
         corpus.load_documents(spark, sf_dir))
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    """D11 — continuous-ingest dedup: a new batch (1 doc in 5) probed
+    against the STANDING MinHash band index of the rest of the corpus
+    (operators/dedup.py::minhash_incremental_pairs): batch-vs-index +
+    batch-vs-batch candidates, signature-estimated Jaccard verify —
+    candidate generation and verification never re-read corpus text."""
+    from birli_spark.operators import dedup
+    from birli_spark.sources import corpus
+    return dedup.minhash_incremental_pairs(
+        corpus.load_documents(spark, sf_dir))
+
+
 def _q_minhash_lsh(spark, sf_dir):
     from birli_spark.operators import dedup
     from birli_spark.sources import corpus
@@ -1580,6 +1592,12 @@ def _q_redact(spark, sf_dir):
     return text.redact(corpus.load_documents(spark, sf_dir))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    from birli_spark.operators import text
+    from birli_spark.sources import corpus
+    return text.pii_scrub(corpus.load_documents(spark, sf_dir))
+
+
 def _q_repetition(spark, sf_dir):
     from birli_spark.operators import text
     from birli_spark.sources import corpus
@@ -1733,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "d9_containment": _q_containment,
         "d3_minhash_lsh": _q_minhash_lsh,
+        "d11_incremental_minhash": _q_minhash_incremental,
         "d4_simhash_pairs": _q_simhash,
         "d5_embedding_neardup": _q_embedding_neardup,
         "d5b_embedding_neardup_brute": _q_embedding_neardup_brute,
@@ -1740,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_cluster_representatives": _q_cluster_reps,
         "t10_contamination": _q_contamination,
         "t11_redact": _q_redact,
+        "t30_pii_scrub": _q_pii_scrub,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2110,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "d2_ngram_jaccard": dedup.shingle_jaccard_oracle_sql(),
         "d9_containment": dedup.shingle_containment_oracle_sql(),
         "d3_minhash_lsh": dedup.minhash_lsh_oracle_sql(),
+        "d11_incremental_minhash": dedup.minhash_incremental_oracle_sql(),
         "d4_simhash_pairs": dedup.simhash_oracle_sql(),
         "d5_embedding_neardup": dedup.embedding_neardup_lsh_oracle_sql(),
         "d5b_embedding_neardup_brute": dedup.embedding_neardup_oracle_sql(),
@@ -2117,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "d7_cluster_representatives": dedup.cluster_representatives_oracle_sql(),
         "t10_contamination": dedup.contamination_oracle_sql(),
         "t11_redact": text.redact_oracle_sql(),
+        "t30_pii_scrub": text.pii_scrub_oracle_sql(),
         "ann_brute_topk": similarity.brute_topk_oracle_sql(),
         "ann_lsh_topk": similarity.lsh_topk_oracle_sql(),
         "ann_ivf_topk": similarity.ivf_topk_oracle_sql(),

@@ -816,3 +816,163 @@ counted AS (
 SELECT string_split(pair, '#')[1] AS source_a,
   string_split(pair, '#')[2] AS source_b, n_shared_shingles
 FROM counted"""
+
+
+# -------------------------------------- incremental MinHash index (D11) ---
+
+#: batch membership predicate: 1 doc in 5 arrives in the "new batch",
+#: the rest are the standing indexed corpus (a deterministic modulo
+#: split so the oracle is one SQL text)
+D11_BATCH_MOD, D11_BATCH_RES = 5, 4
+
+
+def minhash_band_index(docs: DataFrame, seeds: int = MINHASH_SEEDS,
+                       bands: int = MINHASH_BANDS) -> tuple[DataFrame,
+                                                            DataFrame]:
+    """The STANDING dedup index a continuous-ingest pipeline maintains:
+    ``(banded, signatures)`` — the (doc_id, band, key) bucket table and
+    the per-doc minhash signature table. At 100 TB both live as
+    bucketed parquet tables keyed (band, key) / doc_id; new batches
+    probe them without ever re-reading (or re-shingling) the corpus
+    text."""
+    sig = minhash_signatures(docs, seeds)
+    r = seeds // bands
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(*[F.col(f"h{b * r + j}")
+                            for j in range(r)]).alias("key"))
+        for b in range(bands)]
+    banded = (sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key")))
+    return banded, sig
+
+
+def minhash_incremental_pairs(docs: DataFrame, threshold: float = 0.5,
+                              seeds: int = MINHASH_SEEDS,
+                              bands: int = MINHASH_BANDS,
+                              max_bucket: int | None = 256) -> DataFrame:
+    """D11 — continuous-ingest near-dup detection: a NEW batch of
+    documents against a STANDING MinHash band index (D3's machinery,
+    restructured for incremental operation). The production shape every
+    large-corpus pipeline needs: the corpus is shingled ONCE when
+    indexed; each arriving batch shingles only its own documents,
+    probes the bucket table for batch-vs-index candidates, self-joins
+    for batch-vs-batch, and verifies on SIGNATURE-estimated Jaccard
+    (matching-minhash fraction) — the index stores 16-bit signatures,
+    never text, so verification touches no corpus bytes either.
+
+    Output: (doc_a, doc_b, est_jaccard, pair_type) with doc_a < doc_b
+    and pair_type 'new_old' | 'new_new'; index-index pairs never emit
+    (they were handled when those docs arrived).
+
+    Scale shape: the index side is a bucketed table — the batch probe
+    co-locates on (band, key) with zero index shuffle; the hot-bucket
+    cap bounds any one bucket's candidate blow-up exactly like D3.
+    Estimated (not exact) Jaccard is the deliberate trade: recall and
+    precision are those of the 16-hash sketch, but no candidate ever
+    re-reads a corpus document."""
+    batch_pred = (F.col("doc_id") % D11_BATCH_MOD) == D11_BATCH_RES
+    corpus = docs.filter(~batch_pred)
+    batch = docs.filter(batch_pred)
+    # the standing index: at scale these are READ (bucketed parquet),
+    # not computed — localCheckpoint stands in for the stored tables so
+    # the plan's probe side matches the production shape
+    idx_banded, idx_sig = minhash_band_index(corpus, seeds, bands)
+    idx_banded = idx_banded.localCheckpoint(eager=True)
+    idx_sig = idx_sig.localCheckpoint(eager=True)
+    new_banded, new_sig = minhash_band_index(batch, seeds, bands)
+    if max_bucket is not None:
+        # cap on the COMBINED bucket (index + batch members): one hot
+        # boilerplate bucket cannot dominate either join
+        sizes = (idx_banded.unionByName(new_banded)
+                 .groupBy("band", "key").agg(F.count("*").alias("bsz"))
+                 .filter(F.col("bsz") <= max_bucket)
+                 .select("band", "key"))
+        idx_banded = idx_banded.join(sizes, ["band", "key"], "left_semi")
+        new_banded = new_banded.join(sizes, ["band", "key"], "left_semi")
+    a = new_banded.withColumnsRenamed({"doc_id": "doc_n"})
+    # batch -> index probe (never index x index)
+    c1 = (a.join(idx_banded.withColumnsRenamed({"doc_id": "doc_o"}),
+                 ["band", "key"])
+          .select(F.least("doc_n", "doc_o").alias("doc_a"),
+                  F.greatest("doc_n", "doc_o").alias("doc_b"),
+                  F.lit("new_old").alias("pair_type")))
+    c2 = (a.join(new_banded.withColumnsRenamed({"doc_id": "doc_m"}),
+                 ["band", "key"])
+          .filter(F.col("doc_n") < F.col("doc_m"))
+          .select(F.col("doc_n").alias("doc_a"),
+                  F.col("doc_m").alias("doc_b"),
+                  F.lit("new_new").alias("pair_type")))
+    cand = c1.unionByName(c2).distinct()
+    all_sig = idx_sig.unionByName(new_sig)
+    sa = all_sig.select(F.col("doc_id").alias("doc_a"),
+                        *[F.col(f"h{k}").alias(f"a{k}")
+                          for k in range(seeds)])
+    sb = all_sig.select(F.col("doc_id").alias("doc_b"),
+                        *[F.col(f"h{k}").alias(f"b{k}")
+                          for k in range(seeds)])
+    match = " + ".join(f"IF(a{k} = b{k}, 1, 0)" for k in range(seeds))
+    est = f"CAST(({match}) AS DOUBLE) / {float(seeds)!r}"
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard", F.expr(est))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("doc_a", "doc_b", "est_jaccard", "pair_type"))
+
+
+def minhash_incremental_oracle_sql(threshold: float = 0.5,
+                                   seeds: int = MINHASH_SEEDS,
+                                   bands: int = MINHASH_BANDS,
+                                   max_bucket: int | None = 256) -> str:
+    """One-text DuckDB twin of :func:`minhash_incremental_pairs` (the
+    oracle computes both sides' signatures in place — the "standing
+    index" is an EXECUTION property of the Spark plan, the relational
+    semantics are identical)."""
+    r = seeds // bands
+    hashes = ",\n    ".join(
+        f"MIN({X.minhash16('s', k)}) AS h{k}" for k in range(seeds))
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(f"h{b * r + j}" for j in range(r))
+        + " AS key FROM sig"
+        for b in range(bands))
+    is_batch = f"doc_id % {D11_BATCH_MOD} = {D11_BATCH_RES}"
+    cap = (f"bcap AS (SELECT band, key FROM bands GROUP BY band, key"
+           f" HAVING COUNT(*) <= {max_bucket}),"
+           f" nb AS (SELECT b.* FROM nb0 b JOIN bcap c"
+           f" ON b.band = c.band AND b.key = c.key),"
+           f" ob AS (SELECT b.* FROM ob0 b JOIN bcap c"
+           f" ON b.band = c.band AND b.key = c.key),"
+           if max_bucket is not None else
+           "nb AS (SELECT * FROM nb0), ob AS (SELECT * FROM ob0),")
+    match = " + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+                       for k in range(seeds))
+    return f"""
+WITH {_duck_shingle_cte()},
+sig AS (
+  SELECT doc_id,
+    {hashes}
+  FROM sh GROUP BY doc_id),
+bands AS (
+  {band_selects}),
+nb0 AS (SELECT * FROM bands WHERE {is_batch}),
+ob0 AS (SELECT * FROM bands WHERE NOT ({is_batch})),
+{cap}
+cand AS (
+  SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS doc_a,
+    GREATEST(n.doc_id, o.doc_id) AS doc_b,
+    'new_old' AS pair_type
+  FROM nb n JOIN ob o ON n.band = o.band AND n.key = o.key
+  UNION
+  SELECT DISTINCT n.doc_id AS doc_a, m.doc_id AS doc_b,
+    'new_new' AS pair_type
+  FROM nb n JOIN nb m ON n.band = m.band AND n.key = m.key
+    AND n.doc_id < m.doc_id)
+SELECT c.doc_a, c.doc_b,
+  CAST(({match}) AS DOUBLE) / {float(seeds)!r} AS est_jaccard,
+  c.pair_type
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE CAST(({match}) AS DOUBLE) / {float(seeds)!r} >= {threshold!r}"""

@@ -451,6 +451,50 @@ SELECT doc_id,
 FROM documents"""
 
 
+#: real PII pattern classes (t30) — deliberately lookahead-free so the
+#: same text compiles identically under Java regex (Spark) and RE2
+#: (DuckDB): emails, dotted-quad IPv4, and international-ish phone
+#: numbers (8+ digits with separators)
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """T30 — multi-class PII scrub (the production form of T11's
+    denylist pass): per-document match counts per class (emails, IPv4
+    addresses, phone numbers) and the content hash of the fully
+    scrubbed text, each class replaced by its own typed token. Pure
+    narrow projection fused into the scan — zero shuffle at any scale;
+    the class patterns are lookahead-free so Spark's Java regex and the
+    oracle's RE2 agree match-for-match."""
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS]
+    scrubbed = F.col("text")
+    for name, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return docs.select("doc_id", *counts,
+                       F.md5(scrubbed).alias("scrubbed_md5"))
+
+
+def pii_scrub_oracle_sql() -> str:
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat in PII_PATTERNS)
+    scrubbed = "text"
+    for name, pat in PII_PATTERNS:
+        scrubbed = (f"regexp_replace({scrubbed}, '{pat}',"
+                    f" '<{name.upper()}>', 'g')")
+    return f"""
+SELECT doc_id,
+  {counts},
+  md5({scrubbed}) AS scrubbed_md5
+FROM documents"""
+
+
 def _dup_frac(d: str, n: int) -> str:
     """Fraction of n-token shingles that are repeats of an earlier shingle
     in the same document (Gopher-style repetition signal): 1 − distinct/total,

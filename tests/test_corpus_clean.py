@@ -148,3 +148,58 @@ def test_leakage_safe_split_clusters_never_straddle(spark, sf_dir):
     assert any(r.n > 1 for r in rows)                  # real clusters exist
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert "train" in splits and len(splits) >= 2
+
+
+# ------------------------------------------------ T30: PII scrub ---
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from pyspark.sql import Row
+
+    from birli_spark.operators import text as T
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="mail me at jo.doe+x@example.org or "
+                           "admin@sub.example.co soon"),
+        Row(doc_id=1, text="server at 10.0.255.3 then 192.168.1.10 up"),
+        Row(doc_id=2, text="call +61 (08) 9999-1234 after lunch"),
+        Row(doc_id=3, text="no personal information in this row"),
+    ])
+    out = {r.doc_id: r for r in T.pii_scrub(docs).collect()}
+    assert out[0].n_email == 2 and out[0].n_ipv4 == 0
+    assert out[1].n_ipv4 == 2 and out[1].n_email == 0
+    assert out[2].n_phone == 1
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    # scrubbed text no longer matches any pattern (hash of a clean doc
+    # differs from the raw hash only when something was scrubbed)
+    import hashlib
+    raw3 = hashlib.md5(b"no personal information in this row").hexdigest()
+    assert out[3].scrubbed_md5 == raw3
+    assert out[0].scrubbed_md5 != hashlib.md5(
+        b"mail me at jo.doe+x@example.org or admin@sub.example.co soon"
+    ).hexdigest()
+
+
+def test_pii_scrub_cross_engine(spark):
+    """Spark (Java regex) and DuckDB (RE2) agree match-for-match on the
+    lookahead-free pattern classes, on text WITH planted PII."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from birli_spark.operators import text as T
+
+    rows = [
+        Row(doc_id=0, text="a@b.io and c.d-e@f.gh.ij plus +1 555 010 9999"),
+        Row(doc_id=1, text="1.2.3.4 5.6.7.8 bare 999.999.999.999 still"),
+        Row(doc_id=2, text="email-less +44 20 7946 0958 and (not) phone"),
+        Row(doc_id=3, text="clean"),
+    ]
+    docs = spark.createDataFrame(rows)
+    got = T.pii_scrub(docs).toPandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame([r.asDict() for r in rows]))
+    want = con.execute(T.pii_scrub_oracle_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64"}), want.astype({"doc_id": "int64"}))

@@ -263,3 +263,60 @@ def test_containment_catches_subset_jaccard_misses(spark):
     jac = {(r.doc_a, r.doc_b)
            for r in dedup.shingle_jaccard_pairs(docs, 0.5).collect()}
     assert (0, 1) not in jac
+
+
+# ------------------------------------------ D11: incremental index ---
+
+def test_incremental_minhash_semantics(spark):
+    """Batch membership is doc_id % 5 == 4. Construct: corpus doc 0 with
+    an exact copy at batch id 4 (new_old, est 1.0); batch ids 9 and 14
+    exact copies of each other (new_new, est 1.0); corpus ids 1 and 2
+    exact copies (index-index: must NOT emit); unrelated texts
+    elsewhere."""
+    from pyspark.sql import Row
+
+    other = ("completely unrelated text about ships and harbours and "
+             "tides rolling in before dawn with gulls overhead")
+    third = ("a third topic entirely concerning compilers parsing "
+             "grammars and abstract syntax trees in the evening")
+    texts = {
+        0: BASE,          # corpus
+        4: BASE,          # batch — dup of corpus 0 -> new_old
+        9: other,         # batch
+        14: other,        # batch — dup of 9 -> new_new
+        1: third,         # corpus
+        2: third,         # corpus — dup of 1: index-index, silent
+        3: "nothing like anything else whatsoever in this tiny corpus",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()])
+    out = {(r.doc_a, r.doc_b): r
+           for r in dedup.minhash_incremental_pairs(docs).collect()}
+    assert (0, 4) in out and out[(0, 4)].pair_type == "new_old"
+    assert out[(0, 4)].est_jaccard == 1.0
+    assert (9, 14) in out and out[(9, 14)].pair_type == "new_new"
+    assert out[(9, 14)].est_jaccard == 1.0
+    assert (1, 2) not in out          # the index never self-pairs
+    assert all(a != 3 and b != 3 for a, b in out)
+
+
+def test_incremental_index_probe_matches_full_lsh_on_batch_pairs(spark):
+    """Every batch-involving pair the full D3 LSH finds at estimated
+    Jaccard 1.0 is also found incrementally (the index probe loses no
+    exact-duplicate recall)."""
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(20):
+        body = " ".join(rng.choice(words, size=25))
+        texts.append(body)
+    # plant cross-split exact dups
+    texts[4] = texts[0]     # batch id 4 == corpus id 0
+    texts[9] = texts[3]     # batch id 9 == corpus id 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    inc = {(r.doc_a, r.doc_b)
+           for r in dedup.minhash_incremental_pairs(docs).collect()}
+    assert {(0, 4), (3, 9)} <= inc

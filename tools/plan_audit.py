@@ -122,13 +122,18 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           # (the UDF island with baseline bucketing is the scale path;
           # this is the hash-gated spelling)
           "f9_rfi_sumthreshold", "f9c_rfi_sir",
+          # f9e inherits the f9 grid/mask joins per melted polarization
+          # plus the rms-line and downsampled-fit join-backs — all
+          # grid-scale on both sides (flag_rfi_mwa is the scale path)
+          "f9e_rfi_mwa_strategy",
           # pipeline_full inherits f9's grid/mask joins plus the
           # melt-pivot rejoin (visr x vvpiv co-keyed on the row key:
           # both fact-scale by definition)
           "pipeline_preprocess_full"}
 
 HEADLINE = [
-    "s1_vis_scan", "p1_select_ranges", "f7_set_flags",
+    "s1_vis_scan", "p1_select_ranges", "p1b_partitioned_scan",
+    "f7_set_flags",
     "c2_cable_correction", "c3_geometric_correction", "c6_di_calibration",
     "a1_average_time_freq", "a2_channel_occupancy", "pipeline_preprocess",
     "d1_exact_dedup", "d3_minhash_lsh", "d6_neardup_clusters",
@@ -175,7 +180,7 @@ HEADLINE = [
     # Newton relations, so those plans lead from ExistingRDD barriers)
     "c1_van_vleck", "f9_rfi_sumthreshold", "pipeline_preprocess_full",
     "d5_embedding_neardup", "c3c_part_uvw_precessed", "o2b_ms_subtables",
-    "o2_ms_rows", "f9c_rfi_sir",
+    "o2_ms_rows", "f9c_rfi_sir", "f9e_rfi_mwa_strategy",
     # round 3 additions: the UVFITS row relation behind the physical
     # byte gates and the multi-observation catalogue suite (the mo4/mo5
     # gates are file read-backs, so their PLAN surfaces are mo1's
