@@ -858,6 +858,16 @@ def _q_stream_mo_ssins(spark, sf_dir):
         f"CAST(FLOOR(t / {syn.NUM_T}) AS INT) AS obs_id", "*")
 
 
+def _q_stream_minhash(spark, sf_dir):
+    """Streaming incremental MinHash dedup (D11 twin, st12): arriving
+    documents probe the STANDING band index as a stream-static join —
+    per-row array-aggregate signatures, no state store, append mode.
+    Oracle-checked against the new_old subset of the batch d11 plan."""
+    from birli_spark.streaming import minhash_index
+    return minhash_index.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_minhash"))
+
+
 def _q_stream_rfi(spark, sf_dir):
     """Streaming SumThreshold (F9 twin, st10): the image accumulates
     statefully per (bl, chan) as the observation arrives; the
@@ -1853,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st9_stream_ssins": _q_stream_ssins,
         "st11_stream_multiobs_ssins": _q_stream_mo_ssins,
         "st10_stream_rfi": _q_stream_rfi,
+        "st12_stream_minhash": _q_stream_minhash,
         "m5_compaction_plan": _q_compaction_plan,
         "q3_referential_integrity": _q_ref_integrity,
         "t27_bigram_lm": _q_bigram_lm,
@@ -2251,6 +2262,10 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"{p}_amp" for p in ("xx", "xy", "yx", "yy"))
             + ", n_bl FROM ssins_ins"),
         "st10_stream_rfi": _st10_oracle_sql(),
+        "st12_stream_minhash": (
+            "SELECT doc_a, doc_b, est_jaccard, pair_type FROM ("
+            + dedup.minhash_incremental_oracle_sql()
+            + ") WHERE pair_type = 'new_old'"),
         "m5_compaction_plan": _compaction_plan_oracle(),
         "q3_referential_integrity": _ref_integrity_oracle(),
         "t27_bigram_lm": text.bigram_lm_bits_oracle_sql(),

@@ -83,6 +83,8 @@ HEADLINE = [
     # f9e: the mwa-default orchestration as a relational chain (r4)
     "f9e_rfi_mwa_strategy",
     "d5b_embedding_neardup_brute",
+    # round 4: continuous-ingest dedup (standing-index probe shape)
+    "d11_incremental_minhash",
     # round 3: write-STAGE benches — the executor-parallel physical
     # UVFITS and casacore-layout MS writes + byte read-back (the
     # reference's uvfits/ms write criterion stages, BASELINE.md),

@@ -50,3 +50,54 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     q.awaitTermination()
     got = spark.table("t_dedup_mb").toPandas().sort_values("doc_id")
     assert got.doc_id.tolist() == [0, 1, 2, 4]
+
+
+# --------------------------------- st12: streaming index probe (D11) ---
+
+def test_stream_minhash_probe_matches_batch_new_old(spark, sf_dir,
+                                                    tmp_path):
+    """Stream-static index probe == the batch d11 plan's new_old
+    subset, pair for pair (the driver-gated parity property)."""
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+                   str(tmp_path / "ckpt12"))
+    from birli_spark.streaming import minhash_index as sminh
+
+    got = sminh.run_available_now(spark, sf_dir, "t_minhash").toPandas()
+    exp = (batch_dedup.minhash_incremental_pairs(
+        corpus.load_documents(spark, sf_dir)).toPandas())
+    exp = exp[exp.pair_type == "new_old"]
+    key = ["doc_a", "doc_b"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g[key].to_numpy() == e[key].to_numpy()).all()
+    assert (g.est_jaccard.to_numpy() == e.est_jaccard.to_numpy()).all()
+
+
+def test_stream_minhash_probe_finds_planted_dup(spark, tmp_path):
+    """A batch-arriving exact copy of an indexed document is caught by
+    the stream-static probe with estimated Jaccard 1.0."""
+    import pandas as pd
+
+    from birli_spark.streaming import dedup as sd
+    from birli_spark.streaming import minhash_index as sminh
+
+    text = ("the quick brown fox jumps over the lazy dog again and "
+            "again when nobody watches the meadow at dusk")
+    other = ("entirely different content about rivers and bridges and "
+             "the engineering of long spans in high wind conditions")
+    src = tmp_path / "mini"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [0, 1, 4, 9],  # 4 and 9 are batch (id % 5 == 4)
+        "text": [text, other, text, "nothing shared with anything"],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [len(text), len(other), len(text), 28],
+    }).to_parquet(src / "documents.parquet")
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+                   str(tmp_path / "ckpt12b"))
+    got = sminh.run_available_now(spark, str(src), "t_minhash_b") \
+        .toPandas()
+    assert len(got) == 1
+    assert (int(got.doc_a[0]), int(got.doc_b[0])) == (0, 4)
+    assert got.est_jaccard[0] == 1.0
