@@ -44,15 +44,25 @@ def test_per_obs_gain_drift(mo_out):
 
 
 def test_obs_axis_adds_no_shuffles(spark, sf_dir):
-    """The catalogue plan has exactly ONE fact shuffle (the averaging
-    hash aggregate) — the obs axis appears in no join or group key, so
-    it scales as input splits only."""
+    """The catalogue plan has exactly TWO hash exchanges, neither keyed
+    on obs: the averaging aggregate (the one fact shuffle) and the
+    v0.18.0 cell-gate aggregate (r4) whose exchange carries only the
+    map-side-combined (t, cc) dimension rows, never fact rows — the
+    gate joins back broadcast. The obs axis appears in no join or group
+    key, so it scales as input splits only."""
     syn.load_vis(spark, sf_dir)
     plan = spark.sql(
         multiobs.multi_obs_preprocess_sql())._jdf.queryExecution() \
         .executedPlan().toString()
     fact_shuffles = plan.count("Exchange hashpartitioning")
-    assert fact_shuffles == 1, plan[:2000]
+    assert fact_shuffles == 2, plan[:2000]
+    # the gate's exchange is keyed (t, cc) — the dimension grid, never
+    # fact keys and never obs
+    import re
+    keys = [m.group(1) for m in
+            re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)]
+    gate_keys = [k for k in keys if k.startswith("t#")]
+    assert len(gate_keys) == 1 and ", cc#" in gate_keys[0], keys
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
