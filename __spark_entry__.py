@@ -2264,7 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "st10_stream_rfi": _st10_oracle_sql(),
         "st12_stream_minhash": (
             "SELECT doc_a, doc_b, est_jaccard, pair_type FROM ("
-            + dedup.minhash_incremental_oracle_sql()
+            + dedup.minhash_incremental_oracle_sql(cap_side="index")
             + ") WHERE pair_type = 'new_old'"),
         "m5_compaction_plan": _compaction_plan_oracle(),
         "q3_referential_integrity": _ref_integrity_oracle(),

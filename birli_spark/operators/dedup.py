@@ -924,11 +924,15 @@ def minhash_incremental_pairs(docs: DataFrame, threshold: float = 0.5,
 def minhash_incremental_oracle_sql(threshold: float = 0.5,
                                    seeds: int = MINHASH_SEEDS,
                                    bands: int = MINHASH_BANDS,
-                                   max_bucket: int | None = 256) -> str:
+                                   max_bucket: int | None = 256,
+                                   cap_side: str = "combined") -> str:
     """One-text DuckDB twin of :func:`minhash_incremental_pairs` (the
     oracle computes both sides' signatures in place — the "standing
     index" is an EXECUTION property of the Spark plan, the relational
-    semantics are identical)."""
+    semantics are identical). ``cap_side="index"`` applies the
+    hot-bucket cap to the INDEX buckets only (the streaming twin's
+    semantics — an index-build-time boilerplate exclusion, since a
+    stream cannot know batch bucket sizes across micro-batches)."""
     r = seeds // bands
     hashes = ",\n    ".join(
         f"MIN({X.minhash16('s', k)}) AS h{k}" for k in range(seeds))
@@ -938,14 +942,21 @@ def minhash_incremental_oracle_sql(threshold: float = 0.5,
         + " AS key FROM sig"
         for b in range(bands))
     is_batch = f"doc_id % {D11_BATCH_MOD} = {D11_BATCH_RES}"
-    cap = (f"bcap AS (SELECT band, key FROM bands GROUP BY band, key"
-           f" HAVING COUNT(*) <= {max_bucket}),"
-           f" nb AS (SELECT b.* FROM nb0 b JOIN bcap c"
-           f" ON b.band = c.band AND b.key = c.key),"
-           f" ob AS (SELECT b.* FROM ob0 b JOIN bcap c"
-           f" ON b.band = c.band AND b.key = c.key),"
-           if max_bucket is not None else
-           "nb AS (SELECT * FROM nb0), ob AS (SELECT * FROM ob0),")
+    if max_bucket is None:
+        cap = "nb AS (SELECT * FROM nb0), ob AS (SELECT * FROM ob0),"
+    elif cap_side == "index":
+        cap = (f"bcap AS (SELECT band, key FROM ob0 GROUP BY band, key"
+               f" HAVING COUNT(*) <= {max_bucket}),"
+               f" nb AS (SELECT * FROM nb0),"
+               f" ob AS (SELECT b.* FROM ob0 b JOIN bcap c"
+               f" ON b.band = c.band AND b.key = c.key),")
+    else:
+        cap = (f"bcap AS (SELECT band, key FROM bands GROUP BY band, key"
+               f" HAVING COUNT(*) <= {max_bucket}),"
+               f" nb AS (SELECT b.* FROM nb0 b JOIN bcap c"
+               f" ON b.band = c.band AND b.key = c.key),"
+               f" ob AS (SELECT b.* FROM ob0 b JOIN bcap c"
+               f" ON b.band = c.band AND b.key = c.key),")
     match = " + ".join(f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
                        for k in range(seeds))
     return f"""

@@ -445,28 +445,41 @@ MWA_POLS = ("xx", "xy", "yx", "yy")
 
 
 def lowpass_resized_ticks(x: np.ndarray, unflagged: np.ndarray,
-                          rf: int = MWA_FREQ_RESIZE) -> np.ndarray:
+                          rf: int = MWA_FREQ_RESIZE,
+                          chan_values: np.ndarray | None = None
+                          ) -> np.ndarray:
     """:func:`lowpass_ticks` on the (time, chan // rf)-downsampled grid,
     replicated back (aoflagger downsample(1, rf, masked) ->
     low_pass_filter -> upsample): per block, the masked mean in half-up
     integer ticks; the separable kernels then run at group resolution
-    with the group-occupancy mask."""
+    with the group-occupancy mask.
+
+    ``chan_values`` are the actual channel numbers of the image columns
+    — blocks group by VALUE (chan // rf), exactly like the SQL twin's
+    ``chan DIV rf``, so a gappy channel domain (picket-fence selection)
+    groups identically in both engines; None means columns 0..nc-1."""
     if rf <= 1:
         return lowpass_ticks(x, unflagged)
     nt, nc = x.shape
-    ng = (nc + rf - 1) // rf
+    vals = (np.arange(nc, dtype=np.int64) if chan_values is None
+            else np.asarray(chan_values, dtype=np.int64))
+    gid = vals // rf
+    groups = np.unique(gid)
+    ng = len(groups)
+    gix = {int(g): i for i, g in enumerate(groups)}
+    col_g = np.array([gix[int(g)] for g in gid])
     xm = np.where(unflagged, x, np.int64(0))
     mi = unflagged.astype(np.int64)
     xg = np.zeros((nt, ng), dtype=np.int64)
     mg = np.zeros((nt, ng), dtype=np.int64)
-    for g in range(ng):
-        sl = slice(g * rf, min((g + 1) * rf, nc))
-        s = xm[:, sl].sum(axis=1)
-        m = mi[:, sl].sum(axis=1)
+    for i in range(ng):
+        sel = col_g == i
+        s = xm[:, sel].sum(axis=1)
+        m = mi[:, sel].sum(axis=1)
         a = 2 * s + m
         b = np.where(m > 0, 2 * m, np.int64(1))
-        xg[:, g] = np.where(m > 0, a // b, np.int64(0))
-        mg[:, g] = (m > 0).astype(np.int64)
+        xg[:, i] = np.where(m > 0, a // b, np.int64(0))
+        mg[:, i] = (m > 0).astype(np.int64)
     gt = np.array(lp_kernel(LP_RADIUS_T, LP_SIGMA_T), dtype=np.int64)
     gf = np.array(lp_kernel(LP_RADIUS_F, LP_SIGMA_F), dtype=np.int64)
     num1 = np.zeros_like(xg)
@@ -488,8 +501,7 @@ def lowpass_resized_ticks(x: np.ndarray, unflagged: np.ndarray,
     a = 2 * num + den
     b = np.where(den > 0, 2 * den, np.int64(1))
     bg_g = np.where(den > 0, a // b, np.int64(0))
-    idx = np.minimum(np.arange(nc) // rf, ng - 1)
-    return bg_g[:, idx]
+    return bg_g[:, col_g]
 
 
 def _rms_lines(x: np.ndarray, ok: np.ndarray, axis: int) -> np.ndarray:
@@ -514,7 +526,11 @@ def _rms_outliers(rms: np.ndarray, thr: float, both: bool) -> np.ndarray:
     if have.sum() < 2:
         return np.zeros(rms.shape, bool)
     med = float(_f32(np.median(rms[have])))
-    mad = float(_f32(np.median(np.abs(rms[have] - med))))
+    # f32-demote each deviation BEFORE the median, like the SQL twin
+    # (rfi_sql._rms_line_ctes / the f4 CTE) and the established
+    # standardize_ticks convention — a raw-f64 MAD can differ by an ulp
+    # and flip a threshold-marginal line in one engine only
+    mad = float(_f32(np.median(_f32(np.abs(rms[have] - med)))))
     sig = 1.4826 * mad
     if not (sig > 0.0 and np.isfinite(sig)):
         return np.zeros(rms.shape, bool)
@@ -546,7 +562,8 @@ def mwa_strategy_mask(img: np.ndarray,
                       step: float = AOF_STEP,
                       rf: int = MWA_FREQ_RESIZE,
                       ch_rms: float | None = MWA_CH_RMS,
-                      ts_rms: float | None = MWA_TS_RMS) -> np.ndarray:
+                      ts_rms: float | None = MWA_TS_RMS,
+                      chan_values: np.ndarray | None = None) -> np.ndarray:
     """The single-polarization mwa-default iteration ladder (NO SIR and
     no final timestep-RMS — those run once on the joined pol masks,
     :func:`mwa_strategy_mask_pols`). Returns the pre-SIR mask for
@@ -569,7 +586,8 @@ def mwa_strategy_mask(img: np.ndarray,
         if ch_rms is not None:
             cm = channel_rms_ticks(resid, work, present, ch_rms * factor)
             work = work | cm[None, :]
-        bg = lowpass_resized_ticks(x, ~work & present, rf)
+        bg = lowpass_resized_ticks(x, ~work & present, rf,
+                                   chan_values=chan_values)
         resid = x - bg
     work = sumthreshold_ticks(resid, work, present, base_sensitivity)
     return (work & present) | prior
@@ -585,7 +603,9 @@ def mwa_strategy_mask_pols(pol_imgs: dict, *,
                            ch_rms: float | None = MWA_CH_RMS,
                            ts_rms: float | None = MWA_TS_RMS,
                            final_ts_rms: float | None = MWA_FINAL_TS_RMS,
-                           eta: float | None = 0.2) -> np.ndarray:
+                           eta: float | None = 0.2,
+                           chan_values: np.ndarray | None = None
+                           ) -> np.ndarray:
     """F9e — the full mwa-default orchestration over per-polarization
     amplitude images: per-pol ladders OR-joined, all-pol-zero samples
     flagged (aoflagger flag_zeros), SIR once on the joined mask, final
@@ -602,7 +622,7 @@ def mwa_strategy_mask_pols(pol_imgs: dict, *,
         det |= mwa_strategy_mask(
             pol_imgs[p], base_sensitivity, existing=prior, valid=present,
             iterations=iterations, step=step, rf=rf, ch_rms=ch_rms,
-            ts_rms=ts_rms)
+            ts_rms=ts_rms, chan_values=chan_values)
     zeros = np.ones(shape, dtype=bool)
     for p in MWA_POLS:
         zeros &= np.asarray(pol_imgs[p], dtype=np.float64) == 0.0
@@ -658,7 +678,8 @@ def flag_rfi_mwa(vis: DataFrame, base_sensitivity: float = 6.0,
         prior[rows, cs] = pdf["flag"].to_numpy(dtype=bool)
         mask = mwa_strategy_mask_pols(
             pol_imgs, base_sensitivity=base_sensitivity,
-            existing=prior, valid=present, eta=eta)
+            existing=prior, valid=present, eta=eta,
+            chan_values=chans)
         out = pdf.copy()
         out["flag"] = pdf["flag"].to_numpy(dtype=bool) | mask[rows, cs]
         return out[cols]

@@ -139,7 +139,7 @@ def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
                     raise ValueError(
                         "Rice COMPRESSED_DATA requires an integer image: "
                         f"ZBITPIX={hdr.get('ZBITPIX')!r} / BYTEPIX={bytepix} "
-                        "(expected ZBITPIX > 0 and BYTEPIX in {8,16,32})")
+                        "(expected ZBITPIX > 0 and BYTEPIX in {1,2,4})")
                 from birli_spark.functions.rice import rice_decode
 
                 ints = rice_decode(

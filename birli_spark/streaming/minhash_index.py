@@ -16,7 +16,10 @@ computed + checkpointed here).
 Scope: the stream probes NEW-vs-INDEX pairs (the ingest guard). The
 NEW-vs-NEW half needs either the batch pass over the landed batch
 (d11) or a watermarked self-join; the driver-checked oracle is the
-``pair_type = 'new_old'`` subset of the d11 oracle.
+``pair_type = 'new_old'`` subset of the d11 oracle with the hot-bucket
+cap on the INDEX side only (``cap_side="index"`` — matching
+:func:`static_index`'s build-time exclusion; d11's combined cap counts
+batch members a stream cannot see across micro-batches).
 """
 
 from __future__ import annotations
@@ -45,14 +48,25 @@ def _row_signature_cols(seeds: int = MINHASH_SEEDS) -> list:
 
 def static_index(spark: SparkSession, sf_dir: str,
                  seeds: int = MINHASH_SEEDS,
-                 bands: int = MINHASH_BANDS) -> tuple[DataFrame,
-                                                      DataFrame]:
+                 bands: int = MINHASH_BANDS,
+                 max_bucket: int | None = 256) -> tuple[DataFrame,
+                                                        DataFrame]:
     """The standing corpus index (banded buckets + signatures) as
     STATIC DataFrames for the stream-static join — checkpointed, the
-    stand-in for the stored bucketed tables."""
+    stand-in for the stored bucketed tables. Hot buckets (> max_bucket
+    members) are dropped AT INDEX BUILD TIME — the streaming analogue
+    of d11's boilerplate exclusion (a stream cannot know batch bucket
+    sizes across micro-batches, so the cap is an index property; the
+    st12 oracle mirrors it with cap_side="index")."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .filter((F.col("doc_id") % D11_BATCH_MOD) != D11_BATCH_RES))
     banded, sig = minhash_band_index(docs, seeds, bands)
+    if max_bucket is not None:
+        small = (banded.groupBy("band", "key")
+                 .agg(F.count("*").alias("bsz"))
+                 .filter(F.col("bsz") <= max_bucket)
+                 .select("band", "key"))
+        banded = banded.join(small, ["band", "key"], "left_semi")
     return (banded.localCheckpoint(eager=True),
             sig.localCheckpoint(eager=True))
 

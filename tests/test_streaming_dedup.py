@@ -56,15 +56,22 @@ def test_stream_dedup_across_batches(spark, tmp_path):
 
 def test_stream_minhash_probe_matches_batch_new_old(spark, sf_dir,
                                                     tmp_path):
-    """Stream-static index probe == the batch d11 plan's new_old
-    subset, pair for pair (the driver-gated parity property)."""
+    """Stream-static index probe == its DuckDB oracle (the d11 new_old
+    subset with the hot-bucket cap on the INDEX side, exactly the
+    driver-gated property)."""
+    import duckdb
+
     spark.conf.set("spark.sql.streaming.checkpointLocation",
                    str(tmp_path / "ckpt12"))
     from birli_spark.streaming import minhash_index as sminh
 
     got = sminh.run_available_now(spark, sf_dir, "t_minhash").toPandas()
-    exp = (batch_dedup.minhash_incremental_pairs(
-        corpus.load_documents(spark, sf_dir)).toPandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM"
+                f" read_parquet('{sf_dir}/documents.parquet')")
+    exp = con.execute(
+        batch_dedup.minhash_incremental_oracle_sql(cap_side="index")
+    ).df()
     exp = exp[exp.pair_type == "new_old"]
     key = ["doc_a", "doc_b"]
     g = got.sort_values(key).reset_index(drop=True)

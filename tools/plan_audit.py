@@ -126,6 +126,10 @@ SMJ_OK = {"pipeline_corpus_clean", "pipeline_clean_index",
           # plus the rms-line and downsampled-fit join-backs — all
           # grid-scale on both sides (flag_rfi_mwa is the scale path)
           "f9e_rfi_mwa_strategy",
+          # d11's band probes: the banded index and batch tables are
+          # both corpus-scale (bucketed-table co-location at 100 TB;
+          # AQE demotes when the batch is small)
+          "d11_incremental_minhash",
           # pipeline_full inherits f9's grid/mask joins plus the
           # melt-pivot rejoin (visr x vvpiv co-keyed on the row key:
           # both fact-scale by definition)
@@ -181,6 +185,7 @@ HEADLINE = [
     "c1_van_vleck", "f9_rfi_sumthreshold", "pipeline_preprocess_full",
     "d5_embedding_neardup", "c3c_part_uvw_precessed", "o2b_ms_subtables",
     "o2_ms_rows", "f9c_rfi_sir", "f9e_rfi_mwa_strategy",
+    "d11_incremental_minhash", "t30_pii_scrub",
     # round 3 additions: the UVFITS row relation behind the physical
     # byte gates and the multi-observation catalogue suite (the mo4/mo5
     # gates are file read-backs, so their PLAN surfaces are mo1's
