@@ -543,6 +543,21 @@ def _q_gpubox_read_bench(spark, sf_dir):
     return gpubox.read_gpubox(spark, d + "/*.fits")
 
 
+def _q_real_format_e2e(spark, sf_dir):
+    """S1h — the reference's END-TO-END wall-clock composition
+    (BASELINE.md, obs 1090008640: read + cable + RFI + geometry +
+    uvfits write) over the s1g real-format observation: gpubox FITS
+    scan -> rule flags -> gated cable -> SSINS RFI -> geometry -> bake
+    -> average -> UVFITS rows + the PHYSICAL executor-parallel write
+    (birli_spark/pipeline_e2e.py). One hash-gated plan end to end."""
+    import os
+    import tempfile
+
+    from birli_spark import pipeline_e2e
+    out = os.path.join(tempfile.gettempdir(), "birli_e2e_bench.uvfits")
+    return pipeline_e2e.e2e_rows(spark, write_path=out)
+
+
 def _q_gpubox_datasource(spark, sf_dir):
     """Same scan through the registered Python DataSource
     (spark.read.format('gpubox')) — shares s1b's oracle."""
@@ -1893,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1e_legacy_gpubox_scan": _q_legacy_gpubox_scan,
         "t25_dsir_weights": _q_dsir_weights,
         "s1g_gpubox_read_bench": _q_gpubox_read_bench,
+        "s1h_real_format_e2e": _q_real_format_e2e,
     }
 
 
@@ -2320,6 +2336,9 @@ def oracle_sql() -> dict[str, str]:
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
         "t25_dsir_weights": text.dsir_weights_oracle_sql(),
         "s1g_gpubox_read_bench": _gpubox_bench_oracle(),
+        "s1h_real_format_e2e": __import__(
+            "birli_spark.pipeline_e2e", fromlist=["e2e_oracle_sql"]
+        ).e2e_oracle_sql(),
         "s1d_mwax_gpubox_scan": _mwax_oracle(),
         # the reference's own pyuvdata golden CSV IS the oracle: unpivot
         # the 4 channel columns and regex-parse the complex literals

@@ -28,6 +28,11 @@ HEADLINE = [
     # the reference's flagship stage benchmark: distributed gpubox FITS
     # read -> long-format cube (24 coarse-channel files, 835k rows)
     "s1g_gpubox_read_bench",
+    # round 4: the reference's END-TO-END wall-clock composition (read +
+    # cable + RFI + geometry + physical uvfits write, BASELINE.md) over
+    # the same real-format observation — the literally-shaped
+    # comparable number
+    "s1h_real_format_e2e",
     "f7_set_flags",
     "c2_cable_correction",
     "c3_geometric_correction",
