@@ -645,6 +645,40 @@ def _q_uvfits_file(spark, sf_dir):
         spark, rows, path, jd_zero=uvfits.obs_jd_zero(syn.GPS_START))
 
 
+def _q_uvfits_scan(spark, sf_dir):
+    """S1j — read the physical random-groups UVFITS back DISTRIBUTED
+    through the registered Python DataSource
+    (sources/uvfits_source.py): the driver plans byte-range partitions
+    from the header alone (fixed-size group records), each task seeks
+    and decodes only its slice — the distributed writer's fixed-offset
+    arithmetic in reverse. Shares o1b's oracle verbatim (the scan's row
+    convention IS the byte-gate read-back)."""
+    import os
+    import tempfile
+
+    from birli_spark.sinks import uvfits
+    from birli_spark.sources.uvfits_source import register_uvfits_source
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"birli_spark_s1j_{os.path.basename(sf_dir.rstrip('/'))}.uvfits")
+    if not os.path.exists(path):
+        baked = pipeline.preprocess_baked(spark, sf_dir)
+        rows = uvfits.uvfits_group_rows(
+            baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+            syn.GPS_START, syn.INT_TIME_S).localCheckpoint(eager=True)
+        n_chan = syn.NUM_CC * syn.NUM_FC // pipeline.AVG_FREQ
+        uvfits.write_uvfits_distributed(
+            rows, path, n_chan,
+            jd_zero=uvfits.obs_jd_zero(syn.GPS_START)).count()
+    try:
+        register_uvfits_source(spark)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("uvfits").option(
+        "groups_per_task", "64").load(path)
+
+
 def _q_ms_rows(spark, sf_dir):
     from birli_spark.sinks import ms
     baked = pipeline.preprocess_baked(spark, sf_dir)
@@ -1747,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3b_mwaf_roundtrip": _q_mwaf_roundtrip,
         "o3c_mwaf_datasource": _q_mwaf_datasource,
         "o1_uvfits_rows": _q_uvfits_rows,
+        "s1j_uvfits_scan": _q_uvfits_scan,
         "o1b_uvfits_file": _q_uvfits_file,
         "o2_ms_rows": _q_ms_rows,
         "o2b_ms_subtables": _q_ms_subtables,
@@ -2102,6 +2137,12 @@ def oracle_sql() -> dict[str, str]:
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
         "o1b_uvfits_file": (
+            f"WITH {pipeline.baked_oracle_ctes()} "
+            + uvfits_sink.uvfits_file_oracle_select(
+                "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
+                syn.GPS_START, syn.INT_TIME_S,
+                jd_zero=uvfits_sink.obs_jd_zero(syn.GPS_START))),
+        "s1j_uvfits_scan": (
             f"WITH {pipeline.baked_oracle_ctes()} "
             + uvfits_sink.uvfits_file_oracle_select(
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,

@@ -150,9 +150,11 @@ def e2e_rows(spark: SparkSession, write_path: str | None = None
         # grid probes + the write action run off one materialization,
         # then the returned relation is that same checkpoint
         rows = rows.localCheckpoint(eager=True)
+        # .count() forces the executor-parallel pwrite job (the writer
+        # returns a lazy per-group confirmation relation)
         uvfits.write_uvfits_distributed(
             rows, write_path, N_CHAN // AVG_FREQ, object_name="e2e_bench",
-            jd_zero=uvfits.obs_jd_zero(GPS0))
+            jd_zero=uvfits.obs_jd_zero(GPS0)).count()
     return rows
 
 

@@ -80,5 +80,16 @@ def test_physical_uvfits_written(rows):
     assert size % 2880 == 0
     hdr = open(out, "rb").read(2880).decode("ascii", "replace")
     assert hdr.startswith("SIMPLE  =                    T")
-    assert f"GCOUNT  =[ ]*{n_groups}" or True
     assert str(n_groups) in hdr  # GCOUNT records the group count
+    # the GROUP DATA was actually written (not just the pre-sized
+    # zeros): read the bytes back and check real baseline codes + the
+    # averaged values match the returned relation
+    from birli_spark.sinks.uvfits import read_uvfits
+
+    _, params, data = read_uvfits(out)
+    assert (params[:, 3] >= 257).all()       # bl_code = 256(a1+1)+(a2+1)
+    assert np.abs(data[:, :, :, 0]).sum() > 0
+    got = np.sort(params[:, 3].astype(int))
+    want = np.sort(np.repeat(pdf.bl_code.unique(),
+                             E.NUM_T // E.AVG_TIME))
+    assert (got == want).all()
