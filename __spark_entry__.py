@@ -704,6 +704,38 @@ def _q_ms_file(spark, sf_dir):
         syn.GPS_START, syn.INT_TIME_S)
 
 
+def _q_casams_scan(spark, sf_dir):
+    """S1k — read the physical casacore-layout MS MAIN back DISTRIBUTED
+    through the registered Python DataSource
+    (sources/casams_source.py): row-range partitions planned from
+    table.dat alone, each task seeking every needed column's fixed-cell
+    byte slice — the executor-parallel writer's offset arithmetic in
+    reverse, with PHYSICAL column pruning (untouched columns' regions
+    are never read). Shares o2c's oracle verbatim."""
+    import os
+    import tempfile
+
+    from birli_spark.sinks import ms_file
+    from birli_spark.sources.casams_source import register_casams_source
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"birli_spark_s1k_{os.path.basename(sf_dir.rstrip('/'))}.ms")
+    if not os.path.exists(os.path.join(path, "table.f0")):
+        baked = pipeline.preprocess_baked(spark, sf_dir)
+        # the o2c writer (ms_file_rows runs write + read-back; we only
+        # need the write side, which write_ms_casa performs eagerly)
+        ms_file.write_ms_casa(
+            spark, baked, path, pipeline.AVG_TIME, pipeline.AVG_FREQ,
+            syn.GPS_START, syn.INT_TIME_S)
+    try:
+        register_casams_source(spark)
+    except Exception:
+        pass
+    return spark.read.format("casams").option(
+        "rows_per_task", "64").load(path)
+
+
 def _q_multi_obs(spark, sf_dir):
     """MO1: the multi-OBSERVATION catalogue pipeline — N_OBS
     observations (per-obs quack windows, per-epoch UVW dims, per-obs
@@ -1786,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_ms_rows": _q_ms_rows,
         "o2b_ms_subtables": _q_ms_subtables,
         "o2c_ms_file": _q_ms_file,
+        "s1k_casams_scan": _q_casams_scan,
         "mo1_multi_obs_pipeline": _q_multi_obs,
         "mo2_multi_obs_ssins": _q_multi_obs_ssins,
         "mo3_multi_obs_occupancy": _q_multi_obs_occupancy,
@@ -2157,6 +2190,13 @@ def oracle_sql() -> dict[str, str]:
                 "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
                 syn.GPS_START, syn.INT_TIME_S)),
         "o2c_ms_file": (
+            f"WITH {pipeline.baked_oracle_ctes()} "
+            + __import__(
+                "birli_spark.sinks.ms_file",
+                fromlist=["x"]).ms_file_oracle_select(
+                "baked", pipeline.AVG_TIME, pipeline.AVG_FREQ,
+                syn.GPS_START, syn.INT_TIME_S)),
+        "s1k_casams_scan": (
             f"WITH {pipeline.baked_oracle_ctes()} "
             + __import__(
                 "birli_spark.sinks.ms_file",

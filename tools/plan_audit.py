@@ -186,6 +186,7 @@ HEADLINE = [
     "d5_embedding_neardup", "c3c_part_uvw_precessed", "o2b_ms_subtables",
     "o2_ms_rows", "f9c_rfi_sir", "f9e_rfi_mwa_strategy",
     "d11_incremental_minhash", "t30_pii_scrub", "s1h_real_format_e2e",
+    "s1j_uvfits_scan", "s1k_casams_scan",
     # round 3 additions: the UVFITS row relation behind the physical
     # byte gates and the multi-observation catalogue suite (the mo4/mo5
     # gates are file read-backs, so their PLAN surfaces are mo1's
