@@ -521,26 +521,19 @@ def _q_gpubox_scan(spark, sf_dir):
 #: 16 ants (136 baselines), 32 fine chans, 8 timesteps -> 835,584 rows.
 #: The direct analogue of the reference's flagship read benchmark
 #: ("read gpubox -> Jones cube", BASELINE.md).
-_GPUBOX_BENCH = dict(num_cc=24, num_ants=16, num_fine=32,
-                     num_timesteps=8)
+# single source of truth for the s1g/s1h bench observation shape AND
+# the fixture generator (pipeline_e2e.scan_dir — both queries share the
+# cache directory and '.complete' marker)
+def _gpubox_bench_dims() -> dict:
+    from birli_spark import pipeline_e2e as E
+    return dict(num_cc=E.NUM_CC, num_ants=E.NUM_ANTS,
+                num_fine=E.NUM_FINE, num_timesteps=E.NUM_T)
 
 
 def _q_gpubox_read_bench(spark, sf_dir):
-    import os
-    import tempfile
+    from birli_spark import pipeline_e2e
     from birli_spark.sources import gpubox
-    d = os.path.join(tempfile.gettempdir(), "birli_spark_gpubox_bench")
-    marker = os.path.join(d, ".complete")
-    if not os.path.exists(marker):
-        os.makedirs(d, exist_ok=True)
-        for cc in range(_GPUBOX_BENCH["num_cc"]):
-            gpubox.write_gpubox_fast(
-                os.path.join(d, f"gpubox_{cc:02d}.fits"), cc,
-                _GPUBOX_BENCH["num_ants"], _GPUBOX_BENCH["num_fine"],
-                _GPUBOX_BENCH["num_timesteps"], obsid=1297526432)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return gpubox.read_gpubox(spark, d + "/*.fits")
+    return gpubox.read_gpubox(spark, pipeline_e2e.scan_dir() + "/*.fits")
 
 
 def _q_real_format_e2e(spark, sf_dir):
@@ -662,7 +655,11 @@ def _q_uvfits_scan(spark, sf_dir):
     path = os.path.join(
         tempfile.gettempdir(),
         f"birli_spark_s1j_{os.path.basename(sf_dir.rstrip('/'))}.uvfits")
-    if not os.path.exists(path):
+    # the s1g '.complete' pattern: the writer pre-sizes the file BEFORE
+    # the executor job, so a killed run leaves a zeros-only file — gate
+    # the cache on a marker written after the job finishes
+    marker = path + ".complete"
+    if not os.path.exists(marker):
         baked = pipeline.preprocess_baked(spark, sf_dir)
         rows = uvfits.uvfits_group_rows(
             baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
@@ -671,10 +668,9 @@ def _q_uvfits_scan(spark, sf_dir):
         uvfits.write_uvfits_distributed(
             rows, path, n_chan,
             jd_zero=uvfits.obs_jd_zero(syn.GPS_START)).count()
-    try:
-        register_uvfits_source(spark)
-    except Exception:
-        pass  # already registered in this session
+        with open(marker, "w") as f:
+            f.write("ok")
+    register_uvfits_source(spark)  # idempotent (replaces)
     return spark.read.format("uvfits").option(
         "groups_per_task", "64").load(path)
 
@@ -721,17 +717,17 @@ def _q_casams_scan(spark, sf_dir):
     path = os.path.join(
         tempfile.gettempdir(),
         f"birli_spark_s1k_{os.path.basename(sf_dir.rstrip('/'))}.ms")
-    if not os.path.exists(os.path.join(path, "table.f0")):
+    # marker AFTER the executor bulk write (the writer pre-sizes
+    # table.f0 first — a killed run must not poison the cache)
+    marker = os.path.join(path, ".complete")
+    if not os.path.exists(marker):
         baked = pipeline.preprocess_baked(spark, sf_dir)
-        # the o2c writer (ms_file_rows runs write + read-back; we only
-        # need the write side, which write_ms_casa performs eagerly)
         ms_file.write_ms_casa(
             spark, baked, path, pipeline.AVG_TIME, pipeline.AVG_FREQ,
             syn.GPS_START, syn.INT_TIME_S)
-    try:
-        register_casams_source(spark)
-    except Exception:
-        pass
+        with open(marker, "w") as f:
+            f.write("ok")
+    register_casams_source(spark)  # idempotent (replaces)
     return spark.read.format("casams").option(
         "rows_per_task", "64").load(path)
 
@@ -2459,9 +2455,9 @@ FROM (VALUES
 
 def _gpubox_bench_oracle() -> str:
     from birli_spark.sources import gpubox
+    d = _gpubox_bench_dims()
     return gpubox.expected_grid_sql(
-        _GPUBOX_BENCH["num_cc"], _GPUBOX_BENCH["num_ants"],
-        _GPUBOX_BENCH["num_fine"], _GPUBOX_BENCH["num_timesteps"])
+        d["num_cc"], d["num_ants"], d["num_fine"], d["num_timesteps"])
 
 
 def _mwax_oracle() -> str:

@@ -28,7 +28,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from birli_spark.operators import averaging, corrections, flags, ssins, weights
+from birli_spark.operators import corrections, flags, ssins, weights
 from birli_spark.sinks import uvfits
 from birli_spark.sources import gpubox
 from birli_spark.sources import synthetic as syn

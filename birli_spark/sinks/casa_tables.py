@@ -220,11 +220,11 @@ def write_table_dat(path: str, name: str, columns: list[dict],
             f.write(readme if readme.endswith("\n") else readme + "\n")
 
 
-def read_table(path: str) -> dict:
-    """Parse a directory written by :func:`write_table` back into
-    ``{"name", "nrow", "keywords", "columns": {col: np.ndarray}}``.
-    Array columns come back stacked ``(nrow, *shape)``; fully
-    independent of the writer (format-description parity check)."""
+def read_table_desc(path: str) -> tuple[str, int, dict, list[dict]]:
+    """Parse ONLY ``table.dat`` -> (name, nrow, keywords, column descs
+    incl. the data-manager type per column) — shared by the full
+    roundtrip reader and the distributed MS DataSource's planner
+    (sources/casams_source.py), which never opens ``table.f0``."""
     with open(os.path.join(path, "table.dat"), "rb") as f:
         r = AipsReader(f.read())
     r.getstart("Table")
@@ -239,7 +239,8 @@ def read_table(path: str) -> dict:
         r.getstart("ColumnDesc")
         cname = r.get_string()
         r.get_string()  # comment
-        r.get_string(), r.get_string()  # data manager type/group
+        dm_type = r.get_string()
+        dm_group = r.get_string()
         tp = r.get_int()
         r.get_int()  # options
         ndim = r.get_int()
@@ -251,6 +252,7 @@ def read_table(path: str) -> dict:
         r.getend()
         is_arr = tp >= TP_ARRAY_OFFSET
         descs.append({"name": cname, "shape": shape, "keywords": ckw,
+                      "dm_type": dm_type, "dm_group": dm_group,
                       "dtype": _TP_INV[tp - TP_ARRAY_OFFSET if is_arr
                                        else tp]})
     r.getend()  # TableDesc
@@ -260,6 +262,15 @@ def read_table(path: str) -> dict:
         r.get_string(), r.get_uint()
     r.getend()
     r.getend()  # Table
+    return name, nrow, keywords, descs
+
+
+def read_table(path: str) -> dict:
+    """Parse a directory written by :func:`write_table` back into
+    ``{"name", "nrow", "keywords", "columns": {col: np.ndarray}}``.
+    Array columns come back stacked ``(nrow, *shape)``; fully
+    independent of the writer (format-description parity check)."""
+    name, nrow, keywords, descs = read_table_desc(path)
 
     with open(os.path.join(path, "table.f0"), "rb") as f:
         r = AipsReader(f.read())

@@ -518,19 +518,16 @@ def ms_file_rows(spark: SparkSession, baked: DataFrame, path: str,
         main_cells_frame(path).reset_index(drop=True))
 
 
-def main_cells_frame(path: str, time_block_offset: int = 0):
-    """One pandas row per (MAIN row, channel) with every value exactly
-    as the file stores it — the shared read-back for the MS byte gates
-    (o2c single tree, mo5 per-obs fan-out, which passes its obs's
-    global-block offset since scans restart at 1 per obs). Drops the
-    reindex-filled absent cells (same invariant as the UVFITS byte
-    gate, sinks/uvfits.py::file_cells_frame: a real baked cell carries
-    weight = +/-|weight_factor| != 0)."""
+def cells_frame_from_columns(c: dict, g: int,
+                             time_block_offset: int = 0):
+    """The ONE row convention for every MS MAIN read-back surface —
+    decoded column arrays -> one pandas row per (row, channel),
+    reindex-filled absent cells dropped (a real baked cell carries
+    weight = +/-|weight_factor| != 0). Shared by the driver byte gates
+    (:func:`main_cells_frame`) and the distributed DataSource
+    (sources/casams_source.py)."""
     import pandas as pd
 
-    t = read_ms_casa(path)["MAIN"]
-    c = t["columns"]
-    g = t["nrow"]
     n_chan = c["DATA"].shape[1]
     rec = {
         "time_mjd_s": np.repeat(c["TIME"], n_chan),
@@ -552,6 +549,16 @@ def main_cells_frame(path: str, time_block_offset: int = 0):
         rec[f"data_{pol}_im"] = cell.imag.astype(np.float64)
     pdf = pd.DataFrame(rec)
     return pdf[pdf["weight"] != 0.0]
+
+
+def main_cells_frame(path: str, time_block_offset: int = 0):
+    """Driver-side byte-gate read-back (o2c single tree, mo5 per-obs
+    fan-out, which passes its obs's global-block offset since scans
+    restart at 1 per obs): full independent parse, then the shared row
+    convention."""
+    t = read_ms_casa(path)["MAIN"]
+    return cells_frame_from_columns(t["columns"], t["nrow"],
+                                    time_block_offset)
 
 
 def ms_file_oracle_select(baked: str, avg_time: int, avg_freq: int,

@@ -424,17 +424,19 @@ def uvfits_file_rows(spark, rows: DataFrame, path: str,
         file_cells_frame(path, n_chan).reset_index(drop=True))
 
 
-def file_cells_frame(path: str, n_chan: int):
-    """One pandas row per (group, channel) with every value exactly as
-    the file stores it — the shared read-back for the byte gates (o1b
-    single file, mo4 per-obs fan-out). Drops the file's absent-cell
-    padding: groups never written keep the pre-sized zeros (bl_code 0 —
-    real codes are >= 257), and channels reindex-filled inside a group
-    carry weight exactly 0 (a real baked cell is +/-|weight_factor|
-    != 0). What remains is every real cell."""
+def cells_frame_from_arrays(params: np.ndarray, data: np.ndarray,
+                            n_chan: int):
+    """The ONE row convention for every UVFITS read-back surface —
+    (PZERO-applied) group params + data cube -> one pandas row per
+    (group, channel), padding dropped: groups never written keep the
+    pre-sized zeros (bl_code 0 — real codes are >= 257), and channels
+    reindex-filled inside a group carry weight exactly 0 (a real baked
+    cell is +/-|weight_factor| != 0). Shared by the driver byte gates
+    (:func:`file_cells_frame`) and the distributed DataSource
+    (sources/uvfits_source.py) so a convention change lands everywhere
+    at once."""
     import pandas as pd
 
-    _, params, data = read_uvfits(path)
     g = params.shape[0]
     rec = {
         "bl_code": np.repeat(params[:, 3].astype(np.int32), n_chan),
@@ -451,6 +453,13 @@ def file_cells_frame(path: str, n_chan: int):
     pdf = pd.DataFrame(rec)
     pdf["flag"] = pdf["weight"] < 0
     return pdf[(pdf["bl_code"] > 0) & (pdf["weight"] != 0.0)]
+
+
+def file_cells_frame(path: str, n_chan: int):
+    """Driver-side byte-gate read-back (o1b single file, mo4 per-obs
+    fan-out): read the whole file, then the shared row convention."""
+    _, params, data = read_uvfits(path)
+    return cells_frame_from_arrays(params, data, n_chan)
 
 
 def uvfits_file_oracle_select(baked: str, avg_time: int, avg_freq: int,

@@ -23,12 +23,11 @@ scan verbatim.
 from __future__ import annotations
 
 import os
-import struct
 
 import numpy as np
 
 from birli_spark.sinks import casa_tables
-from birli_spark.sinks.ms_file import MS_POLS, _cell_size, plan_f0_layout
+from birli_spark.sinks.ms_file import MS_POLS, plan_f0_layout
 
 _POL_COLS = ", ".join(f"data_{p}_re double, data_{p}_im double"
                       for p in MS_POLS)
@@ -46,37 +45,23 @@ _NP = {"bool": "u1", "int": ">i4", "float": ">f4", "double": ">f8",
 
 def read_main_desc(ms_path: str) -> tuple[int, list[dict]]:
     """Parse ONLY the MAIN ``table.dat`` -> (nrow, columns meta in file
-    order) — the planning step never opens ``table.f0``."""
-    with open(os.path.join(ms_path, "table.dat"), "rb") as f:
-        r = casa_tables.AipsReader(f.read())
-    r.getstart("Table")
-    nrow = r.get_uint()
-    r.get_uint()
-    r.get_string()
-    r.getstart("TableDesc")
-    r.get_string(), r.get_string(), r.get_string()
-    casa_tables._get_keywords(r)
-    metas = []
-    for _ in range(r.get_uint()):
-        r.getstart("ColumnDesc")
-        cname = r.get_string()
-        r.get_string()
-        r.get_string(), r.get_string()
-        tp = r.get_int()
-        r.get_int()
-        ndim = r.get_int()
-        shape = None
-        if ndim > 0:
-            r.get_bool()
-            shape = tuple(r.get_int() for _ in range(ndim))
-        casa_tables._get_keywords(r)
-        r.getend()
-        is_arr = tp >= casa_tables.TP_ARRAY_OFFSET
-        metas.append({
-            "name": cname, "shape": shape,
-            "dtype": casa_tables._TP_INV[
-                tp - casa_tables.TP_ARRAY_OFFSET if is_arr else tp]})
-    return nrow, metas
+    order) via the shared parser (casa_tables.read_table_desc) — the
+    planning step never opens ``table.f0``. Every column must be
+    StManAipsIO-managed: :func:`plan_f0_layout`'s fixed-cell offsets
+    are ONLY valid for that layout, so a genuine casacore-written MS
+    (Tiled/Incr storage managers, different f0 framing) is rejected
+    with a clear error instead of decoding wrong byte regions."""
+    _, nrow, _, descs = casa_tables.read_table_desc(ms_path)
+    bad = [(d["name"], d["dm_type"]) for d in descs
+           if d["dm_type"] != "StManAipsIO"]
+    if bad:
+        raise ValueError(
+            f"{ms_path}: unsupported storage manager(s) {bad[:4]} — the"
+            " casams source reads the StManAipsIO fixed-cell layout"
+            " this engine writes (sinks/ms_file.py), not general"
+            " casacore tables")
+    return nrow, [{"name": d["name"], "shape": d["shape"],
+                   "dtype": d["dtype"]} for d in descs]
 
 
 def _read_column_rows(f, meta: dict, base: int, cell: int,
@@ -100,9 +85,11 @@ def _read_column_rows(f, meta: dict, base: int, cell: int,
 
 def decode_row_range(ms_path: str, nrow: int, metas: list[dict],
                      lo: int, hi: int, time_block_offset: int = 0):
-    """Rows [lo, hi) in the main_cells_frame convention — only the
-    _NEEDED columns' byte regions are touched."""
-    import pandas as pd
+    """Rows [lo, hi) via the SHARED row convention
+    (sinks/ms_file.py::cells_frame_from_columns — the same builder the
+    driver byte gates use) — only the _NEEDED columns' byte regions are
+    touched."""
+    from birli_spark.sinks.ms_file import cells_frame_from_columns
 
     _, sections, _ = plan_f0_layout(metas, nrow)
     by_name = {m["name"]: m for m in metas}
@@ -112,29 +99,13 @@ def decode_row_range(ms_path: str, nrow: int, metas: list[dict],
             base, cell = sections[name]
             cols[name] = _read_column_rows(f, by_name[name], base, cell,
                                            lo, hi)
-    g = hi - lo
-    n_chan = cols["DATA"].shape[1]
-    rec = {
-        "time_mjd_s": np.repeat(cols["TIME"], n_chan),
-        "antenna1": np.repeat(cols["ANTENNA1"].astype(np.int32), n_chan),
-        "antenna2": np.repeat(cols["ANTENNA2"].astype(np.int32), n_chan),
-        "time_block": np.repeat(
-            (cols["SCAN_NUMBER"] - 1 + time_block_offset)
-            .astype(np.int32), n_chan),
-        "chan": np.tile(np.arange(n_chan, dtype=np.int32), g),
-        "uvw_u": np.repeat(cols["UVW"][:, 0], n_chan),
-        "uvw_v": np.repeat(cols["UVW"][:, 1], n_chan),
-        "uvw_w": np.repeat(cols["UVW"][:, 2], n_chan),
-    }
-    for p, pol in enumerate(MS_POLS):
-        cell = cols["DATA"][:, :, p].reshape(-1)
-        rec[f"data_{pol}_re"] = cell.real.astype(np.float64)
-        rec[f"data_{pol}_im"] = cell.imag.astype(np.float64)
-    rec["weight"] = cols["WEIGHT_SPECTRUM"][:, :, 0].reshape(-1) \
-        .astype(np.float64)
-    rec["flag"] = cols["FLAG"][:, :, 0].reshape(-1)
-    pdf = pd.DataFrame(rec)
-    return pdf[pdf["weight"] != 0.0]
+    pdf = cells_frame_from_columns(cols, hi - lo,
+                                   time_block_offset=time_block_offset)
+    # Arrow batches bind to the declared schema BY POSITION — emit in
+    # SCAN_SCHEMA column order (the shared builder orders weight/flag
+    # before the pol columns)
+    order = [c.strip().split(" ")[0] for c in SCAN_SCHEMA.split(",")]
+    return pdf[order]
 
 
 def register_casams_source(spark) -> None:

@@ -39,68 +39,67 @@ SCAN_SCHEMA = (f"bl_code int, jd double, chan_out int, u double,"
 def read_uvfits_header(path: str) -> tuple[dict, int]:
     """Parse ONLY the header blocks (80-char cards until END) ->
     (header dict, header length in bytes) — the planning step never
-    touches group data."""
-    header: dict[str, object] = {}
-    off = 0
+    touches group data. Block scanning is incremental; the card
+    PARSING reuses the strict shared FITS parser
+    (sources/fitscore.py::parse_header — quoted '/', E-notation,
+    comment cards), then the random-groups layout this decoder
+    hardcodes is VALIDATED: GROUPS, BITPIX -32, PCOUNT 5 with the
+    UU/VV/WW/BASELINE/DATE param order — anything else raises a clear
+    error at planning time instead of decoding garbage."""
+    from birli_spark.sources import fitscore as fc
+
+    buf = bytearray()
     with open(path, "rb") as f:
-        done = False
-        while not done:
+        while True:
             block = f.read(_BLOCK)
             if len(block) < _BLOCK:
                 raise ValueError(f"{path}: truncated FITS header")
-            off += _BLOCK
-            for i in range(0, _BLOCK, 80):
-                card = block[i:i + 80].decode("ascii")
-                key = card[:8].strip()
-                if key == "END":
-                    done = True
-                    break
-                if "=" not in card:
-                    continue
-                val = card[9:].split("/")[0].strip()
-                if val.startswith("'"):
-                    header[key] = val.strip("'").strip()
-                elif val in ("T", "F"):
-                    header[key] = val == "T"
-                else:
-                    header[key] = float(val) if "." in val else int(val)
+            buf += block
+            if b"END     " in block:
+                break
+    header, off = fc.parse_header(bytes(buf))
     if not header.get("GROUPS", False):
         raise ValueError(f"{path}: not a random-groups UVFITS file")
+    if int(header.get("BITPIX", 0)) != -32:
+        raise ValueError(f"{path}: BITPIX {header.get('BITPIX')!r} — this"
+                         " decoder reads 32-bit IEEE float groups only")
+    if int(header.get("PCOUNT", 0)) != 5:
+        raise ValueError(f"{path}: PCOUNT {header.get('PCOUNT')!r} — this"
+                         " decoder expects the 5-param"
+                         " UU/VV/WW/BASELINE/DATE layout")
+    want = ("UU", "VV", "WW", "BASELINE", "DATE")
+    got = tuple(str(header.get(f"PTYPE{i + 1}", "")).strip()
+                for i in range(5))
+    if got != want:
+        raise ValueError(f"{path}: PTYPE order {got} != {want}")
     return header, off
 
 
 def decode_group_range(path: str, header: dict, header_len: int,
                        lo: int, hi: int):
     """Rows for groups [lo, hi): one seek + one read of the exact byte
-    slice, numpy-vectorized into the file_cells_frame row convention."""
-    import pandas as pd
+    slice, then the SHARED row convention
+    (sinks/uvfits.py::cells_frame_from_arrays — the same builder the
+    driver byte gates use). PZEROs applied to every param, like the
+    full reader."""
+    from birli_spark.sinks.uvfits import cells_frame_from_arrays
 
     n_chan = int(header["NAXIS4"])
     per = int(header["PCOUNT"]) + n_chan * 4 * 3
-    pzero_date = float(header.get("PZERO5", 0.0))
     n = hi - lo
     with open(path, "rb") as f:
         f.seek(header_len + lo * per * 4)
         raw = f.read(n * per * 4)
     arr = np.frombuffer(raw, dtype=">f4").reshape(n, per)
     params = arr[:, :5].astype(np.float64)
+    for i in range(5):
+        params[:, i] += float(header.get(f"PZERO{i + 1}", 0.0))
     data = arr[:, 5:].reshape(n, n_chan, 4, 3).astype(np.float64)
-    rec = {
-        "bl_code": np.repeat(params[:, 3].astype(np.int32), n_chan),
-        "jd": np.repeat(params[:, 4] + pzero_date, n_chan),
-        "chan_out": np.tile(np.arange(n_chan, dtype=np.int32), n),
-        "u": np.repeat(params[:, 0], n_chan),
-        "v": np.repeat(params[:, 1], n_chan),
-        "w": np.repeat(params[:, 2], n_chan),
-    }
-    for p, pol in enumerate(UVFITS_POLS):
-        rec[f"{pol}_re"] = data[:, :, p, 0].reshape(-1)
-        rec[f"{pol}_im"] = data[:, :, p, 1].reshape(-1)
-    rec["weight"] = data[:, :, 0, 2].reshape(-1)
-    pdf = pd.DataFrame(rec)
-    pdf["flag"] = pdf["weight"] < 0
-    # drop the pre-sized padding (file_cells_frame convention)
-    return pdf[(pdf["bl_code"] > 0) & (pdf["weight"] != 0.0)]
+    pdf = cells_frame_from_arrays(params, data, n_chan)
+    # Arrow batches bind to the declared schema BY POSITION — pin the
+    # SCAN_SCHEMA column order against builder-order drift
+    order = [c.strip().split(" ")[0] for c in SCAN_SCHEMA.split(",")]
+    return pdf[order]
 
 
 def register_uvfits_source(spark) -> None:
