@@ -203,6 +203,23 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
+def _s1h_prechk(spark, sf_dir):
+    from birli_spark import pipeline_e2e
+    return pipeline_e2e.e2e_rows(spark, write_path=None)
+
+
+#: queries whose EXECUTED form ends in localCheckpoint (+ a physical
+#: write action), making the recorded plan a `Scan ExistingRDD` stub.
+#: The audit explains this PRE-checkpoint twin instead — the same
+#: relation with the checkpoint/write elided — so PLANS.md shows the
+#: real lineage being graded. (The checkpoint itself is justified: it
+#: keeps the writer's grid probes + the byte-gate re-reads off one
+#: materialization, pipeline_e2e.py:149-152.)
+PRE_CHECKPOINT_TWINS = {
+    "s1h_real_format_e2e": _s1h_prechk,
+}
+
+
 def _bnlj_subtree_scans_fact(plan: str) -> tuple[int, int]:
     """Walk the plan-tree text; for each BroadcastNestedLoopJoin count
     whether its subtree touches a parquet (fact) scan. Cross joins whose
@@ -284,8 +301,12 @@ def main() -> int:
            " then the full `explain('formatted')` output.\n"]
     bad = 0
     for n in names:
-        plan = formatted_plan(qs[n](spark, sf_dir))
+        builder = PRE_CHECKPOINT_TWINS.get(n) or qs[n]
+        plan = formatted_plan(builder(spark, sf_dir))
         notes = audit(n, plan)
+        if n in PRE_CHECKPOINT_TWINS:
+            notes.append("pre-checkpoint lineage (executed form "
+                         "checkpoints then writes)")
         line = "; ".join(notes)
         flag = "WARN" if "WARN" in line else "OK"
         bad += flag == "WARN"
