@@ -164,6 +164,30 @@ def main() -> None:
             run_query(qs[name](spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(dt, timings.get(name, dt))
+    # s1h scale-slope probe (round-5 ask 4): the e2e composition at 1x /
+    # 4x / 16x the observation's timestep axis (835k -> 3.3M -> 13.4M
+    # cube rows), full pipeline INCLUDING the physical uvfits write.
+    # Near-linear wall-time over 16x row growth is the measured form of
+    # "read bandwidth and the write stage scale with executors".
+    # Two passes each, min (the criterion convention above); file
+    # generation is excluded (cached under tempfile.gettempdir()).
+    import tempfile
+
+    from birli_spark import pipeline_e2e
+    for mult in (1, 4, 16):
+        num_t = pipeline_e2e.NUM_T * mult
+        pipeline_e2e.scan_dir(num_t)     # generate outside the timer
+        out = os.path.join(tempfile.gettempdir(),
+                           f"birli_e2e_scale_x{mult}.uvfits")
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pipeline_e2e.e2e_rows(spark, write_path=out, num_t=num_t)
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        timings[f"s1h_scale_x{mult}"] = best
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",

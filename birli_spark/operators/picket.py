@@ -60,6 +60,51 @@ def run_picket(spark: SparkSession, sf_dir: str, spec: str,
     return out
 
 
+def ranges_from_channels(rec_chans: list[int]) -> list[tuple[int, int]]:
+    """Derive contiguous coarse-channel ranges from an observation's
+    receiver-channel list (reference ``ChannelRanges::from_idxs``,
+    src/cli.rs:207-230: consecutive indices whose receiver channel
+    numbers are also consecutive join one range). Returns
+    (lo_ch, hi_ch) pairs in receiver-channel numbers."""
+    if not rec_chans:
+        return []
+    out: list[tuple[int, int]] = []
+    lo = hi = rec_chans[0]
+    for ch in rec_chans[1:]:
+        if ch == hi + 1:
+            hi = ch
+        else:
+            out.append((lo, hi))
+            lo = hi = ch
+    out.append((lo, hi))
+    return out
+
+
+def range_suffix(lo_ch: int, hi_ch: int) -> str:
+    """The reference's per-range output-name suffix
+    (src/cli.rs:1544-1556): ``_ch62`` for a single channel,
+    ``_ch62-63`` for a run."""
+    return f"_ch{lo_ch}" if lo_ch == hi_ch else f"_ch{lo_ch}-{hi_ch}"
+
+
+def legacy_gpubox_numbers(rec_chans_sorted: list[int]) -> dict[int, int]:
+    """Receiver channel -> gpubox number for a LEGACY correlator obs
+    (mwalib CoarseChannel semantics, public mwalib source): channels
+    <= 128 take gpubox numbers 1..k in ascending channel order;
+    channels > 128 are sky-frequency REVERSED — ascending channels in
+    the high block take DESCENDING gpubox numbers, so the lowest
+    high-block channel gets the highest number. For the picket obs
+    1119683928 this maps channel 139 -> gpubox 24 and
+    channel 188 -> gpubox 17."""
+    low = [c for c in rec_chans_sorted if c <= 128]
+    high = [c for c in rec_chans_sorted if c > 128]
+    n = len(rec_chans_sorted)
+    out = {c: i + 1 for i, c in enumerate(low)}
+    for j, c in enumerate(high):          # ascending channel
+        out[c] = n - j                    # descending gpubox number
+    return out
+
+
 def picket_oracle_sql(spec: str,
                       avg_time: int = pipeline.AVG_TIME,
                       avg_freq: int = pipeline.AVG_FREQ) -> str:

@@ -69,15 +69,15 @@ def antennas_values_sql() -> str:
             f" FROM (VALUES {rows}) AS a(ant, lx, ly, fl)")
 
 
-def timesteps_values_sql() -> str:
+def timesteps_values_sql(num_t: int = NUM_T) -> str:
     rows = ", ".join(
         f"({t}, {GPS0 + t * INT_TIME_S + INT_TIME_S / 2.0!r})"
-        for t in range(NUM_T))
+        for t in range(num_t))
     return (f"SELECT CAST(t AS INT) AS t, CAST(g AS DOUBLE) AS ts_gps"
             f" FROM (VALUES {rows}) AS tt(t, g)")
 
 
-def part_uvw_values_sql() -> str:
+def part_uvw_values_sql(num_t: int = NUM_T) -> str:
     """Per-(t, ant) partial UVWs — deterministic literals (the real
     pipeline computes these from tile positions + epoch, C3c; the e2e
     composition exercises the geometry stage's join/rotation shape)."""
@@ -85,24 +85,28 @@ def part_uvw_values_sql() -> str:
         f"({t}, {a}, {round(a * 7.25 + t * 0.11, 6)!r},"
         f" {round(a * -3.5 + t * 0.07, 6)!r},"
         f" {round(a * 0.9 + t * 0.013, 6)!r})"
-        for t in range(NUM_T) for a in range(NUM_ANTS))
+        for t in range(num_t) for a in range(NUM_ANTS))
     return (f"SELECT CAST(t AS INT) AS t, CAST(ant AS INT) AS ant,"
             f" CAST(u AS DOUBLE) AS u, CAST(v AS DOUBLE) AS v,"
             f" CAST(w AS DOUBLE) AS w"
             f" FROM (VALUES {rows}) AS p(t, ant, u, v, w)")
 
 
-def scan_dir() -> str:
+def scan_dir(num_t: int = NUM_T) -> str:
     """Generate (once) the 24 real-format gpubox files — the same files
-    and marker the s1g read bench uses."""
-    d = os.path.join(tempfile.gettempdir(), "birli_spark_gpubox_bench")
+    and marker the s1g read bench uses. ``num_t`` scales the
+    observation along the timestep axis (the s1h scale-slope probe
+    uses 4x and 16x); each size keeps its own cache directory."""
+    suffix = "" if num_t == NUM_T else f"_t{num_t}"
+    d = os.path.join(tempfile.gettempdir(),
+                     "birli_spark_gpubox_bench" + suffix)
     marker = os.path.join(d, ".complete")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         for cc in range(NUM_CC):
             gpubox.write_gpubox_fast(
                 os.path.join(d, f"gpubox_{cc:02d}.fits"), cc,
-                NUM_ANTS, NUM_FINE, NUM_T, obsid=int(GPS0))
+                NUM_ANTS, NUM_FINE, num_t, obsid=int(GPS0))
         with open(marker, "w") as f:
             f.write("ok")
     return d
@@ -122,17 +126,19 @@ def vis_from_scan(scan: DataFrame) -> DataFrame:
     ).select(*_COLS)
 
 
-def e2e_rows(spark: SparkSession, write_path: str | None = None
-             ) -> DataFrame:
+def e2e_rows(spark: SparkSession, write_path: str | None = None,
+             num_t: int = NUM_T) -> DataFrame:
     """The full composition; when ``write_path`` is given, also performs
     the PHYSICAL executor-parallel random-groups write (the reference
-    e2e's write stage — byte-gated separately as o1b/mo4)."""
-    vis = vis_from_scan(gpubox.read_gpubox(spark, scan_dir() + "/*.fits"))
+    e2e's write stage — byte-gated separately as o1b/mo4). ``num_t``
+    scales the observation 4x/16x for the scale-slope probe."""
+    vis = vis_from_scan(
+        gpubox.read_gpubox(spark, scan_dir(num_t) + "/*.fits"))
     ants = spark.sql(antennas_values_sql())
-    ts = spark.sql(timesteps_values_sql())
-    part_uvw = spark.sql(part_uvw_values_sql())
+    ts = spark.sql(timesteps_values_sql(num_t))
+    part_uvw = spark.sql(part_uvw_values_sql(num_t))
     ts_f = flags.flag_timesteps_quack(
-        ts, GPS0, GPS0 + NUM_T * INT_TIME_S, quack_s=QUACK_S)
+        ts, GPS0, GPS0 + num_t * INT_TIME_S, quack_s=QUACK_S)
     bl_f = flags.baseline_flags(ants)
     fc_pred = flags.flag_fine_channels(NUM_FINE, n_edge=N_EDGE,
                                        is_legacy=True)
