@@ -191,6 +191,27 @@ def _q_uv_grid_uniform(spark, sf_dir):
     return gridding.uv_grid_uniform(geom)
 
 
+def _q_delay_spectrum(spark, sf_dir):
+    """IM3 — per-baseline delay power spectrum (frequency->delay DFT,
+    Parsons et al. 2012): tick-exact relational transform — ONE
+    broadcast join against the N^2-row integer DFT coefficient dim +
+    one partial+final aggregation on (t, bl, k)
+    (operators/delay.py)."""
+    from birli_spark.operators import delay
+    return delay.delay_spectrum(spark, syn.load_vis(spark, sf_dir),
+                                syn.NUM_CC * syn.NUM_FC)
+
+
+def _q_delay_spectrum_udf(spark, sf_dir):
+    """IM3b — the identical integer transform as a grouped numpy int64
+    matmul per baseline (the O(N log N) FFT slot at 100 TB; one
+    image-forming shuffle, zero with baseline bucketing). EXACT twin of
+    im3 — shares its DuckDB oracle."""
+    from birli_spark.operators import delay
+    return delay.delay_spectrum_udf(syn.load_vis(spark, sf_dir),
+                                    syn.NUM_CC * syn.NUM_FC)
+
+
 def _q_digital(spark, sf_dir):
     return corrections.correct_digital_gains(
         syn.load_vis(spark, sf_dir), syn.load_dim(spark, "digital_gains"))
@@ -475,6 +496,19 @@ def _q_rfi_udf(spark, sf_dir):
     from birli_spark.operators import rfi
     cell, _ = _rfi_cell_view(spark, sf_dir)
     return rfi.flag_rfi(cell)
+
+
+def _q_rfi_mwa_float(spark, sf_dir):
+    """F9f: the CLI's PRODUCTION mwa-default path — the float UDF
+    island with AOFlagger's own statistics (Winsorized-mode noise,
+    float Gaussian fit; rfi.flag_rfi_mwa impl='float'), measured at
+    0.9824 agreement / 0.922 recall against the reference's own cotter
+    golden (tests/test_golden_mwa_flags.py). Deliberately rows-only
+    like the other f64 UDF twins (c1b/f9b): float windowed statistics
+    are not association-stable across engines."""
+    from birli_spark.operators import rfi
+    cell, _ = _rfi_cell_view(spark, sf_dir)
+    return rfi.flag_rfi_mwa(cell)
 
 
 def _q_pipeline_full(spark, sf_dir):
@@ -785,6 +819,15 @@ def _q_multi_obs_ms(spark, sf_dir):
         tempfile.gettempdir(),
         f"birli_spark_mo5_{os.path.basename(sf_dir.rstrip('/'))}")
     return multiobs.mo_ms_gate_rows(spark, sf_dir, out)
+
+
+def _q_calsol_drift(spark, sf_dir):
+    """MO6: cross-observation calibration-solution drift QA — the
+    catalogue-axis stability monitor (per-(ant, chan) LAG along obs,
+    per-ant max/total drift + literal-threshold outlier flag; one
+    dual-dialect text, operators/multiobs.py::mo6_calsol_drift_sql)."""
+    from birli_spark.operators import multiobs
+    return spark.sql(multiobs.mo6_calsol_drift_sql())
 
 
 def _q_ms_subtables(spark, sf_dir):
@@ -1791,11 +1834,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_ssins_autos": _q_ssins_autos,
         "im1_uv_grid": _q_uv_grid,
         "im2_uv_grid_uniform": _q_uv_grid_uniform,
+        "im3_delay_spectrum": _q_delay_spectrum,
+        "im3b_delay_spectrum_udf": _q_delay_spectrum_udf,
         "pipeline_preprocess_ssins": _q_pipeline_ssins,
         "c1_van_vleck": _q_van_vleck,
         "c1b_van_vleck_udf": _q_van_vleck_udf,
         "f9_rfi_sumthreshold": _q_rfi,
         "f9b_rfi_sumthreshold_udf": _q_rfi_udf,
+        "f9f_rfi_mwa_float_udf": _q_rfi_mwa_float,
         "f9c_rfi_sir": _q_rfi_sir,
         "f9d_aoflagger_strategy": _q_rfi_strategy,
         "f9e_rfi_mwa_strategy": _q_rfi_mwa,
@@ -1820,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mo3_multi_obs_occupancy": _q_multi_obs_occupancy,
         "mo4_multi_obs_uvfits": _q_multi_obs_uvfits,
         "mo5_multi_obs_ms": _q_multi_obs_ms,
+        "mo6_calsol_drift": _q_calsol_drift,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -2215,6 +2262,9 @@ def oracle_sql() -> dict[str, str]:
         "mo5_multi_obs_ms": __import__(
             "birli_spark.operators.multiobs",
             fromlist=["x"]).mo_ms_files_oracle_sql(),
+        "mo6_calsol_drift": __import__(
+            "birli_spark.operators.multiobs",
+            fromlist=["x"]).mo6_calsol_drift_sql(),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),
@@ -2409,6 +2459,16 @@ def oracle_sql() -> dict[str, str]:
             + f"part_uvw AS ({syn.PART_UVW_SQL}), geom AS ("
             + corrections.geom_oracle_select("baked", "part_uvw", _COLS)
             + ") " + gridding.uv_grid_uniform_oracle_select("geom")),
+        "im3_delay_spectrum": (
+            f"WITH vis AS ({syn.vis_sql()}) "
+            + __import__("birli_spark.operators.delay",
+                         fromlist=["delay"]).delay_oracle_select(
+                             syn.NUM_CC * syn.NUM_FC)),
+        "im3b_delay_spectrum_udf": (
+            f"WITH vis AS ({syn.vis_sql()}) "
+            + __import__("birli_spark.operators.delay",
+                         fromlist=["delay"]).delay_oracle_select(
+                             syn.NUM_CC * syn.NUM_FC)),
         "m4_incremental_agg": _incremental_agg_oracle(),
         "t24_sequence_packing": corpus_clean.sequence_packing_oracle_sql(),
         "t25_dsir_weights": text.dsir_weights_oracle_sql(),

@@ -73,6 +73,10 @@ HEADLINE = [
     # RFI-inclusive pipeline as one oracle-checkable plan
     "f11_ssins_spectra",
     "im1_uv_grid",
+    # round 5: the delay-spectrum transform (broadcast DFT dim +
+    # partial+final agg) and its hash-identical numpy-matmul island
+    "im3_delay_spectrum",
+    "im3b_delay_spectrum_udf",
     "pipeline_preprocess_ssins",
     # round 3: the complete flowchart incl. BOTH former UDF islands as
     # one hash-gated relational plan (pipeline.preprocess_full_rel)
@@ -106,6 +110,9 @@ HEADLINE = [
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",
     "f9b_rfi_sumthreshold_udf",
+    # round 5: the CLI's production mwa-default RFI path (float UDF
+    # island with AOFlagger's own statistics)
+    "f9f_rfi_mwa_float_udf",
 ]
 
 

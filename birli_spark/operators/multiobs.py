@@ -494,3 +494,78 @@ def mo_uvfits_files_oracle_sql(avg_time: int = pipeline.AVG_TIME,
         f" {vis}, {f32('weight')} AS weight,"
         f" {f32('weight')} < 0E0 AS flag FROM ({rows})"
         f" WHERE {f32('weight')} <> 0E0")
+
+
+# ------------------------------------------------------------ MO6 ---
+
+#: MO6 drift ticks per unit (exact BIGINT accumulation of the
+#: f32-demoted per-step drifts)
+MO6_TICKS = 1 << 20
+#: literal outlier threshold on the max per-step solution drift
+MO6_DRIFT_THRESHOLD = 0.8
+
+
+def mo6_calsol_drift_sql(n_obs: int | None = None,
+                         n_ants: int = 8, n_chans: int = 12) -> str:
+    """MO6 — cross-observation calibration-solution drift QA (the
+    observatory's stability monitoring): a catalogue of per-obs
+    MWAOCAL-shaped diagonal solutions, LAG-differenced per (ant, chan)
+    along the obs axis, reduced per antenna to (steps, max drift,
+    exact tick-summed total drift, outlier flag).
+
+    The reference applies ONE obs's solutions (S4 + C6,
+    src/calibration.rs); at catalogue scale the QA question is how the
+    solutions MOVE between obs. One dual-dialect text: the solution
+    values are deterministic integer-ratio literals of
+    (obs_id, ant, chan), the per-step drift is a fixed-association
+    4-term sum of squares -> SQRT -> f32 demotion, the per-ant total
+    is an exact BIGINT tick sum, and the outlier compare is against a
+    literal threshold — hash-exact in both engines.
+
+    Scale shape: solutions are dim-sized (obs x ants x chans rows —
+    thousands x 128 x 3072 at a real archive). One window partitioned
+    by (ant, chan) ordered by obs + one per-ant aggregation; no fact
+    table touched.
+    """
+    n = n_obs or N_OBS
+
+    def jval(mult_a: int, mult_c: int, mult_o: int) -> str:
+        return (f"CAST((ant * {mult_a} + chan * {mult_c}"
+                f" + obs_id * {mult_o}) % 201 - 100 AS DOUBLE) / 100")
+
+    obs = ", ".join(f"({o})" for o in range(n))
+    ants = ", ".join(f"({a})" for a in range(n_ants))
+    chans = ", ".join(f"({c})" for c in range(n_chans))
+    dr = ("SQRT((j00_re - p00_re) * (j00_re - p00_re)"
+          " + (j00_im - p00_im) * (j00_im - p00_im)"
+          " + (j11_re - p11_re) * (j11_re - p11_re)"
+          " + (j11_im - p11_im) * (j11_im - p11_im))")
+    from birli_spark.functions.complex import f32
+    drift_f = f32(dr)
+    return f"""
+WITH cal_obs AS (SELECT obs_id FROM (VALUES {obs}) AS o(obs_id)),
+cal_ants AS (SELECT ant FROM (VALUES {ants}) AS a(ant)),
+cal_chans AS (SELECT chan FROM (VALUES {chans}) AS c(chan)),
+calsols AS (
+  SELECT CAST(obs_id AS INT) AS obs_id, CAST(ant AS INT) AS ant,
+         CAST(chan AS INT) AS chan,
+         {jval(7, 3, 5)} AS j00_re, {jval(8, 5, 7)} AS j00_im,
+         {jval(11, 2, 3)} AS j11_re, {jval(13, 9, 11)} AS j11_im
+  FROM cal_obs CROSS JOIN cal_ants CROSS JOIN cal_chans),
+lagged AS (
+  SELECT *,
+         LAG(j00_re) OVER w AS p00_re, LAG(j00_im) OVER w AS p00_im,
+         LAG(j11_re) OVER w AS p11_re, LAG(j11_im) OVER w AS p11_im
+  FROM calsols
+  WINDOW w AS (PARTITION BY ant, chan ORDER BY obs_id)),
+steps AS (
+  SELECT ant, chan, obs_id, {drift_f} AS drift
+  FROM lagged WHERE p00_re IS NOT NULL)
+SELECT ant,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       MAX(drift) AS max_drift,
+       CAST(SUM(CAST(FLOOR(drift * {MO6_TICKS} + 0.5) AS BIGINT))
+            AS BIGINT) AS total_drift_ticks,
+       MAX(drift) > CAST({MO6_DRIFT_THRESHOLD!r} AS DOUBLE) AS drifted
+FROM steps GROUP BY ant
+"""

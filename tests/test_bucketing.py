@@ -17,6 +17,32 @@ def warehouse(spark, tmp_path_factory):
     return spark
 
 
+def test_bucketed_rfi_island_has_no_exchange(spark, sf_dir):
+    """The production claim itself: the F9e UDF island
+    (groupBy(ant1, ant2).applyInPandas) planned over a baseline-bucketed
+    fact table contains ZERO shuffle exchanges — the 100 TB layout makes
+    the pipeline's one image-forming shuffle disappear."""
+    from birli_spark.operators import rfi
+    vis = syn.load_vis(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS vis_bucketed_rfi")
+    (vis.write.mode("overwrite")
+     .bucketBy(8, "ant1", "ant2").sortBy("ant1", "ant2")
+     .saveAsTable("vis_bucketed_rfi"))
+    try:
+        bucketed = spark.table("vis_bucketed_rfi")
+        flagged = rfi.flag_rfi_mwa(bucketed)
+        plan = flagged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Bucketed: true" in plan
+        # and the unbucketed twin DOES shuffle
+        plain = rfi.flag_rfi_mwa(vis)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS vis_bucketed_rfi")
+
+
 def test_bucketed_groupby_has_no_exchange(spark, sf_dir):
     vis = syn.load_vis(spark, sf_dir)
     spark.sql("DROP TABLE IF EXISTS vis_bucketed")

@@ -193,6 +193,10 @@ HEADLINE = [
     # baked chain + the averaging closer)
     "o1_uvfits_rows", "mo1_multi_obs_pipeline", "mo2_multi_obs_ssins",
     "mo3_multi_obs_occupancy",
+    # round 5: delay spectrum (relational + hash-identical UDF island),
+    # calibration drift QA, the float mwa RFI production path
+    "im3_delay_spectrum", "im3b_delay_spectrum_udf", "mo6_calsol_drift",
+    "f9f_rfi_mwa_float_udf",
 ]
 
 
