@@ -821,6 +821,18 @@ def _q_multi_obs_ms(spark, sf_dir):
     return multiobs.mo_ms_gate_rows(spark, sf_dir, out)
 
 
+def _q_stream_calsol_drift(spark, sf_dir):
+    """st13 — streaming calibration-drift monitor (MO6 twin): per-obs
+    solution files arrive one per micro-batch; (ant, chan)-keyed state
+    carries the previous solution + accumulated drift (O(1)/key); the
+    drained per-ant reduction hash-matches the batch mo6 oracle
+    EXACTLY (streaming/calsol_drift.py)."""
+    from birli_spark.streaming import calsol_drift
+    upd = calsol_drift.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_calsol"))
+    return calsol_drift.drift_from_updates(upd)
+
+
 def _q_calsol_drift(spark, sf_dir):
     """MO6: cross-observation calibration-solution drift QA — the
     catalogue-axis stability monitor (per-(ant, chan) LAG along obs,
@@ -1867,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mo4_multi_obs_uvfits": _q_multi_obs_uvfits,
         "mo5_multi_obs_ms": _q_multi_obs_ms,
         "mo6_calsol_drift": _q_calsol_drift,
+        "st13_stream_calsol_drift": _q_stream_calsol_drift,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -2263,6 +2276,9 @@ def oracle_sql() -> dict[str, str]:
             "birli_spark.operators.multiobs",
             fromlist=["x"]).mo_ms_files_oracle_sql(),
         "mo6_calsol_drift": __import__(
+            "birli_spark.operators.multiobs",
+            fromlist=["x"]).mo6_calsol_drift_sql(),
+        "st13_stream_calsol_drift": __import__(
             "birli_spark.operators.multiobs",
             fromlist=["x"]).mo6_calsol_drift_sql(),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),

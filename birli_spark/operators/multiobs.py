@@ -505,6 +505,30 @@ MO6_TICKS = 1 << 20
 MO6_DRIFT_THRESHOLD = 0.8
 
 
+def mo6_calsols_select(n_obs: int | None = None,
+                       n_ants: int = 8, n_chans: int = 12) -> str:
+    """The deterministic per-obs MWAOCAL-shaped diagonal solutions the
+    MO6 QA runs over — shared by the batch SQL and the st13 streaming
+    feed writer so the twins cannot drift."""
+    n = n_obs or N_OBS
+
+    def jval(mult_a: int, mult_c: int, mult_o: int) -> str:
+        return (f"CAST((ant * {mult_a} + chan * {mult_c}"
+                f" + obs_id * {mult_o}) % 201 - 100 AS DOUBLE) / 100")
+
+    obs = ", ".join(f"({o})" for o in range(n))
+    ants = ", ".join(f"({a})" for a in range(n_ants))
+    chans = ", ".join(f"({c})" for c in range(n_chans))
+    return (
+        f"SELECT CAST(obs_id AS INT) AS obs_id, CAST(ant AS INT) AS ant,"
+        f" CAST(chan AS INT) AS chan,"
+        f" {jval(7, 3, 5)} AS j00_re, {jval(8, 5, 7)} AS j00_im,"
+        f" {jval(11, 2, 3)} AS j11_re, {jval(13, 9, 11)} AS j11_im"
+        f" FROM (VALUES {obs}) AS o(obs_id)"
+        f" CROSS JOIN (VALUES {ants}) AS a(ant)"
+        f" CROSS JOIN (VALUES {chans}) AS c(chan)")
+
+
 def mo6_calsol_drift_sql(n_obs: int | None = None,
                          n_ants: int = 8, n_chans: int = 12) -> str:
     """MO6 — cross-observation calibration-solution drift QA (the
@@ -528,14 +552,6 @@ def mo6_calsol_drift_sql(n_obs: int | None = None,
     table touched.
     """
     n = n_obs or N_OBS
-
-    def jval(mult_a: int, mult_c: int, mult_o: int) -> str:
-        return (f"CAST((ant * {mult_a} + chan * {mult_c}"
-                f" + obs_id * {mult_o}) % 201 - 100 AS DOUBLE) / 100")
-
-    obs = ", ".join(f"({o})" for o in range(n))
-    ants = ", ".join(f"({a})" for a in range(n_ants))
-    chans = ", ".join(f"({c})" for c in range(n_chans))
     dr = ("SQRT((j00_re - p00_re) * (j00_re - p00_re)"
           " + (j00_im - p00_im) * (j00_im - p00_im)"
           " + (j11_re - p11_re) * (j11_re - p11_re)"
@@ -543,15 +559,7 @@ def mo6_calsol_drift_sql(n_obs: int | None = None,
     from birli_spark.functions.complex import f32
     drift_f = f32(dr)
     return f"""
-WITH cal_obs AS (SELECT obs_id FROM (VALUES {obs}) AS o(obs_id)),
-cal_ants AS (SELECT ant FROM (VALUES {ants}) AS a(ant)),
-cal_chans AS (SELECT chan FROM (VALUES {chans}) AS c(chan)),
-calsols AS (
-  SELECT CAST(obs_id AS INT) AS obs_id, CAST(ant AS INT) AS ant,
-         CAST(chan AS INT) AS chan,
-         {jval(7, 3, 5)} AS j00_re, {jval(8, 5, 7)} AS j00_im,
-         {jval(11, 2, 3)} AS j11_re, {jval(13, 9, 11)} AS j11_im
-  FROM cal_obs CROSS JOIN cal_ants CROSS JOIN cal_chans),
+WITH calsols AS ({mo6_calsols_select(n, n_ants, n_chans)}),
 lagged AS (
   SELECT *,
          LAG(j00_re) OVER w AS p00_re, LAG(j00_im) OVER w AS p00_im,

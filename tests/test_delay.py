@@ -109,3 +109,21 @@ def test_mo6_drift_qa_shapes(spark):
     assert (pdf["n_steps"] == (multiobs.N_OBS - 1) * 12).all()
     assert pdf["drifted"].any() and not pdf["drifted"].all()
     assert (pdf["total_drift_ticks"] > 0).all()
+
+
+def test_st13_stream_matches_batch_mo6(spark):
+    """st13 drained per-ant reduction equals the batch MO6 output
+    exactly (value-for-value — the same IEEE ops in the same order)."""
+    from birli_spark.operators import multiobs
+    from birli_spark.streaming import calsol_drift
+    upd = calsol_drift.run_available_now(spark, "", "st13_test_q")
+    got = calsol_drift.drift_from_updates(upd).orderBy("ant").toPandas()
+    want = spark.sql(multiobs.mo6_calsol_drift_sql()).orderBy(
+        "ant").toPandas()
+    assert (got["n_steps"].to_numpy()
+            == want["n_steps"].to_numpy()).all()
+    assert (got["max_drift"].to_numpy()
+            == want["max_drift"].to_numpy()).all()
+    assert (got["total_drift_ticks"].to_numpy()
+            == want["total_drift_ticks"].to_numpy()).all()
+    assert (got["drifted"].to_numpy() == want["drifted"].to_numpy()).all()
