@@ -67,6 +67,7 @@ class Context:
     dut1: float = 0.0
     rfi_sensitivity: float = 6.0
     rfi_strategy: str = "mwa"
+    rfi_impl: str = "float"
     rfi_iterative: bool = False
     sir_eta: float | None = None
     ssins: bool = False
@@ -167,6 +168,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "points this flag at a Lua strategy file; this "
                         "engine's implementation exposes the "
                         "strategy's sensitivity knob)")
+    p.add_argument("--rfi-impl", type=str, default="float",
+                   choices=("float", "ticks"),
+                   help="mwa-strategy arithmetic: 'float' (DEFAULT — "
+                        "AOFlagger's own statistics; measured 0.9824 "
+                        "agreement / 0.922 recall vs the reference's "
+                        "cotter golden) or 'ticks' (the integer-tick "
+                        "mode that hash-matches the relational plan)")
     p.add_argument("--no-cable-delay", action="store_true")
     p.add_argument("--no-digital-gains", action="store_true")
     p.add_argument("--no-geometric-delay", action="store_true")
@@ -338,6 +346,7 @@ def parse_args(argv: list[str]) -> Context:
         rfi_strategy=(a.aoflagger_strategy
                       if a.aoflagger_strategy in ("mwa", "generic")
                       else "sumthreshold"),
+        rfi_impl=a.rfi_impl,
         rfi_iterative=a.rfi_iterative,
         sir_eta=a.sir_eta,
         ssins=a.ssins, ssins_threshold=a.ssins_threshold,
@@ -488,7 +497,8 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
             from birli_spark.operators import rfi
             vis = rfi.flag_rfi_mwa(
                 vis, base_sensitivity=ctx.rfi_sensitivity,
-                eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2)
+                eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2,
+                impl=ctx.rfi_impl)
         else:
             from birli_spark.operators import rfi
             vis = rfi.flag_rfi(vis, base_sensitivity=ctx.rfi_sensitivity,
