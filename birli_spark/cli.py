@@ -68,6 +68,7 @@ class Context:
     rfi_sensitivity: float = 6.0
     rfi_strategy: str = "mwa"
     rfi_impl: str = "float"
+    no_draw_progress: bool = False
     rfi_iterative: bool = False
     sir_eta: float | None = None
     ssins: bool = False
@@ -168,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "points this flag at a Lua strategy file; this "
                         "engine's implementation exposes the "
                         "strategy's sensitivity knob)")
+    p.add_argument("--no-draw-progress", action="store_true",
+                   help="suppress per-stage progress/timing lines on "
+                        "stderr (the reference's flag of the same "
+                        "name; stage detail remains in the Spark UI "
+                        "via job descriptions)")
     p.add_argument("--rfi-impl", type=str, default="float",
                    choices=("float", "ticks"),
                    help="mwa-strategy arithmetic: 'float' (DEFAULT — "
@@ -347,6 +353,7 @@ def parse_args(argv: list[str]) -> Context:
                       if a.aoflagger_strategy in ("mwa", "generic")
                       else "sumthreshold"),
         rfi_impl=a.rfi_impl,
+        no_draw_progress=a.no_draw_progress,
         rfi_iterative=a.rfi_iterative,
         sir_eta=a.sir_eta,
         ssins=a.ssins, ssins_threshold=a.ssins_threshold,
@@ -573,6 +580,27 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
     if spark is None:
         from birli_spark.session import get_spark
         spark = get_spark("birli_spark_cli")
+
+    # per-stage progress/timing (the reference draws a progress bar per
+    # stage and logs durations; here: one stderr line per ACTION stage,
+    # plus a Spark-UI job description so cluster users see the stage
+    # names in the UI). --no-draw-progress silences the stderr lines.
+    import time as _time
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _stage(name: str):
+        spark.sparkContext.setJobDescription(f"birli_spark: {name}")
+        t0 = _time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = _time.perf_counter() - t0
+            spark.sparkContext.setJobDescription(None)
+            if not ctx.no_draw_progress:
+                print(f"[birli_spark] {name}: {dt:.2f}s",
+                      file=sys.stderr)
+
     try:
         if ctx.dry_run:
             summary = describe.describe(
@@ -587,15 +615,19 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
             flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
             # distributed writer: one executor task per coarse channel
             # (byte-identical to the driver-loop writer)
-            result["mwaf_files"] = mwaf.write_mwaf_set_distributed(
-                flagged, ctx.mwaf_out, gps_start=syn.GPS_START).count()
+            with _stage("write mwaf"):
+                result["mwaf_files"] = mwaf.write_mwaf_set_distributed(
+                    flagged, ctx.mwaf_out,
+                    gps_start=syn.GPS_START).count()
         if ctx.flag_parquet_out:
             from birli_spark.sinks import flagsink
             flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
-            flagsink.write_flags(flagged, ctx.flag_parquet_out,
-                                 gps_start=syn.GPS_START)
+            with _stage("write flag parquet"):
+                flagsink.write_flags(flagged, ctx.flag_parquet_out,
+                                     gps_start=syn.GPS_START)
             result["flag_parquet"] = ctx.flag_parquet_out
-        result["rows"] = out.count()
+        with _stage("preprocess"):
+            result["rows"] = out.count()
         if ctx.dump_csv:
             result["dump_csv"] = _dump_csv(out, ctx)
         # the physical sinks share ONE context-built baked plan (the
@@ -618,10 +650,11 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
             from birli_spark.sinks import ms
             if ctx.ms_out.rstrip("/").endswith(".ms"):
                 from birli_spark.sinks import ms_file
-                ms_file.write_ms_casa(
-                    spark, get_baked(), ctx.ms_out, ctx.avg_time,
-                    ctx.avg_freq, gps_start=syn.GPS_START,
-                    int_time_s=syn.INT_TIME_S)
+                with _stage("write ms"):
+                    ms_file.write_ms_casa(
+                        spark, get_baked(), ctx.ms_out, ctx.avg_time,
+                        ctx.avg_freq, gps_start=syn.GPS_START,
+                        int_time_s=syn.INT_TIME_S)
             else:
                 ms.write_ms_parquet(
                     get_baked(), ctx.ms_out, ctx.avg_time,
@@ -639,9 +672,11 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                 n_chan = rows.select("chan_out").distinct().count()
                 n_t = rows.select("t_out").distinct().count()
                 n_bl = rows.select("bl").distinct().count()
-                written = uvsink.write_uvfits_distributed(
-                    rows, ctx.uvfits_out, n_chan,
-                    jd_zero=uvsink.obs_jd_zero(syn.GPS_START)).count()
+                with _stage("write uvfits"):
+                    written = uvsink.write_uvfits_distributed(
+                        rows, ctx.uvfits_out, n_chan,
+                        jd_zero=uvsink.obs_jd_zero(
+                            syn.GPS_START)).count()
                 if written != n_t * n_bl:
                     # never hand external FITS readers a file whose
                     # declared GCOUNT includes never-written groups
