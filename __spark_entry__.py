@@ -1403,6 +1403,17 @@ def _q_column_profile(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
 
 
+def _q_distribution_drift(spark, sf_dir):
+    """Q4 — distribution drift between the time-halves of the events
+    stream: exact-integer midpoint split, fixed-width histogram,
+    total-variation distance in BIGINT cross products (TV instead of
+    PSI/KL deliberately: log() is libm-dependent across engines,
+    |.| is not). operators/profile.py::distribution_drift."""
+    from birli_spark.operators import profile
+    from birli_spark.sources import corpus
+    return profile.distribution_drift(corpus.load_events(spark, sf_dir))
+
+
 def _q_k_anonymity(spark, sf_dir):
     from birli_spark.operators import profile
     return profile.k_anonymity(
@@ -2022,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t23_segment_dedup": _q_segment_dedup,
         "s6_jsonl_roundtrip": _q_jsonl_roundtrip,
         "q1_column_profile": _q_column_profile,
+        "q4_distribution_drift": _q_distribution_drift,
         "q2_k_anonymity": _q_k_anonymity,
         "c3b_geometry_phase_centre": _q_geometry_phase_centre,
         "c3c_part_uvw_precessed": _q_part_uvw_precessed,
@@ -2446,6 +2458,9 @@ def oracle_sql() -> dict[str, str]:
         "t23_segment_dedup": corpus_clean.segment_dedup_oracle_sql(),
         "s6_jsonl_roundtrip": _jsonl_roundtrip_oracle(),
         "q1_column_profile": _profile_oracles()[0],
+        "q4_distribution_drift": __import__(
+            "birli_spark.operators.profile",
+            fromlist=["x"]).distribution_drift_oracle_sql(),
         "q2_k_anonymity": _profile_oracles()[1],
         "c3b_geometry_phase_centre": _geometry_pc_oracle(),
         "c3c_part_uvw_precessed": _prec_oracle_sql(),

@@ -198,3 +198,75 @@ SELECT 'orders without lineitems',
   CAST((SELECT COUNT(*) FROM orders
         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))
        * 1000000 // (SELECT COUNT(*) FROM orders) AS BIGINT)"""
+
+
+# ---------------------------------------------------------------- Q4 ---
+
+#: fixed-width drift histogram over events.value (literal range;
+#: out-of-range values clamp into the edge buckets)
+DRIFT_LO, DRIFT_HI, DRIFT_NBINS = 0.0, 500.0, 20
+
+
+def _drift_core_sql(ts_us_expr: str, events: str = "events") -> str:
+    """Q4 — distribution-drift detection between the time-halves of the
+    events stream (the new-data-drop QA every training pipeline runs:
+    has the feature distribution moved since the reference window?).
+
+    The split point is the exact integer epoch midpoint (ts_us * 2
+    compared against min+max — no division), the histogram is a
+    fixed-width literal-range bucketing, and the drift statistic is the
+    TOTAL-VARIATION distance computed entirely in BIGINT cross products
+    (|a_i*B - b_i*A| summed, divided once at the end): exact in any
+    association, so both engines hash identically. TV is used instead
+    of PSI/KL deliberately — log() is libm-dependent across engines,
+    |.| is not.
+
+    Scale shape: one pass builds the per-(half, bucket) counts
+    (map-side partials; only 2*nbins groups cross the shuffle), the
+    totals and the TV fold over the nbins-row count relation (windows
+    over a dim-sized relation), and the 1-row bounds aggregate
+    broadcast-crosses the scan — the canonical decorrelated-scalar
+    pattern. Fact rows are read once.
+    """
+    from birli_spark.functions.complex import f32
+
+    width = (DRIFT_HI - DRIFT_LO) / DRIFT_NBINS
+    bucket = (f"CAST(LEAST(GREATEST(FLOOR((value - {DRIFT_LO!r})"
+              f" / {width!r}), 0), {DRIFT_NBINS - 1}) AS INT)")
+    tv = f32(f"CAST(SUM(cross_abs) OVER () AS DOUBLE)"
+             f" / (2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))")
+    return f"""
+WITH ev AS (SELECT value, {ts_us_expr} AS ts_us FROM {events}),
+bounds AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM ev),
+counts AS (
+  SELECT {bucket} AS bucket,
+         CAST(SUM(CASE WHEN ts_us * 2 < mn + mx THEN 1 ELSE 0 END)
+              AS BIGINT) AS ref_cnt,
+         CAST(SUM(CASE WHEN ts_us * 2 < mn + mx THEN 0 ELSE 1 END)
+              AS BIGINT) AS cur_cnt
+  FROM ev CROSS JOIN bounds GROUP BY 1),
+tot AS (SELECT CAST(SUM(ref_cnt) AS BIGINT) AS ta,
+               CAST(SUM(cur_cnt) AS BIGINT) AS tb FROM counts),
+crossed AS (
+  SELECT bucket, ref_cnt, cur_cnt, ta, tb,
+         ABS(ref_cnt * tb - cur_cnt * ta) AS cross_abs
+  FROM counts CROSS JOIN tot)
+SELECT bucket, ref_cnt, cur_cnt, cross_abs,
+       CASE WHEN ta > 0 AND tb > 0 THEN {tv}
+            ELSE CAST(0.0 AS DOUBLE) END AS tv_distance
+FROM crossed
+"""
+
+
+def distribution_drift(events: DataFrame) -> DataFrame:
+    """Q4 on Spark: same text as the oracle with the Spark µs-epoch
+    spelling (events carries int64-nano ``ts``)."""
+    from birli_spark.operators.events import TS_US_SPARK
+    events.createOrReplaceTempView("q4_events")
+    return events.sparkSession.sql(
+        _drift_core_sql(TS_US_SPARK, "q4_events"))
+
+
+def distribution_drift_oracle_sql() -> str:
+    from birli_spark.operators.events import TS_US_DUCK
+    return _drift_core_sql(TS_US_DUCK, "events")

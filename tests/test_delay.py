@@ -127,3 +127,30 @@ def test_st13_stream_matches_batch_mo6(spark):
     assert (got["total_drift_ticks"].to_numpy()
             == want["total_drift_ticks"].to_numpy()).all()
     assert (got["drifted"].to_numpy() == want["drifted"].to_numpy()).all()
+
+
+def test_q4_drift_tv_properties(spark, sf_dir):
+    """TV distance is in [0, 1]; bucket counts conserve rows; identical
+    halves give ~0 drift on a symmetric synthetic feed."""
+    import pandas as pd
+    from birli_spark.operators import profile
+    from birli_spark.sources import corpus
+    got = profile.distribution_drift(
+        corpus.load_events(spark, sf_dir)).toPandas()
+    n_events = corpus.load_events(spark, sf_dir).count()
+    assert (got["ref_cnt"] + got["cur_cnt"]).sum() == n_events
+    tv = got["tv_distance"].iloc[0]
+    assert (got["tv_distance"] == tv).all()
+    assert 0.0 <= tv <= 1.0
+    # a perfectly repeated distribution drifts by 0
+    rows = pd.DataFrame({
+        "event_id": range(200),
+        "ts": pd.to_datetime(
+            [1_600_000_000 + i for i in range(200)], unit="s"),
+        "user_id": 1, "event_type": "x", "props": "",
+        "value": [float(i % 10) for i in range(200)],
+    })
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.expr("CAST(unix_micros(ts) AS BIGINT) * 1000"))
+    same = profile.distribution_drift(df).toPandas()
+    assert same["tv_distance"].iloc[0] == 0.0

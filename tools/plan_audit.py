@@ -196,7 +196,7 @@ HEADLINE = [
     # round 5: delay spectrum (relational + hash-identical UDF island),
     # calibration drift QA, the float mwa RFI production path
     "im3_delay_spectrum", "im3b_delay_spectrum_udf", "mo6_calsol_drift",
-    "f9f_rfi_mwa_float_udf",
+    "f9f_rfi_mwa_float_udf", "q4_distribution_drift",
 ]
 
 
