@@ -60,9 +60,11 @@ def delay_coeffs(n_chan: int) -> list[tuple[int, int, int, int]]:
     for k in range(n_chan):
         for chan in range(n_chan):
             ang = -2.0 * math.pi * k * chan / n_chan
+            # half-up like every tick quantizer in the repo (and the
+            # in-engine FLOOR(x + 0.5) spelling of delay_coeff_df)
             out.append((chan, k,
-                        int(round(CT * math.cos(ang))),
-                        int(round(CT * math.sin(ang)))))
+                        int(math.floor(CT * math.cos(ang) + 0.5)),
+                        int(math.floor(CT * math.sin(ang) + 0.5))))
     return out
 
 
@@ -103,11 +105,40 @@ def delay_fragments() -> dict[str, str]:
     return aggs
 
 
+#: above this channel count the coefficient dim is generated in-engine
+#: (spark.range + trig) instead of as a VALUES literal — a real MWA
+#: band is 768-3072 fine channels, and an N^2 literal text would be
+#: tens of MB of SQL. The in-engine ticks use the JVM's COS/SIN, which
+#: can differ from Python's libm by an ulp at a rounding boundary; the
+#: oracle-gated driver size (N=24) stays on the literal path, and at
+#: production size the transform is not cross-engine-hash-gated anyway.
+LITERAL_COEFF_MAX = 64
+
+
+def delay_coeff_df(spark: SparkSession, n_chan: int):
+    """The (chan, k, cre, cim) coefficient dim generated in-engine:
+    N^2 rows from one spark.range — no driver-side literal text."""
+    two_pi = 2.0 * math.pi
+    return (spark.range(n_chan * n_chan)
+            .selectExpr(
+                f"CAST(id % {n_chan} AS INT) AS chan",
+                f"CAST(id DIV {n_chan} AS INT) AS k",
+                f"CAST(FLOOR(COS(-{two_pi!r} * (id DIV {n_chan})"
+                f" * (id % {n_chan}) / {n_chan}) * {CT} + 0.5)"
+                f" AS BIGINT) AS cre",
+                f"CAST(FLOOR(SIN(-{two_pi!r} * (id DIV {n_chan})"
+                f" * (id % {n_chan}) / {n_chan}) * {CT} + 0.5)"
+                f" AS BIGINT) AS cim"))
+
+
 def delay_spectrum(spark: SparkSession, vis: DataFrame,
                    n_chan: int) -> DataFrame:
     """IM3 relational: broadcast coefficient dim join + one
     partial+final aggregation; crosses only (imager convention)."""
-    coeff = F.broadcast(spark.sql(delay_coeff_values_sql(n_chan)))
+    coeff = F.broadcast(
+        spark.sql(delay_coeff_values_sql(n_chan))
+        if n_chan <= LITERAL_COEFF_MAX
+        else delay_coeff_df(spark, n_chan))
     aggs = delay_fragments()
     return (vis.filter(F.col("ant1") != F.col("ant2"))
             .join(coeff, "chan")
