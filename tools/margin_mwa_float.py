@@ -32,7 +32,8 @@ def cell_margins(pol_imgs, present=None):
             factor = rfi.AOF_STEP ** (rfi.AOF_ITERS - i)
             work = rfi.sumthreshold_float(resid, work, present,
                                           6.0 * factor)
-            bg = rfi.lowpass_resized_float(img, ~work & present)
+            bg = rfi.lowpass_resized_float(img, ~work & present,
+                                           rf=rfi.MWA_FLOAT_KW["rf"])
             resid = img - bg
         vals = resid[~work]
         mode = rfi.winsorized_mode(vals)
@@ -50,7 +51,8 @@ def main():
     for (a1, a2), (pol_imgs, fl) in data.items():
         if a1 == a2:
             continue
-        det = rfi.mwa_strategy_mask_pols_float(pol_imgs)
+        det = rfi.mwa_strategy_mask_pols_float(pol_imgs,
+                                               **rfi.MWA_FLOAT_KW)
         marg = cell_margins(pol_imgs)
         fp = det & ~fl
         fn = ~det & fl

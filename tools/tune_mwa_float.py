@@ -72,7 +72,9 @@ def main():
     data = load_golden()
     golden_structure(data)
     base = dict(fn=rfi.mwa_strategy_mask_pols_float)
+    prod = dict(fn=rfi.mwa_strategy_mask_pols_float, **rfi.MWA_FLOAT_KW)
     variants = {
+        "production(MWA_FLOAT_KW)": dict(**prod),
         "ticks(current)": dict(fn=rfi.mwa_strategy_mask_pols),
         "wmode-256-d.75": dict(**base),
         "wmode-32-d.75": dict(**base, windows=rfi.WINDOWS),
