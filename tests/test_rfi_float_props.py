@@ -130,3 +130,28 @@ def test_mwa_float_flags_injected_rfi():
     det = rfi.mwa_strategy_mask_pols_float(pols, **rfi.MWA_FLOAT_KW)
     assert det[:, 40].all()
     assert det.mean() < 0.3
+
+
+def test_mwa_float_picket_fence_channel_values():
+    """A gappy (picket-fence) channel domain: the ladder runs over the
+    compact image, chan_values only affects the (disabled at rf=1)
+    downsample grouping; absent columns are never flagged and a spike
+    still detects."""
+    rng = np.random.default_rng(23)
+    chans = np.array([c for c in range(256) if (c // 32) % 2 == 0])
+    shape = (6, len(chans))
+    pols = {}
+    for p in rfi.MWA_POLS:
+        img = np.abs(rng.normal(1.0, 0.1, shape))
+        img[:, 40] += 60.0
+        pols[p] = img
+    det = rfi.mwa_strategy_mask_pols_float(
+        pols, chan_values=chans, **rfi.MWA_FLOAT_KW)
+    assert det[:, 40].all()
+    assert det.mean() < 0.3
+    # rf=3 exercises the value-grouped downsample over the gaps
+    kw = dict(rfi.MWA_FLOAT_KW)
+    kw["rf"] = 3
+    det3 = rfi.mwa_strategy_mask_pols_float(
+        pols, chan_values=chans, **kw)
+    assert det3[:, 40].all()
