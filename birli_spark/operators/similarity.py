@@ -89,14 +89,28 @@ SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}"""
 
 
-def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
-             planes: int = N_PLANES) -> DataFrame:
-    """Bucketed ANN: rank only candidates sharing the query's hyperplane
-    sign-pattern bucket. Recall < 1 by design (that is the approximation);
-    the bucket fan-out replaces the full scan per query.
+def _bit_flip_expr(bucket: str, j: int, planes: int) -> str:
+    """Flip character ``j`` (0-based) of a ``planes``-char sign-pattern
+    string — identical SUBSTRING semantics in Spark SQL and DuckDB."""
+    head = f"SUBSTRING({bucket}, 1, {j})"
+    bit = (f"CASE WHEN SUBSTRING({bucket}, {j + 1}, 1) = '1'"
+           f" THEN '0' ELSE '1' END")
+    tail = f"SUBSTRING({bucket}, {j + 2}, {planes - j - 1})"
+    return f"concat({head}, {bit}, {tail})"
 
-    With multiprobe (flipping low-margin bits) recall rises at ~2× cost —
-    left out here to keep the oracle exact."""
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
+             planes: int = N_PLANES,
+             multiprobe: bool = True) -> DataFrame:
+    """Bucketed ANN: rank only candidates in the query's hyperplane
+    sign-pattern bucket — plus, with ``multiprobe`` (default, the
+    production LSH recipe), the ``planes`` Hamming-distance-1 buckets
+    (each sign bit flipped once). Recall < 1 by design; measured on the
+    driver embeddings (tools/ann_recall.py): single-probe 0.15,
+    multiprobe 1+4 buckets lifts it several-fold while still pruning —
+    at production plane counts (12-16 planes, 4k-65k buckets) the probe
+    set is a vanishing fraction of the corpus. Probe buckets are
+    distinct by construction, so no candidate pair duplicates."""
     n = emb.select("vec_id", "embedding",
                    F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"),
                    F.expr(_bucket_expr(X.SPARK, "embedding", planes))
@@ -104,10 +118,18 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
     q = (n.filter(F.col("vec_id") < n_queries)
          .withColumnsRenamed({"vec_id": "qid", "embedding": "q_emb",
                               "nrm": "q_nrm", "bucket": "q_bucket"}))
+    if multiprobe:
+        flips = ["q_bucket"] + [
+            _bit_flip_expr("q_bucket", j, planes) for j in range(planes)]
+        q = (q.withColumn("p_bucket",
+                          F.explode(F.array(*[F.expr(e) for e in flips])))
+             .drop("q_bucket"))
+    else:
+        q = q.withColumnRenamed("q_bucket", "p_bucket")
     cos = f"{X.dot(X.SPARK, 'q_emb', 'embedding')} / (q_nrm * nrm)"
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (n.join(F.broadcast(q),
-                   (F.col("bucket") == F.col("q_bucket"))
+                   (F.col("bucket") == F.col("p_bucket"))
                    & F.expr("vec_id <> qid"))
             .select("qid", "vec_id", F.expr(cos).alias("cos"))
             .withColumn("rank", F.row_number().over(w))
@@ -115,7 +137,11 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
 
 
 IVF_STRIDE = 50
-IVF_NPROBE = 2
+#: default probe count — measured recall@5 on the driver embeddings
+#: (tools/ann_recall.py): nprobe=2 -> 0.425, 4 -> 0.675, 6 -> 0.85.
+#: 4 balances recall vs probe cost at the default cell count; raise it
+#: with the cell count at scale (cells ~ sqrt(N) -> nprobe/cells falls).
+IVF_NPROBE = 4
 
 
 def _ivf_assignments(emb: DataFrame, n_queries: int, stride: int,
@@ -217,17 +243,30 @@ FROM ranked WHERE rank <= {k}"""
 
 
 def lsh_topk_oracle_sql(k: int = 5, n_queries: int = 8,
-                        planes: int = N_PLANES) -> str:
+                        planes: int = N_PLANES,
+                        multiprobe: bool = True) -> str:
     cos = f"{X.dot(X.DUCK, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
     bucket = _bucket_expr(X.DUCK, "embedding", planes)
+    if multiprobe:
+        arms = ["SELECT vec_id, embedding, nrm, bucket AS p_bucket"
+                " FROM nq"] + [
+            f"SELECT vec_id, embedding, nrm,"
+            f" {_bit_flip_expr('bucket', j, planes)} AS p_bucket FROM nq"
+            for j in range(planes)]
+        probes = "\nUNION ALL ".join(arms)
+    else:
+        probes = ("SELECT vec_id, embedding, nrm, bucket AS p_bucket"
+                  " FROM nq")
     return f"""
 WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm,
                   {bucket} AS bucket
            FROM embeddings),
+nq AS (SELECT * FROM n WHERE vec_id < {n_queries}),
+probes AS ({probes}),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS vec_id, {cos} AS cos
-  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < {n_queries}),
+  FROM probes q JOIN n c ON c.bucket = q.p_bucket
+   AND c.vec_id <> q.vec_id),
 ranked AS (
   SELECT qid, vec_id, cos,
     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
@@ -345,7 +384,10 @@ SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank,
 FROM reranked WHERE rank <= {k}"""
 
 
-IVFPQ_REFINE = 4    #: ADC shortlist size = refine x k
+#: ADC shortlist size = refine x k — measured recall@5 (tools/
+#: ann_recall.py): refine=4 -> 0.45, 8 -> 0.575 at nprobe=4; the exact
+#: rerank touches refine*k*queries rows either way (negligible)
+IVFPQ_REFINE = 8
 
 
 def ivfpq_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
