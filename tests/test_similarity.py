@@ -34,9 +34,15 @@ def test_brute_topk_matches_numpy(spark, sf_dir):
     assert (np.diff(g0.cos.values) <= 1e-18).all()
 
 
+def _hamming(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
 def test_lsh_topk_is_bucket_restricted_subset(spark, sf_dir):
-    """Every LSH result must appear in the brute-force ranking of the
-    same-bucket candidate set, in the same order."""
+    """Single-probe: every LSH result must appear in the brute-force
+    ranking of the same-bucket candidate set, in the same order.
+    Multiprobe (the default): the candidate set widens to buckets
+    within Hamming distance 1 of the query's."""
     emb = corpus.load_embeddings(spark, sf_dir).filter("vec_id < 200")
     from pyspark.sql import functions as F
     from birli_spark.functions import textsql as X
@@ -44,10 +50,12 @@ def test_lsh_topk_is_bucket_restricted_subset(spark, sf_dir):
         "vec_id",
         F.expr(similarity._bucket_expr(X.SPARK, "embedding")).alias("bucket")
     ).collect()}
-    got = similarity.lsh_topk(emb, k=3, n_queries=6).toPandas()
     pdf = emb.toPandas()
+    single = similarity.lsh_topk(emb, k=3, n_queries=6,
+                                 multiprobe=False).toPandas()
+    multi = similarity.lsh_topk(emb, k=3, n_queries=6).toPandas()
     for qid in range(6):
-        mine = got[got.qid == qid].sort_values("rank").vec_id.tolist()
+        mine = single[single.qid == qid].sort_values("rank").vec_id.tolist()
         cands = [v for v, bk in buckets.items()
                  if bk == buckets[qid] and v != qid]
         sub = pdf[pdf.vec_id.isin(cands + [qid])]
@@ -55,6 +63,13 @@ def test_lsh_topk_is_bucket_restricted_subset(spark, sf_dir):
         assert mine == expect
         for v in mine:
             assert buckets[v] == buckets[qid]
+        mm = multi[multi.qid == qid].sort_values("rank").vec_id.tolist()
+        mcands = [v for v, bk in buckets.items()
+                  if _hamming(bk, buckets[qid]) <= 1 and v != qid]
+        msub = pdf[pdf.vec_id.isin(mcands + [qid])]
+        assert mm == _numpy_topk(msub, qid, 3)
+        for v in mm:
+            assert _hamming(buckets[v], buckets[qid]) <= 1
 
 
 def test_ivf_topk_is_cell_restricted_subset(spark, sf_dir):
