@@ -1414,6 +1414,18 @@ def _q_distribution_drift(spark, sf_dir):
     return profile.distribution_drift(corpus.load_events(spark, sf_dir))
 
 
+def _q_image_pixel_stats(spark, sf_dir):
+    """mm9 — REAL image decode in the feature pass: deterministic P5
+    payloads generated per document, decoded by the pure-numpy netpbm
+    decoder inside mapInPandas, pixel statistics emitted; the oracle is
+    the closed form of the generator+decode composition
+    (operators/multimodal.py::image_pixel_stats)."""
+    from birli_spark.operators import multimodal
+    from birli_spark.sources import corpus
+    docs = corpus.load_documents(spark, sf_dir)
+    return multimodal.image_pixel_stats(multimodal.attach_pgm_media(docs))
+
+
 def _q_k_anonymity(spark, sf_dir):
     from birli_spark.operators import profile
     return profile.k_anonymity(
@@ -2034,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_jsonl_roundtrip": _q_jsonl_roundtrip,
         "q1_column_profile": _q_column_profile,
         "q4_distribution_drift": _q_distribution_drift,
+        "mm9_image_pixel_stats": _q_image_pixel_stats,
         "q2_k_anonymity": _q_k_anonymity,
         "c3b_geometry_phase_centre": _q_geometry_phase_centre,
         "c3c_part_uvw_precessed": _q_part_uvw_precessed,
@@ -2461,6 +2474,9 @@ def oracle_sql() -> dict[str, str]:
         "q4_distribution_drift": __import__(
             "birli_spark.operators.profile",
             fromlist=["x"]).distribution_drift_oracle_sql(),
+        "mm9_image_pixel_stats": __import__(
+            "birli_spark.operators.multimodal",
+            fromlist=["x"]).image_pixel_stats_oracle_sql(),
         "q2_k_anonymity": _profile_oracles()[1],
         "c3b_geometry_phase_centre": _geometry_pc_oracle(),
         "c3c_part_uvw_precessed": _prec_oracle_sql(),

@@ -3,11 +3,14 @@ audio / video payloads as opaque ``binary`` columns with typed metadata,
 with decode / feature-extract / frame-sample stages as Arrow-batched
 pandas UDFs over ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (:func:`decode_image` raises ``NotImplementedError``
-unless PIL is importable); everything Spark-side — binary schema,
-metadata columns, UDF signatures, Arrow batch shapes, the deterministic
-byte-level features — is real and oracle-checked.
+The container has no image/audio libraries; :func:`decode_image` is a
+REAL pure-numpy decoder for the self-describing uncompressed formats
+(P5/P6 netpbm, 24/32-bit uncompressed BMP — round-trip tested and the
+mm9 pixel-stats operator is oracle-gated over genuinely decoded
+pixels), and only the compressed formats (PNG/JPEG) remain gated on
+PIL with an honest NotImplementedError. Everything Spark-side — binary
+schema, metadata columns, UDF signatures, Arrow batch shapes — is real
+and oracle-checked.
 
 Scale: media payloads dominate row size, so the operators never shuffle
 the binary column — features are extracted in a narrow ``mapInPandas``
@@ -45,15 +48,88 @@ def attach_media(docs: DataFrame) -> DataFrame:
         F.expr("CAST(1 + doc_id % 8 AS INT)").alias("n_frames"))
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB — real image decode needs PIL/libvips, absent here. The Spark
-    plumbing that would call this (schema, batching) is exercised by
-    :func:`media_features` with byte-level features instead."""
-    if not _HAVE_PIL:
+def _decode_pnm(payload: bytes):
+    """P5 (PGM, grayscale) / P6 (PPM, RGB) binary netpbm decode — pure
+    numpy, full comment/whitespace header handling."""
+    import numpy as np
+    magic = payload[:2]
+    depth = 1 if magic == b"P5" else 3
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    data = np.frombuffer(payload, np.uint8, count=w * h * depth,
+                         offset=pos)
+    arr = data.reshape(h, w, depth)
+    return arr[:, :, 0] if depth == 1 else arr
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24/32-bit BITMAPINFOHEADER BMP decode — pure numpy:
+    little-endian header fields, 4-byte row padding, bottom-up (or
+    top-down via negative height) raster, BGR order."""
+    import struct
+
+    import numpy as np
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            "image decode requires PIL, which is not available in this "
-            "environment; media_features extracts byte-level features only")
-    raise NotImplementedError("real decode intentionally out of scope")
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp},"
+            f" compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * (bpp // 8) + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=row_bytes * h,
+                         offset=data_off).reshape(h, row_bytes)
+    px = rows[:, :w * (bpp // 8)].reshape(h, w, bpp // 8)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, 2::-1]  # BGR(A) -> RGB
+
+
+def decode_image(payload: bytes):
+    """Real pure-numpy decode for the self-describing uncompressed
+    formats — P5/P6 netpbm and 24/32-bit uncompressed BMP — returning a
+    (h, w) grayscale or (h, w, 3) RGB uint8 array. Compressed formats
+    (PNG/JPEG/...) fall through to PIL when importable and otherwise
+    raise ``NotImplementedError`` with the environment boundary (this
+    container ships no image libraries)."""
+    payload = bytes(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if _HAVE_PIL:  # pragma: no cover - PIL absent here
+        import io
+
+        import numpy as np
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    raise NotImplementedError(
+        "compressed image decode (PNG/JPEG/...) requires PIL, which is "
+        "not available in this environment; netpbm (P5/P6) and "
+        "uncompressed BMP decode natively")
 
 
 _FEATURES_SCHEMA = ("doc_id long, n_bytes int, content_md5 string, "
@@ -545,3 +621,99 @@ SELECT CAST(split_part(pair, '#', 1) AS BIGINT) AS doc_a,
   COUNT(*) AS n_shared
 FROM pairs GROUP BY pair
 HAVING COUNT(*) >= {min_shared}"""
+
+
+# ------------------------------------------- mm9: REAL pixel decode ---
+
+def make_pgm(doc_id: int) -> bytes:
+    """Deterministic two-band P5 test image for ``doc_id``: dimensions
+    w = 8 + doc_id % 16, h = 6 + (doc_id * 3) % 12; the top h DIV 2
+    rows hold value a = doc_id % 256, the rest b = (doc_id * 97) % 256.
+    Two bands prove raster orientation and dimension decode; the
+    closed forms keep the oracle exact SQL."""
+    import numpy as np
+    w = 8 + doc_id % 16
+    h = 6 + (doc_id * 3) % 12
+    a = doc_id % 256
+    b = (doc_id * 97) % 256
+    img = np.empty((h, w), np.uint8)
+    img[: h // 2] = a
+    img[h // 2:] = b
+    return b"P5\n# birli_spark test image\n%d %d\n255\n" % (w, h) \
+        + img.tobytes()
+
+
+def attach_pgm_media(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, media) with REAL P5 payloads (the decode
+    fixture generator; generation is Arrow-batched like the features
+    pass)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": pdf["doc_id"].map(lambda d: make_pgm(int(d))),
+            })
+    return docs.select("doc_id").mapInPandas(gen,
+                                             schema="doc_id long, media binary")
+
+
+_PIXEL_SCHEMA = ("doc_id long, width int, height int, px_min int, "
+                 "px_max int, px_mean double, top_left int, "
+                 "bottom_right int")
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """mm9 — REAL decoded-pixel statistics: :func:`decode_image` each
+    payload in the Arrow batch, emit dimensions, min/max/mean and the
+    two orientation-proving corner pixels. The binary column never
+    shuffles — decode runs in the narrow ``mapInPandas`` pass over the
+    scan and only these tiny feature rows move."""
+    import numpy as np
+    from birli_spark.functions.complex import f32 as _f32  # noqa: F401
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image(payload)
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                rows.append({
+                    "doc_id": int(doc_id), "width": w, "height": h,
+                    "px_min": int(img.min()), "px_max": int(img.max()),
+                    # f32-demoted mean (exact integer sum / exact count)
+                    "px_mean": float(np.float32(
+                        float(img.sum(dtype=np.int64)) / (w * h))),
+                    "top_left": int(img[0, 0]),
+                    "bottom_right": int(img[-1, -1]),
+                })
+            yield pd.DataFrame(rows, columns=[
+                c.split()[0] for c in _PIXEL_SCHEMA.split(", ")])
+
+    return media.mapInPandas(extract, schema=_PIXEL_SCHEMA)
+
+
+def image_pixel_stats_oracle_sql() -> str:
+    """Closed-form oracle of the generator+decode composition: every
+    statistic derives from doc_id alone (see :func:`make_pgm`)."""
+    from birli_spark.functions.complex import f32
+    w = "(8 + doc_id % 16)"
+    h = "(6 + (doc_id * 3) % 12)"
+    a = "(doc_id % 256)"
+    b = "((doc_id * 97) % 256)"
+    top = f"({h} / 2)"          # integer division in both dialects? no:
+    # DuckDB / on ints is float — spell integer div portably
+    top = f"CAST(FLOOR({h} / 2.0) AS BIGINT)"
+    mean = f32(f"CAST({top} * {a} + ({h} - {top}) * {b} AS DOUBLE)"
+               f" / {h}")
+    return f"""
+SELECT doc_id,
+  CAST({w} AS INT) AS width,
+  CAST({h} AS INT) AS height,
+  CAST(LEAST({a}, {b}) AS INT) AS px_min,
+  CAST(GREATEST({a}, {b}) AS INT) AS px_max,
+  {mean} AS px_mean,
+  CAST({a} AS INT) AS top_left,
+  CAST({b} AS INT) AS bottom_right
+FROM documents"""
