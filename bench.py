@@ -111,8 +111,10 @@ HEADLINE = [
     "c1b_van_vleck_udf",
     "f9b_rfi_sumthreshold_udf",
     # round 5: the CLI's production mwa-default RFI path (float UDF
-    # island with AOFlagger's own statistics)
+    # island with AOFlagger's own statistics) and the real image-decode
+    # feature pass
     "f9f_rfi_mwa_float_udf",
+    "mm9_image_pixel_stats",
 ]
 
 

@@ -46,7 +46,9 @@ from birli_spark.sources import synthetic as syn
 class Context:
     """The parsed-and-validated invocation — the plain-struct "IR"
     (reference BirliContext, src/cli.rs:54-73)."""
-    sf_dir: str
+    sf_dir: str | None
+    metafits: str | None = None
+    gpubox: str | None = None
     sel_time: tuple[int, int] | None = None
     sel_ants: list[int] | None = None
     sel_chan_ranges: str | None = None
@@ -102,7 +104,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="birli_spark",
         description="PySpark-native MWA preprocessing (reference-compatible flags)")
-    p.add_argument("sf_dir", help="input data directory (TESTDATA.md layout)")
+    p.add_argument("sf_dir", nargs="?", default=None,
+                   help="input data directory (TESTDATA.md layout); "
+                        "omit when giving -m/--gpubox real inputs")
+    p.add_argument("-m", "--metafits", type=str, default=None,
+                   help="REAL-INPUT mode: the observation metafits "
+                        "(the reference's -m); dims, frequencies, "
+                        "quack window and phase centre come from it "
+                        "(birli_spark/real_input.py)")
+    p.add_argument("--gpubox", type=str, default=None,
+                   metavar="GLOB",
+                   help="REAL-INPUT mode: gpubox FITS file glob "
+                        "(pairs with -m; one scan task per file)")
     p.add_argument("--sel-time", nargs=2, type=int, metavar=("MIN", "MAX"))
     p.add_argument("--sel-ants", nargs="+", type=int)
     p.add_argument("--sel-chan-ranges", type=str)
@@ -321,8 +334,13 @@ def parse_args(argv: list[str]) -> Context:
                                   syn.FINE_CHAN_WIDTH_HZ, "freq")
     if a.time_chunk is not None:
         chunking.validate_chunk_size(a.time_chunk, avg_time)
+    if a.sf_dir is None and not (a.metafits and a.gpubox):
+        raise SystemExit(
+            "either an sf_dir or BOTH -m/--metafits and --gpubox are "
+            "required")
     return Context(
         sf_dir=a.sf_dir,
+        metafits=a.metafits, gpubox=a.gpubox,
         sel_time=tuple(a.sel_time) if a.sel_time else None,
         sel_ants=a.sel_ants, sel_chan_ranges=a.sel_chan_ranges,
         no_sel_autos=a.no_sel_autos,
@@ -393,6 +411,11 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
     """The context-built pipeline up to (and including) flag→weight
     baking, before chunking/averaging — the state every sink consumes,
     so -u and -M outputs of one invocation agree on the same plan."""
+    if ctx.metafits and ctx.gpubox:
+        from birli_spark import real_input
+        baked, _meta = real_input.build_baked_real(
+            spark, ctx, ctx.metafits, ctx.gpubox)
+        return baked
     vis = syn.load_vis(spark, ctx.sf_dir)
 
     # selection (P1-P4)
@@ -602,9 +625,22 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                       file=sys.stderr)
 
     try:
+        real_mode = bool(ctx.metafits and ctx.gpubox)
+        if real_mode:
+            from birli_spark import real_input
+            _meta, _ = real_input.load_obs(ctx.metafits)
+            gps_start, int_time_s = _meta.gps_start, _meta.int_time_s
+
+            def _load_vis():
+                return real_input.load_vis_real(
+                    spark, _meta, ctx.gpubox, metafits_path=ctx.metafits)
+        else:
+            gps_start, int_time_s = syn.GPS_START, syn.INT_TIME_S
+
+            def _load_vis():
+                return syn.load_vis(spark, ctx.sf_dir)
         if ctx.dry_run:
-            summary = describe.describe(
-                spark, syn.load_vis(spark, ctx.sf_dir)).collect()
+            summary = describe.describe(spark, _load_vis()).collect()
             for row in summary:
                 print(f"{row.stat:>16}: {row.value}")
             return {"dry_run": True, "stats": len(summary)}
@@ -612,19 +648,28 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
         result: dict = {}
         if ctx.mwaf_out:
             from birli_spark.sinks import mwaf
-            flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
+            if real_mode:
+                # real mode: the run's OWN flags (rules + RFI), derived
+                # from the baked relation's weight signs — what the
+                # reference's -f records after its flag pass
+                b = build_baked(spark, ctx)
+                flagged = b.select("t", "bl", "cc", "fc",
+                                   (F.col("weight") < 0).alias("flag"))
+            else:
+                flagged = pipeline.rule_flags(
+                    spark, syn.load_vis(spark, ctx.sf_dir))
             # distributed writer: one executor task per coarse channel
             # (byte-identical to the driver-loop writer)
             with _stage("write mwaf"):
                 result["mwaf_files"] = mwaf.write_mwaf_set_distributed(
                     flagged, ctx.mwaf_out,
-                    gps_start=syn.GPS_START).count()
+                    gps_start=gps_start).count()
         if ctx.flag_parquet_out:
             from birli_spark.sinks import flagsink
-            flagged = pipeline.rule_flags(spark, syn.load_vis(spark, ctx.sf_dir))
+            flagged = pipeline.rule_flags(spark, _load_vis())
             with _stage("write flag parquet"):
                 flagsink.write_flags(flagged, ctx.flag_parquet_out,
-                                     gps_start=syn.GPS_START)
+                                     gps_start=gps_start)
             result["flag_parquet"] = ctx.flag_parquet_out
         with _stage("preprocess"):
             result["rows"] = out.count()
@@ -653,13 +698,13 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                 with _stage("write ms"):
                     ms_file.write_ms_casa(
                         spark, get_baked(), ctx.ms_out, ctx.avg_time,
-                        ctx.avg_freq, gps_start=syn.GPS_START,
-                        int_time_s=syn.INT_TIME_S)
+                        ctx.avg_freq, gps_start=gps_start,
+                        int_time_s=int_time_s)
             else:
                 ms.write_ms_parquet(
                     get_baked(), ctx.ms_out, ctx.avg_time,
-                    ctx.avg_freq, gps_start=syn.GPS_START,
-                    int_time_s=syn.INT_TIME_S)
+                    ctx.avg_freq, gps_start=gps_start,
+                    int_time_s=int_time_s)
             result["ms_path"] = ctx.ms_out
         if ctx.uvfits_out:
             if ctx.uvfits_out.rstrip("/").endswith(".uvfits"):
@@ -667,7 +712,7 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                 from birli_spark.sinks import uvfits as uvsink
                 rows = uvsink.uvfits_group_rows(
                     get_baked(), ctx.avg_time, ctx.avg_freq,
-                    syn.GPS_START, syn.INT_TIME_S).localCheckpoint(
+                    gps_start, int_time_s).localCheckpoint(
                         eager=True)
                 n_chan = rows.select("chan_out").distinct().count()
                 n_t = rows.select("t_out").distinct().count()
@@ -676,7 +721,7 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                     written = uvsink.write_uvfits_distributed(
                         rows, ctx.uvfits_out, n_chan,
                         jd_zero=uvsink.obs_jd_zero(
-                            syn.GPS_START)).count()
+                            gps_start)).count()
                 if written != n_t * n_bl:
                     # never hand external FITS readers a file whose
                     # declared GCOUNT includes never-written groups

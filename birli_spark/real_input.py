@@ -1,0 +1,293 @@
+"""REAL-FORMAT CLI input: ``-m obs.metafits --gpubox 'dir/*.fits'`` —
+the invocation shape a user of the reference actually has (reference
+BirliContext::from_args consumes a metafits plus gpubox files,
+src/cli.rs:622-700). The synthetic sf-dir path stays the driver/test
+surface; this module assembles the SAME operator chain from the real
+observation metadata:
+
+- dims from the metafits TILEDATA (antennas with electrical lengths,
+  metafits flag states, /64 digital gains; timesteps from
+  GPSTIME/INTTIME/NSCANS),
+- the visibility fact from the distributed gpubox scan
+  (sources/gpubox.py — one task per coarse-channel file),
+- fine-channel frequencies from the receiver channel list
+  (centre = rec_chan * 1.28 MHz; fine f = centre - 0.64 MHz +
+  fc * fine_width, the mwalib ascending-sky convention),
+- geometry from the metafits phase centre through the IAU-2006
+  precessed partial-UVW chain (operators/precession.py),
+- the Cotter weight factor fine_width/10 kHz * int_time
+  (src/flags.rs:570-575).
+
+Scope: the preprocessing flowchart the reference runs by default —
+selection, quack/edge/DC/metafits flags, RFI (the float mwa-default
+orchestration), cable, digital gains, passband, geometry, baking,
+averaging, and every sink. Van Vleck and DI-calibration are accepted
+with real inputs too (sample scale derives as int_time x fine_width;
+the calsol ratio from the channel counts).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from birli_spark.sources import gpubox, metafits as mf
+
+#: MWA coarse channel width (Hz) — 1.28 MHz, fixed by the instrument
+COARSE_WIDTH_HZ = 1_280_000.0
+#: Cotter weight normalisation denominator (src/flags.rs:570-575)
+WEIGHT_FREQ_HZ = 10_000.0
+
+
+@dataclass
+class ObsMeta:
+    """The scalar observation context real-input assembly threads to
+    every stage (the role syn's module constants play for the
+    synthetic path)."""
+    obsid: int
+    gps_start: float
+    int_time_s: float
+    num_t: int
+    n_fine_per_coarse: int
+    fine_chan_width_hz: float
+    coarse_channels: list
+    quack_s: float
+    phase_ra_deg: float | None
+    phase_dec_deg: float | None
+    n_ants: int
+
+    @property
+    def obs_end_gps(self) -> float:
+        return self.gps_start + self.num_t * self.int_time_s
+
+    @property
+    def weight_factor(self) -> float:
+        return (self.fine_chan_width_hz / WEIGHT_FREQ_HZ
+                * self.int_time_s)
+
+    @property
+    def n_chan_total(self) -> int:
+        return self.n_fine_per_coarse * len(self.coarse_channels)
+
+
+def load_obs(metafits_path: str) -> tuple[ObsMeta, dict]:
+    primary, tiledata = mf.read_metafits(metafits_path)
+    octx = mf.obs_context(primary)
+    meta = ObsMeta(
+        obsid=octx["obsid"], gps_start=float(octx["obsid"]),
+        int_time_s=octx["int_time_s"], num_t=octx["n_scans"],
+        n_fine_per_coarse=octx["n_fine_per_coarse"],
+        fine_chan_width_hz=octx["fine_chan_width_hz"],
+        coarse_channels=octx["coarse_channels"],
+        quack_s=octx["quack_s"],
+        phase_ra_deg=octx["phase_ra_deg"],
+        phase_dec_deg=octx["phase_dec_deg"],
+        n_ants=octx["n_ants"])
+    return meta, tiledata
+
+
+def freq_expr(meta: ObsMeta) -> str:
+    """Fine-channel sky frequency from (cc, fc): the cc-th SELECTED
+    coarse channel's centre minus half the coarse width plus
+    fc x fine_width — a CASE over the (small) coarse list so the
+    expression stays a pure projection."""
+    arms = " ".join(
+        f"WHEN cc = {i} THEN CAST({ch * COARSE_WIDTH_HZ!r} AS DOUBLE)"
+        for i, ch in enumerate(meta.coarse_channels))
+    centre = f"(CASE {arms} END)"
+    return (f"({centre} - CAST({COARSE_WIDTH_HZ / 2.0!r} AS DOUBLE)"
+            f" + fc * CAST({meta.fine_chan_width_hz!r} AS DOUBLE))")
+
+
+def detect_format(gpubox_glob: str) -> str:
+    """'mwax' (..._chNNN_BBB.fits), 'legacy' (..._gpuboxNN_BB.fits) or
+    'synthetic' (this repo's teaching format) by filename shape."""
+    import glob as _glob
+    import re as _re
+    paths = sorted(_glob.glob(gpubox_glob))
+    if not paths:
+        raise FileNotFoundError(f"no gpubox files match {gpubox_glob!r}")
+    name = paths[0]
+    if _re.search(r"_ch\d+_\d+\.fits$", name):
+        return "mwax"
+    if _re.search(r"gpubox\d+_\d+\.fits$", name):
+        return "legacy"
+    return "synthetic"
+
+
+def _finish_vis(scan: DataFrame, meta: ObsMeta) -> DataFrame:
+    """Project a (t, ant1, ant2, bl, cc, fc, chan, pols) scan onto the
+    19-column canonical vis relation."""
+    ts = (f"CAST({meta.gps_start!r} AS DOUBLE)"
+          f" + t * CAST({meta.int_time_s!r} AS DOUBLE)"
+          f" + CAST({meta.int_time_s / 2.0!r} AS DOUBLE)")
+    return scan.select(
+        "t", "ant1", "ant2", "bl", "cc", "fc", "chan",
+        F.expr(freq_expr(meta)).alias("freq_hz"),
+        F.expr(ts).alias("ts_gps"),
+        F.lit(float(meta.weight_factor)).cast("double").alias("weight"),
+        F.lit(False).alias("flag"),
+        "xx_re", "xx_im", "xy_re", "xy_im",
+        "yx_re", "yx_im", "yy_re", "yy_im")
+
+
+def _with_global_t(scan: DataFrame, int_time_ms: int) -> DataFrame:
+    """Global timestep index from the scan's unix epoch — one 1-row
+    min-bound aggregate broadcast-crossed (the decorrelated-scalar
+    pattern; the reference's timestep map serves the same role)."""
+    mn = scan.agg(F.min("unix_ms").alias("_mn"))
+    return (scan.crossJoin(F.broadcast(mn))
+            .withColumn("t", F.expr(
+                f"CAST((unix_ms - _mn) DIV {int_time_ms} AS INT)"))
+            .drop("_mn", "unix_ms"))
+
+
+def load_vis_real(spark: SparkSession, meta: ObsMeta,
+                  gpubox_glob: str, metafits_path: str | None = None,
+                  fmt: str = "auto") -> DataFrame:
+    """The canonical vis relation from real gpubox files of any
+    supported format."""
+    if fmt == "auto":
+        fmt = detect_format(gpubox_glob)
+    nf = meta.n_fine_per_coarse
+    if fmt == "mwax":
+        scan = gpubox.read_mwax_gpubox(spark, gpubox_glob).drop("t")
+        scan = _with_global_t(scan,
+                              int(round(meta.int_time_s * 1000)))
+        cc_arms = " ".join(
+            f"WHEN cc_recv = {ch} THEN {i}"
+            for i, ch in enumerate(meta.coarse_channels))
+        scan = (scan.withColumn("cc",
+                                F.expr(f"CAST(CASE {cc_arms} END AS INT)"))
+                .withColumn("chan", F.expr(f"CAST(cc * {nf} + fc AS INT)"))
+                .drop("cc_recv", "w_xx", "w_xy", "w_yx", "w_yy"))
+    elif fmt == "legacy":
+        from birli_spark.sources import legacy_gpubox
+        scan = legacy_gpubox.read_legacy_gpubox(spark, gpubox_glob,
+                                                metafits_path)
+        scan = _with_global_t(scan,
+                              int(round(meta.int_time_s * 1000)))
+        scan = (scan.withColumn("cc", F.expr(f"CAST(chan DIV {nf} AS INT)"))
+                .drop("gpubox"))
+    else:
+        scan = gpubox.read_gpubox(spark, gpubox_glob)
+    return _finish_vis(scan, meta)
+
+
+def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
+                     gpubox_glob: str) -> tuple[DataFrame, ObsMeta]:
+    """The context-built pipeline over REAL inputs, up to flag->weight
+    baking — the real-format mirror of cli.build_baked with dims from
+    the metafits instead of the synthetic tables."""
+    from birli_spark import pipeline
+    from birli_spark.operators import (corrections, flags, selection,
+                                       weights)
+
+    meta, tiledata = load_obs(metafits_path)
+    vis = load_vis_real(spark, meta, gpubox_glob,
+                        metafits_path=metafits_path)
+    ants = mf.antennas_df(spark, tiledata)
+
+    if ctx.sel_time:
+        vis = selection.select_ranges(vis, t_min=ctx.sel_time[0],
+                                      t_max=ctx.sel_time[1] + 1)
+    if ctx.sel_chan_ranges:
+        from birli_spark.operators import picket
+        ccs = [cc for lo, hi in picket.parse_ranges(ctx.sel_chan_ranges)
+               for cc in range(lo, hi + 1)]
+        vis = vis.filter(F.col("cc").isin(ccs))
+    if ctx.sel_ants:
+        vis = selection.retain_antennas(vis, tuple(ctx.sel_ants))
+    if ctx.no_sel_flagged_ants:
+        vis = selection.filter_antennas(
+            vis, ants.filter(F.col("flagged")))
+    if ctx.no_sel_autos:
+        vis = selection.filter_autos(vis)
+
+    ts = mf.timesteps_df(spark, {"NSCANS": meta.num_t,
+                                 "GPSTIME": meta.gps_start,
+                                 "INTTIME": meta.int_time_s})
+    quack = ctx.quack_time if ctx.quack_time else meta.quack_s
+    ts_f = flags.flag_timesteps_quack(
+        ts, meta.gps_start, meta.obs_end_gps, quack_s=quack,
+        flag_end_s=ctx.flag_end)
+    if ctx.flag_times:
+        ts_f = ts_f.withColumn(
+            "ts_flag", F.col("ts_flag") | F.col("t").isin(ctx.flag_times))
+    ants_f = ants
+    if ctx.no_flag_metafits:
+        ants_f = ants_f.withColumn("flagged", F.lit(False))
+    if ctx.flag_antennas:
+        ants_f = ants_f.withColumn(
+            "flagged",
+            F.col("flagged") | F.col("ant").isin(ctx.flag_antennas))
+    bl_f = flags.baseline_flags(ants_f, flag_autos=ctx.flag_autos)
+    fc_pred = flags.flag_fine_channels(
+        meta.n_fine_per_coarse, n_edge=ctx.flag_edge_chans,
+        is_legacy=ctx.flag_dc,
+        explicit_fcs=tuple(ctx.flag_fine_chans))
+    if ctx.flag_coarse_chans:
+        fc_pred = fc_pred | F.col("cc").isin(list(ctx.flag_coarse_chans))
+    vis = flags.set_flags(vis, ts_f, bl_f, fc_pred)
+
+    vis = corrections.attach_cell_gate(vis)
+    if not ctx.no_cable_delay:
+        vis = corrections.correct_cable_lengths(vis, ants, gated=True)
+    if not ctx.no_digital_gains:
+        vis = corrections.correct_digital_gains(
+            vis, mf.digital_gains_df(spark, tiledata), gated=True)
+    if ctx.pfb_gains and ctx.pfb_gains != "none":
+        from birli_spark.functions import pfb_tables as PT
+        table = {"cotter": PT.PFB_COTTER_2014_10KHZ,
+                 "jake": PT.PFB_JAKE_2022_200HZ,
+                 "jake_oversampled": PT.OSPFB_JAKE_2025_200HZ}[
+                     ctx.pfb_gains]
+        rows = corrections.fine_gain_rows(
+            table, meta.n_fine_per_coarse,
+            center_symmetric=ctx.pfb_gains != "cotter")
+        fine_gains = spark.createDataFrame(rows, "fc int, gain double")
+        vis = corrections.correct_passband_gains(vis, fine_gains,
+                                                 gated=True)
+    vis = vis.drop(corrections.GATE_COL)
+
+    if not ctx.no_rfi:
+        from birli_spark.operators import rfi
+        if ctx.ssins:
+            from birli_spark.operators import ssins as ssins_op
+            vis = ssins_op.ssins_flag_vis(vis,
+                                          threshold=ctx.ssins_threshold)
+        elif ctx.rfi_strategy == "generic" or ctx.rfi_iterative:
+            vis = rfi.flag_rfi_strategy(
+                vis, base_sensitivity=ctx.rfi_sensitivity,
+                eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2)
+        else:
+            vis = rfi.flag_rfi_mwa(
+                vis, base_sensitivity=ctx.rfi_sensitivity,
+                eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2,
+                impl=ctx.rfi_impl)
+
+    if not ctx.no_geometric_delay and meta.phase_ra_deg is not None:
+        from birli_spark.functions import textsql as X
+        from birli_spark.operators import precession as prc
+        ants.createOrReplaceTempView("real_antennas")
+        part_uvw = spark.sql(prc.part_uvw_precessed_sql(
+            X.SPARK, ra_rad=math.radians(float(meta.phase_ra_deg)),
+            dec_rad=math.radians(float(meta.phase_dec_deg)),
+            gps_start=float(meta.gps_start),
+            int_time_s=meta.int_time_s, num_t=meta.num_t,
+            antennas="real_antennas", dut1_s=ctx.dut1,
+            lon_rad=prc.MWA_LON_RAD, lat_rad=prc.MWA_LAT_RAD))
+        vis = corrections.correct_geometry(vis, part_uvw)
+
+    if ctx.apply_di_cal:
+        from birli_spark.operators import calibration
+        from birli_spark.sources import aocal
+        calsols = aocal.calsols_df(spark, ctx.apply_di_cal)
+        n_sol = calsols.select("chan").distinct().count()
+        ratio = max(1, meta.n_chan_total // max(1, n_sol))
+        vis = calibration.apply_di_calsol(vis, calsols, ratio)
+
+    return weights.bake_flags_into_weights(vis), meta

@@ -54,6 +54,9 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            # against a bounded aggregate or dim-scale probe side — the
            # canonical decorrelated-scalar-subquery plan
            "h18_important_parts", "h24_idle_rich_customers",
+           # q4's 1-row bounds + 1-row totals cross joins (the same
+           # decorrelated-scalar pattern)
+           "q4_distribution_drift",
            # sketch-table pair self-join (|sources| rows, O(k) each) and
            # 1-row total x violations report joins — bounded by
            # construction
@@ -197,6 +200,7 @@ HEADLINE = [
     # calibration drift QA, the float mwa RFI production path
     "im3_delay_spectrum", "im3b_delay_spectrum_udf", "mo6_calsol_drift",
     "f9f_rfi_mwa_float_udf", "q4_distribution_drift",
+    "mm9_image_pixel_stats",
 ]
 
 
