@@ -95,3 +95,32 @@ def test_cli_requires_input():
     from birli_spark import cli
     with pytest.raises(SystemExit):
         cli.parse_args(["--no-rfi"])
+
+
+LEGACY_DIR = "/root/reference/tests/data/1196175296_mwa_ord"
+
+
+@pytest.mark.skipif(not os.path.isdir(LEGACY_DIR),
+                    reason="reference test data not present")
+def test_real_input_legacy_format(spark, tmp_path):
+    """The legacy Ord format through the same real-input path: the
+    format auto-detects from the gpuboxNN filename and the CLI runs
+    end to end on the reference's real 1196175296 observation."""
+    from birli_spark import cli, real_input
+    meta_p = f"{LEGACY_DIR}/1196175296.metafits"
+    glob = f"{LEGACY_DIR}/1196175296_*gpubox*.fits"
+    assert real_input.detect_format(glob) == "legacy"
+    meta, _ = real_input.load_obs(meta_p)
+    vis = real_input.load_vis_real(spark, meta, glob, metafits_path=meta_p)
+    n = vis.count()
+    assert n > 0
+    # canonical invariants: every chan belongs to a selected coarse
+    pdf = vis.select("t", "cc", "chan").distinct().toPandas()
+    assert pdf["cc"].between(0, len(meta.coarse_channels) - 1).all()
+    out = str(tmp_path / "legacy.uvfits")
+    res = cli.run([
+        "-m", meta_p, "--gpubox", glob,
+        "--no-rfi", "--pfb-gains", "none", "--no-geometric-delay",
+        "--no-draw-progress", "-u", out], spark=spark)
+    assert res["rows"] == n
+    assert os.path.getsize(out) > 2880
