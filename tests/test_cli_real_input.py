@@ -124,3 +124,22 @@ def test_real_input_legacy_format(spark, tmp_path):
         "--no-draw-progress", "-u", out], spark=spark)
     assert res["rows"] == n
     assert os.path.getsize(out) > 2880
+
+
+def test_real_input_plan_shape(spark):
+    """The 100 TB lens on the real-input chain: dims join by broadcast
+    only (no sort-merge join anywhere), the single hash exchange is the
+    (t, cc)-sized cell-gate aggregate, and the only cross joins are the
+    bounded dim-grid / 1-row-bounds patterns (LocalTableScan sides)."""
+    from birli_spark import cli
+    ctx = cli.parse_args([
+        "-m", META, "--gpubox", GLOB, "--no-rfi",
+        "--pfb-gains", "none"])
+    baked = cli.build_baked(spark, ctx)
+    plan = baked._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 8
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    # cross joins must sit over local (dim) relations, never the scan
+    assert "Scan parquet" not in plan  # real mode reads binaryFile
