@@ -61,7 +61,9 @@ class Context:
     flag_edge_chans: int = 0
     flag_dc: bool = True
     flag_autos: bool = False
-    quack_time: float = 0.0
+    quack_time: float | None = None  # None = surface default (metafits
+    # QUACKTIM in real mode, 0 on the synthetic surface); explicit 0
+    # disables
     flag_end: float = 0.0
     no_flag_metafits: bool = False
     no_rfi: bool = True
@@ -136,7 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--no-flag-dc", dest="flag_dc", action="store_false")
     p.add_argument("--flag-autos", action="store_true")
     p.add_argument("--quack-time", "--flag-init", dest="quack_time",
-                   type=float, default=0.0)
+                   type=float, default=None,
+                   help="seconds flagged after the obs start; default: "
+                        "the metafits QUACKTIM in real (-m/--gpubox) "
+                        "mode, 0 on the synthetic surface. An explicit "
+                        "0 disables quack flagging (reference "
+                        "src/cli.rs --flag-init)")
     p.add_argument("--flag-end", type=float, default=0.0,
                    help="seconds flagged before the end of the obs "
                         "(reference src/cli.rs:1104-1157)")
@@ -451,7 +458,8 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
     ts = syn.load_dim(spark, "timesteps")
     ants = syn.load_dim(spark, "antennas")
     ts_f = flags.flag_timesteps_quack(
-        ts, syn.GPS_START, pipeline.OBS_END_GPS, quack_s=ctx.quack_time,
+        ts, syn.GPS_START, pipeline.OBS_END_GPS,
+        quack_s=ctx.quack_time or 0.0,
         flag_end_s=ctx.flag_end)
     if ctx.flag_times:
         ts_f = ts_f.withColumn(
@@ -666,7 +674,17 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                     gps_start=gps_start).count()
         if ctx.flag_parquet_out:
             from birli_spark.sinks import flagsink
-            flagged = pipeline.rule_flags(spark, _load_vis())
+            if real_mode:
+                # real mode: like the -f branch, derive the run's OWN
+                # flags from the baked relation's weight signs — the
+                # synthetic rule dims (syn timesteps/antennas/quack)
+                # do not describe a real observation
+                b = build_baked(spark, ctx)
+                flagged = b.select(
+                    "t", "bl", "ant1", "ant2", "cc", "fc", "chan",
+                    (F.col("weight") < 0).alias("flag"))
+            else:
+                flagged = pipeline.rule_flags(spark, _load_vis())
             with _stage("write flag parquet"):
                 flagsink.write_flags(flagged, ctx.flag_parquet_out,
                                      gps_start=gps_start)
@@ -710,9 +728,34 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
             if ctx.uvfits_out.rstrip("/").endswith(".uvfits"):
                 # the PHYSICAL random-groups file, executor-parallel
                 from birli_spark.sinks import uvfits as uvsink
+                uv_baked = get_baked()
+                uv_gps = gps_start
+                if real_mode:
+                    # real observations: DATE group params are UTC JDs
+                    # (shift the GPS anchor by the leap offset — the
+                    # reference gets this via mwalib/casacore), stamped
+                    # on the DATA grid (real_input.data_offset_s), and
+                    # UVWs go out in seconds per the random-groups
+                    # standard (the pipeline computes them in meters)
+                    from birli_spark import real_input as _ri
+                    from birli_spark.functions import timeutil
+                    _start_ms = int(round(
+                        timeutil.gps_to_unix_s(gps_start) * 1000))
+                    _int_ms = int(round(int_time_s * 1000))
+                    _off = (_ri.data_offset_s(ctx.gpubox, _start_ms,
+                                              _int_ms)
+                            if _ri.detect_format(ctx.gpubox)
+                            in ("mwax", "legacy") else 0.0)
+                    uv_gps = (gps_start + _off
+                              - timeutil.gps_utc_offset_s(gps_start))
+                    _c = 299792458.0
+                    uv_baked = (uv_baked
+                                .withColumn("u", F.col("u") / _c)
+                                .withColumn("v", F.col("v") / _c)
+                                .withColumn("w", F.col("w") / _c))
                 rows = uvsink.uvfits_group_rows(
-                    get_baked(), ctx.avg_time, ctx.avg_freq,
-                    gps_start, int_time_s).localCheckpoint(
+                    uv_baked, ctx.avg_time, ctx.avg_freq,
+                    uv_gps, int_time_s).localCheckpoint(
                         eager=True)
                 n_chan = rows.select("chan_out").distinct().count()
                 n_t = rows.select("t_out").distinct().count()
@@ -721,7 +764,7 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                     written = uvsink.write_uvfits_distributed(
                         rows, ctx.uvfits_out, n_chan,
                         jd_zero=uvsink.obs_jd_zero(
-                            gps_start)).count()
+                            uv_gps)).count()
                 if written != n_t * n_bl:
                     # never hand external FITS readers a file whose
                     # declared GCOUNT includes never-written groups

@@ -166,7 +166,16 @@ def delay_spectrum_udf(vis: DataFrame, n_chan: int) -> DataFrame:
     matmul per (t, baseline): the O(N log N)-slot UDF island for 100 TB
     (one image-forming shuffle; zero with baseline bucketing). Produces
     EXACTLY the rows of :func:`delay_spectrum` (same ticks, same BIGINT
-    accumulation), so both share one oracle."""
+    accumulation), so both share one oracle.
+
+    Bit-exactness scope: the twin property is gated on the LITERAL
+    coefficient path (n_chan <= LITERAL_COEFF_MAX, where both sides use
+    Python-libm :func:`delay_coeffs`). Above the threshold the
+    relational plan generates its ticks with the JVM's COS/SIN
+    (:func:`delay_coeff_df`), which can differ from libm by one tick at
+    a rounding boundary — there the twin is rows/shape-compatible but
+    not guaranteed bit-identical (and at production size the island is
+    the deployment path anyway)."""
     coeffs = np.array(delay_coeffs(n_chan), dtype=np.int64)
     cre = np.zeros((n_chan, n_chan), dtype=np.int64)
     cim = np.zeros((n_chan, n_chan), dtype=np.int64)

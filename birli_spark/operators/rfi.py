@@ -968,7 +968,8 @@ def mwa_strategy_mask_pols_float(pol_imgs: dict, *,
             pol_imgs[p], base_sensitivity, existing=prior, valid=present,
             iterations=iterations, step=step, rf=rf, ch_rms=ch_rms,
             ts_rms=ts_rms, chan_values=chan_values, windows=windows,
-            form=form, two_sided=two_sided, noise_est=noise_est)
+            form=form, two_sided=two_sided, noise_est=noise_est,
+            decay=decay, noise_over=noise_over)
     zeros = np.ones(shape, dtype=bool)
     for p in MWA_POLS:
         zeros &= np.asarray(pol_imgs[p], dtype=np.float64) == 0.0

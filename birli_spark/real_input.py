@@ -58,6 +58,8 @@ class ObsMeta:
     phase_ra_deg: float | None
     phase_dec_deg: float | None
     n_ants: int
+    #: offline-averaging centre offset (metafits._freq_offset_hz)
+    freq_offset_hz: float = 0.0
 
     @property
     def obs_end_gps(self) -> float:
@@ -85,7 +87,8 @@ def load_obs(metafits_path: str) -> tuple[ObsMeta, dict]:
         quack_s=octx["quack_s"],
         phase_ra_deg=octx["phase_ra_deg"],
         phase_dec_deg=octx["phase_dec_deg"],
-        n_ants=octx["n_ants"])
+        n_ants=octx["n_ants"],
+        freq_offset_hz=octx.get("freq_offset_hz", 0.0))
     return meta, tiledata
 
 
@@ -99,7 +102,8 @@ def freq_expr(meta: ObsMeta) -> str:
         for i, ch in enumerate(meta.coarse_channels))
     centre = f"(CASE {arms} END)"
     return (f"({centre} - CAST({COARSE_WIDTH_HZ / 2.0!r} AS DOUBLE)"
-            f" + fc * CAST({meta.fine_chan_width_hz!r} AS DOUBLE))")
+            f" + fc * CAST({meta.fine_chan_width_hz!r} AS DOUBLE)"
+            f" + CAST({meta.freq_offset_hz!r} AS DOUBLE))")
 
 
 def detect_format(gpubox_glob: str) -> str:
@@ -118,10 +122,12 @@ def detect_format(gpubox_glob: str) -> str:
     return "synthetic"
 
 
-def _finish_vis(scan: DataFrame, meta: ObsMeta) -> DataFrame:
+def _finish_vis(scan: DataFrame, meta: ObsMeta,
+                offset_s: float = 0.0) -> DataFrame:
     """Project a (t, ant1, ant2, bl, cc, fc, chan, pols) scan onto the
-    19-column canonical vis relation."""
-    ts = (f"CAST({meta.gps_start!r} AS DOUBLE)"
+    19-column canonical vis relation. ``offset_s`` shifts the stamped
+    centroids onto the data grid (see :func:`data_offset_s`)."""
+    ts = (f"CAST({meta.gps_start + offset_s!r} AS DOUBLE)"
           f" + t * CAST({meta.int_time_s!r} AS DOUBLE)"
           f" + CAST({meta.int_time_s / 2.0!r} AS DOUBLE)")
     return scan.select(
@@ -134,15 +140,129 @@ def _finish_vis(scan: DataFrame, meta: ObsMeta) -> DataFrame:
         "yx_re", "yx_im", "yy_re", "yy_im")
 
 
-def _with_global_t(scan: DataFrame, int_time_ms: int) -> DataFrame:
-    """Global timestep index from the scan's unix epoch — one 1-row
-    min-bound aggregate broadcast-crossed (the decorrelated-scalar
-    pattern; the reference's timestep map serves the same role)."""
-    mn = scan.agg(F.min("unix_ms").alias("_mn"))
-    return (scan.crossJoin(F.broadcast(mn))
-            .withColumn("t", F.expr(
-                f"CAST((unix_ms - _mn) DIV {int_time_ms} AS INT)"))
-            .drop("_mn", "unix_ms"))
+def _with_global_t(scan: DataFrame, int_time_ms: int,
+                   obs_start_unix_ms: int, num_t: int) -> DataFrame:
+    """Global timestep index anchored at the observation's SCHEDULED
+    start (metafits GPSTIME, leap-corrected to unix) — NOT at the
+    minimum captured time: real captures routinely begin one or more
+    scans after the obsid (e.g. the reference's own 1196175296 data
+    starts 2 s late), and an anchor at min(unix_ms) would misstamp
+    ts_gps and misalign the quack window. The reference's
+    metafits/gpubox timestep map serves the same role.
+
+    A pure projection (no aggregate, no shuffle); each row asserts its
+    index is not BEFORE the scheduled start, so a header/metafits clock
+    mismatch fails loudly instead of silently shifting flags. Indices
+    MAY exceed the metafits NSCANS: real captures can outrun the
+    scheduled window (the reference's own 1297526432/1196175296
+    fixtures do), and the reference's gpubox-derived timestep map
+    likewise extends past it."""
+    del num_t  # kept in the signature for the error message contract
+    t = F.expr(
+        f"CAST((unix_ms - {obs_start_unix_ms}L) DIV {int_time_ms} AS INT)")
+    guard = F.when(t >= 0, t).otherwise(F.raise_error(F.concat(
+        F.lit("gpubox scan time before the metafits obs start: "
+              "unix_ms="), F.col("unix_ms").cast("string"),
+        F.lit(f", obs start unix_ms={obs_start_unix_ms}, "
+              f"int_time_ms={int_time_ms}"))))
+    return scan.withColumn("t", guard).drop("unix_ms")
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def gpubox_header_meta(gpubox_glob: str) -> dict:
+    """{'min_ms', 'max_ms', 'bscale'} across the gpubox files — a
+    driver-side header-only walk (seek past data units; no payload
+    reads), the role mwalib's metafits/gpubox timestep map plays in the
+    reference. File-count bounded, cached per glob; at production scale
+    this is one metadata pass, same as the reference's context
+    construction. ``bscale`` is the scan-image BSCALE (the reference's
+    Van Vleck scale multiplies by it, src/van_vleck.rs:318-329)."""
+    import glob as _glob
+
+    from birli_spark.sources import fitscore as fc
+    min_ms = None
+    max_ms = None
+    bscale = None
+    for path in sorted(_glob.glob(gpubox_glob)):
+        with open(path, "rb") as f:
+            raw = f.read(fc.BLOCK)
+            # walk header-by-header: parse each header unit (possibly
+            # several blocks), then seek past its data unit
+            pos = 0
+            buf = raw
+            while True:
+                # ensure the whole header unit is in buf
+                hdr = None
+                while hdr is None:
+                    try:
+                        hdr, hend = fc.parse_header(buf, 0)
+                    except ValueError:
+                        more = f.read(fc.BLOCK * 8)
+                        if not more:
+                            break
+                        buf += more
+                if hdr is None:
+                    break
+                if "TIME" in hdr:
+                    t_ms = (int(hdr["TIME"]) * 1000
+                            + int(hdr.get("MILLITIM", 0) or 0))
+                    if max_ms is None or t_ms > max_ms:
+                        max_ms = t_ms
+                    if min_ms is None or t_ms < min_ms:
+                        min_ms = t_ms
+                    if bscale is None and "BSCALE" in hdr:
+                        bscale = float(hdr["BSCALE"])
+                data_end = fc.skip_data(hend, hdr)
+                f.seek(pos + data_end)
+                pos += data_end
+                buf = f.read(fc.BLOCK)
+                if not buf:
+                    break
+    if min_ms is None:
+        raise FileNotFoundError(
+            f"no gpubox scan HDUs found under {gpubox_glob!r}")
+    return {"min_ms": min_ms, "max_ms": max_ms,
+            "bscale": 1.0 if bscale is None else bscale}
+
+
+def data_time_range(gpubox_glob: str) -> tuple[int, int]:
+    m = gpubox_header_meta(gpubox_glob)
+    return m["min_ms"], m["max_ms"]
+
+
+def data_num_t(gpubox_glob: str, obs_start_unix_ms: int,
+               int_time_ms: int, num_t_scheduled: int) -> int:
+    """Timestep count covering BOTH the scheduled window and every scan
+    actually captured. Real captures can outrun the scheduled NSCANS
+    (the reference's own 1196175296 fixture does), and the per-(t, ant)
+    UVW table must cover the data or the geometry join would silently
+    drop those scans."""
+    _, max_ms = data_time_range(gpubox_glob)
+    if max_ms < obs_start_unix_ms:
+        return num_t_scheduled
+    t_last = (max_ms - obs_start_unix_ms) // int_time_ms
+    return max(num_t_scheduled, int(t_last) + 1)
+
+
+def data_offset_s(gpubox_glob: str, obs_start_unix_ms: int,
+                  int_time_ms: int) -> float:
+    """Sub-scan offset of the DATA grid from the scheduled grid, in
+    seconds: real archives can start mid-scan relative to the obsid
+    (the reference's 1254670392_avg scans start at obsid+1 s with a 2 s
+    integration — witnessed independently by the Cotter and pyuvdata
+    golden dumps, whose DATE params are centroids at obsid+2/+4). The
+    timestep INDEX still floors onto the scheduled grid; this offset
+    shifts every stamped time (ts_gps, the UVW table, the UVFITS DATE
+    params) onto the true scan centroids."""
+    min_ms, _ = data_time_range(gpubox_glob)
+    if min_ms < obs_start_unix_ms:
+        raise ValueError(
+            f"gpubox data starts before the metafits obs start: "
+            f"{min_ms} < {obs_start_unix_ms}")
+    return ((min_ms - obs_start_unix_ms) % int_time_ms) / 1000.0
 
 
 def load_vis_real(spark: SparkSession, meta: ObsMeta,
@@ -153,10 +273,15 @@ def load_vis_real(spark: SparkSession, meta: ObsMeta,
     if fmt == "auto":
         fmt = detect_format(gpubox_glob)
     nf = meta.n_fine_per_coarse
+    from birli_spark.functions import timeutil
+    start_ms = int(round(timeutil.gps_to_unix_s(meta.gps_start) * 1000))
+    int_ms = int(round(meta.int_time_s * 1000))
+    offset_s = (data_offset_s(gpubox_glob, start_ms, int_ms)
+                if fmt in ("mwax", "legacy") else 0.0)
     if fmt == "mwax":
         scan = gpubox.read_mwax_gpubox(spark, gpubox_glob).drop("t")
-        scan = _with_global_t(scan,
-                              int(round(meta.int_time_s * 1000)))
+        scan = _with_global_t(scan, int(round(meta.int_time_s * 1000)),
+                              start_ms, meta.num_t)
         cc_arms = " ".join(
             f"WHEN cc_recv = {ch} THEN {i}"
             for i, ch in enumerate(meta.coarse_channels))
@@ -168,13 +293,13 @@ def load_vis_real(spark: SparkSession, meta: ObsMeta,
         from birli_spark.sources import legacy_gpubox
         scan = legacy_gpubox.read_legacy_gpubox(spark, gpubox_glob,
                                                 metafits_path)
-        scan = _with_global_t(scan,
-                              int(round(meta.int_time_s * 1000)))
+        scan = _with_global_t(scan, int(round(meta.int_time_s * 1000)),
+                              start_ms, meta.num_t)
         scan = (scan.withColumn("cc", F.expr(f"CAST(chan DIV {nf} AS INT)"))
                 .drop("gpubox"))
     else:
         scan = gpubox.read_gpubox(spark, gpubox_glob)
-    return _finish_vis(scan, meta)
+    return _finish_vis(scan, meta, offset_s=offset_s)
 
 
 def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
@@ -210,7 +335,9 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
     ts = mf.timesteps_df(spark, {"NSCANS": meta.num_t,
                                  "GPSTIME": meta.gps_start,
                                  "INTTIME": meta.int_time_s})
-    quack = ctx.quack_time if ctx.quack_time else meta.quack_s
+    # None = the metafits QUACKTIM default; an explicit --quack-time 0
+    # DISABLES quack (reference --flag-init semantics)
+    quack = meta.quack_s if ctx.quack_time is None else ctx.quack_time
     ts_f = flags.flag_timesteps_quack(
         ts, meta.gps_start, meta.obs_end_gps, quack_s=quack,
         flag_end_s=ctx.flag_end)
@@ -234,6 +361,16 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
     vis = flags.set_flags(vis, ts_f, bl_f, fc_pred)
 
     vis = corrections.attach_cell_gate(vis)
+    if ctx.van_vleck:
+        from birli_spark.operators import vanvleck
+        # the reference's scale: fine_width_hz * int_time_ms / 500 *
+        # gpubox BSCALE (src/van_vleck.rs:318-329, get_vv_sample_scale)
+        bscale = gpubox_header_meta(gpubox_glob)["bscale"]
+        scale = (meta.fine_chan_width_hz
+                 * (meta.int_time_s * 1000.0) / 500.0 * bscale)
+        vis = vanvleck.correct_van_vleck(
+            vis, scale, flagged_ants=ctx.flag_antennas or None,
+            gate_col=corrections.GATE_COL)
     if not ctx.no_cable_delay:
         vis = corrections.correct_cable_lengths(vis, ants, gated=True)
     if not ctx.no_digital_gains:
@@ -269,18 +406,33 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
                 eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2,
                 impl=ctx.rfi_impl)
 
-    if not ctx.no_geometric_delay and meta.phase_ra_deg is not None:
+    if meta.phase_ra_deg is not None:
         from birli_spark.functions import textsql as X
+        from birli_spark.functions import timeutil
         from birli_spark.operators import precession as prc
         ants.createOrReplaceTempView("real_antennas")
+        # the UVW table must span every CAPTURED scan, not just the
+        # scheduled NSCANS (see data_num_t), and its times must sit on
+        # the DATA grid (see data_offset_s)
+        start_ms = int(round(timeutil.gps_to_unix_s(meta.gps_start)
+                             * 1000))
+        int_ms = int(round(meta.int_time_s * 1000))
+        n_t_uvw = data_num_t(gpubox_glob, start_ms, int_ms, meta.num_t)
+        off_s = data_offset_s(gpubox_glob, start_ms, int_ms)
         part_uvw = spark.sql(prc.part_uvw_precessed_sql(
             X.SPARK, ra_rad=math.radians(float(meta.phase_ra_deg)),
             dec_rad=math.radians(float(meta.phase_dec_deg)),
-            gps_start=float(meta.gps_start),
-            int_time_s=meta.int_time_s, num_t=meta.num_t,
+            gps_start=float(meta.gps_start) + off_s,
+            int_time_s=meta.int_time_s, num_t=n_t_uvw,
             antennas="real_antennas", dut1_s=ctx.dut1,
             lon_rad=prc.MWA_LON_RAD, lat_rad=prc.MWA_LAT_RAD))
-        vis = corrections.correct_geometry(vis, part_uvw)
+        if ctx.no_geometric_delay:
+            # UVW group params are always computed and written; the
+            # flag gates only the phase rotation (reference cli.rs:
+            # the nocorrect tests compare real UVWs in 'none' output)
+            vis = corrections.attach_uvw(vis, part_uvw)
+        else:
+            vis = corrections.correct_geometry(vis, part_uvw)
 
     if ctx.apply_di_cal:
         from birli_spark.operators import calibration

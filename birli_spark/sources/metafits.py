@@ -148,4 +148,29 @@ def obs_context(primary: dict) -> dict:
         "pointing_ra_deg": primary.get("RA"),
         "pointing_dec_deg": primary.get("DEC"),
         "coarse_channels": coarse_channels(primary),
+        "freq_offset_hz": _freq_offset_hz(primary),
     }
+
+
+def _freq_offset_hz(primary: dict) -> float:
+    """Fine-channel centre offset of offline-averaged observations.
+
+    Offline averaging by factor k shifts every averaged channel's
+    centre by (k-1)/2 x native width (the mean of k consecutive native
+    centres), and the metafits records the shifted band centre in
+    FREQCENT: e.g. the reference's 1254670392_avg (4 x 10 kHz -> 40 kHz)
+    carries FREQCENT 15 kHz above the naive coarse grid, and Cotter's
+    golden dumps put channel 0 at 167.055 MHz accordingly. Recover the
+    scalar offset as FREQCENT - (the naive 24-coarse band centre,
+    CENTCHAN x 1.28 MHz - 0.64 MHz); native observations yield exactly
+    0 (all four reference fixtures validate this). A value outside
+    [0, fine width) means a non-standard band layout - fall back to 0."""
+    fc_mhz = primary.get("FREQCENT")
+    cent = primary.get("CENTCHAN")
+    if fc_mhz is None or cent is None:
+        return 0.0
+    off = float(fc_mhz) * 1e6 - float(cent) * 1.28e6 + 0.64e6
+    fine_hz = float(primary.get("FINECHAN", 0.0)) * 1000.0
+    if not (0.0 <= off < max(fine_hz, 1.0)):
+        return 0.0
+    return off

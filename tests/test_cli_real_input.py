@@ -143,3 +143,25 @@ def test_real_input_plan_shape(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     # cross joins must sit over local (dim) relations, never the scan
     assert "Scan parquet" not in plan  # real mode reads binaryFile
+
+
+def test_cli_real_input_flag_parquet_uses_real_flags(spark, tmp_path):
+    """--flag-parquet in real mode derives flags from the run's OWN
+    baked weights (rules + RFI on the real obs), not from the synthetic
+    dim tables — a quack window computed against syn.GPS_START would
+    flag the wrong timesteps of a real observation."""
+    from birli_spark import cli
+    from birli_spark.sinks import flagsink
+    out = str(tmp_path / "real_flags")
+    cli.run([
+        "-m", META, "--gpubox", GLOB,
+        "--no-rfi", "--pfb-gains", "none", "--no-cable-delay",
+        "--no-digital-gains", "--no-geometric-delay",
+        "--quack-time", "0", "--no-flag-dc", "--no-draw-progress",
+        "--flag-parquet", out], spark=spark)
+    got = flagsink.read_flags(spark, out).toPandas()
+    # the real obs grid, not the synthetic one
+    assert len(got) == 48
+    assert sorted(got["t"].unique()) == [0, 1, 2, 3]
+    # quack 0 + no rules engaged: nothing flagged
+    assert not got["flag"].any()

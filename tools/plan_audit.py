@@ -295,12 +295,43 @@ def audit(name: str, plan: str) -> list[str]:
     return notes
 
 
+def write_plans_atomic(path: str, content: str) -> None:
+    """Write the PLANS.md artifact atomically: temp file in the same
+    directory, fsync, rename — an interrupted audit never leaves a
+    truncated artifact behind."""
+    import os
+    import tempfile
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".plans_", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.001"
     wanted = [a for a in argv if "/" not in a]
     qs = entrymod.queries()
+    unknown = [a for a in wanted if a not in qs]
+    if unknown:
+        print(f"error: unknown query name(s): {', '.join(unknown)} "
+              "(names must be keys of __spark_entry__.queries())",
+              file=sys.stderr)
+        return 2
     names = [n for n in (wanted or HEADLINE) if n in qs]
+    if not names:
+        print("error: no queries to audit", file=sys.stderr)
+        return 2
     spark = get_spark()
     out = ["# Physical plans (generated by tools/plan_audit.py)\n",
            f"\nScale factor dir: `{sf_dir}`. One section per headline query:",
@@ -320,8 +351,7 @@ def main() -> int:
         bad += flag == "WARN"
         print(f"{flag:4s} {n}: {line}")
         out.append(f"\n## {n}\n\n`{line}`\n\n```\n{plan}```\n")
-    with open("/root/repo/PLANS.md", "w") as f:
-        f.write("".join(out))
+    write_plans_atomic("/root/repo/PLANS.md", "".join(out))
     print(f"== {len(names)} plans audited, {bad} with warnings ==")
     return 0
 
