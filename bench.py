@@ -106,6 +106,12 @@ HEADLINE = [
     "mo1_multi_obs_pipeline",
     "mo4_multi_obs_uvfits",
     "mo5_multi_obs_ms",
+    # round 6: the round-5 additions the verdict asked onto the
+    # headline — calsol-drift QA (batch + its micro-batch stream twin)
+    # and distribution drift
+    "mo6_calsol_drift",
+    "st13_stream_calsol_drift",
+    "q4_distribution_drift",
     # UDF islands last — their Python-worker residency (Arrow batches,
     # long-lived reused daemons) perturbs later JVM-side queries
     "c1b_van_vleck_udf",

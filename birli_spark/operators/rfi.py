@@ -894,11 +894,17 @@ def mwa_strategy_mask_float(img: np.ndarray,
                             two_sided: bool = False,
                             noise_est: str = "wmode",
                             decay: float = 0.75,
-                            noise_over: str = "unflagged"
+                            noise_over: str = "unflagged",
+                            bg_over: str = "unflagged"
                             ) -> np.ndarray:
     """Float-mode single-polarization mwa-default iteration ladder
     (pre-SIR; the joined-pols pass lives in
-    :func:`mwa_strategy_mask_pols_float`)."""
+    :func:`mwa_strategy_mask_pols_float`).
+
+    ``bg_over``: which cells feed the background fit — 'unflagged'
+    (masked fit, flags excluded) or 'present' (every valid cell,
+    letting narrow persistent features like the legacy DC spike
+    partly self-subtract, as a plain kernel smoother would)."""
     img = np.asarray(img, dtype=np.float64)
     present = (np.ones(img.shape, dtype=bool) if valid is None
                else np.asarray(valid, dtype=bool))
@@ -921,7 +927,8 @@ def mwa_strategy_mask_float(img: np.ndarray,
                 _rms_lines_f(resid, ~work & present, 0),
                 ch_rms * factor, True)
             work = work | cm[None, :]
-        bg = lowpass_resized_float(img, ~work & present, rf,
+        bg_ok = present if bg_over == "present" else (~work & present)
+        bg = lowpass_resized_float(img, bg_ok, rf,
                                    chan_values=chan_values)
         resid = img - bg
     work = sumthreshold_float(resid, work, present, base_sensitivity,
@@ -948,7 +955,8 @@ def mwa_strategy_mask_pols_float(pol_imgs: dict, *,
                                  two_sided: bool = False,
                                  noise_est: str = "wmode",
                                  decay: float = 0.75,
-                                 noise_over: str = "unflagged"
+                                 noise_over: str = "unflagged",
+                                 bg_over: str = "unflagged"
                                  ) -> np.ndarray:
     """F9e float mode — the full mwa-default orchestration with
     AOFlagger's own statistics (see module section comment). Per-pol
@@ -969,7 +977,7 @@ def mwa_strategy_mask_pols_float(pol_imgs: dict, *,
             iterations=iterations, step=step, rf=rf, ch_rms=ch_rms,
             ts_rms=ts_rms, chan_values=chan_values, windows=windows,
             form=form, two_sided=two_sided, noise_est=noise_est,
-            decay=decay, noise_over=noise_over)
+            decay=decay, noise_over=noise_over, bg_over=bg_over)
     zeros = np.ones(shape, dtype=bool)
     for p in MWA_POLS:
         zeros &= np.asarray(pol_imgs[p], dtype=np.float64) == 0.0

@@ -137,18 +137,29 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
 
 
 IVF_STRIDE = 50
-#: default probe count — measured recall@5 on the driver embeddings
-#: (tools/ann_recall.py): nprobe=2 -> 0.425, 4 -> 0.675, 6 -> 0.85.
-#: 4 balances recall vs probe cost at the default cell count; raise it
-#: with the cell count at scale (cells ~ sqrt(N) -> nprobe/cells falls).
-IVF_NPROBE = 4
+#: default probe count: None = AUTO — the probe count scales with the
+#: cell count as ``greatest(4, ceil(2 * sqrt(n_cells)))``, computed
+#: IN-PLAN from the centroid table (a 1-row broadcast scalar, so the
+#: DuckDB oracle runs the identical rule). Rationale: at the driver
+#: scale (10 cells) this resolves to 7 probes — measured recall@5
+#: 0.875 (tools/ann_recall.py, ANN_RECALL_r6.json) vs 0.675 at the old
+#: fixed nprobe=4 — while at production scale (cells ~ sqrt(N), e.g.
+#: 10^4 cells for 10^8 vectors) the same rule probes 2*sqrt(C)/C =
+#: 2 % of cells, the standard IVF operating point. An integer value
+#: pins the probe count explicitly (the sweep artifact uses this).
+IVF_NPROBE: int | None = None
+
+#: the auto rule as engine SQL over a cell-count column/subquery
+def _auto_nprobe_sql(n_cells: str) -> str:
+    return f"GREATEST(4, CAST(CEIL(2.0 * SQRT({n_cells})) AS INT))"
 
 
 def _ivf_assignments(emb: DataFrame, n_queries: int, stride: int,
-                     nprobe: int) -> tuple[DataFrame, DataFrame]:
+                     nprobe: int | None) -> tuple[DataFrame, DataFrame]:
     """Shared IVF build/search front half: (assigned corpus with
     ``cell``, query probe list) — see :func:`ivf_topk` for the scale
-    rationale."""
+    rationale. ``nprobe=None`` resolves the auto rule in-plan from the
+    centroid count (1-row broadcast scalar)."""
     n = emb.select("vec_id", "embedding",
                    F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"))
     cent = (n.filter(F.col("vec_id") % stride == 0)
@@ -166,13 +177,20 @@ def _ivf_assignments(emb: DataFrame, n_queries: int, stride: int,
                 .select("vec_id", "embedding", "nrm",
                         (-F.col("m.ncid")).alias("cell")))
     wq = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    qprobe = (scored.filter(F.col("vec_id") < n_queries)
-              .withColumn("pr", F.row_number().over(wq))
-              .filter(F.col("pr") <= nprobe)
-              .select(F.col("vec_id").alias("qid"),
-                      F.col("embedding").alias("q_emb"),
-                      F.col("nrm").alias("q_nrm"),
-                      F.col("cid").alias("q_cell")))
+    ranked = (scored.filter(F.col("vec_id") < n_queries)
+              .withColumn("pr", F.row_number().over(wq)))
+    if nprobe is None:
+        n_cells = cent.agg(F.count("*").alias("_nc"))
+        ranked = (ranked.crossJoin(F.broadcast(n_cells))
+                  .filter(F.col("pr")
+                          <= F.expr(_auto_nprobe_sql("_nc")))
+                  .drop("_nc"))
+    else:
+        ranked = ranked.filter(F.col("pr") <= nprobe)
+    qprobe = ranked.select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("q_emb"),
+                           F.col("nrm").alias("q_nrm"),
+                           F.col("cid").alias("q_cell"))
     return assigned, qprobe
 
 
@@ -208,10 +226,12 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
 
 def ivf_topk_oracle_sql(k: int = 5, n_queries: int = 8,
                         stride: int = IVF_STRIDE,
-                        nprobe: int = IVF_NPROBE) -> str:
+                        nprobe: int | None = IVF_NPROBE) -> str:
     cos_c = (f"{X.dot(X.DUCK, 'n.embedding', 'cent.c_emb')}"
              f" / (n.nrm * cent.c_nrm)")
     cos = f"{X.dot(X.DUCK, 'q.q_emb', 'c.embedding')} / (q.q_nrm * c.nrm)"
+    np_sql = (_auto_nprobe_sql("(SELECT COUNT(*) FROM cent)")
+              if nprobe is None else str(nprobe))
     return f"""
 WITH n AS (SELECT vec_id, embedding, {X.norm(X.DUCK, 'embedding')} AS nrm
            FROM embeddings),
@@ -230,7 +250,7 @@ qprobe AS (
   FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS pr
-    FROM scored WHERE vec_id < {n_queries}) WHERE pr <= {nprobe}),
+    FROM scored WHERE vec_id < {n_queries}) WHERE pr <= {np_sql}),
 cand AS (
   SELECT q.qid, c.vec_id, {cos} AS cos
   FROM qprobe q JOIN assigned c ON c.cell = q.q_cell AND c.vec_id <> q.qid),
@@ -385,13 +405,15 @@ FROM reranked WHERE rank <= {k}"""
 
 
 #: ADC shortlist size = refine x k — measured recall@5 (tools/
-#: ann_recall.py): refine=4 -> 0.45, 8 -> 0.575 at nprobe=4; the exact
-#: rerank touches refine*k*queries rows either way (negligible)
-IVFPQ_REFINE = 8
+#: ann_recall.py): refine=4 -> 0.45, 8 -> 0.575 at nprobe=4; with the
+#: round-6 AUTO nprobe (7 at driver scale) refine=16 measures 0.875
+#: recall@5 (ANN_RECALL_r6.json). The exact rerank touches
+#: refine*k*queries rows either way (negligible)
+IVFPQ_REFINE = 16
 
 
 def ivfpq_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
-               stride: int = IVF_STRIDE, nprobe: int = IVF_NPROBE,
+               stride: int = IVF_STRIDE, nprobe: int | None = IVF_NPROBE,
                refine: int = IVFPQ_REFINE) -> DataFrame:
     """ANN5 — the complete FAISS-style **IVF-PQ + rerank** retrieval
     recipe in one plan (Jégou et al. 2011): coarse IVF cells prune the
@@ -468,11 +490,13 @@ def ivfpq_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
 
 def ivfpq_topk_oracle_sql(k: int = 5, n_queries: int = 8,
                           stride: int = IVF_STRIDE,
-                          nprobe: int = IVF_NPROBE,
+                          nprobe: int | None = IVF_NPROBE,
                           refine: int = IVFPQ_REFINE) -> str:
     from birli_spark.operators.quantization import PQ_K, PQ_M, PQ_SUB
     cos_c = (f"{X.dot(X.DUCK, 'n.embedding', 'cent.c_emb')}"
              f" / (n.nrm * cent.c_nrm)")
+    np_sql = (_auto_nprobe_sql("(SELECT COUNT(*) FROM cent)")
+              if nprobe is None else str(nprobe))
 
     def d2(vec: str, m: str) -> str:
         return (f"list_sum(list_transform(range(1, {PQ_SUB} + 1), i -> "
@@ -509,7 +533,7 @@ qprobe AS (
   FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS pr
-    FROM scored WHERE vec_id < {n_queries}) WHERE pr <= {nprobe}),
+    FROM scored WHERE vec_id < {n_queries}) WHERE pr <= {np_sql}),
 cb AS (SELECT vec_id AS k, embedding AS c_emb FROM embeddings
        WHERE vec_id < {PQ_K}),
 subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),

@@ -31,10 +31,16 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
         os.environ["PYTHONPATH"] = (
             f"{repo_root}{os.pathsep}{pp}" if pp else repo_root)
     local_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the local default — the
+    # shuffle-realism probe (tools/shuffle_realism.py) runs the oracle
+    # suite with partitions >> cores + AQE to prove correctness and plan
+    # shape are partition-count independent (a cluster reality check)
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                                   str(cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -29,6 +29,19 @@ where cotter itself flags only 352 of 528 cells, and the rest are
 isolated single-cell margins spread over chan % 32 = 3..28. The
 remainder is threshold-marginal noise, not a mechanism gap.
 
+IRREDUCIBILITY (round 6, tools/tune_mwa_float.py::pareto_grid): the
+full grid over the plausible published-default knobs — sensitivity
+6/6.2/6.35/6.5 x final_ts_rms 3.5/4/4.5 x SIR eta 0.1/0.2 x
+background-fit scope (masked vs self-subtracting) x noise estimator
+(wmode/wstd/mad) — contains NO configuration with agreement >= 0.99 at
+recall >= 0.90; the Pareto front tops at 0.9873 @ recall 0.848, and
+eta/final_ts_rms are inert here. The margin asymmetry (cotter's
+effective per-cell threshold sits ABOVE ours at the fp cells and BELOW
+ours at the fn cells, both within 2x) rules out any global threshold or
+noise rescale reproducing it: the residual is the boundary of
+reimplementing the FFI'd C++ flagger's cell-level arithmetic from
+public behavior, not a tunable gap.
+
 TICK MODE (the hash-gated twin of the relational plan,
 rfi.mwa_strategy_mask_pols): agreement 0.9804, recall 0.726 — kept as
 a regression gate; its role is cross-engine exactness, not golden

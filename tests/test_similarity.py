@@ -184,3 +184,34 @@ def test_ivfpq_topk_semantics(spark, sf_dir):
     na = math.sqrt(sum(float(x) ** 2 for x in a))
     nb = math.sqrt(sum(float(x) ** 2 for x in b))
     assert abs(r0.cos - dot / (na * nb)) < 1e-9
+
+
+def test_auto_nprobe_rule(spark):
+    """Round 6: IVF_NPROBE=None resolves greatest(4, ceil(2*sqrt(C)))
+    IN-PLAN — at the driver scale (10 cells) every query probes exactly
+    7 cells; small cell counts clamp to the floor of 4. The rule is the
+    same SQL text the DuckDB oracle runs, so the ANN queries stay
+    hash-gated at auto defaults."""
+    from birli_spark.functions import textsql as X
+    from birli_spark.operators import similarity as S
+
+    # the SQL rule itself, evaluated in-engine at a few cell counts
+    for n_cells, want in ((1, 4), (4, 4), (10, 7), (100, 20), (10000, 200)):
+        got = spark.sql(
+            f"SELECT {S._auto_nprobe_sql(str(n_cells))} AS np"
+        ).collect()[0].np
+        assert got == want, (n_cells, got, want)
+
+    # end to end: at 500 vectors / stride 50 -> 10 cells -> 7 probes
+    from birli_spark.sources import corpus
+    emb = corpus.load_embeddings(spark, "/root/testdata/sf0.001")
+    n_vec = emb.count()
+    n_cells = len([v for v in range(0, n_vec, 1)
+                   if v % S.IVF_STRIDE == 0])
+    import math
+    want_probes = max(4, math.ceil(2.0 * math.sqrt(n_cells)))
+    _assigned, qprobe = S._ivf_assignments(
+        emb, n_queries=4, stride=S.IVF_STRIDE, nprobe=None)
+    per_q = (qprobe.groupBy("qid").count().collect())
+    assert per_q and all(r["count"] == min(want_probes, n_cells)
+                         for r in per_q), (want_probes, per_q)
