@@ -711,17 +711,37 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
 
         if ctx.ms_out:
             from birli_spark.sinks import ms
+            ms_gps = gps_start
+            if real_mode:
+                # real observations: MS TIME/TIME_CENTROID are UTC casa
+                # seconds (cotter/casacore convention; the reference's
+                # compare_ms_with_csv golden times are UTC) on the DATA
+                # grid. The sink's time expr adds the fixed GPS-TAI 19 s
+                # (the synthetic surface's oracle convention), so the
+                # anchor absorbs it along with leap and the grid offset.
+                from birli_spark import real_input as _ri
+                from birli_spark.functions import timeutil
+                _start_ms = int(round(
+                    timeutil.gps_to_unix_s(gps_start) * 1000))
+                _int_ms = int(round(int_time_s * 1000))
+                _off = (_ri.data_offset_s(ctx.gpubox, _start_ms,
+                                          _int_ms)
+                        if _ri.detect_format(ctx.gpubox)
+                        in ("mwax", "legacy") else 0.0)
+                ms_gps = (gps_start + _off
+                          - timeutil.gps_utc_offset_s(gps_start)
+                          - ms.GPS_TAI_OFFSET_S)
             if ctx.ms_out.rstrip("/").endswith(".ms"):
                 from birli_spark.sinks import ms_file
                 with _stage("write ms"):
                     ms_file.write_ms_casa(
                         spark, get_baked(), ctx.ms_out, ctx.avg_time,
-                        ctx.avg_freq, gps_start=gps_start,
+                        ctx.avg_freq, gps_start=ms_gps,
                         int_time_s=int_time_s)
             else:
                 ms.write_ms_parquet(
                     get_baked(), ctx.ms_out, ctx.avg_time,
-                    ctx.avg_freq, gps_start=gps_start,
+                    ctx.avg_freq, gps_start=ms_gps,
                     int_time_s=int_time_s)
             result["ms_path"] = ctx.ms_out
         if ctx.uvfits_out:

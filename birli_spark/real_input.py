@@ -75,6 +75,15 @@ class ObsMeta:
         return self.n_fine_per_coarse * len(self.coarse_channels)
 
 
+def meta_pointing(metafits_path: str) -> tuple[float, float]:
+    """(RA, DEC) of the metafits POINTING centre (the RA/DEC keys, vs
+    the RAPHASE/DECPHASE phase centre) — the --pointing-centre target."""
+    primary, _ = mf.read_metafits(metafits_path)
+    octx = mf.obs_context(primary)
+    return (float(octx["pointing_ra_deg"]),
+            float(octx["pointing_dec_deg"]))
+
+
 def load_obs(metafits_path: str) -> tuple[ObsMeta, dict]:
     primary, tiledata = mf.read_metafits(metafits_path)
     octx = mf.obs_context(primary)
@@ -406,7 +415,20 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
                 eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2,
                 impl=ctx.rfi_impl)
 
-    if meta.phase_ra_deg is not None:
+    # phase centre precedence (reference src/cli.rs:1353 / RADec
+    # plumbing): explicit --phase-centre > --pointing-centre (the
+    # metafits RA/DEC pointing) > the metafits RAPHASE/DECPHASE
+    if ctx.phase_centre:
+        ra_deg, dec_deg = float(ctx.phase_centre[0]), float(
+            ctx.phase_centre[1])
+    elif ctx.pointing_centre:
+        ra_deg, dec_deg = meta_pointing(metafits_path)
+    elif meta.phase_ra_deg is not None:
+        ra_deg, dec_deg = (float(meta.phase_ra_deg),
+                           float(meta.phase_dec_deg))
+    else:
+        ra_deg = None
+    if ra_deg is not None:
         from birli_spark.functions import textsql as X
         from birli_spark.functions import timeutil
         from birli_spark.operators import precession as prc
@@ -420,8 +442,8 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
         n_t_uvw = data_num_t(gpubox_glob, start_ms, int_ms, meta.num_t)
         off_s = data_offset_s(gpubox_glob, start_ms, int_ms)
         part_uvw = spark.sql(prc.part_uvw_precessed_sql(
-            X.SPARK, ra_rad=math.radians(float(meta.phase_ra_deg)),
-            dec_rad=math.radians(float(meta.phase_dec_deg)),
+            X.SPARK, ra_rad=math.radians(ra_deg),
+            dec_rad=math.radians(dec_deg),
             gps_start=float(meta.gps_start) + off_s,
             int_time_s=meta.int_time_s, num_t=n_t_uvw,
             antennas="real_antennas", dut1_s=ctx.dut1,

@@ -165,3 +165,63 @@ def test_cli_real_input_flag_parquet_uses_real_flags(spark, tmp_path):
     assert sorted(got["t"].unique()) == [0, 1, 2, 3]
     # quack 0 + no rules engaged: nothing flagged
     assert not got["flag"].any()
+
+
+def test_cli_real_legacy_matches_pyuvdata_golden(spark, tmp_path):
+    """The WHOLE CLI on the reference's REAL 1196175296 legacy archive
+    (no synthesis anywhere) vs pyuvdata's golden dump — the reference's
+    compare_pyuvdata_1196175296_mwa_ord_none (src/cli.rs:4220: same
+    args, margin 1e-3, uvws/weights ignored). 250 baselines x 4 chans
+    of the first captured scan, matched by the leap-corrected UTC JD
+    (the dump's 2458089.12129919 is the centroid of the scan captured
+    2 s AFTER the scheduled obs start — the data-grid anchoring this
+    file pins). The dump is in the engine's internal convention, as
+    test_legacy_gpubox's bit-exact decoder golden established."""
+    import csv as _csv
+
+    from birli_spark import cli
+    from birli_spark.sinks import uvfits as uvsink
+
+    meta_p = f"{LEGACY_DIR}/1196175296.metafits"
+    glob = f"{LEGACY_DIR}/1196175296_*gpubox*.fits"
+    out = str(tmp_path / "real_none.uvfits")
+    cli.run(["-m", meta_p, "--gpubox", glob,
+             "--no-rfi", "--no-digital-gains", "--pfb-gains", "none",
+             "--no-cable-delay", "--no-geometric-delay",
+             "--no-flag-dc", "--flag-edge-width", "0",
+             "--flag-init", "0", "--no-draw-progress",
+             "-u", out], spark=spark)
+
+    header, params, data = uvsink.read_uvfits(out)
+    n_chan = int(header["NAXIS4"])
+    assert n_chan == 4
+    by_bl: dict = {}
+    for g in range(params.shape[0]):
+        by_bl.setdefault(int(round(params[g, 3])), []).append(g)
+
+    pol_idx = {"xx": 0, "yy": 1, "xy": 2, "yx": 3}
+    n_cells = 0
+    path = f"{LEGACY_DIR}/pyuvdata_1196175296.none.csv"
+    with open(path) as f:
+        r = _csv.reader(f)
+        next(r)
+        for rec in r:
+            jd, blc, pol = float(rec[0]), int(rec[1]), rec[5].strip()
+            if blc // 256 == blc % 256:
+                continue  # autos skipped like the reference
+            g = [gg for gg in by_bl[blc]
+                 if abs(params[gg, 4] - jd) < 1e-5]
+            assert g, (blc, jd)
+            p = pol_idx[pol]
+            # this dump is already in the internal convention: compare
+            # the file verbatim (no conjugation)
+            got = data[g[0], :, p, 0] + 1j * data[g[0], :, p, 1]
+            want = [complex(v.strip()) for v in rec[7:]]
+            for c in range(n_chan):
+                d = abs(got[c] - want[c])
+                assert d <= 1e-3 + 1e-6 * abs(want[c]), (
+                    blc, pol, c, got[c], want[c])
+                n_cells += 1
+    # 248 cross baselines x 4 pols... the dump carries 250 rows per pol
+    # incl. 2 autos; expected = (dumped cross rows) x 4 chans
+    assert n_cells == 248 * 4 * 4
