@@ -126,3 +126,30 @@ def test_picket_fence_channels_non_contiguous():
     gaps = [b - a for a, b in zip(ccs, ccs[1:])]
     assert any(g > 1 for g in gaps)          # genuinely picket-fence
     assert ccs == sorted(ccs)
+
+
+def test_freq_offset_hz_across_reference_fixtures():
+    """The offline-averaging channel-centre offset (round 6): +15 kHz
+    for the two 40 kHz-averaged reference observations (4x native
+    10 kHz: (4-1)/2 x 10 kHz), exactly 0 for the two native ones —
+    recovered from FREQCENT/CENTCHAN alone."""
+    import os
+
+    from birli_spark.sources import metafits as mf
+    cases = {
+        "1254670392_avg/1254670392.fixed.metafits": 15000.0,
+        "1119683928_picket/1119683928.metafits": 15000.0,
+        "1297526432_mwax/1297526432.metafits": 0.0,
+        "1196175296_mwa_ord/1196175296.metafits": 0.0,
+    }
+    base = "/root/reference/tests/data"
+    for rel, want in cases.items():
+        path = os.path.join(base, rel)
+        if not os.path.exists(path):
+            continue
+        primary, _ = mf.read_metafits(path)
+        assert mf.obs_context(primary)["freq_offset_hz"] == want, rel
+    # missing keys and implausible layouts fall back to 0
+    assert mf._freq_offset_hz({}) == 0.0
+    assert mf._freq_offset_hz(
+        {"FREQCENT": 200.0, "CENTCHAN": 143, "FINECHAN": 40}) == 0.0
