@@ -64,6 +64,9 @@ class Context:
     quack_time: float | None = None  # None = surface default (metafits
     # QUACKTIM in real mode, 0 on the synthetic surface); explicit 0
     # disables
+    flag_init_steps: int | None = None  # N steps -> N * int_time s,
+    # resolved against the OBSERVATION's int_time where it is known
+    flag_end_steps: int | None = None
     flag_end: float = 0.0
     no_flag_metafits: bool = False
     no_rfi: bool = True
@@ -362,10 +365,14 @@ def parse_args(argv: list[str]) -> Context:
         flag_autos=a.flag_autos,
         # steps variants override the seconds forms (reference converts
         # N steps to N * int_time seconds, src/cli.rs:1141-1146)
-        quack_time=(a.flag_init_steps * syn.INT_TIME_S
-                    if a.flag_init_steps is not None else a.quack_time),
-        flag_end=(a.flag_end_steps * syn.INT_TIME_S
-                  if a.flag_end_steps is not None else a.flag_end),
+        # steps variants carry through RAW: they convert to seconds
+        # with the OBSERVATION's int_time (reference src/cli.rs:
+        # 1141-1146), which in real mode comes from the metafits, not
+        # the synthetic surface's constant
+        quack_time=a.quack_time,
+        flag_init_steps=a.flag_init_steps,
+        flag_end=a.flag_end,
+        flag_end_steps=a.flag_end_steps,
         no_flag_metafits=a.no_flag_metafits,
         emulate_cotter=a.emulate_cotter,
         baseline_limit=a.baseline_limit,
@@ -457,10 +464,14 @@ def build_baked(spark: SparkSession, ctx: Context) -> DataFrame:
     # RELEASES.md:17-19), so the flag state must exist first
     ts = syn.load_dim(spark, "timesteps")
     ants = syn.load_dim(spark, "antennas")
+    quack_s = (ctx.flag_init_steps * syn.INT_TIME_S
+               if ctx.flag_init_steps is not None
+               else (ctx.quack_time or 0.0))
+    flag_end_s = (ctx.flag_end_steps * syn.INT_TIME_S
+                  if ctx.flag_end_steps is not None else ctx.flag_end)
     ts_f = flags.flag_timesteps_quack(
         ts, syn.GPS_START, pipeline.OBS_END_GPS,
-        quack_s=ctx.quack_time or 0.0,
-        flag_end_s=ctx.flag_end)
+        quack_s=quack_s, flag_end_s=flag_end_s)
     if ctx.flag_times:
         ts_f = ts_f.withColumn(
             "ts_flag", F.col("ts_flag") | F.col("t").isin(ctx.flag_times))
@@ -720,16 +731,8 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                 # (the synthetic surface's oracle convention), so the
                 # anchor absorbs it along with leap and the grid offset.
                 from birli_spark import real_input as _ri
-                from birli_spark.functions import timeutil
-                _start_ms = int(round(
-                    timeutil.gps_to_unix_s(gps_start) * 1000))
-                _int_ms = int(round(int_time_s * 1000))
-                _off = (_ri.data_offset_s(ctx.gpubox, _start_ms,
-                                          _int_ms)
-                        if _ri.detect_format(ctx.gpubox)
-                        in ("mwax", "legacy") else 0.0)
-                ms_gps = (gps_start + _off
-                          - timeutil.gps_utc_offset_s(gps_start)
+                _a = _ri.grid_anchor(ctx.gpubox, gps_start, int_time_s)
+                ms_gps = (gps_start + _a["offset_s"] - _a["leap_s"]
                           - ms.GPS_TAI_OFFSET_S)
             if ctx.ms_out.rstrip("/").endswith(".ms"):
                 from birli_spark.sinks import ms_file
@@ -754,20 +757,13 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                     # real observations: DATE group params are UTC JDs
                     # (shift the GPS anchor by the leap offset — the
                     # reference gets this via mwalib/casacore), stamped
-                    # on the DATA grid (real_input.data_offset_s), and
+                    # on the DATA grid (real_input.grid_anchor), and
                     # UVWs go out in seconds per the random-groups
                     # standard (the pipeline computes them in meters)
                     from birli_spark import real_input as _ri
-                    from birli_spark.functions import timeutil
-                    _start_ms = int(round(
-                        timeutil.gps_to_unix_s(gps_start) * 1000))
-                    _int_ms = int(round(int_time_s * 1000))
-                    _off = (_ri.data_offset_s(ctx.gpubox, _start_ms,
-                                              _int_ms)
-                            if _ri.detect_format(ctx.gpubox)
-                            in ("mwax", "legacy") else 0.0)
-                    uv_gps = (gps_start + _off
-                              - timeutil.gps_utc_offset_s(gps_start))
+                    _a = _ri.grid_anchor(ctx.gpubox, gps_start,
+                                         int_time_s)
+                    uv_gps = gps_start + _a["offset_s"] - _a["leap_s"]
                     _c = 299792458.0
                     uv_baked = (uv_baked
                                 .withColumn("u", F.col("u") / _c)

@@ -56,8 +56,16 @@ def gps_to_unix_s(gps_s: float) -> float:
 
 
 def unix_to_gps_s(unix_s: float) -> float:
-    """Unix (UTC) seconds -> GPS seconds. The offset at the result is
-    found by a one-step fixed point (offsets change by at most 1 s, so
-    a single correction pass converges)."""
+    """Unix (UTC) seconds -> GPS seconds. The offset depends on the
+    (unknown) GPS result, so iterate the fixed point: steps are 1 s
+    apart and at least 6 months apart in time, so it converges in at
+    most two correction passes (the zeroth estimate can fall just
+    before a step whose insertion instant lies within `offset` seconds
+    after it)."""
     gps = unix_s - GPS_UNIX_EPOCH
-    return unix_s - GPS_UNIX_EPOCH + gps_utc_offset_s(gps)
+    for _ in range(3):
+        nxt = unix_s - GPS_UNIX_EPOCH + gps_utc_offset_s(gps)
+        if nxt == gps:
+            break
+        gps = nxt
+    return gps

@@ -157,32 +157,16 @@ def correct_geometry(vis: DataFrame, part_uvw: DataFrame) -> DataFrame:
 
     Also emits baseline (u, v, w) columns for the sink, as the writers do.
     """
-    p1 = F.broadcast(part_uvw.select(
-        "t", F.col("ant").alias("ant1"),
-        F.col("u").alias("_u1"), F.col("v").alias("_v1"), F.col("w").alias("_w1"),
-    ))
-    p2 = F.broadcast(part_uvw.select(
-        "t", F.col("ant").alias("ant2"),
-        F.col("u").alias("_u2"), F.col("v").alias("_v2"), F.col("w").alias("_w2"),
-    ))
-    joined = vis.join(p1, ["t", "ant1"]).join(p2, ["t", "ant2"])
+    joined, uvw = _uvw_join(vis, part_uvw)
     frags = _geom_fragments("_w1", "_w2")
     keep = [F.expr(frags[c]).alias(c) if c in frags else F.col(c) for c in vis.columns]
-    uvw = [
-        F.expr("(_u1 - _u2)").alias("u"),
-        F.expr("(_v1 - _v2)").alias("v"),
-        F.expr("(_w1 - _w2)").alias("w"),
-    ]
     return joined.select(*keep, *uvw)
 
 
-def attach_uvw(vis: DataFrame, part_uvw: DataFrame) -> DataFrame:
-    """Baseline (u, v, w) columns WITHOUT the phase rotation — the
-    reference computes and writes UVWs even under ``--no-geometric-
-    delay`` (the correction flag gates only the phasor, not the group
-    params; src/cli.rs compare_cotter_uvfits_nocorrect_* expect real
-    UVWs in the 'none' output). Same broadcast double-join as
-    :func:`correct_geometry`."""
+def _uvw_join(vis: DataFrame, part_uvw: DataFrame):
+    """The shared broadcast double-join on the per-(t, ant) partial-UVW
+    table -> (joined frame carrying _u1.._w2, baseline (u, v, w)
+    difference columns)."""
     p1 = F.broadcast(part_uvw.select(
         "t", F.col("ant").alias("ant1"),
         F.col("u").alias("_u1"), F.col("v").alias("_v1"),
@@ -192,11 +176,20 @@ def attach_uvw(vis: DataFrame, part_uvw: DataFrame) -> DataFrame:
         F.col("u").alias("_u2"), F.col("v").alias("_v2"),
         F.col("w").alias("_w2")))
     joined = vis.join(p1, ["t", "ant1"]).join(p2, ["t", "ant2"])
-    return joined.select(
-        *[F.col(c) for c in vis.columns],
-        F.expr("(_u1 - _u2)").alias("u"),
-        F.expr("(_v1 - _v2)").alias("v"),
-        F.expr("(_w1 - _w2)").alias("w"))
+    uvw = [F.expr("(_u1 - _u2)").alias("u"),
+           F.expr("(_v1 - _v2)").alias("v"),
+           F.expr("(_w1 - _w2)").alias("w")]
+    return joined, uvw
+
+
+def attach_uvw(vis: DataFrame, part_uvw: DataFrame) -> DataFrame:
+    """Baseline (u, v, w) columns WITHOUT the phase rotation — the
+    reference computes and writes UVWs even under ``--no-geometric-
+    delay`` (the correction flag gates only the phasor, not the group
+    params; src/cli.rs compare_cotter_uvfits_nocorrect_* expect real
+    UVWs in the 'none' output)."""
+    joined, uvw = _uvw_join(vis, part_uvw)
+    return joined.select(*[F.col(c) for c in vis.columns], *uvw)
 
 
 def geom_oracle_select(vis: str = "vis", part_uvw: str = "part_uvw",

@@ -150,7 +150,7 @@ def _finish_vis(scan: DataFrame, meta: ObsMeta,
 
 
 def _with_global_t(scan: DataFrame, int_time_ms: int,
-                   obs_start_unix_ms: int, num_t: int) -> DataFrame:
+                   obs_start_unix_ms: int) -> DataFrame:
     """Global timestep index anchored at the observation's SCHEDULED
     start (metafits GPSTIME, leap-corrected to unix) — NOT at the
     minimum captured time: real captures routinely begin one or more
@@ -166,7 +166,6 @@ def _with_global_t(scan: DataFrame, int_time_ms: int,
     scheduled window (the reference's own 1297526432/1196175296
     fixtures do), and the reference's gpubox-derived timestep map
     likewise extends past it."""
-    del num_t  # kept in the signature for the error message contract
     t = F.expr(
         f"CAST((unix_ms - {obs_start_unix_ms}L) DIV {int_time_ms} AS INT)")
     guard = F.when(t >= 0, t).otherwise(F.raise_error(F.concat(
@@ -215,7 +214,10 @@ def gpubox_header_meta(gpubox_glob: str) -> dict:
                         buf += more
                 if hdr is None:
                     break
-                if "TIME" in hdr:
+                # SCAN HDUs only (extensions): the scan readers skip
+                # the primary HDU, whose TIME card — when present —
+                # may be a file-creation stamp, not a scan time
+                if "TIME" in hdr and "XTENSION" in hdr:
                     t_ms = (int(hdr["TIME"]) * 1000
                             + int(hdr.get("MILLITIM", 0) or 0))
                     if max_ms is None or t_ms > max_ms:
@@ -274,23 +276,47 @@ def data_offset_s(gpubox_glob: str, obs_start_unix_ms: int,
     return ((min_ms - obs_start_unix_ms) % int_time_ms) / 1000.0
 
 
+def grid_anchor(gpubox_glob: str, gps_start: float, int_time_s: float,
+                num_t_scheduled: int = 0) -> dict:
+    """ONE derivation of the real-mode time-grid anchor, shared by the
+    vis load, the UVW table, every sink, and the CLI: format detection,
+    the GPS-UTC leap offset at the obs epoch, the sub-scan data-grid
+    offset, the data-covering timestep count, and the gpubox BSCALE.
+    Synthetic-format inputs (whose HDUs carry no TIME scan cards)
+    anchor on the schedule with zero offset and BSCALE 1."""
+    from birli_spark.functions import timeutil
+    fmt = detect_format(gpubox_glob)
+    start_ms = int(round(timeutil.gps_to_unix_s(gps_start) * 1000))
+    int_ms = int(round(int_time_s * 1000))
+    out = {"fmt": fmt,
+           "leap_s": timeutil.gps_utc_offset_s(gps_start),
+           "start_unix_ms": start_ms, "int_ms": int_ms,
+           "offset_s": 0.0, "num_t_data": num_t_scheduled,
+           "bscale": 1.0}
+    if fmt in ("mwax", "legacy"):
+        out["offset_s"] = data_offset_s(gpubox_glob, start_ms, int_ms)
+        out["num_t_data"] = data_num_t(gpubox_glob, start_ms, int_ms,
+                                       num_t_scheduled)
+        out["bscale"] = gpubox_header_meta(gpubox_glob)["bscale"]
+    return out
+
+
 def load_vis_real(spark: SparkSession, meta: ObsMeta,
                   gpubox_glob: str, metafits_path: str | None = None,
                   fmt: str = "auto") -> DataFrame:
     """The canonical vis relation from real gpubox files of any
     supported format."""
+    anchor = grid_anchor(gpubox_glob, meta.gps_start, meta.int_time_s,
+                         meta.num_t)
     if fmt == "auto":
-        fmt = detect_format(gpubox_glob)
+        fmt = anchor["fmt"]
     nf = meta.n_fine_per_coarse
-    from birli_spark.functions import timeutil
-    start_ms = int(round(timeutil.gps_to_unix_s(meta.gps_start) * 1000))
-    int_ms = int(round(meta.int_time_s * 1000))
-    offset_s = (data_offset_s(gpubox_glob, start_ms, int_ms)
-                if fmt in ("mwax", "legacy") else 0.0)
+    start_ms = anchor["start_unix_ms"]
+    offset_s = anchor["offset_s"]
     if fmt == "mwax":
         scan = gpubox.read_mwax_gpubox(spark, gpubox_glob).drop("t")
         scan = _with_global_t(scan, int(round(meta.int_time_s * 1000)),
-                              start_ms, meta.num_t)
+                              start_ms)
         cc_arms = " ".join(
             f"WHEN cc_recv = {ch} THEN {i}"
             for i, ch in enumerate(meta.coarse_channels))
@@ -303,7 +329,7 @@ def load_vis_real(spark: SparkSession, meta: ObsMeta,
         scan = legacy_gpubox.read_legacy_gpubox(spark, gpubox_glob,
                                                 metafits_path)
         scan = _with_global_t(scan, int(round(meta.int_time_s * 1000)),
-                              start_ms, meta.num_t)
+                              start_ms)
         scan = (scan.withColumn("cc", F.expr(f"CAST(chan DIV {nf} AS INT)"))
                 .drop("gpubox"))
     else:
@@ -345,11 +371,20 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
                                  "GPSTIME": meta.gps_start,
                                  "INTTIME": meta.int_time_s})
     # None = the metafits QUACKTIM default; an explicit --quack-time 0
-    # DISABLES quack (reference --flag-init semantics)
-    quack = meta.quack_s if ctx.quack_time is None else ctx.quack_time
+    # DISABLES quack (reference --flag-init semantics). Steps variants
+    # convert with THIS observation's int_time (reference converts
+    # N steps to N * int_time seconds, src/cli.rs:1141-1146).
+    if ctx.flag_init_steps is not None:
+        quack = ctx.flag_init_steps * meta.int_time_s
+    elif ctx.quack_time is not None:
+        quack = ctx.quack_time
+    else:
+        quack = meta.quack_s
+    flag_end_s = (ctx.flag_end_steps * meta.int_time_s
+                  if ctx.flag_end_steps is not None else ctx.flag_end)
     ts_f = flags.flag_timesteps_quack(
         ts, meta.gps_start, meta.obs_end_gps, quack_s=quack,
-        flag_end_s=ctx.flag_end)
+        flag_end_s=flag_end_s)
     if ctx.flag_times:
         ts_f = ts_f.withColumn(
             "ts_flag", F.col("ts_flag") | F.col("t").isin(ctx.flag_times))
@@ -374,7 +409,8 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
         from birli_spark.operators import vanvleck
         # the reference's scale: fine_width_hz * int_time_ms / 500 *
         # gpubox BSCALE (src/van_vleck.rs:318-329, get_vv_sample_scale)
-        bscale = gpubox_header_meta(gpubox_glob)["bscale"]
+        bscale = grid_anchor(gpubox_glob, meta.gps_start,
+                             meta.int_time_s, meta.num_t)["bscale"]
         scale = (meta.fine_chan_width_hz
                  * (meta.int_time_s * 1000.0) / 500.0 * bscale)
         vis = vanvleck.correct_van_vleck(
@@ -434,13 +470,12 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
         from birli_spark.operators import precession as prc
         ants.createOrReplaceTempView("real_antennas")
         # the UVW table must span every CAPTURED scan, not just the
-        # scheduled NSCANS (see data_num_t), and its times must sit on
-        # the DATA grid (see data_offset_s)
-        start_ms = int(round(timeutil.gps_to_unix_s(meta.gps_start)
-                             * 1000))
-        int_ms = int(round(meta.int_time_s * 1000))
-        n_t_uvw = data_num_t(gpubox_glob, start_ms, int_ms, meta.num_t)
-        off_s = data_offset_s(gpubox_glob, start_ms, int_ms)
+        # scheduled NSCANS, and its times must sit on the DATA grid
+        # (grid_anchor — zero offset for synthetic-format inputs)
+        anchor = grid_anchor(gpubox_glob, meta.gps_start,
+                             meta.int_time_s, meta.num_t)
+        n_t_uvw = anchor["num_t_data"]
+        off_s = anchor["offset_s"]
         part_uvw = spark.sql(prc.part_uvw_precessed_sql(
             X.SPARK, ra_rad=math.radians(ra_deg),
             dec_rad=math.radians(dec_deg),

@@ -316,8 +316,11 @@ def test_cli_flag_init_end_steps(spark, sf_dir):
 
     steps = cli.parse_args([sf_dir, "--flag-init-steps", "2",
                             "--flag-end-steps", "1"])
-    assert steps.quack_time == 2 * syn.INT_TIME_S
-    assert steps.flag_end == 1 * syn.INT_TIME_S
+    # steps carry RAW through the context (round 6): they resolve with
+    # the OBSERVATION's int_time at build (real mode reads it from the
+    # metafits; the synthetic surface uses syn.INT_TIME_S)
+    assert steps.flag_init_steps == 2 and steps.flag_end_steps == 1
+    assert steps.quack_time is None and steps.flag_end == 0.0
     secs = cli.parse_args([sf_dir, "--quack-time",
                            str(2 * syn.INT_TIME_S),
                            "--flag-end", str(syn.INT_TIME_S)])

@@ -225,3 +225,37 @@ def test_cli_real_legacy_matches_pyuvdata_golden(spark, tmp_path):
     # 248 cross baselines x 4 pols... the dump carries 250 rows per pol
     # incl. 2 autos; expected = (dumped cross rows) x 4 chans
     assert n_cells == 248 * 4 * 4
+
+
+def test_grid_anchor_synthetic_format(spark, tmp_path):
+    """grid_anchor on SYNTHETIC-format gpubox files (no TIME scan
+    cards) must not raise — it anchors on the schedule with zero
+    offset, covering the --van-vleck / UVW-table real-mode branches
+    on the teaching format (previously a FileNotFoundError path)."""
+    from birli_spark import real_input
+    from birli_spark.sources import gpubox
+    p = str(tmp_path / "synth_cc0.fits")
+    gpubox.write_gpubox(p, 0, 2, 2, 2, 2.0, 1297526432.0)
+    a = real_input.grid_anchor(str(tmp_path / "synth_*.fits"),
+                               1297526432.0, 2.0, 2)
+    assert a["fmt"] == "synthetic"
+    assert a["offset_s"] == 0.0 and a["bscale"] == 1.0
+    assert a["num_t_data"] == 2
+
+
+def test_real_mode_flag_init_steps_uses_obs_int_time(spark):
+    """--flag-init-steps N converts with the OBSERVATION's int_time
+    (0.5 s for 1297526432), not the synthetic surface's 2 s constant:
+    1 step quacks exactly the first scan."""
+    from birli_spark import cli
+    import pyspark.sql.functions as F
+    ctx = cli.parse_args([
+        "-m", META, "--gpubox", GLOB,
+        "--no-rfi", "--pfb-gains", "none", "--no-cable-delay",
+        "--no-digital-gains", "--no-geometric-delay", "--no-flag-dc",
+        "--no-draw-progress", "--flag-init-steps", "1"])
+    b = cli.build_baked(spark, ctx)
+    flagged_t = sorted(
+        r.t for r in b.filter(F.col("weight") < 0)
+        .select("t").distinct().collect())
+    assert flagged_t == [0], flagged_t

@@ -81,6 +81,15 @@ def test_gps_utc_leap_table():
     assert T.gps_utc_offset_s(0) == 0
     assert T.gps_utc_offset_s(1025136015) == 16
     assert T.gps_utc_offset_s(1025136014) == 15
-    # round trip
-    for gps in (1119683928, 1196175296, 1254670392, 1297526432):
-        assert T.unix_to_gps_s(T.gps_to_unix_s(gps)) == gps
+    # round trip, INCLUDING instants inside the post-leap window where
+    # the zeroth inverse estimate falls before the step (the fixed
+    # point needs a correction pass there)
+    steps = [s for s, _ in T._GPS_UTC_STEPS]
+    probes = [1119683928, 1196175296, 1254670392, 1297526432]
+    probes += [s + d for s in steps[1:] for d in (1, 2, 17, 18, 19)]
+    for gps in probes:
+        assert T.unix_to_gps_s(T.gps_to_unix_s(gps)) == gps, gps
+    # AT the insertion instant the mapping is genuinely 2-to-1 (UTC
+    # repeats a second), so the inverse may return either preimage
+    for s in steps[1:]:
+        assert abs(T.unix_to_gps_s(T.gps_to_unix_s(s)) - s) <= 1, s
