@@ -291,6 +291,55 @@ def test_cli_custom_phase_centre_matches_cotter_golden(spark, tmp_path,
     assert n == 11 * 2 * 4 * 768
 
 
+def compare_ms_with_csv(ms_path, csv_path, *, vis_rtol, vis_atol,
+                        check_uvw=False, n_chan=768,
+                        chan_filter=None):
+    """Python port of the reference's compare_ms_with_csv
+    (src/test_common.rs:482+): DATA unconjugated, UVW meters, UTC casa
+    seconds; autos skipped; weights/flags skipped (they carry Cotter's
+    aoflagger decisions). Returns compared vis cells."""
+    from birli_spark.sinks.ms_file import main_cells_frame
+    pdf = main_cells_frame(ms_path)
+    by = {}
+    for _, r in pdf.iterrows():
+        by[(int(r.antenna1), int(r.antenna2), int(r.chan),
+            int(r.time_block))] = r
+    n_cells = 0
+    for rec in csv.reader(open(csv_path)):
+        if rec[0].strip() == "time":
+            continue
+        t_casa = float(rec[0])
+        a1, a2 = int(rec[1]), int(rec[2])
+        if a1 == a2:
+            continue
+        typ, pol = rec[6].strip(), rec[7].strip()
+        if typ != "vis":
+            continue
+        uvw = (float(rec[3]), float(rec[4]), float(rec[5]))
+        vals = [complex(v.strip()) for v in rec[8:]]
+        assert len(vals) == n_chan
+        chans = (range(n_chan) if chan_filter is None
+                 else chan_filter(a1, a2))
+        for c in chans:
+            want = vals[c]
+            r = by[(a1, a2, c, 0)]
+            if c == 0:
+                assert abs(r.time_mjd_s - t_casa) < 1e-3, (
+                    r.time_mjd_s, t_casa)
+                if check_uvw:
+                    for got_u, want_u in zip(
+                            (r.uvw_u, r.uvw_v, r.uvw_w), uvw):
+                        assert abs(got_u - want_u) < 2e-3, (
+                            got_u, want_u)
+            got = complex(r[f"data_{pol}_re"], r[f"data_{pol}_im"])
+            d = abs(got - want)
+            assert d <= vis_atol + vis_rtol * abs(want), (
+                f"MS vis mismatch ({a1},{a2}) pol {pol} chan {c}: "
+                f"{got!r} vs {want!r}")
+            n_cells += 1
+    return n_cells
+
+
 def test_cli_ms_matches_cotter_golden(spark, tmp_path, gpubox_dir):
     """The MS sink through the WHOLE CLI vs Cotter's corrected MS dump
     — the reference's compare_ms_with_csv gate (src/cli.rs:3584,
@@ -306,48 +355,10 @@ def test_cli_ms_matches_cotter_golden(spark, tmp_path, gpubox_dir):
     out = str(tmp_path / "corrected.ms")
     cli.run(["-m", META, "--gpubox", gpubox_dir["glob"],
              *BASE_ARGS, "-M", out], spark=spark)
-    pdf = main_cells_frame(out)
-    by = {}
-    for _, r in pdf.iterrows():
-        by[(int(r.antenna1), int(r.antenna2), int(r.chan),
-            int(r.time_block))] = r
-
-    n_cells = 0
-    csv_path = f"{REF_DIR}/1254670392.cotter.corrected.ms.csv"
-    for rec in csv.reader(open(csv_path)):
-        if rec[0].strip() == "time":
-            continue
-        t_casa = float(rec[0])
-        a1, a2 = int(rec[1]), int(rec[2])
-        if a1 == a2:
-            continue
-        typ, pol = rec[6].strip(), rec[7].strip()
-        if typ != "vis":
-            continue
-        uvw = (float(rec[3]), float(rec[4]), float(rec[5]))
-        vals = [complex(v.strip()) for v in rec[8:]]
-        for c, want in enumerate(vals):
-            r = by[(a1, a2, c, 0)]
-            if c == 0:
-                assert abs(r.time_mjd_s - t_casa) < 1e-3, (
-                    r.time_mjd_s, t_casa)
-                for got_u, want_u in zip(
-                        (r.uvw_u, r.uvw_v, r.uvw_w), uvw):
-                    assert abs(got_u - want_u) < 2e-3, (got_u, want_u)
-            got = complex(r[f"data_{pol}_re"], r[f"data_{pol}_im"])
-            d = abs(got - want)
-            assert d <= 5e-2 + 6e-3 * abs(want), (
-                f"MS vis mismatch ({a1},{a2}) pol {pol} chan {c}: "
-                f"{got!r} vs {want!r}")
-            n_cells += 1
-    # the dump is row-truncated (33 cross vis rows of the full 9x4);
-    # expected count derives from the CSV itself
-    n_vis_rows = sum(
-        1 for rec in csv.reader(open(csv_path))
-        if rec[0].strip() != "time" and rec[6].strip() == "vis"
-        and int(rec[1]) != int(rec[2]))
-    assert n_vis_rows >= 30
-    assert n_cells == n_vis_rows * 768
+    n = compare_ms_with_csv(
+        out, f"{REF_DIR}/1254670392.cotter.corrected.ms.csv",
+        vis_rtol=6e-3, vis_atol=5e-2, check_uvw=True)
+    assert n > 30 * 768
 
 
 def test_cli_none_timechunk_matches_cotter_golden(spark, tmp_path,
@@ -366,3 +377,74 @@ def test_cli_none_timechunk_matches_cotter_golden(spark, tmp_path,
         out, f"{REF_DIR}/1254670392.cotter.none.uvfits.csv",
         vis_rtol=1e-6, vis_atol=1e-4, uvw_atol_s=3.4e-11)
     assert n == 11 * 2 * 4 * 768
+
+
+def test_cli_digital_gains_matches_cotter_golden(spark, tmp_path,
+                                                 gpubox_dir):
+    """C4 through the WHOLE CLI: digital gains ON (the real metafits
+    /64 gains), everything else off, vs Cotter's norfi.nopfb MS dump —
+    the reference's compare_cotter_ms_none_norfi_nopfb
+    (src/cli.rs:3761; same args). Division by exact per-ant gain
+    products: operator-golden tolerance (rel 2e-4)."""
+    from birli_spark import cli
+    out = str(tmp_path / "nopfb.ms")
+    cli.run(["-m", META, "--gpubox", gpubox_dir["glob"],
+             "--no-rfi", "--pfb-gains", "none",
+             "--no-cable-delay", "--no-geometric-delay",
+             "--flag-init", "0", "--no-flag-dc", "--no-draw-progress",
+             "--sel-ants", *SEL_ANTS, "-M", out], spark=spark)
+    n = compare_ms_with_csv(
+        out, f"{REF_DIR}/1254670392.cotter.none.norfi.nopfb.ms.csv",
+        vis_rtol=2e-4, vis_atol=1e-2)
+    assert n > 30 * 768
+
+
+def test_cli_pfb_passband_matches_cotter_golden(spark, tmp_path,
+                                                gpubox_dir):
+    """C5 through the WHOLE CLI: --pfb-gains cotter (the published
+    Cotter 2014 10 kHz table, legacy Simple scrunch to the 40 kHz
+    grid), digital gains OFF, vs Cotter's nodigital.pfb-cotter-40 MS
+    dump — the reference's
+    compare_cotter_ms_none_norfi_nodigital_pfb_cotter_40
+    (src/cli.rs:3840; same args)."""
+    from birli_spark import cli
+    out = str(tmp_path / "pfb.ms")
+    cli.run(["-m", META, "--gpubox", gpubox_dir["glob"],
+             "--no-rfi", "--no-digital-gains", "--pfb-gains", "cotter",
+             "--no-cable-delay", "--no-geometric-delay",
+             "--flag-init", "0", "--no-flag-dc", "--no-draw-progress",
+             "--sel-ants", *SEL_ANTS, "-M", out], spark=spark)
+    n = compare_ms_with_csv(
+        out,
+        f"{REF_DIR}/"
+        "1254670392.cotter.none.norfi.nodigital.pfb-cotter-40.ms.csv",
+        vis_rtol=2e-4, vis_atol=1e-2)
+    assert n > 30 * 768
+
+
+def test_cli_avg_ms_matches_cotter_golden(spark, tmp_path, gpubox_dir):
+    """Averaging through the MS sink (the reference's
+    compare_cotter_ms_none_avg_4s_160khz shape): same clean-contributor
+    restriction as the uvfits avg variant (Cotter's average excludes
+    ITS aoflagger-flagged inputs; ours includes all)."""
+    from birli_spark import cli
+    out = str(tmp_path / "avg.ms")
+    cli.run(["-m", META, "--gpubox", gpubox_dir["glob"],
+             *BASE_ARGS, "--no-cable-delay", "--no-geometric-delay",
+             "--avg-time-factor", "2",
+             "--avg-freq-factor", "4", "-M", out], spark=spark)
+    flagged_in: dict = {}
+    for _jd, blc, _pol, typ, _uvw, vals in read_csv_records(
+            f"{REF_DIR}/1254670392.cotter.none.uvfits.csv"):
+        if typ != "weight":
+            continue
+        flagged_in.setdefault(blc, set()).update(
+            int(c) for c in np.flatnonzero(vals < 0))
+    clean_out = {blc: [c for c in range(192)
+                       if c not in {b // 4 for b in bad}]
+                 for blc, bad in flagged_in.items()}
+    n = compare_ms_with_csv(
+        out, f"{REF_DIR}/1254670392.cotter.none.avg_4s_160khz.ms.csv",
+        vis_rtol=2e-6, vis_atol=1e-3, n_chan=192,
+        chan_filter=lambda a1, a2: clean_out[256 * (a1 + 1) + a2 + 1])
+    assert n > 25 * 150

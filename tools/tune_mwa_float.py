@@ -75,7 +75,11 @@ def pareto_grid(data):
     >= 0.99 with recall >= 0.90 — the front tops at 0.9873 @ recall
     0.848 (s=6.5) vs the production 0.9824 @ 0.922 (s=6.0); eta and
     final_ts_rms are inert on this golden; bg_over='present' (self-
-    subtracting background) moves < 0.3 pp. Together with the margin
+    subtracting background) moves < 0.3 pp. The background-fit kernel
+    axis shows the same wall (swept separately): narrowing the
+    frequency sigma trades recall for precision along the identical
+    front (sigma_f 5->2: 0.9854 @ 0.851; ->1: 0.9851 @ 0.676; widening
+    to 10 loses both), and the time sigma is inert. Together with the margin
     analysis (fp margins 0.71-1.42, fn margins 0.70-0.98 — cotter's
     effective per-cell threshold deviates from ours in BOTH directions
     within 2x), this shows the residual is not reachable by any global
