@@ -333,6 +333,30 @@ def _res_to_factor(res: float, base: float, what: str) -> int:
     return int(factor)
 
 
+def _pfb_obs_state(a) -> dict:
+    """The correlator facts --passband-gains 'auto' resolves against
+    (reference src/cli.rs:1401-1443, from mwalib's metafits context):
+    in real mode they come from the METAFITS (MODE/OVERSAMP/DERIPPLE —
+    e.g. the reference's 1439922144 fixture auto-disables the pfb
+    correction because DERIPPLE=1), the explicit flags OR on top; the
+    synthetic surface keeps its module constant."""
+    if a.metafits:
+        from birli_spark.sources import metafits as mf
+        primary, _ = mf.read_metafits(a.metafits)
+        octx = mf.obs_context(primary)
+        return {
+            "mwa_version": octx["mwa_version"],
+            "oversampled": a.oversampled or octx["oversampled"],
+            "deripple_applied": (a.deripple_applied
+                                 or octx["deripple_applied"]),
+        }
+    return {
+        "mwa_version": "Legacy" if pipeline.IS_LEGACY else "MWAXv2",
+        "oversampled": a.oversampled,
+        "deripple_applied": a.deripple_applied,
+    }
+
+
 def parse_args(argv: list[str]) -> Context:
     a = build_parser().parse_args(argv)
     avg_time = a.avg_time_factor
@@ -397,10 +421,7 @@ def parse_args(argv: list[str]) -> Context:
         pointing_centre=a.pointing_centre,
         van_vleck=a.van_vleck,
         pfb_gains=corrections.select_passband_gains(
-            a.pfb_gains,
-            mwa_version="Legacy" if pipeline.IS_LEGACY else "MWAXv2",
-            oversampled=a.oversampled,
-            deripple_applied=a.deripple_applied) or "none",
+            a.pfb_gains, **_pfb_obs_state(a)) or "none",
         apply_di_cal=a.apply_di_cal,
         avg_time=avg_time, avg_freq=avg_freq,
         time_chunk=a.time_chunk, max_memory_gib=a.max_memory,

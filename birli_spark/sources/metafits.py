@@ -149,6 +149,15 @@ def obs_context(primary: dict) -> dict:
         "pointing_dec_deg": primary.get("DEC"),
         "coarse_channels": coarse_channels(primary),
         "freq_offset_hz": _freq_offset_hz(primary),
+        # correlator version + PFB state for --passband-gains auto
+        # (reference resolves these from mwalib's metafits context):
+        # MODE=MWAX_CORRELATOR -> MWAXv2, HW_LFILES -> Legacy;
+        # OVERSAMP/DERIPPLE are MWAX-era keys, absent on legacy files
+        "mwa_version": ("MWAXv2"
+                        if str(primary.get("MODE", "")).strip()
+                        == "MWAX_CORRELATOR" else "Legacy"),
+        "oversampled": int(primary.get("OVERSAMP", 0) or 0) == 1,
+        "deripple_applied": int(primary.get("DERIPPLE", 0) or 0) == 1,
     }
 
 

@@ -23,6 +23,14 @@ Comparison semantics mirror the reference comparator:
   zeroes auto cross-hands artificially),
 - weights are ignored where Cotter's aoflagger flags enter them (the
   reference's norfi variant does the same, ignore_weights=true).
+
+Golden dumps NOT covered here, with reasons:
+- the `cal`/`cal.partial` MS dumps need the 1254690096.bin calsol file,
+  which is not shipped and is underdetermined from the partial dumps
+  (per-antenna full-Jones unknowns exceed the dumped equations);
+- the `phase-point` MS dump is #[ignore]'d by the reference itself
+  (its issue #164: --pointing-centre yields the obs-start RA/Dec while
+  Cotter tracked a fixed az/el) — unmatchable by either engine.
 """
 
 from __future__ import annotations

@@ -259,3 +259,23 @@ def test_real_mode_flag_init_steps_uses_obs_int_time(spark):
         r.t for r in b.filter(F.col("weight") < 0)
         .select("t").distinct().collect())
     assert flagged_t == [0], flagged_t
+
+
+def test_pfb_auto_resolves_from_metafits():
+    """--passband-gains auto resolves against the METAFITS correlator
+    facts in real mode (reference test_no_pfb_when_deripple_applied,
+    src/cli.rs:2157: the 1439922144 metafits carries DERIPPLE=1, so
+    auto DISABLES the correction with no flag passed); the legacy
+    1254670392 metafits resolves to the cotter table."""
+    from birli_spark import cli
+    drip = "/root/reference/tests/data/1439922144_deripple/1439922144.metafits"
+    ctx = cli.parse_args([
+        "-m", drip, "--gpubox", "ignored_*.fits",
+        "--passband-gains", "auto", "--no-draw-progress"])
+    assert ctx.pfb_gains == "none"
+    leg = ("/root/reference/tests/data/1254670392_avg/"
+           "1254670392.fixed.metafits")
+    ctx2 = cli.parse_args([
+        "-m", leg, "--gpubox", "ignored_*.fits",
+        "--passband-gains", "auto", "--no-draw-progress"])
+    assert ctx2.pfb_gains == "cotter"
