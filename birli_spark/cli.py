@@ -310,16 +310,17 @@ def _strategy_sensitivity(strategy: str) -> float:
             f"{sorted(_STRATEGY_SENSITIVITY)} or a numeric sensitivity")
 
 
-def _edge_width_to_chans(width_khz: float) -> int:
+def _edge_width_to_chans(width_khz: float,
+                         fine_width_hz: float) -> int:
     """kHz edge width → fine-chan count; like the reference
     (src/cli.rs:1079-1090) a width that is not a multiple of the fine
     channel width is an error, not a silent floor."""
     width_hz = width_khz * 1000.0
-    n = width_hz / syn.FINE_CHAN_WIDTH_HZ
+    n = width_hz / fine_width_hz
     if n != int(n):
         raise SystemExit(
             f"--flag-edge-width {width_khz} kHz is not a multiple of the "
-            f"fine channel width ({syn.FINE_CHAN_WIDTH_HZ / 1000.0} kHz)")
+            f"fine channel width ({fine_width_hz / 1000.0} kHz)")
     return int(n)
 
 
@@ -333,17 +334,14 @@ def _res_to_factor(res: float, base: float, what: str) -> int:
     return int(factor)
 
 
-def _pfb_obs_state(a) -> dict:
+def _pfb_obs_state(a, octx: dict | None) -> dict:
     """The correlator facts --passband-gains 'auto' resolves against
     (reference src/cli.rs:1401-1443, from mwalib's metafits context):
     in real mode they come from the METAFITS (MODE/OVERSAMP/DERIPPLE —
     e.g. the reference's 1439922144 fixture auto-disables the pfb
     correction because DERIPPLE=1), the explicit flags OR on top; the
     synthetic surface keeps its module constant."""
-    if a.metafits:
-        from birli_spark.sources import metafits as mf
-        primary, _ = mf.read_metafits(a.metafits)
-        octx = mf.obs_context(primary)
+    if octx is not None:
         return {
             "mwa_version": octx["mwa_version"],
             "oversampled": a.oversampled or octx["oversampled"],
@@ -357,15 +355,48 @@ def _pfb_obs_state(a) -> dict:
     }
 
 
+def _check_flag_window_multiple(value: float, int_time_s: float,
+                                option: str) -> None:
+    """The reference rejects --flag-init/--flag-end seconds that are
+    not a multiple of the timestep length (src/cli.rs:1104-1140,
+    tolerance 1e-6 like its f32 `% d < 0.000001` check)."""
+    rem = value % int_time_s
+    if min(rem, int_time_s - rem) >= 1e-6:
+        raise SystemExit(
+            f"{option} {value}: expected a multiple of the timestep "
+            f"length ({int_time_s})")
+
+
 def parse_args(argv: list[str]) -> Context:
     a = build_parser().parse_args(argv)
+    # real mode resolves every time/frequency-denominated option
+    # against the OBSERVATION's metafits facts, not the synthetic
+    # surface's constants; the metafits is read at most once here and
+    # only when an option actually needs it
+    octx = None
+    if a.metafits and (
+            a.pfb_gains == "auto" or a.avg_time_res is not None
+            or a.avg_freq_res is not None
+            or a.flag_edge_width is not None
+            or a.quack_time or a.flag_end):
+        from birli_spark.sources import metafits as mf
+        primary, _ = mf.read_metafits(a.metafits)
+        octx = mf.obs_context(primary)
+    int_time_s = octx["int_time_s"] if octx else syn.INT_TIME_S
+    fine_width_hz = (octx["fine_chan_width_hz"] if octx
+                     else syn.FINE_CHAN_WIDTH_HZ)
+    if a.quack_time:
+        _check_flag_window_multiple(a.quack_time, int_time_s,
+                                    "--flag-init/--quack-time")
+    if a.flag_end:
+        _check_flag_window_multiple(a.flag_end, int_time_s, "--flag-end")
     avg_time = a.avg_time_factor
     if a.avg_time_res is not None:
-        avg_time = _res_to_factor(a.avg_time_res, syn.INT_TIME_S, "time")
+        avg_time = _res_to_factor(a.avg_time_res, int_time_s, "time")
     avg_freq = a.avg_freq_factor
     if a.avg_freq_res is not None:
         avg_freq = _res_to_factor(a.avg_freq_res * 1000.0,
-                                  syn.FINE_CHAN_WIDTH_HZ, "freq")
+                                  fine_width_hz, "freq")
     if a.time_chunk is not None:
         chunking.validate_chunk_size(a.time_chunk, avg_time)
     if a.sf_dir is None and not (a.metafits and a.gpubox):
@@ -383,7 +414,7 @@ def parse_args(argv: list[str]) -> Context:
         flag_fine_chans=a.flag_fine_chans,
         flag_coarse_chans=a.flag_coarse_chans,
         flag_edge_chans=(
-            _edge_width_to_chans(a.flag_edge_width)
+            _edge_width_to_chans(a.flag_edge_width, fine_width_hz)
             if a.flag_edge_width is not None else a.flag_edge_chans),
         flag_dc=pipeline.IS_LEGACY if a.flag_dc is None else a.flag_dc,
         flag_autos=a.flag_autos,
@@ -421,7 +452,7 @@ def parse_args(argv: list[str]) -> Context:
         pointing_centre=a.pointing_centre,
         van_vleck=a.van_vleck,
         pfb_gains=corrections.select_passband_gains(
-            a.pfb_gains, **_pfb_obs_state(a)) or "none",
+            a.pfb_gains, **_pfb_obs_state(a, octx)) or "none",
         apply_di_cal=a.apply_di_cal,
         avg_time=avg_time, avg_freq=avg_freq,
         time_chunk=a.time_chunk, max_memory_gib=a.max_memory,
@@ -686,48 +717,9 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
             return {"dry_run": True, "stats": len(summary)}
         out = build_plan(spark, ctx)
         result: dict = {}
-        if ctx.mwaf_out:
-            from birli_spark.sinks import mwaf
-            if real_mode:
-                # real mode: the run's OWN flags (rules + RFI), derived
-                # from the baked relation's weight signs — what the
-                # reference's -f records after its flag pass
-                b = build_baked(spark, ctx)
-                flagged = b.select("t", "bl", "cc", "fc",
-                                   (F.col("weight") < 0).alias("flag"))
-            else:
-                flagged = pipeline.rule_flags(
-                    spark, syn.load_vis(spark, ctx.sf_dir))
-            # distributed writer: one executor task per coarse channel
-            # (byte-identical to the driver-loop writer)
-            with _stage("write mwaf"):
-                result["mwaf_files"] = mwaf.write_mwaf_set_distributed(
-                    flagged, ctx.mwaf_out,
-                    gps_start=gps_start).count()
-        if ctx.flag_parquet_out:
-            from birli_spark.sinks import flagsink
-            if real_mode:
-                # real mode: like the -f branch, derive the run's OWN
-                # flags from the baked relation's weight signs — the
-                # synthetic rule dims (syn timesteps/antennas/quack)
-                # do not describe a real observation
-                b = build_baked(spark, ctx)
-                flagged = b.select(
-                    "t", "bl", "ant1", "ant2", "cc", "fc", "chan",
-                    (F.col("weight") < 0).alias("flag"))
-            else:
-                flagged = pipeline.rule_flags(spark, _load_vis())
-            with _stage("write flag parquet"):
-                flagsink.write_flags(flagged, ctx.flag_parquet_out,
-                                     gps_start=gps_start)
-            result["flag_parquet"] = ctx.flag_parquet_out
-        with _stage("preprocess"):
-            result["rows"] = out.count()
-        if ctx.dump_csv:
-            result["dump_csv"] = _dump_csv(out, ctx)
-        # the physical sinks share ONE context-built baked plan (the
-        # SAME plan as every other surface — CLI options must reach the
-        # files too), computed lazily and only when a sink needs it
+        # every sink shares ONE context-built baked plan (the SAME plan
+        # as every other surface — CLI options must reach the files
+        # too), computed lazily and only when a sink needs it
         baked_shared = None
 
         def get_baked():
@@ -740,6 +732,43 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                         b = b.withColumn(c, F.lit(0.0))
                 baked_shared = b
             return baked_shared
+
+        def real_flags(*cols):
+            # real mode: the run's OWN flags (rules + RFI), derived
+            # from the baked relation's weight signs — the synthetic
+            # rule dims (syn timesteps/antennas/quack) do not describe
+            # a real observation
+            return get_baked().select(
+                *cols, (F.col("weight") < 0).alias("flag"))
+
+        if ctx.mwaf_out:
+            from birli_spark.sinks import mwaf
+            if real_mode:
+                flagged = real_flags("t", "bl", "cc", "fc")
+            else:
+                flagged = pipeline.rule_flags(
+                    spark, syn.load_vis(spark, ctx.sf_dir))
+            # distributed writer: one executor task per coarse channel
+            # (byte-identical to the driver-loop writer)
+            with _stage("write mwaf"):
+                result["mwaf_files"] = mwaf.write_mwaf_set_distributed(
+                    flagged, ctx.mwaf_out,
+                    gps_start=gps_start).count()
+        if ctx.flag_parquet_out:
+            from birli_spark.sinks import flagsink
+            if real_mode:
+                flagged = real_flags("t", "bl", "ant1", "ant2",
+                                     "cc", "fc", "chan")
+            else:
+                flagged = pipeline.rule_flags(spark, _load_vis())
+            with _stage("write flag parquet"):
+                flagsink.write_flags(flagged, ctx.flag_parquet_out,
+                                     gps_start=gps_start)
+            result["flag_parquet"] = ctx.flag_parquet_out
+        with _stage("preprocess"):
+            result["rows"] = out.count()
+        if ctx.dump_csv:
+            result["dump_csv"] = _dump_csv(out, ctx)
 
         if ctx.ms_out:
             from birli_spark.sinks import ms

@@ -80,6 +80,10 @@ def meta_pointing(metafits_path: str) -> tuple[float, float]:
     the RAPHASE/DECPHASE phase centre) — the --pointing-centre target."""
     primary, _ = mf.read_metafits(metafits_path)
     octx = mf.obs_context(primary)
+    if octx["pointing_ra_deg"] is None or octx["pointing_dec_deg"] is None:
+        raise SystemExit(
+            f"--pointing-centre: metafits {metafits_path} carries no "
+            "RA/DEC pointing keys")
     return (float(octx["pointing_ra_deg"]),
             float(octx["pointing_dec_deg"]))
 
@@ -303,11 +307,14 @@ def grid_anchor(gpubox_glob: str, gps_start: float, int_time_s: float,
 
 def load_vis_real(spark: SparkSession, meta: ObsMeta,
                   gpubox_glob: str, metafits_path: str | None = None,
-                  fmt: str = "auto") -> DataFrame:
+                  fmt: str = "auto",
+                  anchor: dict | None = None) -> DataFrame:
     """The canonical vis relation from real gpubox files of any
-    supported format."""
-    anchor = grid_anchor(gpubox_glob, meta.gps_start, meta.int_time_s,
-                         meta.num_t)
+    supported format. ``anchor`` reuses a grid_anchor already derived
+    by the caller (it scans the gpubox headers)."""
+    if anchor is None:
+        anchor = grid_anchor(gpubox_glob, meta.gps_start,
+                             meta.int_time_s, meta.num_t)
     if fmt == "auto":
         fmt = anchor["fmt"]
     nf = meta.n_fine_per_coarse
@@ -347,8 +354,13 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
                                        weights)
 
     meta, tiledata = load_obs(metafits_path)
+    # ONE grid anchor for the whole build (vis load, timestep dim,
+    # UVW table): it scans the gpubox headers, and every consumer must
+    # agree on the data-grid offset and captured-scan count anyway
+    anchor = grid_anchor(gpubox_glob, meta.gps_start, meta.int_time_s,
+                         meta.num_t)
     vis = load_vis_real(spark, meta, gpubox_glob,
-                        metafits_path=metafits_path)
+                        metafits_path=metafits_path, anchor=anchor)
     ants = mf.antennas_df(spark, tiledata)
 
     if ctx.sel_time:
@@ -367,7 +379,12 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
     if ctx.no_sel_autos:
         vis = selection.filter_autos(vis)
 
-    ts = mf.timesteps_df(spark, {"NSCANS": meta.num_t,
+    # the timestep flag dim must cover every CAPTURED scan: a capture
+    # that outruns the schedule (the reference's 1196175296 fixture
+    # does) still needs ts-level flags for t >= the scheduled NSCANS
+    # (set_flags left-joins, so missing dim rows silently unflag)
+    n_t_all = max(meta.num_t, anchor["num_t_data"])
+    ts = mf.timesteps_df(spark, {"NSCANS": n_t_all,
                                  "GPSTIME": meta.gps_start,
                                  "INTTIME": meta.int_time_s})
     # None = the metafits QUACKTIM default; an explicit --quack-time 0
@@ -382,8 +399,12 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
         quack = meta.quack_s
     flag_end_s = (ctx.flag_end_steps * meta.int_time_s
                   if ctx.flag_end_steps is not None else ctx.flag_end)
+    # end flags anchor at the end of the DATA (the reference flags the
+    # trailing timesteps of the actual capture), which equals the
+    # scheduled end except when the capture outran the schedule
     ts_f = flags.flag_timesteps_quack(
-        ts, meta.gps_start, meta.obs_end_gps, quack_s=quack,
+        ts, meta.gps_start,
+        meta.gps_start + n_t_all * meta.int_time_s, quack_s=quack,
         flag_end_s=flag_end_s)
     if ctx.flag_times:
         ts_f = ts_f.withColumn(
@@ -466,14 +487,11 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
         ra_deg = None
     if ra_deg is not None:
         from birli_spark.functions import textsql as X
-        from birli_spark.functions import timeutil
         from birli_spark.operators import precession as prc
         ants.createOrReplaceTempView("real_antennas")
         # the UVW table must span every CAPTURED scan, not just the
         # scheduled NSCANS, and its times must sit on the DATA grid
         # (grid_anchor — zero offset for synthetic-format inputs)
-        anchor = grid_anchor(gpubox_glob, meta.gps_start,
-                             meta.int_time_s, meta.num_t)
         n_t_uvw = anchor["num_t_data"]
         off_s = anchor["offset_s"]
         part_uvw = spark.sql(prc.part_uvw_precessed_sql(

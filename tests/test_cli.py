@@ -374,3 +374,34 @@ def test_cli_emulate_cotter_changes_uvws(spark, sf_dir):
                ["t", "bl", "chan"]))
     diff = j.filter("abs(u0 - u1) > 1e-9").count()
     assert diff > 0
+
+
+#: every user-facing option of the reference CLI (src/cli.rs:636-812,
+#: the complete arg! list), by long name
+REFERENCE_CLI_OPTIONS = [
+    "metafits", "phase-centre", "pointing-centre", "emulate-cotter",
+    "dry-run", "no-draw-progress", "sel-time", "sel-ants",
+    "no-sel-flagged-ants", "no-sel-autos", "sel-chan-ranges",
+    "provided-chan-ranges", "time-chunk", "max-memory", "flag-init",
+    "flag-init-steps", "flag-end", "flag-end-steps", "flag-times",
+    "flag-coarse-chans", "flag-edge-width", "flag-edge-chans",
+    "flag-fine-chans", "flag-dc", "no-flag-dc", "no-flag-metafits",
+    "flag-antennas", "flag-autos", "van-vleck", "no-cable-delay",
+    "no-geometric-delay", "no-digital-gains", "passband-gains",
+    "apply-di-cal", "avg-time-res", "avg-time-factor", "avg-freq-res",
+    "avg-freq-factor", "flag-template", "uvfits-out", "ms-out",
+    "no-rfi", "aoflagger-strategy",
+]
+
+
+def test_cli_surface_covers_every_reference_option():
+    """CLI-surface completeness: every long option the reference's
+    parser defines (src/cli.rs:636-812) parses here too — a user can
+    paste a reference invocation (plus the input-shape flags) and run
+    it. Extras (--ssins, --rfi-impl, --dump-csv, --flag-parquet, ...)
+    are beyond-reference additions, allowed to be ours-only."""
+    p = cli.build_parser()
+    ours = {o[2:] for a in p._actions
+            for o in a.option_strings if o.startswith("--")}
+    missing = [o for o in REFERENCE_CLI_OPTIONS if o not in ours]
+    assert not missing, missing

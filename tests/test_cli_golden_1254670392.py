@@ -216,6 +216,22 @@ def test_cli_cable_only_matches_cotter_golden(spark, tmp_path,
     assert n == 11 * 2 * 4 * 768
 
 
+def test_cli_geom_only_matches_cotter_golden(spark, tmp_path,
+                                             gpubox_dir):
+    """Geometry-only variant vs Cotter's `geom` dump — completes the
+    CLI-level matrix over every coverable shipped dump (none/cable/
+    geom/corrected/phase0/avg/vv + the MS family): cable OFF, geometric
+    phasor + precessed UVWs ON. Same phase-bound tolerance as the
+    corrected variant (the residual is the published-ephemeris UVW
+    boundary, 2 mm)."""
+    out = str(tmp_path / "geom.uvfits")
+    _run_cli(spark, gpubox_dir, out, ["--no-cable-delay"])
+    n = compare_uvfits_with_csv(
+        out, f"{REF_DIR}/1254670392.cotter.geom.uvfits.csv",
+        vis_rtol=6e-3, vis_atol=5e-2, uvw_atol_s=2e-3 / _C)
+    assert n == 11 * 2 * 4 * 768
+
+
 def test_cli_avg_matches_cotter_golden(spark, tmp_path, gpubox_dir):
     """Averaging to 4 s / 160 kHz through the CLI vs Cotter's avg dump
     (compare_cotter_uvfits_none_avg_4s_160khz shape). Cotter's average

@@ -261,6 +261,69 @@ def test_real_mode_flag_init_steps_uses_obs_int_time(spark):
     assert flagged_t == [0], flagged_t
 
 
+def test_real_mode_res_options_use_obs_metadata():
+    """--avg-time-res/--avg-freq-res/--flag-edge-width resolve against
+    the OBSERVATION's metafits facts (0.5 s / 640 kHz for 1297526432),
+    not the synthetic surface's 2 s / 40 kHz constants — the same
+    real-mode rule as --flag-init-steps."""
+    from birli_spark import cli
+    ctx = cli.parse_args([
+        "-m", META, "--gpubox", GLOB, "--no-draw-progress",
+        "--avg-time-res", "1", "--avg-freq-res", "1280",
+        "--flag-edge-width", "640"])
+    assert ctx.avg_time == 2      # 1 s / 0.5 s (synthetic base: error)
+    assert ctx.avg_freq == 2      # 1280 kHz / 640 kHz (synthetic: 32)
+    assert ctx.flag_edge_chans == 1   # 640 kHz / 640 kHz (synthetic: 16)
+    # non-multiples error like the reference (src/cli.rs:1171-1258)
+    with pytest.raises(SystemExit):
+        cli.parse_args(["-m", META, "--gpubox", GLOB,
+                        "--avg-time-res", "0.75"])
+
+
+def test_quack_time_must_be_timestep_multiple():
+    """--flag-init/--flag-end seconds that are not a multiple of the
+    observation's timestep length are rejected (reference
+    src/cli.rs:1104-1140), in both real and synthetic mode."""
+    from birli_spark import cli
+    with pytest.raises(SystemExit):
+        cli.parse_args(["-m", META, "--gpubox", GLOB,
+                        "--quack-time", "1.3"])
+    ok = cli.parse_args(["-m", META, "--gpubox", GLOB,
+                         "--quack-time", "1.0", "--flag-end", "0.5"])
+    assert ok.quack_time == 1.0 and ok.flag_end == 0.5
+    with pytest.raises(SystemExit):
+        cli.parse_args(["/root/testdata/sf0.001", "--flag-end", "1.3"])
+
+
+@pytest.mark.skipif(not os.path.isdir(LEGACY_DIR),
+                    reason="reference test data not present")
+def test_real_mode_flag_end_flags_last_captured_scan(spark):
+    """1196175296's capture starts 2 s AFTER the scheduled obs start:
+    the data occupies t=4..7 against a 4-scan schedule. The timestep
+    flag dim must cover the CAPTURED scans — --flag-end-steps 1 flags
+    the actual final scan t=7, not the scheduled t=3 (which holds no
+    data), and not nothing (the pre-fix behavior: t>=NSCANS rows were
+    absent from the dim and set_flags left-join silently unflagged)."""
+    from birli_spark import cli
+    import pyspark.sql.functions as F
+    meta_p = f"{LEGACY_DIR}/1196175296.metafits"
+    glob = f"{LEGACY_DIR}/1196175296_*gpubox*.fits"
+    ctx = cli.parse_args([
+        "-m", meta_p, "--gpubox", glob,
+        "--no-rfi", "--pfb-gains", "none", "--no-cable-delay",
+        "--no-digital-gains", "--no-geometric-delay", "--no-flag-dc",
+        "--flag-edge-width", "0", "--quack-time", "0",
+        "--no-flag-metafits",   # isolate ts-level flags from F6
+        "--no-draw-progress", "--flag-end-steps", "1"])
+    b = cli.build_baked(spark, ctx)
+    all_t = sorted(r.t for r in b.select("t").distinct().collect())
+    flagged_t = sorted(
+        r.t for r in b.filter(F.col("weight") < 0)
+        .select("t").distinct().collect())
+    assert all_t[-1] == 7, all_t
+    assert flagged_t == [7], flagged_t
+
+
 def test_pfb_auto_resolves_from_metafits():
     """--passband-gains auto resolves against the METAFITS correlator
     facts in real mode (reference test_no_pfb_when_deripple_applied,

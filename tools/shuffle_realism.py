@@ -42,9 +42,11 @@ QUERIES = [
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     parts = sys.argv[2] if len(sys.argv) > 2 else "512"
+    inherited = os.environ.get("PYTHONPATH", "")
     env = {**os.environ,
            "SPARK_GRAFT_SHUFFLE_PARTITIONS": parts,
-           "PYTHONPATH": REPO}
+           # prepend, don't clobber (session.py's convention)
+           "PYTHONPATH": f"{REPO}:{inherited}" if inherited else REPO}
 
     # 1) oracle pass under the cluster-like partition count
     res = subprocess.run(
