@@ -824,19 +824,12 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                     uv_gps, int_time_s).localCheckpoint(
                         eager=True)
                 n_chan = rows.select("chan_out").distinct().count()
-                n_t = rows.select("t_out").distinct().count()
-                n_bl = rows.select("bl").distinct().count()
                 with _stage("write uvfits"):
-                    written = uvsink.write_uvfits_distributed(
+                    # the writer validates the written group count
+                    # against the declared GCOUNT internally
+                    uvsink.write_uvfits_distributed(
                         rows, ctx.uvfits_out, n_chan,
-                        jd_zero=uvsink.obs_jd_zero(
-                            uv_gps)).count()
-                if written != n_t * n_bl:
-                    # never hand external FITS readers a file whose
-                    # declared GCOUNT includes never-written groups
-                    raise ValueError(
-                        f"uvfits grid incomplete: wrote {written} "
-                        f"groups, declared {n_t * n_bl}")
+                        jd_zero=uvsink.obs_jd_zero(uv_gps))
             else:
                 out.orderBy(
                     *[c for c in ("t_out", "t") if c in out.columns],

@@ -174,7 +174,10 @@ def write_ms_casa(spark: SparkSession, baked: DataFrame, out_dir: str,
     """Write ``out_dir`` as a casacore-layout MS: MAIN at the root
     (executor-parallel bulk write), one subdirectory per subtable,
     TpTable keywords binding the tree. Returns MAIN row count."""
-    from birli_spark.sources import synthetic as syn
+    # fail the avg_freq divisibility check BEFORE the expensive
+    # distributed MAIN write (it otherwise surfaces only in
+    # _write_subtables, after the bulk job, leaving a partial MS)
+    ms_subtables.subtable_sqls(avg_freq=avg_freq)
 
     rows = ms_main.ms_main_rows(baked, avg_time, avg_freq,
                                 gps_start, int_time_s)

@@ -77,7 +77,11 @@ def _dense_flags(pdf: pd.DataFrame, n_chans: int, nscans: int,
                 f"flag cell out of grid: max(t)={t.max()} (nscans={nscans}),"
                 f" max(bl)={bl.max()} (nbl={nbl}),"
                 f" max(fc)={fcs.max()} (n_chans={n_chans})")
-    mat[t * nbl + bl, fcs] |= pdf["flag"].to_numpy(dtype=bool)
+    # unbuffered OR-scatter: fancy-indexed `|=` applies only the LAST
+    # duplicate (numpy buffered scatter), silently dropping set flags
+    # on duplicate (t, bl, fc) cells — logical_or.at accumulates
+    np.logical_or.at(mat, (t * nbl + bl, fcs),
+                     pdf["flag"].to_numpy(dtype=bool))
     return mat
 
 
@@ -106,22 +110,27 @@ def write_mwaf_set(flags: DataFrame, out_dir: str,
     cell = (flags.groupBy("t", "bl", "cc", "fc")
             .agg(F.max("flag").alias("flag"))
             .persist(StorageLevel.MEMORY_AND_DISK))
-    if n_chans is None or nscans is None or nbl is None:
-        mx = cell.agg(F.max("fc"), F.max("t"), F.max("bl")).collect()[0]
-        n_chans = n_chans if n_chans is not None else int(mx[0]) + 1
-        nscans = nscans if nscans is not None else int(mx[1]) + 1
-        nbl = nbl if nbl is not None else int(mx[2]) + 1
-    paths = []
-    for cc_row in sorted(r.cc for r in cell.select("cc").distinct().collect()):
-        pdf = (cell.filter(F.col("cc") == cc_row)
-               .select("t", "bl", "fc", "flag").toPandas())
-        blob = _mwaf_file_bytes(pdf, cc_row, n_chans, nscans, nbl,
-                                obsid, gps_start, software)
-        path = os.path.join(out_dir, expand_template(template, cc_row, digits))
-        with open(path, "wb") as f:
-            f.write(blob)
-        paths.append(path)
-    return paths
+    try:
+        if n_chans is None or nscans is None or nbl is None:
+            mx = cell.agg(F.max("fc"), F.max("t"), F.max("bl")).collect()[0]
+            n_chans = n_chans if n_chans is not None else int(mx[0]) + 1
+            nscans = nscans if nscans is not None else int(mx[1]) + 1
+            nbl = nbl if nbl is not None else int(mx[2]) + 1
+        paths = []
+        for cc_row in sorted(
+                r.cc for r in cell.select("cc").distinct().collect()):
+            pdf = (cell.filter(F.col("cc") == cc_row)
+                   .select("t", "bl", "fc", "flag").toPandas())
+            blob = _mwaf_file_bytes(pdf, cc_row, n_chans, nscans, nbl,
+                                    obsid, gps_start, software)
+            path = os.path.join(out_dir,
+                                expand_template(template, cc_row, digits))
+            with open(path, "wb") as f:
+                f.write(blob)
+            paths.append(path)
+        return paths
+    finally:
+        cell.unpersist()
 
 
 def _mwaf_file_bytes(pdf: pd.DataFrame, cc: int, n_chans: int, nscans: int,
@@ -352,24 +361,9 @@ def read_mwaf_set(spark: SparkSession, out_dir: str,
                   digits: int = 2) -> DataFrame:
     """Read a whole .mwaf set back into the long-format flag DataFrame
     (row order (t, bl) per file, reference src/io/mwaf.rs:798-893)."""
-    frames = []
-    for name in sorted(os.listdir(out_dir)):
-        if not name.endswith(".mwaf"):
-            continue
-        primary, mat, _ = read_mwaf(os.path.join(out_dir, name))
-        cc = int(primary["CC_IDX"])
-        n_chans = int(primary["NCHANS"])
-        nbl = int(primary["NBL"])
-        n_rows = mat.shape[0]
-        t_of_row = np.arange(n_rows) // nbl
-        bl_of_row = np.arange(n_rows) % nbl
-        frames.append(pd.DataFrame({
-            "t": np.repeat(t_of_row, n_chans),
-            "bl": np.repeat(bl_of_row, n_chans),
-            "cc": cc,
-            "fc": np.tile(np.arange(n_chans), n_rows),
-            "flag": mat.reshape(-1),
-        }))
+    frames = [_mwaf_rows(os.path.join(out_dir, name))
+              for name in sorted(os.listdir(out_dir))
+              if name.endswith(".mwaf")]
     return spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
 

@@ -35,16 +35,22 @@ def shard_plan(docs: DataFrame,
                 f"CAST(FLOOR(({w} - 1) / {shard_tokens}) AS INT)")))
 
 
-def shard_manifest(docs: DataFrame,
-                   shard_tokens: int = SHARD_TOKENS) -> DataFrame:
-    """The loader-facing manifest: one row per (source, shard) with doc
-    count, token count, and the doc-id range the shard spans."""
-    return (shard_plan(docs, shard_tokens)
+def manifest_from_plan(plan: DataFrame) -> DataFrame:
+    """Aggregate a :func:`shard_plan` relation into the loader-facing
+    manifest: one row per (source, shard) with doc count, token count,
+    and the doc-id range the shard spans."""
+    return (plan
             .groupBy("source", "shard")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc")))
+
+
+def shard_manifest(docs: DataFrame,
+                   shard_tokens: int = SHARD_TOKENS) -> DataFrame:
+    """The manifest straight from the docs (derives the plan)."""
+    return manifest_from_plan(shard_plan(docs, shard_tokens))
 
 
 def shard_manifest_oracle_sql(shard_tokens: int = SHARD_TOKENS) -> str:
@@ -66,9 +72,16 @@ def write_shards(docs: DataFrame, out_dir: str,
                  shard_tokens: int = SHARD_TOKENS) -> DataFrame:
     """Execute the export: docs land under
     ``out_dir/source=<s>/shard=<k>/``; returns the manifest."""
-    plan = shard_plan(docs, shard_tokens).select("doc_id", "shard")
-    (docs.join(plan, "doc_id")
-         .write.mode("overwrite")
-         .partitionBy("source", "shard")
-         .parquet(out_dir))
-    return shard_manifest(docs, shard_tokens)
+    # ONE plan execution (it tokenizes the whole corpus and runs the
+    # per-source window cumsum): persist it, feed both the write join
+    # and the manifest aggregate from the persisted copy, materialize
+    # the (shard-cardinality) manifest, then release
+    plan = shard_plan(docs, shard_tokens).persist()
+    try:
+        (docs.join(plan.select("doc_id", "shard"), "doc_id")
+             .write.mode("overwrite")
+             .partitionBy("source", "shard")
+             .parquet(out_dir))
+        return manifest_from_plan(plan).localCheckpoint(eager=True)
+    finally:
+        plan.unpersist()

@@ -100,28 +100,16 @@ def write_uvfits(path: str, groups, n_chan: int, n_groups: int,
     2.4e6 has ~0.25-day (6-hour) spacing, which would collapse every
     timestep of a typical observation onto one or two values — storing
     ``jd − jd_zero`` keeps second-level time resolution (the standard
-    random-groups convention; readers add PZERO back)."""
-    cards = [
-        _card("SIMPLE", True, "conforms to FITS standard"),
-        _card("BITPIX", -32, "IEEE float32"),
-        _card("NAXIS", 6),
-        _card("NAXIS1", 0, "random groups"),
-        _card("NAXIS2", 3, "re, im, weight"),
-        _card("NAXIS3", 4, "pols: XX YY XY YX"),
-        _card("NAXIS4", n_chan, "fine channels"),
-        _card("NAXIS5", 1), _card("NAXIS6", 1),
-        _card("GROUPS", True), _card("PCOUNT", len(PTYPES)),
-        _card("GCOUNT", n_groups),
-        _card("OBJECT", object_name),
-    ]
-    for i, pt in enumerate(PTYPES):
-        cards.append(_card(f"PTYPE{i + 1}", pt))
-        cards.append(_card(f"PSCAL{i + 1}", 1.0))
-        cards.append(_card(f"PZERO{i + 1}",
-                           jd_zero if pt == "DATE" else 0.0))
-    cards.append(f"{'END':<80}".encode("ascii"))
+    random-groups convention; readers add PZERO back). Note: the
+    f32 ulp of ``jd − jd_zero`` grows with the offset — anchor
+    jd_zero near the observation (:func:`obs_jd_zero`) for real
+    epochs; the module default is the synthetic surface's oracle
+    convention."""
     with open(path, "wb") as f:
-        f.write(_pad(b"".join(cards)))
+        # ONE header builder for both writers (byte-identity between
+        # the sequential and distributed paths is a tested contract)
+        f.write(uvfits_header_bytes(n_chan, n_groups, object_name,
+                                    jd_zero))
         n = 0
         for u, v, w, bl_code, jd, data in groups:
             rec = np.empty(5 + n_chan * 4 * 3, dtype=">f4")
@@ -141,27 +129,9 @@ def read_uvfits(path: str) -> tuple[dict, np.ndarray, np.ndarray]:
     data (G, n_chan, 4, 3))."""
     with open(path, "rb") as f:
         raw = f.read()
-    header: dict[str, object] = {}
-    off = 0
-    done = False
-    while not done:
-        block = raw[off:off + _BLOCK]
-        off += _BLOCK
-        for i in range(0, _BLOCK, 80):
-            card = block[i:i + 80].decode("ascii")
-            key = card[:8].strip()
-            if key == "END":
-                done = True
-                break
-            if "=" not in card:
-                continue
-            val = card[9:].split("/")[0].strip()
-            if val.startswith("'"):
-                header[key] = val.strip("'").strip()
-            elif val in ("T", "F"):
-                header[key] = val == "T"
-            else:
-                header[key] = float(val) if "." in val else int(val)
+    # the shared FITS card parser (handles E-notation values, quoted
+    # strings containing '/', CONTINUE cards) — not a local re-parse
+    header, off = _fc.parse_header(raw, 0)
     n_chan = int(header["NAXIS4"])
     g = int(header["GCOUNT"])
     per = 5 + n_chan * 4 * 3
@@ -226,9 +196,12 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
     validated against GCOUNT. Byte-identical to :func:`write_uvfits`
     (tests/test_sources_sinks.py).
 
-    ``rows`` is :func:`uvfits_group_rows` output. Returns the manifest
-    DataFrame (gidx ranges per task) — an action on it performs the
-    write; the header + file sizing happen driver-side first."""
+    ``rows`` is :func:`uvfits_group_rows` output. The write action runs
+    INSIDE this call and the written group count is validated against
+    the declared GCOUNT (a missing (t_out, bl) group would otherwise
+    ship as a silent all-zero record); the returned manifest DataFrame
+    (one row per written group) is already materialized — further
+    actions on it are free and never re-run the write tasks."""
     import os
 
     import pandas as pd
@@ -284,8 +257,17 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
         return pd.DataFrame([{"gidx": int(gidx), "t_out": int(t_out),
                               "bl": int(bl)}])
 
-    return rows.groupBy("t_out", "bl").applyInPandas(
+    manifest = (rows.groupBy("t_out", "bl").applyInPandas(
         write_group, schema="gidx long, t_out int, bl int")
+        .toPandas())
+    if len(manifest) != n_groups:
+        raise ValueError(
+            f"uvfits grid incomplete: wrote {len(manifest)} groups, "
+            f"declared GCOUNT {n_groups} ({len(t_dim)} t_out x "
+            f"{n_bl} bl) — never hand external FITS readers a file "
+            "whose declared GCOUNT includes never-written groups")
+    return spark.createDataFrame(manifest,
+                                 schema="gidx long, t_out int, bl int")
 
 
 def write_uvfits_catalogue(rows: DataFrame, out_dir: str, n_chan: int,

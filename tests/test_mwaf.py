@@ -250,3 +250,19 @@ def test_read_reference_birli_written_mwaf(spark):
             os.path.join(base, f"{name}.mwaf"))
         assert hdr2["SOFTWARE"].startswith("Birli")
         assert flags2.shape == (hdr2["NSCANS"] * nbl, hdr2["NCHANS"])
+
+
+def test_dense_flags_duplicate_cells_or_together():
+    """_dense_flags must OR duplicate (t, bl, fc) cells: numpy's
+    buffered fancy-index `|=` applies only the LAST duplicate, which
+    silently dropped a set flag when a True preceded a False for the
+    same cell (the writer's docstring contract is 'duplicates OR')."""
+    import pandas as pd
+    from birli_spark.sinks.mwaf import _dense_flags
+    pdf = pd.DataFrame({
+        "t": [0, 0], "bl": [1, 1], "fc": [2, 2],
+        "flag": [True, False],   # True first — the lost-update order
+    })
+    mat = _dense_flags(pdf, n_chans=4, nscans=1, nbl=2)
+    assert mat[1, 2]          # 0*nbl+1 row, fc 2: True survives
+    assert mat.sum() == 1
