@@ -691,9 +691,12 @@ def _q_uvfits_scan(spark, sf_dir):
         f"birli_spark_s1j_{os.path.basename(sf_dir.rstrip('/'))}.uvfits")
     # the s1g '.complete' pattern: the writer pre-sizes the file BEFORE
     # the executor job, so a killed run leaves a zeros-only file — gate
-    # the cache on a marker written after the job finishes
+    # the cache on a marker written after the job finishes. The marker
+    # embeds a code fingerprint so bytes written by an older checkout
+    # regenerate instead of being gated as current (session.marker_valid).
+    from birli_spark import session as _session
     marker = path + ".complete"
-    if not os.path.exists(marker):
+    if not _session.marker_valid(marker):
         baked = pipeline.preprocess_baked(spark, sf_dir)
         rows = uvfits.uvfits_group_rows(
             baked, pipeline.AVG_TIME, pipeline.AVG_FREQ,
@@ -702,8 +705,7 @@ def _q_uvfits_scan(spark, sf_dir):
         uvfits.write_uvfits_distributed(
             rows, path, n_chan,
             jd_zero=uvfits.obs_jd_zero(syn.GPS_START)).count()
-        with open(marker, "w") as f:
-            f.write("ok")
+        _session.write_marker(marker)
     register_uvfits_source(spark)  # idempotent (replaces)
     return spark.read.format("uvfits").option(
         "groups_per_task", "64").load(path)
@@ -752,15 +754,16 @@ def _q_casams_scan(spark, sf_dir):
         tempfile.gettempdir(),
         f"birli_spark_s1k_{os.path.basename(sf_dir.rstrip('/'))}.ms")
     # marker AFTER the executor bulk write (the writer pre-sizes
-    # table.f0 first — a killed run must not poison the cache)
+    # table.f0 first — a killed run must not poison the cache); embeds
+    # the code fingerprint like s1j (stale-checkout invalidation)
+    from birli_spark import session as _session
     marker = os.path.join(path, ".complete")
-    if not os.path.exists(marker):
+    if not _session.marker_valid(marker):
         baked = pipeline.preprocess_baked(spark, sf_dir)
         ms_file.write_ms_casa(
             spark, baked, path, pipeline.AVG_TIME, pipeline.AVG_FREQ,
             syn.GPS_START, syn.INT_TIME_S)
-        with open(marker, "w") as f:
-            f.write("ok")
+        _session.write_marker(marker)
     register_casams_source(spark)  # idempotent (replaces)
     return spark.read.format("casams").option(
         "rows_per_task", "64").load(path)
@@ -1862,9 +1865,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_baseline_occupancy": _q_bl_occupancy,
         "a4_rowcount_validation": _q_rowcount,
         "pipeline_preprocess": _q_pipeline,
-        # UDF islands — genuinely iterative/image-based; no oracle SQL, the
-        # driver records rows-only checks (validated instead by golden unit
-        # tests against the reference's published vectors).
+        # UDF islands and image-based transforms. Most of this block IS
+        # hash-gated (their relational twins define exact oracle SQL:
+        # f11/f12/im1-im3/c1/f9 all have oracle_sql() entries); only the
+        # FLOAT UDF twins c1b/f9b/f9f and pipeline_*_full_udf are
+        # rows-only by design (windowed float statistics are not
+        # association-stable cross-engine; each is golden-gated against
+        # the reference's published vectors instead).
         "f11_ssins_spectra": _q_ssins,
         "f12_ssins_autos": _q_ssins_autos,
         "im1_uv_grid": _q_uv_grid,
@@ -2084,6 +2091,25 @@ def oracle_sql() -> dict[str, str]:
     flagged_ctes = pipeline.flagged_vis_oracle_cte()
     cols = ", ".join(_COLS)
 
+    # shared by o3b (bit-table roundtrip) and o3c (DataSource read-back)
+    _mwaf_grid_oracle = (
+        f"WITH {pipeline.flagged_vis_oracle_cte()}, "
+        "cell AS (SELECT t, bl, cc, fc, MAX(flag) AS flag FROM flagged"
+        " GROUP BY t, bl, cc, fc), "
+        f"grid AS (SELECT t.t, b.bl, c.cc, f.fc FROM"
+        f" (SELECT unnest(generate_series(0, {syn.NUM_T - 1})) AS t) t"
+        f" CROSS JOIN (SELECT unnest(generate_series(0,"
+        f" {syn.NUM_ANTS * syn.NUM_ANTS - 1})) AS bl) b"
+        f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_CC - 1}))"
+        f" AS cc) c"
+        f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_FC - 1}))"
+        f" AS fc) f) "
+        "SELECT CAST(g.t AS BIGINT) AS t, CAST(g.bl AS BIGINT) AS bl,"
+        " CAST(g.cc AS BIGINT) AS cc, CAST(g.fc AS BIGINT) AS fc,"
+        " COALESCE(cell.flag, FALSE) AS flag"
+        " FROM grid g LEFT JOIN cell ON cell.t = g.t AND cell.bl = g.bl"
+        " AND cell.cc = g.cc AND cell.fc = g.fc")
+
     missing_slabs = _with_vis(
         "SELECT * FROM visd UNION ALL SELECT "
         + ", ".join(
@@ -2209,42 +2235,11 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {pipeline.flagged_vis_oracle_cte()} "
             f"SELECT {', '.join(flagsink.FLAG_COLS)} FROM flagged"),
         # mwaf bit-table = OR-reduced cells on the full dense (t, bl, chan)
-        # grid; cells absent from the fact table read back unflagged
-        "o3b_mwaf_roundtrip": (
-            f"WITH {pipeline.flagged_vis_oracle_cte()}, "
-            "cell AS (SELECT t, bl, cc, fc, MAX(flag) AS flag FROM flagged"
-            " GROUP BY t, bl, cc, fc), "
-            f"grid AS (SELECT t.t, b.bl, c.cc, f.fc FROM"
-            f" (SELECT unnest(generate_series(0, {syn.NUM_T - 1})) AS t) t"
-            f" CROSS JOIN (SELECT unnest(generate_series(0,"
-            f" {syn.NUM_ANTS * syn.NUM_ANTS - 1})) AS bl) b"
-            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_CC - 1}))"
-            f" AS cc) c"
-            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_FC - 1}))"
-            f" AS fc) f) "
-            "SELECT CAST(g.t AS BIGINT) AS t, CAST(g.bl AS BIGINT) AS bl,"
-            " CAST(g.cc AS BIGINT) AS cc, CAST(g.fc AS BIGINT) AS fc,"
-            " COALESCE(cell.flag, FALSE) AS flag"
-            " FROM grid g LEFT JOIN cell ON cell.t = g.t AND cell.bl = g.bl"
-            " AND cell.cc = g.cc AND cell.fc = g.fc"),
-        # DataSource read-back shares the bit-table oracle
-        "o3c_mwaf_datasource": (
-            f"WITH {pipeline.flagged_vis_oracle_cte()}, "
-            "cell AS (SELECT t, bl, cc, fc, MAX(flag) AS flag FROM flagged"
-            " GROUP BY t, bl, cc, fc), "
-            f"grid AS (SELECT t.t, b.bl, c.cc, f.fc FROM"
-            f" (SELECT unnest(generate_series(0, {syn.NUM_T - 1})) AS t) t"
-            f" CROSS JOIN (SELECT unnest(generate_series(0,"
-            f" {syn.NUM_ANTS * syn.NUM_ANTS - 1})) AS bl) b"
-            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_CC - 1}))"
-            f" AS cc) c"
-            f" CROSS JOIN (SELECT unnest(generate_series(0, {syn.NUM_FC - 1}))"
-            f" AS fc) f) "
-            "SELECT CAST(g.t AS BIGINT) AS t, CAST(g.bl AS BIGINT) AS bl,"
-            " CAST(g.cc AS BIGINT) AS cc, CAST(g.fc AS BIGINT) AS fc,"
-            " COALESCE(cell.flag, FALSE) AS flag"
-            " FROM grid g LEFT JOIN cell ON cell.t = g.t AND cell.bl = g.bl"
-            " AND cell.cc = g.cc AND cell.fc = g.fc"),
+        # grid; cells absent from the fact table read back unflagged.
+        # The DataSource read-back (o3c) shares the ONE built string —
+        # a grid/bounds fix cannot drift between the two gates.
+        "o3b_mwaf_roundtrip": _mwaf_grid_oracle,
+        "o3c_mwaf_datasource": _mwaf_grid_oracle,
         "o1_uvfits_rows": (
             f"WITH {pipeline.baked_oracle_ctes()} "
             + uvfits_sink.uvfits_rows_oracle_select(

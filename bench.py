@@ -130,18 +130,27 @@ def run_query(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # sf(\d+(\.\d+)?): a bare [0-9.]+ class would capture trailing dots
+    # from suffixed dirs like sf0.1.bak and crash float()
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("birli_spark_bench")
     qs = entrymod.queries()
+    unknown = [n for n in sys.argv[1:] if n not in qs]
     names = [n for n in HEADLINE if n in qs] + [
         n for n in sys.argv[1:] if n in qs and n not in HEADLINE
     ]
     # controlled-A/B hook (VERDICT r3 ask 3): restrict the measured list
     # (comma-separated) without changing the session shape or warmup
     override = os.environ.get("SPARK_GRAFT_QUERIES")
+    restricted = bool(override)
     if override:
         names = [n for n in override.split(",") if n in qs]
+        unknown += [n for n in override.split(",") if n not in qs]
+    if unknown:
+        # a typo'd A/B run must not silently measure nothing and print
+        # a plausible-looking total
+        raise SystemExit(f"unknown query name(s): {unknown}")
     # warm the JVM + parquet footers once with the cheapest query
     run_query(qs["s1_vis_scan"](spark, sf_dir).limit(1))
 
@@ -186,10 +195,13 @@ def main() -> None:
     # "read bandwidth and the write stage scale with executors".
     # Two passes each, min (the criterion convention above); file
     # generation is excluded (cached under tempfile.gettempdir()).
+    # (skipped when SPARK_GRAFT_QUERIES restricts the list for a
+    # controlled A/B — ~6 full e2e runs incl. the 13.4M-row 16x case
+    # would dominate a single-query comparison's wall-clock and total)
     import tempfile
 
     from birli_spark import pipeline_e2e
-    for mult in (1, 4, 16):
+    for mult in () if restricted else (1, 4, 16):
         num_t = pipeline_e2e.NUM_T * mult
         pipeline_e2e.scan_dir(num_t)     # generate outside the timer
         out = os.path.join(tempfile.gettempdir(),

@@ -101,14 +101,16 @@ def scan_dir(num_t: int = NUM_T) -> str:
     d = os.path.join(tempfile.gettempdir(),
                      "birli_spark_gpubox_bench" + suffix)
     marker = os.path.join(d, ".complete")
-    if not os.path.exists(marker):
+    # the marker embeds a code fingerprint: files written by an OLDER
+    # checkout regenerate instead of being served as current
+    from birli_spark import session as _session
+    if not _session.marker_valid(marker):
         os.makedirs(d, exist_ok=True)
         for cc in range(NUM_CC):
             gpubox.write_gpubox_fast(
                 os.path.join(d, f"gpubox_{cc:02d}.fits"), cc,
                 NUM_ANTS, NUM_FINE, num_t, obsid=int(GPS0))
-        with open(marker, "w") as f:
-            f.write("ok")
+        _session.write_marker(marker)
     return d
 
 

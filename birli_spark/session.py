@@ -68,3 +68,50 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_FINGERPRINT: str | None = None
+
+
+def code_fingerprint() -> str:
+    """Digest of the package source (+ the repo's __spark_entry__.py if
+    present). Physical-fixture cache markers (s1j/s1k files, the e2e
+    scan dir) embed it, so a code change invalidates the cache instead
+    of certifying stale bytes written by an older checkout. Computed
+    once per process (~1 MB of source)."""
+    global _FINGERPRINT
+    if _FINGERPRINT is not None:
+        return _FINGERPRINT
+    import hashlib
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg)
+    files = []
+    for dirpath, dirnames, fnames in os.walk(pkg):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        files += [os.path.join(dirpath, f) for f in fnames
+                  if f.endswith(".py")]
+    entry = os.path.join(root, "__spark_entry__.py")
+    if os.path.exists(entry):
+        files.append(entry)
+    h = hashlib.md5()
+    for f in sorted(files):
+        h.update(os.path.relpath(f, root).encode())
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    _FINGERPRINT = h.hexdigest()
+    return _FINGERPRINT
+
+
+def marker_valid(marker_path: str) -> bool:
+    """True iff the cache marker exists AND was written by THIS code
+    version (see :func:`code_fingerprint`)."""
+    try:
+        with open(marker_path) as f:
+            return f.read().strip() == code_fingerprint()
+    except OSError:
+        return False
+
+
+def write_marker(marker_path: str) -> None:
+    with open(marker_path, "w") as f:
+        f.write(code_fingerprint())

@@ -67,6 +67,13 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results: dict[str, dict] = {}
+    # a typo'd query name (or a forgotten sf_dir shifting positions)
+    # must not silently filter everything and exit 0: that reads as a
+    # green gate that checked nothing
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -97,7 +104,13 @@ def main() -> int:
             results[name] = {"status": "fail", "err": f"duckdb: {e}"}
             n_fail += 1
             continue
-        problems = compare(name, sdf, ddf)
+        try:
+            problems = compare(name, sdf, ddf)
+        except Exception as e:  # noqa: BLE001 — a comparison-time
+            # exception (e.g. cross-engine dtype mismatch) must record
+            # a FAIL for this query, not abort the whole gate run and
+            # lose every prior result plus the --json report
+            problems = [f"compare error: {e}"]
         dt = time.time() - t0
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
