@@ -60,6 +60,9 @@ class ObsMeta:
     n_ants: int
     #: offline-averaging centre offset (metafits._freq_offset_hz)
     freq_offset_hz: float = 0.0
+    #: CHANSEL positions into the full CHANNELS/gains lists (picket
+    #: fence); None = full band. Digital gains index by THESE.
+    sel_chan_positions: list | None = None
 
     @property
     def obs_end_gps(self) -> float:
@@ -101,7 +104,8 @@ def load_obs(metafits_path: str) -> tuple[ObsMeta, dict]:
         phase_ra_deg=octx["phase_ra_deg"],
         phase_dec_deg=octx["phase_dec_deg"],
         n_ants=octx["n_ants"],
-        freq_offset_hz=octx.get("freq_offset_hz", 0.0))
+        freq_offset_hz=octx.get("freq_offset_hz", 0.0),
+        sel_chan_positions=mf.selected_channel_positions(primary))
     return meta, tiledata
 
 
@@ -440,8 +444,12 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
     if not ctx.no_cable_delay:
         vis = corrections.correct_cable_lengths(vis, ants, gated=True)
     if not ctx.no_digital_gains:
+        # the vis cc indexes the CHANSEL-selected coarse list — the
+        # gains dim must be remapped to the same positions (picket)
         vis = corrections.correct_digital_gains(
-            vis, mf.digital_gains_df(spark, tiledata), gated=True)
+            vis, mf.digital_gains_df(
+                spark, tiledata,
+                sel_positions=meta.sel_chan_positions), gated=True)
     if ctx.pfb_gains and ctx.pfb_gains != "none":
         from birli_spark.functions import pfb_tables as PT
         table = {"cotter": PT.PFB_COTTER_2014_10KHZ,

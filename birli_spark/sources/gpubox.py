@@ -436,10 +436,30 @@ try:
             self._path = options.get("path")
             if not self._path:
                 raise ValueError("gpubox stream requires a path")
+            # a file the correlator is STILL WRITING must not enter an
+            # offset: set-difference offsets mark it processed forever,
+            # so a partial parse would silently drop its later scans.
+            # min_age_s delays ingest until the mtime is at least this
+            # old (0 keeps test ergonomics; live ingest should set it
+            # to ~2x the scan cadence, or rely on atomic rename-in).
+            self._min_age_s = float(options.get("min_age_s", "0"))
 
         def _files(self):
             import glob as globmod
-            return sorted(globmod.glob(self._path))
+            import os as osmod
+            import time as timemod
+            names = sorted(globmod.glob(self._path))
+            if not self._min_age_s:
+                return names
+            cutoff = timemod.time() - self._min_age_s
+            out = []
+            for f in names:
+                try:
+                    if osmod.path.getmtime(f) <= cutoff:
+                        out.append(f)
+                except OSError:
+                    pass  # vanished between glob and stat
+            return out
 
         def initialOffset(self):
             return {"files": []}
@@ -452,14 +472,9 @@ try:
             return [InputPartition(f) for f in end.get("files", [])
                     if f not in seen]
 
-        def read(self, partition):
-            import pyarrow as pa
-            with open(partition.value, "rb") as f:
-                content = f.read()
-            pdf = parse_gpubox_bytes(content)
-            table = pa.Table.from_pandas(
-                pdf, preserve_index=False).cast(_arrow_scan_schema())
-            yield from table.to_batches()
+        # shares the batch reader's parse body (GpuboxReader.read):
+        # one divergence point for the open/parse/cast/batch chain
+        read = GpuboxReader.read
 
         def commit(self, end):
             pass

@@ -108,9 +108,27 @@ def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
         hdr, off2 = fc.parse_header(content, off)
         if not hdr.get("ZIMAGE"):
             raise ValueError("legacy gpubox scan HDU is not a ZIMAGE")
-        if str(hdr.get("ZCMPTYPE", "")).strip() not in ("RICE_1", "GZIP_1",
-                                                        "GZIP_2", ""):
-            raise ValueError(f"unsupported ZCMPTYPE {hdr.get('ZCMPTYPE')}")
+        # real MWA legacy correlator files are RICE_1 (float tiles fall
+        # back to per-tile gzip in GZIP_COMPRESSED_DATA). A GZIP_1/
+        # GZIP_2 PRIMARY compression stores its bytes in
+        # COMPRESSED_DATA (GZIP_2 additionally byte-shuffled) — this
+        # decoder would misread both, so fail loudly instead of
+        # producing corrupt visibilities.
+        if str(hdr.get("ZCMPTYPE", "")).strip() not in ("RICE_1", ""):
+            raise ValueError(
+                f"unsupported ZCMPTYPE {hdr.get('ZCMPTYPE')!r}: only "
+                "RICE_1 tile compression (with gzip float fallback) is "
+                "implemented")
+        # the fixed descriptor offsets below (bytes 0:8 / 8:16) assume
+        # COMPRESSED_DATA / GZIP_COMPRESSED_DATA are bintable fields
+        # 1-2, as cfitsio writes them — validate when the cards exist
+        t1 = str(hdr.get("TTYPE1", "COMPRESSED_DATA")).strip()
+        t2 = str(hdr.get("TTYPE2", "GZIP_COMPRESSED_DATA")).strip()
+        if (t1, t2) != ("COMPRESSED_DATA", "GZIP_COMPRESSED_DATA"):
+            raise ValueError(
+                f"unexpected tile-table layout: TTYPE1={t1!r} "
+                f"TTYPE2={t2!r} (expected COMPRESSED_DATA / "
+                "GZIP_COMPRESSED_DATA as fields 1-2)")
         n_rows = int(hdr["NAXIS2"])        # = fine channels (tiles)
         row_bytes = int(hdr["NAXIS1"])
         znaxis1 = int(hdr["ZNAXIS1"])      # floats per tile
@@ -197,11 +215,14 @@ def read_legacy_gpubox(spark: SparkSession, path_glob: str,
                     cols = {}
                     for pi, name in enumerate(("xx", "xy", "yx", "yy")):
                         s = slots[:, pi]
-                        cols[f"{name}_re"] = np.concatenate(
-                            [tiles[fcn, :, 0][s] for fcn in range(nf)])
-                        cols[f"{name}_im"] = np.concatenate(
-                            [tiles[fcn, :, 1][s] * signs[:, pi]
-                             for fcn in range(nf)])
+                        # one fancy gather over the whole (fine, slot)
+                        # plane — fcn-major order, identical to the
+                        # former per-fine-channel concat loop but one
+                        # numpy take instead of nf Python iterations
+                        cols[f"{name}_re"] = tiles[:, s, 0].reshape(-1)
+                        cols[f"{name}_im"] = (
+                            tiles[:, s, 1] * signs[None, :, pi]
+                        ).reshape(-1)
                     yield pd.DataFrame({
                         "chan": np.repeat(
                             sky_cc * n_fine + np.arange(nf), n_bl

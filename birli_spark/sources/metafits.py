@@ -95,18 +95,46 @@ def antennas_df(spark: SparkSession, tiledata: dict) -> DataFrame:
               "flagged boolean")
 
 
-def digital_gains_df(spark: SparkSession, tiledata: dict) -> DataFrame:
-    """(ant, cc, gain_x, gain_y) — the C4 correction dim."""
+def digital_gains_df(spark: SparkSession, tiledata: dict,
+                     sel_positions: list[int] | None = None) -> DataFrame:
+    """(ant, cc, gain_x, gain_y) — the C4 correction dim.
+
+    ``sel_positions`` are the CHANSEL-selected indices into the full
+    per-tile gains list (see :func:`selected_channel_positions`): the
+    vis relation's ``cc`` indexes the SELECTED coarse list, so for a
+    picket-fence obs the gains must be remapped to those positions or
+    channel k's data would divide by channel 0's gain. None = all
+    channels in order (the full-band case)."""
     rows = []
     for r in antenna_rows(tiledata):
-        for cc, (gx, gy) in enumerate(zip(r["gains_x"], r["gains_y"])):
-            rows.append((r["ant"], cc, float(gx), float(gy)))
+        pos = (sel_positions if sel_positions is not None
+               else range(len(r["gains_x"])))
+        for cc, p in enumerate(pos):
+            rows.append((r["ant"], cc, float(r["gains_x"][p]),
+                         float(r["gains_y"][p])))
     return spark.createDataFrame(
         rows, "ant int, cc int, gain_x double, gain_y double")
 
 
+def selected_channel_positions(primary: dict) -> list[int] | None:
+    """CHANSEL as positions into the full CHANNELS/gains lists, or
+    None when the obs uses the full band (the common case)."""
+    sel = str(primary.get("CHANSEL", "")).strip()
+    if not sel:
+        return None
+    return [int(i) for i in sel.split(",") if i != ""]
+
+
 def timesteps_df(spark: SparkSession, primary: dict) -> DataFrame:
-    """(t, ts_gps) — GPS second per scan from GPSTIME + INTTIME."""
+    """(t, ts_gps) — GPS second per scan from GPSTIME + INTTIME.
+
+    ts_gps is the scan START, the reference's convention
+    (finalise_flag_settings compares timestep.unix_time_ms,
+    src/flags.rs:165-172). The synthetic surface stamps centroids —
+    the two agree for every quack/flag-end window that is a multiple
+    of the timestep length, which the CLI validates
+    (cli._check_flag_window_multiple), so no CLI-reachable flag set
+    differs between the conventions."""
     n = int(primary["NSCANS"])
     gps0 = float(primary["GPSTIME"])
     dt = float(primary["INTTIME"])

@@ -167,10 +167,9 @@ def load_vis(spark: SparkSession, sf_dir: str) -> DataFrame:
     default parallelism once, up front. On a real dataset the scan produces
     thousands of row-group splits and this branch never triggers.
     """
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    n = spark.sparkContext.defaultParallelism
-    if lineitem.rdd.getNumPartitions() < n:
-        lineitem = lineitem.repartition(n)
+    from birli_spark.sources.corpus import _fan_out
+    lineitem = _fan_out(spark,
+                        spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     lineitem.createOrReplaceTempView("lineitem")
     return spark.sql(vis_sql("lineitem"))
 

@@ -72,6 +72,15 @@ def read_uvfits_header(path: str) -> tuple[dict, int]:
                 for i in range(5))
     if got != want:
         raise ValueError(f"{path}: PTYPE order {got} != {want}")
+    # the per-group size below is PCOUNT + NAXIS4 * 4 pols * 3
+    # (re, im, wt) — any other data-axis shape would silently misalign
+    # every group after the first, so validate at planning time
+    if int(header.get("NAXIS2", 0)) != 3 or int(
+            header.get("NAXIS3", 0)) != 4:
+        raise ValueError(
+            f"{path}: data axes NAXIS2={header.get('NAXIS2')!r} "
+            f"NAXIS3={header.get('NAXIS3')!r} — this decoder expects "
+            "(re, im, weight) x 4 polarisations")
     return header, off
 
 

@@ -153,3 +153,27 @@ def test_freq_offset_hz_across_reference_fixtures():
     assert mf._freq_offset_hz({}) == 0.0
     assert mf._freq_offset_hz(
         {"FREQCENT": 200.0, "CENTCHAN": 143, "FINECHAN": 40}) == 0.0
+
+
+def test_digital_gains_remap_to_chansel_positions(spark):
+    """A CHANSEL subset obs indexes its vis cc over the SELECTED coarse
+    list — digital_gains_df(sel_positions=...) must emit gains from
+    those positions, not the first len(sel) entries of the full list
+    (which would divide channel k's data by channel 0's gain)."""
+    from birli_spark.sources import metafits as mf
+    p = ("/root/reference/tests/data/1119683928_picket/"
+         "1119683928.metafits")
+    primary, tiledata = mf.read_metafits(p)
+    full = mf.digital_gains_df(spark, tiledata).toPandas()
+    sel = [3, 7, 20]
+    sub = mf.digital_gains_df(spark, tiledata,
+                              sel_positions=sel).toPandas()
+    assert sorted(sub["cc"].unique()) == [0, 1, 2]
+    f = full.set_index(["ant", "cc"]).sort_index()
+    s = sub.set_index(["ant", "cc"]).sort_index()
+    for new_cc, pos in enumerate(sel):
+        for ant in (0, 1):
+            assert (s.loc[(ant, new_cc), "gain_x"]
+                    == f.loc[(ant, pos), "gain_x"])
+    # identity CHANSEL (this obs selects all 24) -> None, full map
+    assert mf.selected_channel_positions(primary) == list(range(24))
