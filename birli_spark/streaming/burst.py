@@ -14,6 +14,20 @@ continuation is unit-testable without a streaming harness.
 Scale: state is O(users × events-per-window), sharded by the state
 store; an event-time timeout + watermark would expire idle users for
 infinite streams (finite-source form keeps NoTimeout).
+
+Known append-mode divergence from the batch twin: EQUAL-timestamp
+peers that straddle micro-batches. The batch RANGE frame counts ties
+symmetrically (each of two equal-ts events counts the other); in
+append mode an event's count is emitted with its batch and cannot be
+retracted, so an equal-ts peer arriving in a LATER batch raises only
+the later event's count — the earlier event's emitted count is final.
+Counts are therefore "as of arrival": peers with ts <= t that arrived
+no later than the event's own batch. Same-batch ties match the batch
+operator exactly (the parity test covers them); cross-batch ties
+under-count the earlier event by the number of late-arriving peers.
+An ordered feed only produces cross-batch ties when a batch boundary
+splits an equal-ts run — if exact tie symmetry matters, batch by
+complete timestamps (the file-per-timestep source does).
 """
 
 from __future__ import annotations

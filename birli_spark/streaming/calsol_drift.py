@@ -111,7 +111,7 @@ def _fold(ant: int, chan: int, batch: pd.DataFrame,
         last_obs = int(row["obs_id"])
     out = pd.DataFrame([{
         "ant": int(ant), "chan": int(chan), "n_steps": n_steps,
-        "max_drift": max_drift if n_steps else float("nan"),
+        "max_drift": max_drift,
         "total_drift_ticks": ticks,
     }]) if n_steps else pd.DataFrame(
         [], columns=[f.name for f in OUTPUT_SCHEMA])

@@ -29,7 +29,7 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType, StructField,
                                StructType)
 
 from birli_spark.operators.events import SESSION_GAP_US
-from birli_spark.streaming.windows import EVENTS_SCHEMA, read_events_stream
+from birli_spark.streaming.windows import read_events_stream
 
 OUTPUT_SCHEMA = StructType([
     StructField("user_id", LongType()),

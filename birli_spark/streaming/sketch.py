@@ -59,6 +59,9 @@ def _merge(prev: list[str] | None, texts: pd.Series, k: int) -> list[str]:
     # document, split on single spaces, drop empty tokens
     hs = set(prev or [])
     for text in texts:
+        if text is None:
+            continue  # batch twin: split(trim(NULL)) yields no rows —
+            # str(None) would hash the literal token "None"
         for t in str(text).strip(" ").split(" "):
             if t:
                 hs.add(hashlib.md5(t.encode()).hexdigest())

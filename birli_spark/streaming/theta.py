@@ -44,7 +44,9 @@ STATE_SCHEMA = StructType([
 def _shingle_hashes(text: str, n: int) -> list[str]:
     """md5s of the overlapping n-token shingles — the exact hash stream
     the batch operator's explode produces for one document."""
-    toks = [t for t in str(text).strip(" ").split(" ")]
+    # empty tokens are KEPT deliberately — bit-parity with the batch
+    # shingles (X.toks splits trim(text) without filtering)
+    toks = str(text).strip(" ").split(" ")
     return [
         hashlib.md5(" ".join(toks[i:i + n]).encode()).hexdigest()
         for i in range(len(toks) - n + 1)

@@ -8,14 +8,21 @@ operator's exactly (same md5 buckets, same fold). A point estimate is
 MIN over rows, recomputed from the live counters at every emission —
 never cached — so a candidate's estimate is always current.
 
-Candidate tracking is the standard CMS+heap construction (Cormode &
-Muthukrishnan 2005 §4): keep the ``cap`` best tokens by current
-estimate; a token enters/refreshes whenever it appears in a batch. With
-``cap`` ≥ vocabulary the tracked set is exact (the parity test's
-configuration); at real scale ``cap`` bounds state at O(cap + d·w)
-per group — independent of stream length — and a heavy hitter can only
-be missed if it was evicted while light and never re-observed, which
-contradicts it being heavy (re-observation refreshes it).
+Candidate tracking keeps an EXACT count per tracked token (the
+Space-Saving flavor of the CMS+heap construction, Cormode &
+Muthukrishnan 2005 §4) and ranks/selects the top-k by that count —
+the SAME ordering the batch operator and its oracle use (exact tf,
+term-ascending ties), NOT by CMS estimate: an estimate inflated by
+collisions must not reorder or displace the reported set. The CMS
+estimates are recomputed from the live counters at emission and
+reported alongside, exactly like the batch's estimate join. With
+``cap`` ≥ vocabulary the tracked counts are exact and the drained
+output equals the batch bit-for-bit even under counter collisions
+(the parity configuration); at real scale ``cap`` bounds state at
+O(cap + d·w) per group — independent of stream length — and a heavy
+hitter can only be missed if it was evicted while light and never
+re-observed, which contradicts it being heavy (re-observation
+re-enters it, undercounted by at most the evicted mass).
 
 Single global group (SK2 is corpus-global): one state-store entry. To
 shard on a cluster, key the groupBy by a hash prefix and merge the
@@ -50,6 +57,9 @@ OUTPUT_SCHEMA = StructType([
 STATE_SCHEMA = StructType([
     StructField("counters", ArrayType(LongType())),
     StructField("candidates", ArrayType(StringType())),
+    # exact tracked count per candidate (same order as candidates) —
+    # the ranking key; CMS estimates are report-only
+    StructField("cand_counts", ArrayType(LongType())),
 ])
 
 
@@ -74,27 +84,32 @@ def cms_topk_stream(stream: DataFrame, depth: int = CMS_DEPTH,
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
-            counters, candidates = list(state.get[0]), set(state.get[1])
+            counters = list(state.get[0])
+            cand = dict(zip(state.get[1], state.get[2]))
         else:
-            counters, candidates = [0] * (depth * width), set()
+            counters, cand = [0] * (depth * width), {}
         batch_counts: dict[str, int] = {}
         for pdf_ in pdfs:
             for text in pdf_["text"]:
+                if text is None:
+                    continue  # batch twin: split(trim(NULL)) -> no rows
                 for t in str(text).strip(" ").split(" "):
                     if t:
                         batch_counts[t] = batch_counts.get(t, 0) + 1
         for tok, n in batch_counts.items():
             for s in range(depth):
                 counters[s * width + _bucket(s, tok, width)] += n
-        candidates |= batch_counts.keys()
-        ranked = sorted(
-            ((_estimate(counters, t, depth, width), t) for t in candidates),
-            key=lambda et: (-et[0], et[1]))
+            cand[tok] = cand.get(tok, 0) + n
+        # rank by EXACT tracked count (batch-oracle ordering: tf desc,
+        # term asc) — never by CMS estimate, which collisions inflate
+        ranked = sorted(cand.items(), key=lambda tn: (-tn[1], tn[0]))
         if len(ranked) > cap:
             ranked = ranked[:cap]
-            candidates = {t for _, t in ranked}
-        state.update((counters, sorted(candidates)))
-        top = ranked[:top_k]
+            cand = dict(ranked)
+        keys = sorted(cand)
+        state.update((counters, keys, [cand[t] for t in keys]))
+        top = [(_estimate(counters, t, depth, width), t)
+               for t, _ in ranked[:top_k]]
         # every token increments exactly one counter per seed row, so
         # the per-seed counter sum IS the cumulative token count
         n_seen = sum(counters[:width])

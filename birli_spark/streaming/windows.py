@@ -77,8 +77,11 @@ def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     the nano epoch), so the incremental state machinery applies; output
     is normalized to the batch operator's (event_type, hour_epoch) shape.
     """
+    # exact integer division (joins.py's pattern): float `/` promotes
+    # the int64 nano epoch to double, whose 53-bit mantissa can round a
+    # microsecond-grain timestamp down by one
     with_ts = stream.withColumn(
-        "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        "ts_ts", F.expr("timestamp_micros(ts div 1000)"))
     return (with_ts
             .withWatermark("ts_ts", watermark)
             .groupBy(F.window("ts_ts", "1 hour").alias("win"), "event_type")

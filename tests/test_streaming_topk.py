@@ -58,3 +58,27 @@ def test_stream_cms_counters_fold_across_batches(spark, sf_dir, tmp_path):
         .orderBy("rank").toPandas())
     for term, est in zip(batch["term"], batch["cms_estimate"]):
         assert streamed.get(term) == est, term
+
+
+def test_stream_topk_ranks_by_exact_count_under_collisions(spark,
+                                                           sf_dir):
+    """width=1 forces EVERY token into one CMS bucket, so all
+    estimates are equal (the total token count): selection/ranking by
+    estimate would be arbitrary. The stream must rank by its exact
+    tracked counts — the batch operator's ordering (tf desc, term
+    asc) — so the drained term/rank table still matches the batch
+    exact top-k, with every estimate the (identical) collision
+    total."""
+    from birli_spark.streaming.topk import topk_from_updates
+
+    got = topk_from_updates(
+        topk.run_available_now(
+            spark, sf_dir, query_name="cms_w1", width=1)).toPandas()
+    batch = (sketches.cms_heavy_hitters(
+        corpus.load_documents(spark, sf_dir))
+        .orderBy("rank").toPandas())
+    g = got.sort_values("rank").reset_index(drop=True)
+    assert list(g["term"]) == list(batch["term"])
+    assert list(g["rank"]) == list(batch["rank"])
+    # width=1: every estimate is the same all-bucket total
+    assert g["cms_estimate"].nunique() == 1
