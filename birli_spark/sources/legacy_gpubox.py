@@ -109,16 +109,19 @@ def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
         if not hdr.get("ZIMAGE"):
             raise ValueError("legacy gpubox scan HDU is not a ZIMAGE")
         # real MWA legacy correlator files are RICE_1 (float tiles fall
-        # back to per-tile gzip in GZIP_COMPRESSED_DATA). A GZIP_1/
-        # GZIP_2 PRIMARY compression stores its bytes in
-        # COMPRESSED_DATA (GZIP_2 additionally byte-shuffled) — this
-        # decoder would misread both, so fail loudly instead of
-        # producing corrupt visibilities.
-        if str(hdr.get("ZCMPTYPE", "")).strip() not in ("RICE_1", ""):
+        # back to per-tile plain gzip in GZIP_COMPRESSED_DATA); GZIP_1
+        # with empty COMPRESSED_DATA descriptors is the same col-2
+        # layout under cfitsio's gzip label. NOT decodable here:
+        # GZIP_2 (byte-shuffled planes — plain zlib+frombuffer would
+        # yield garbage floats) and gzip-primary bytes in col 1 (the
+        # Rice branch would decode them as Rice). Both fail loudly
+        # below instead of producing corrupt visibilities.
+        zcmp = str(hdr.get("ZCMPTYPE", "")).strip()
+        if zcmp not in ("RICE_1", "GZIP_1", ""):
             raise ValueError(
-                f"unsupported ZCMPTYPE {hdr.get('ZCMPTYPE')!r}: only "
-                "RICE_1 tile compression (with gzip float fallback) is "
-                "implemented")
+                f"unsupported ZCMPTYPE {zcmp!r}: RICE_1 tiles (with "
+                "plain-gzip float fallback in GZIP_COMPRESSED_DATA) "
+                "and col-2 GZIP_1 are the implemented layouts")
         # the fixed descriptor offsets below (bytes 0:8 / 8:16) assume
         # COMPRESSED_DATA / GZIP_COMPRESSED_DATA are bintable fields
         # 1-2, as cfitsio writes them — validate when the cards exist
@@ -152,6 +155,12 @@ def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
             # col 1 = COMPRESSED_DATA (Rice; empty when cfitsio fell back
             # to gzip for float tiles), col 2 = GZIP_COMPRESSED_DATA
             rice_cnt, rice_o = np.frombuffer(rows[r][0:8], dtype=">u4")
+            if rice_cnt and zcmp == "GZIP_1":
+                raise ValueError(
+                    "GZIP_1 primary bytes in COMPRESSED_DATA are not "
+                    "decodable here (the Rice branch would misread "
+                    "them); only the empty-col-1 / gzip-col-2 layout "
+                    "is supported for GZIP_1")
             if rice_cnt:
                 if int(hdr.get("ZBITPIX", 0)) <= 0 or bytepix not in (1, 2, 4):
                     raise ValueError(

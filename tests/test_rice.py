@@ -121,3 +121,21 @@ def test_rice_unsupported_cmptype_still_raises():
         b"'GZIP_1'", b"'PLIO_1'")
     with pytest.raises(ValueError, match="ZCMPTYPE"):
         LG.parse_legacy_scans(raw)
+
+
+def test_gzip2_and_gzip1_primary_rejected():
+    """GZIP_2's byte-shuffled planes and GZIP_1 bytes in
+    COMPRESSED_DATA would both decode into garbage floats (plain
+    zlib / the Rice branch respectively) — the parser must reject
+    them loudly instead."""
+    tiles = np.zeros((1, 2, 2))
+    raw2 = (_primary() + _scan_hdu(tiles, rice=False)).replace(
+        b"'GZIP_1'", b"'GZIP_2'")
+    with pytest.raises(ValueError, match="ZCMPTYPE"):
+        LG.parse_legacy_scans(raw2)
+    # GZIP_1 label with a NONZERO col-1 descriptor: take the Rice
+    # variant's bytes (col 1 populated) and relabel it GZIP_1
+    raw1 = (_primary() + _scan_hdu(tiles, rice=True)).replace(
+        b"'RICE_1'", b"'GZIP_1'")
+    with pytest.raises(ValueError, match="COMPRESSED_DATA"):
+        LG.parse_legacy_scans(raw1)

@@ -51,3 +51,29 @@ def test_streaming_gpubox_incremental(spark, gdir, tmp_path):
     batch = gpubox.read_gpubox(spark, str(gdir / "aaa_gpubox.fits"))
     assert sorted(map(tuple, new_rows.collect())) == \
         sorted(map(tuple, batch.collect()))
+
+
+def test_stream_min_age_filters_fresh_files(tmp_path):
+    """min_age_s keeps a file the correlator may still be writing out
+    of the offset (set-difference offsets would otherwise mark a
+    partially-read file processed forever); 0 (the default) ingests
+    everything immediately."""
+    import os
+    import time
+
+    from birli_spark.sources.gpubox import GpuboxStreamReader
+
+    old = tmp_path / "obs_ch101_000.fits"
+    new = tmp_path / "obs_ch101_001.fits"
+    old.write_bytes(b"x")
+    new.write_bytes(b"x")
+    past = time.time() - 60
+    os.utime(old, (past, past))   # 60 s old
+    glob_p = str(tmp_path / "obs_ch101_*.fits")
+    eager = GpuboxStreamReader({"path": glob_p})
+    assert len(eager._files()) == 2
+    guarded = GpuboxStreamReader({"path": glob_p, "min_age_s": "5"})
+    assert guarded._files() == [str(old)]
+    # once the file ages past the guard it becomes visible
+    os.utime(new, (past, past))
+    assert len(guarded._files()) == 2
