@@ -336,6 +336,29 @@ def _q_calibration(spark, sf_dir):
         pipeline.CAL_RATIO)
 
 
+def _q_solve_di_gains(spark, sf_dir):
+    """C7 — the StEFCal DI gain solver, hash-gated against a KNOWN-TRUTH
+    oracle: the data side is the closed-form diagonal sandwich of
+    synth_gain_sql applied to the vis fact, so the solver must converge
+    back to those gains (ref-normalised, 1e-6 ticks) while the DuckDB
+    oracle computes them directly from the closed form — a genuine
+    convergence gate on an iterative numeric operator. The relational
+    time-mean pre-reduction bounds the shuffled solve input by
+    n_baselines x n_chans (the 100 TB shape; see
+    operators/calibration.py)."""
+    syn.load_vis(spark, sf_dir).createOrReplaceTempView("c7_vis")
+    pairs = spark.sql(calibration.synth_pairs_select("c7_vis"))
+    sol = calibration.solve_di_gains(
+        pairs, n_ant=syn.NUM_ANTS, normalize_ref=0, iters=500, tol=1e-16)
+    t = calibration.C7_TICK
+    return sol.selectExpr(
+        "chan", "ant",
+        f"CAST(ROUND(gx_re * {t}) AS BIGINT) AS gx_re_t",
+        f"CAST(ROUND(gx_im * {t}) AS BIGINT) AS gx_im_t",
+        f"CAST(ROUND(gy_re * {t}) AS BIGINT) AS gy_re_t",
+        f"CAST(ROUND(gy_im * {t}) AS BIGINT) AS gy_im_t")
+
+
 def _q_average(spark, sf_dir):
     vis = weights.bake_flags_into_weights(
         pipeline.rule_flags(spark, syn.load_vis(spark, sf_dir)))
@@ -1860,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_digital_gains": _q_digital,
         "c5_passband_correction": _q_passband,
         "c6_di_calibration": _q_calibration,
+        "c7_solve_di_gains": _q_solve_di_gains,
         "a1_average_time_freq": _q_average,
         "a2_channel_occupancy": _q_chan_occupancy,
         "a3_baseline_occupancy": _q_bl_occupancy,
@@ -2085,6 +2109,28 @@ def _stream_hist_oracle():
     return shist.hist_stream_oracle_sql()
 
 
+def _c7_oracle_sql() -> str:
+    """Closed-form expected gains for c7 (see _q_solve_di_gains): every
+    (ant, chan) of the synthetic obs, ref-antenna-normalised with the
+    same naive complex division the solver mirrors, in 1e-6 ticks."""
+    # one solve per COARSE channel (the synthetic fine-channel pair
+    # graph is a star, whose amplitude gauge is free; per cc it is the
+    # full mesh — see calibration.synth_pairs_select)
+    ants = ", ".join(f"({a})" for a in range(syn.NUM_ANTS))
+    chans = ", ".join(f"({c})" for c in range(syn.NUM_CC))
+    g = calibration.synth_gain_sql("ant", "chan")
+    return (
+        f"WITH ants(ant) AS (VALUES {ants}),"
+        f" chans(chan) AS (VALUES {chans}),"
+        f" g AS (SELECT CAST(ant AS INT) AS ant, CAST(chan AS INT) AS chan,"
+        f" {g['gx_re']} AS gx_re, {g['gx_im']} AS gx_im,"
+        f" {g['gy_re']} AS gy_re, {g['gy_im']} AS gy_im"
+        f" FROM ants CROSS JOIN chans),"
+        f" r AS (SELECT chan, gx_re AS uxr, gx_im AS uxi,"
+        f" gy_re AS uyr, gy_im AS uyi FROM g WHERE ant = 0) "
+        + calibration.solve_ticks_select("g", "r"))
+
+
 def oracle_sql() -> dict[str, str]:
     fc_pred = flags.fine_channel_pred_sql(
         syn.NUM_FC, n_edge=pipeline.N_EDGE, is_legacy=pipeline.IS_LEGACY)
@@ -2208,6 +2254,9 @@ def oracle_sql() -> dict[str, str]:
             calibration.calibration_oracle_select(
                 "vis", "calsols", pipeline.CAL_RATIO, _COLS),
             extra_ctes=f"calsols AS ({syn.CALSOLS_SQL})"),
+        # c7: the EXPECTED gains from the closed form (the Spark side
+        # recovers them iteratively — agreement is a convergence gate)
+        "c7_solve_di_gains": _c7_oracle_sql(),
         "a1_average_time_freq": (
             f"WITH {flagged_ctes}, baked AS (SELECT "
             + ", ".join(

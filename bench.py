@@ -37,6 +37,10 @@ HEADLINE = [
     "c2_cable_correction",
     "c3_geometric_correction",
     "c6_di_calibration",
+    # round 6: the StEFCal DI gain SOLVER (relational pre-reduction +
+    # one chan-block applyInPandas shuffle) — the calibration loop's
+    # other half, hash-gated against its known-truth oracle
+    "c7_solve_di_gains",
     "a1_average_time_freq",
     "a2_channel_occupancy",
     "pipeline_preprocess",

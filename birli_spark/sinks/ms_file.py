@@ -257,13 +257,21 @@ def _block_vals(pdf, chans, interval: float, scan: int):
     full = pd.MultiIndex.from_tuples(
         [(a1, a2, c) for a1, a2 in pairs.itertuples(index=False)
          for c in chans])
-    pdf = pdf.set_index(idx).reindex(full)
+    pdf = pdf.assign(_present=True).set_index(idx).reindex(full)
+    # absent grid cells (reindex fill) become zero-data flagged cells;
+    # PRESENT cells keep their values VERBATIM — including NaN data
+    # (e.g. NaN-solution channels of --apply-di-cal), which the
+    # reference writes as NaN with the flag set (src/calibration.rs:
+    # 117-124); collapsing them to 0 would diverge from the cotter
+    # norfi.cal goldens (tests/test_cli_golden_cal.py)
+    absent = pdf["_present"].isna().to_numpy()
     data = np.zeros((g, nc, 4), dtype=np.complex64)
     for p, pol in enumerate(MS_POLS):
-        re = pdf[f"data_{pol}_re"].fillna(0.0).to_numpy()
-        im = pdf[f"data_{pol}_im"].fillna(0.0).to_numpy()
+        re = np.where(absent, 0.0, pdf[f"data_{pol}_re"].to_numpy())
+        im = np.where(absent, 0.0, pdf[f"data_{pol}_im"].to_numpy())
         data[:, :, p] = (re + 1j * im).reshape(g, nc)
-    wt = pdf["weight"].fillna(0.0).to_numpy().reshape(g, nc)
+    wt = np.where(absent, 0.0,
+                  pdf["weight"].to_numpy()).reshape(g, nc)
     fl_raw = pdf["flag"].to_numpy()
     fl = np.where(pd.isna(fl_raw), True,
                   fl_raw).astype(bool).reshape(g, nc)

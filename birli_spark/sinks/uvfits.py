@@ -238,16 +238,24 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
         t_out, bl = key
         gidx = t_rank_b.value[t_out] * n_bl + bl_rank_b.value[bl]
         # absent output channels become zero-weight cells, exactly like
-        # the sequential path's reindex+fillna (examples/preprocess.py)
-        pdf = pdf.set_index("chan_out").reindex(chan_dim_b.value)
+        # the sequential path's reindex+fillna (examples/preprocess.py);
+        # PRESENT cells keep their values verbatim — including NaN data
+        # (NaN-solution channels of --apply-di-cal), which the reference
+        # writes as NaN with a negated weight, like the MS sink
+        pdf = pdf.assign(_present=True).set_index("chan_out").reindex(
+            chan_dim_b.value)
+        absent = pdf["_present"].isna().to_numpy()
         rec = np.empty(rec_floats, dtype=">f4")
         r0 = pdf.dropna(subset=["bl_code"]).iloc[0]
         rec[:5] = (r0.u, r0.v, r0.w, float(r0.bl_code), r0.jd - jd_zero)
         data = np.zeros((n_chan, 4, 3), dtype=np.float64)
         for p, pol in enumerate(UVFITS_POLS):
-            data[:, p, 0] = pdf[f"{pol}_re"].fillna(0.0).to_numpy()
-            data[:, p, 1] = pdf[f"{pol}_im"].fillna(0.0).to_numpy()
-            data[:, p, 2] = pdf["weight"].fillna(0.0).to_numpy()
+            data[:, p, 0] = np.where(absent, 0.0,
+                                     pdf[f"{pol}_re"].to_numpy())
+            data[:, p, 1] = np.where(absent, 0.0,
+                                     pdf[f"{pol}_im"].to_numpy())
+            data[:, p, 2] = np.where(absent, 0.0,
+                                     pdf["weight"].to_numpy())
         rec[5:] = data.reshape(-1)
         fd = os.open(path, os.O_WRONLY)
         try:
@@ -343,16 +351,23 @@ def write_uvfits_catalogue(rows: DataFrame, out_dir: str, n_chan: int,
         obs = t_out // blocks_per_obs
         gidx = (t_out - obs * blocks_per_obs) * n_bl \
             + bl_rank_b.value[bl]
-        pdf = pdf.set_index("chan_out").reindex(chan_dim_b.value)
+        # absent cells -> zero-weight fill; present NaN stays NaN (see
+        # the single-obs writer above)
+        pdf = pdf.assign(_present=True).set_index("chan_out").reindex(
+            chan_dim_b.value)
+        absent = pdf["_present"].isna().to_numpy()
         rec = np.empty(rec_floats, dtype=">f4")
         r0 = pdf.dropna(subset=["bl_code"]).iloc[0]
         rec[:5] = (r0.u, r0.v, r0.w, float(r0.bl_code),
                    r0.jd - jz_b.value[obs])
         data = np.zeros((n_chan, 4, 3), dtype=np.float64)
         for p, pol in enumerate(UVFITS_POLS):
-            data[:, p, 0] = pdf[f"{pol}_re"].fillna(0.0).to_numpy()
-            data[:, p, 1] = pdf[f"{pol}_im"].fillna(0.0).to_numpy()
-            data[:, p, 2] = pdf["weight"].fillna(0.0).to_numpy()
+            data[:, p, 0] = np.where(absent, 0.0,
+                                     pdf[f"{pol}_re"].to_numpy())
+            data[:, p, 1] = np.where(absent, 0.0,
+                                     pdf[f"{pol}_im"].to_numpy())
+            data[:, p, 2] = np.where(absent, 0.0,
+                                     pdf["weight"].to_numpy())
         rec[5:] = data.reshape(-1)
         fd = os.open(paths_b.value[obs], os.O_WRONLY)
         try:

@@ -24,13 +24,16 @@ Comparison semantics mirror the reference comparator:
 - weights are ignored where Cotter's aoflagger flags enter them (the
   reference's norfi variant does the same, ignore_weights=true).
 
-Golden dumps NOT covered here, with reasons:
-- the `cal`/`cal.partial` MS dumps need the 1254690096.bin calsol file,
-  which is not shipped and is underdetermined from the partial dumps
-  (per-antenna full-Jones unknowns exceed the dumped equations);
-- the `phase-point` MS dump is #[ignore]'d by the reference itself
-  (its issue #164: --pointing-centre yields the obs-start RA/Dec while
-  Cotter tracked a fixed az/el) — unmatchable by either engine.
+The `cal`/`cal.partial` MS dumps are covered in
+tests/test_cli_golden_cal.py: the unshipped 1254690096.bin calsol file
+is RECOVERED from the dumps themselves by the C7 StEFCal solver (the
+per-fine-channel diagonal system is overdetermined — 33 complex
+equations per channel for 18 unknowns — and closes at ~1e-8 relative
+residual, so the recovery is a genuine consistency proof, not a refit).
+The one dump NOT covered anywhere: the `phase-point` MS dump is
+#[ignore]'d by the reference itself (its issue #164: --pointing-centre
+yields the obs-start RA/Dec while Cotter tracked a fixed az/el) —
+unmatchable by either engine.
 """
 
 from __future__ import annotations
@@ -52,13 +55,8 @@ POL_ORDER = ("xx", "yy", "xy", "yx")
 _C = 299792458.0
 
 
-@pytest.fixture(scope="session")
-def gpubox_dir(tmp_path_factory):
-    from tools.make_1254670392_fixture import build
-    dest = tmp_path_factory.mktemp("gpubox_1254670392")
-    meta = build(str(dest))
-    assert meta["n_scans"] == 2 and len(meta["paths"]) == 24
-    return meta
+# the shared gpubox_dir fixture (reconstructed 24-file archive) lives in
+# conftest.py — it is also used by tests/test_cli_golden_cal.py
 
 
 def read_csv_records(path: str):
@@ -356,6 +354,14 @@ def compare_ms_with_csv(ms_path, csv_path, *, vis_rtol, vis_atol,
                         assert abs(got_u - want_u) < 2e-3, (
                             got_u, want_u)
             got = complex(r[f"data_{pol}_re"], r[f"data_{pol}_im"])
+            if not (np.isfinite(want.real) and np.isfinite(want.imag)):
+                # NaN-solution channels (the norfi.cal dumps): the cell
+                # must be non-finite in our output too
+                assert not (np.isfinite(got.real) and np.isfinite(got.imag)), (
+                    f"MS vis ({a1},{a2}) pol {pol} chan {c}: golden is "
+                    f"NaN but file has {got!r}")
+                n_cells += 1
+                continue
             d = abs(got - want)
             assert d <= vis_atol + vis_rtol * abs(want), (
                 f"MS vis mismatch ({a1},{a2}) pol {pol} chan {c}: "
