@@ -847,6 +847,44 @@ def _q_multi_obs_ms(spark, sf_dir):
     return multiobs.mo_ms_gate_rows(spark, sf_dir, out)
 
 
+def _q_stream_calsolve(spark, sf_dir):
+    """st14 — streaming incremental DI calibration solve (c7 twin):
+    per-timestep visibility scans arrive one per micro-batch;
+    (chan, ant1, ant2)-keyed state carries the running component sums
+    (the solve's sufficient statistics, 33 doubles per key); the
+    drained snapshot feeds the SAME StEFCal solver and hash-matches
+    the c7 known-truth oracle (streaming/calsolve.py)."""
+    from birli_spark.streaming import calsolve
+    upd = calsolve.run_available_now(
+        spark, sf_dir, _stream_tmp(spark, "q_calsolve"))
+    return calsolve.gains_from_updates(
+        upd, n_ant=syn.NUM_ANTS, tick=calibration.C7_TICK)
+
+
+def _q_mo7_solve(spark, sf_dir):
+    """MO7 — the calibration loop closed at CATALOGUE scale: one
+    StEFCal solve per (observation, coarse channel), all as ONE plan —
+    the (obs, cc) pair packs into the solver's channel label, so the
+    chan-block applyInPandas parallelises across the catalogue axis
+    with no per-obs driver loop. Hash-gated against the same
+    known-truth-oracle construction as c7 (gains keyed by
+    (obs, cc, ant))."""
+    from birli_spark.operators import multiobs
+    syn.load_vis(spark, sf_dir)  # registers the lineitem view
+    pairs = spark.sql(multiobs.mo7_pairs_select())
+    sol = calibration.solve_di_gains(
+        pairs, n_ant=syn.NUM_ANTS, normalize_ref=0, iters=500, tol=1e-16)
+    t = calibration.C7_TICK
+    return sol.selectExpr(
+        f"CAST(FLOOR(chan / {syn.NUM_CC}) AS INT) AS obs_id",
+        f"CAST(chan % {syn.NUM_CC} AS INT) AS cc",
+        "ant",
+        f"CAST(ROUND(gx_re * {t}) AS BIGINT) AS gx_re_t",
+        f"CAST(ROUND(gx_im * {t}) AS BIGINT) AS gx_im_t",
+        f"CAST(ROUND(gy_re * {t}) AS BIGINT) AS gy_re_t",
+        f"CAST(ROUND(gy_im * {t}) AS BIGINT) AS gy_im_t")
+
+
 def _q_stream_calsol_drift(spark, sf_dir):
     """st13 — streaming calibration-drift monitor (MO6 twin): per-obs
     solution files arrive one per micro-batch; (ant, chan)-keyed state
@@ -1933,7 +1971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mo4_multi_obs_uvfits": _q_multi_obs_uvfits,
         "mo5_multi_obs_ms": _q_multi_obs_ms,
         "mo6_calsol_drift": _q_calsol_drift,
+        "mo7_multi_obs_calsolve": _q_mo7_solve,
         "st13_stream_calsol_drift": _q_stream_calsol_drift,
+        "st14_stream_calsolve": _q_stream_calsolve,
         "p5_picket_ranges": _q_picket,
         "p6_time_chunks": _q_time_chunks,
         "o4_describe": _q_describe,
@@ -2131,6 +2171,30 @@ def _c7_oracle_sql() -> str:
         + calibration.solve_ticks_select("g", "r"))
 
 
+def _mo7_oracle_sql() -> str:
+    """Closed-form expected gains for mo7: every (obs, cc, ant) of the
+    catalogue, via the same packed label as the Spark side."""
+    from birli_spark.operators import multiobs
+    n_lab = multiobs.N_OBS * syn.NUM_CC
+    ants = ", ".join(f"({a})" for a in range(syn.NUM_ANTS))
+    labels = ", ".join(f"({c})" for c in range(n_lab))
+    g = calibration.synth_gain_sql("ant", "chan")
+    ticks = calibration.solve_ticks_select("g", "r")
+    return (
+        f"WITH ants(ant) AS (VALUES {ants}),"
+        f" labels(chan) AS (VALUES {labels}),"
+        f" g AS (SELECT CAST(ant AS INT) AS ant, CAST(chan AS INT) AS chan,"
+        f" {g['gx_re']} AS gx_re, {g['gx_im']} AS gx_im,"
+        f" {g['gy_re']} AS gy_re, {g['gy_im']} AS gy_im"
+        f" FROM ants CROSS JOIN labels),"
+        f" r AS (SELECT chan, gx_re AS uxr, gx_im AS uxi,"
+        f" gy_re AS uyr, gy_im AS uyi FROM g WHERE ant = 0),"
+        f" t AS ({ticks})"
+        f" SELECT CAST(FLOOR(chan / {syn.NUM_CC}) AS INT) AS obs_id,"
+        f" CAST(chan % {syn.NUM_CC} AS INT) AS cc, ant,"
+        f" gx_re_t, gx_im_t, gy_re_t, gy_im_t FROM t")
+
+
 def oracle_sql() -> dict[str, str]:
     fc_pred = flags.fine_channel_pred_sql(
         syn.NUM_FC, n_edge=pipeline.N_EDGE, is_legacy=pipeline.IS_LEGACY)
@@ -2257,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         # c7: the EXPECTED gains from the closed form (the Spark side
         # recovers them iteratively — agreement is a convergence gate)
         "c7_solve_di_gains": _c7_oracle_sql(),
+        "mo7_multi_obs_calsolve": _mo7_oracle_sql(),
         "a1_average_time_freq": (
             f"WITH {flagged_ctes}, baked AS (SELECT "
             + ", ".join(
@@ -2350,6 +2415,10 @@ def oracle_sql() -> dict[str, str]:
         "st13_stream_calsol_drift": __import__(
             "birli_spark.operators.multiobs",
             fromlist=["x"]).mo6_calsol_drift_sql(),
+        # st14 converges to the SAME known-truth gains as c7: the
+        # stream accumulates the solve's sufficient statistics, so the
+        # drained solve shares c7's oracle verbatim
+        "st14_stream_calsolve": _c7_oracle_sql(),
         "p5_picket_ranges": picket.picket_oracle_sql("0,1-2"),
         "p6_time_chunks": _with_vis(chunking.chunk_assignment_sql("vis", 8)),
         "o4_describe": _with_vis(describe.describe_sql("vis")),

@@ -114,6 +114,9 @@ HEADLINE = [
     # headline — calsol-drift QA (batch + its micro-batch stream twin)
     # and distribution drift
     "mo6_calsol_drift",
+    # round 6: the catalogue-scale gain solve — one StEFCal solve per
+    # (obs, coarse channel) as one plan
+    "mo7_multi_obs_calsolve",
     "st13_stream_calsol_drift",
     "q4_distribution_drift",
     # UDF islands last — their Python-worker residency (Arrow batches,

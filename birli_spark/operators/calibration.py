@@ -332,12 +332,23 @@ def synth_pairs_select(vis: str = "vis", chan_col: str = "cc") -> str:
     amplitude gauge is free — only phase survives ref-division), while
     per coarse channel the pair graph is the full 4-antenna mesh, which
     pins amplitudes up to the phase gauge the normalisation removes."""
+    exprs = [f"AVG({e}) AS {n}" for n, e in synth_pair_exprs(chan_col)]
+    return (f"SELECT {chan_col} AS chan, ant1, ant2, {', '.join(exprs)}"
+            f" FROM {vis} WHERE ant1 <> ant2"
+            f" GROUP BY {chan_col}, ant1, ant2")
+
+
+def synth_pair_exprs(chan_col: str = "cc") -> list[tuple[str, str]]:
+    """The ROW-wise (name, expr) pairs behind synth_pairs_select —
+    model components verbatim, data components as the known-truth
+    diagonal sandwich. The streaming twin (st14) writes these per
+    timestep and accumulates the sums in state instead of AVG-ing."""
     g1 = synth_gain_sql("ant1", chan_col)
     g2 = synth_gain_sql("ant2", chan_col)
-    exprs = []
+    out: list[tuple[str, str]] = []
     for p in POLS:
-        exprs.append(f"AVG({p}_re) AS m_{p}_re")
-        exprs.append(f"AVG({p}_im) AS m_{p}_im")
+        out.append((f"m_{p}_re", f"{p}_re"))
+        out.append((f"m_{p}_im", f"{p}_im"))
     for p, (c1, c2) in (("xx", ("x", "x")), ("xy", ("x", "y")),
                         ("yx", ("y", "x")), ("yy", ("y", "y"))):
         g1r, g1i = g1[f"g{c1}_re"], g1[f"g{c1}_im"]
@@ -345,13 +356,11 @@ def synth_pairs_select(vis: str = "vis", chan_col: str = "cc") -> str:
         # t = m * conj(g2); d = g1 * t
         t_re = f"({p}_re * ({g2r}) + {p}_im * ({g2i}))"
         t_im = f"({p}_im * ({g2r}) - {p}_re * ({g2i}))"
-        exprs.append(
-            f"AVG(({g1r}) * {t_re} - ({g1i}) * {t_im}) AS d_{p}_re")
-        exprs.append(
-            f"AVG(({g1r}) * {t_im} + ({g1i}) * {t_re}) AS d_{p}_im")
-    return (f"SELECT {chan_col} AS chan, ant1, ant2, {', '.join(exprs)}"
-            f" FROM {vis} WHERE ant1 <> ant2"
-            f" GROUP BY {chan_col}, ant1, ant2")
+        out.append((f"d_{p}_re",
+                    f"({g1r}) * {t_re} - ({g1i}) * {t_im}"))
+        out.append((f"d_{p}_im",
+                    f"({g1r}) * {t_im} + ({g1i}) * {t_re}"))
+    return out
 
 
 #: tick scale for the c7 gate: 1e-6 of gain amplitude, ~1e6 x the solver

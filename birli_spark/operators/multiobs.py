@@ -577,3 +577,28 @@ SELECT ant,
        MAX(drift) > CAST({MO6_DRIFT_THRESHOLD!r} AS DOUBLE) AS drifted
 FROM steps GROUP BY ant
 """
+
+
+# ------------------------------------------------------------------ MO7 ---
+
+def mo7_label() -> str:
+    """The catalogue solve label: (obs_id, cc) packed into one int —
+    each value is an INDEPENDENT solve, so the solver's chan-block
+    grouping parallelises across the obs x coarse-channel axis (the
+    100 TB axis) with no per-obs driver loop. The obs index is
+    recovered from the global timestep (t = obs_id * NUM_T + t_local,
+    mo_timesteps_cte) since the catalogue fact does not carry a
+    separate obs column."""
+    return (f"(CAST(FLOOR(t / {syn.NUM_T}) AS INT)"
+            f" * {syn.NUM_CC} + cc)")
+
+
+def mo7_pairs_select(lineitem: str = "lineitem",
+                     n_obs: int | None = None) -> str:
+    """MO7 — catalogue-scale DI gain solve input: the known-truth
+    diagonal sandwich applied per (obs, coarse channel) over the
+    catalogue fact (multi_vis_cte), mean-reduced per
+    (label, ant1, ant2). Dialect-common text shared with the oracle."""
+    from birli_spark.operators import calibration
+    return calibration.synth_pairs_select(
+        f"({multi_vis_cte(lineitem, n_obs)}) mo_vis", chan_col=mo7_label())

@@ -148,3 +148,31 @@ def test_solver_plan_one_shuffle(spark, truth):
     assert plan.count("Exchange") == 1, plan
     assert "SortMergeJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_st14_stream_matches_batch_c7(spark):
+    """The streaming accumulation's drained solve equals the batch
+    solver's ticks exactly: the state carries the solve's sufficient
+    statistics, so both paths converge to the same known-truth gains."""
+    import __spark_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    batch = {tuple(r)[:2]: tuple(r)[2:]
+             for r in qs["c7_solve_di_gains"](spark, sf).collect()}
+    stream = {tuple(r)[:2]: tuple(r)[2:]
+              for r in qs["st14_stream_calsolve"](spark, sf).collect()}
+    assert batch.keys() == stream.keys() and len(batch) > 0
+    assert batch == stream
+
+
+def test_mo7_labels_cover_catalogue(spark):
+    """mo7 solves every (obs, cc) cell of the catalogue with the same
+    per-label gains the oracle generates."""
+    import __spark_entry__ as entry
+    from birli_spark.operators import multiobs
+    from birli_spark.sources import synthetic as syn
+    sf = "/root/testdata/sf0.001"
+    out = entry.queries()["mo7_multi_obs_calsolve"](spark, sf).toPandas()
+    assert set(zip(out.obs_id, out.cc)) == {
+        (o, c) for o in range(multiobs.N_OBS) for c in range(syn.NUM_CC)}
+    assert out.ant.nunique() == syn.NUM_ANTS

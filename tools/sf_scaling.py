@@ -31,6 +31,10 @@ QUERIES = [
     "d3_minhash_lsh", "d6_neardup_clusters", "t26_substring_dedup",
     "i2_bm25_topk", "e1_windowed_agg", "f9f_rfi_mwa_float_udf",
     "pipeline_preprocess", "q4_distribution_drift", "ann_ivf_topk",
+    # round 6: the StEFCal solver — fact-scan + time-mean reduction in
+    # front of a bounded (n_baselines x n_chans) iterative solve; the
+    # slope should be the scan's, not the solver's
+    "c7_solve_di_gains",
 ]
 
 
