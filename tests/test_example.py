@@ -182,3 +182,10 @@ def test_catalogue_example_end_to_end():
     assert set(result["per_obs_rows"].values()) == {384}
     assert result["files"] == [f"obs_{o}.uvfits" for o in range(3)]
     assert result["cells"] > 0
+
+
+def test_calibration_loop_example(spark):
+    """solve -> MWAOCAL .bin -> apply closes at the f32 demotion floor
+    (the example asserts err < 1e-6 internally)."""
+    mod = runpy.run_path("examples/calibration_loop.py")
+    mod["run"](spark)

@@ -49,7 +49,7 @@ BNLJ_OK = {"ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
            # side replicating the fact scan per observation — the
            # deliberate catalogue expansion, bounded by the obs count)
            "mo1_multi_obs_pipeline", "mo2_multi_obs_ssins",
-           "mo3_multi_obs_occupancy",
+           "mo3_multi_obs_occupancy", "mo7_multi_obs_calsolve",
            # 1-row scalar-aggregate broadcast (global total / global avg)
            # against a bounded aggregate or dim-scale probe side — the
            # canonical decorrelated-scalar-subquery plan
@@ -201,6 +201,10 @@ HEADLINE = [
     "im3_delay_spectrum", "im3b_delay_spectrum_udf", "mo6_calsol_drift",
     "f9f_rfi_mwa_float_udf", "q4_distribution_drift",
     "mm9_image_pixel_stats",
+    # round 6: the StEFCal gain solver and its catalogue-scale shape
+    # (st14's stream plan has no batch explain surface; its drained
+    # solve is c7's plan)
+    "c7_solve_di_gains", "mo7_multi_obs_calsolve",
 ]
 
 
