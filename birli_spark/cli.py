@@ -465,8 +465,15 @@ def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
     """Assemble the DataFrame plan from the context (reference
     ``BirliContext::run``, src/cli.rs:1584-1954)."""
     vis = build_baked(spark, ctx)
-    if ctx.time_chunk:
-        vis = chunking.with_time_chunks(vis, ctx.time_chunk, ctx.avg_time)
+    chunk = ctx.time_chunk
+    if chunk is None and ctx.max_memory_gib is not None:
+        # --max-memory estimates --time-chunk from a per-chunk budget
+        # with the reference's own per-cell constant
+        # (src/cli.rs:1297-1321); None = the whole selection fits
+        chunk = chunking.chunk_steps_from_memory(
+            vis, ctx.max_memory_gib, ctx.avg_time)
+    if chunk:
+        vis = chunking.with_time_chunks(vis, chunk, ctx.avg_time)
         vis = vis.drop("chunk")
     if ctx.avg_time > 1 or ctx.avg_freq > 1:
         vis = averaging.average_time_freq(vis, ctx.avg_time, ctx.avg_freq)

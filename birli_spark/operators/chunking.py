@@ -59,3 +59,30 @@ def chunk_assignment_sql(vis: str, num_timesteps_per_chunk: int) -> str:
     """Oracle: the distinct (chunk, t) mapping."""
     return (f"SELECT DISTINCT CAST(FLOOR(t / {num_timesteps_per_chunk}) AS INT)"
             f" AS chunk, t FROM {vis}")
+
+
+#: the reference's per-cell memory estimate behind --max-memory: one
+#: Jones<f32> (8 f32 = 32 B) + one f32 weight + one bool flag per
+#: (timestep, channel, baseline) cell (marlu
+#: VisSelection::estimate_bytes_best, consumed at src/cli.rs:1306-1308)
+BYTES_PER_CELL = 32 + 4 + 1
+
+
+def chunk_steps_from_memory(vis: DataFrame, max_memory_gib: float,
+                            avg_time: int) -> int | None:
+    """``--max-memory`` semantics (reference src/cli.rs:1297-1321):
+    estimate the selected cube's footprint with the reference's own
+    per-cell constant and derive the ``--time-chunk`` step count that
+    fits the budget. None = the whole selection fits (no chunking).
+
+    The dims come from ONE dim-sized aggregate over the selected
+    relation (three distinct counts — the same information the
+    reference reads from its metadata context; this stays a bounded
+    driver-side scalar at any data volume)."""
+    nt, nbl, nch = vis.selectExpr(
+        "COUNT(DISTINCT t)", "COUNT(DISTINCT bl)",
+        "COUNT(DISTINCT chan)").first()
+    bytes_per_timestep = int(nbl) * int(nch) * BYTES_PER_CELL
+    return chunk_size_from_memory(
+        float(max_memory_gib) * 1024.0 ** 3,
+        bytes_per_timestep, int(nt), avg_time)

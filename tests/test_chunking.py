@@ -44,3 +44,33 @@ def test_chunk_assignment_and_partitioning(spark, sf_dir):
     for part, chunk in chunk_parts:
         by_chunk.setdefault(chunk, set()).add(part)
     assert all(len(parts) == 1 for parts in by_chunk.values())
+
+def test_chunk_steps_from_memory_dims(spark, sf_dir):
+    """--max-memory derives the chunk count from the SELECTED cube dims
+    with the reference's 37 B/cell estimate (src/cli.rs:1306-1318)."""
+    vis = syn.load_vis(spark, sf_dir)
+    per_t = 16 * (syn.NUM_CC * syn.NUM_FC) * chunking.BYTES_PER_CELL
+    gib = 1024.0 ** 3
+    # budget of ~2.5 timesteps, avg_time 2 -> floor(2.5/2)*2 = 2 steps
+    assert chunking.chunk_steps_from_memory(
+        vis, 2.5 * per_t / gib, 2) == 2
+    # whole obs fits -> None
+    assert chunking.chunk_steps_from_memory(
+        vis, 17 * per_t / gib, 2) is None
+
+
+def test_cli_max_memory_equals_time_chunk(spark, sf_dir, tmp_path):
+    """The CLI's --max-memory path writes a file byte-identical to the
+    equivalent explicit --time-chunk run."""
+    import filecmp
+
+    from birli_spark import cli
+    per_t = 16 * (syn.NUM_CC * syn.NUM_FC) * chunking.BYTES_PER_CELL
+    gib = 1024.0 ** 3
+    a = str(tmp_path / "mem.uvfits")
+    b = str(tmp_path / "chunk.uvfits")
+    base = [sf_dir, "--no-rfi", "--no-draw-progress"]
+    cli.run([*base, "--max-memory", str(4.4 * per_t / gib), "-u", a],
+            spark=spark)
+    cli.run([*base, "--time-chunk", "4", "-u", b], spark=spark)
+    assert filecmp.cmp(a, b, shallow=False)
