@@ -349,14 +349,8 @@ def _q_solve_di_gains(spark, sf_dir):
     syn.load_vis(spark, sf_dir).createOrReplaceTempView("c7_vis")
     pairs = spark.sql(calibration.synth_pairs_select("c7_vis"))
     sol = calibration.solve_di_gains(
-        pairs, n_ant=syn.NUM_ANTS, normalize_ref=0, iters=500, tol=1e-16)
-    t = calibration.C7_TICK
-    return sol.selectExpr(
-        "chan", "ant",
-        f"CAST(ROUND(gx_re * {t}) AS BIGINT) AS gx_re_t",
-        f"CAST(ROUND(gx_im * {t}) AS BIGINT) AS gx_im_t",
-        f"CAST(ROUND(gy_re * {t}) AS BIGINT) AS gy_re_t",
-        f"CAST(ROUND(gy_im * {t}) AS BIGINT) AS gy_im_t")
+        pairs, n_ant=syn.NUM_ANTS, normalize_ref=0, iters=500, tol=1e-15)
+    return sol.selectExpr(*calibration.gain_ticks_exprs())
 
 
 def _q_average(spark, sf_dir):
@@ -851,7 +845,7 @@ def _q_stream_calsolve(spark, sf_dir):
     """st14 — streaming incremental DI calibration solve (c7 twin):
     per-timestep visibility scans arrive one per micro-batch;
     (chan, ant1, ant2)-keyed state carries the running component sums
-    (the solve's sufficient statistics, 33 doubles per key); the
+    (the solve's sufficient statistics, 16 sums + a count per key); the
     drained snapshot feeds the SAME StEFCal solver and hash-matches
     the c7 known-truth oracle (streaming/calsolve.py)."""
     from birli_spark.streaming import calsolve
@@ -873,16 +867,11 @@ def _q_mo7_solve(spark, sf_dir):
     syn.load_vis(spark, sf_dir)  # registers the lineitem view
     pairs = spark.sql(multiobs.mo7_pairs_select())
     sol = calibration.solve_di_gains(
-        pairs, n_ant=syn.NUM_ANTS, normalize_ref=0, iters=500, tol=1e-16)
-    t = calibration.C7_TICK
+        pairs, n_ant=syn.NUM_ANTS, normalize_ref=0, iters=500, tol=1e-15)
     return sol.selectExpr(
         f"CAST(FLOOR(chan / {syn.NUM_CC}) AS INT) AS obs_id",
         f"CAST(chan % {syn.NUM_CC} AS INT) AS cc",
-        "ant",
-        f"CAST(ROUND(gx_re * {t}) AS BIGINT) AS gx_re_t",
-        f"CAST(ROUND(gx_im * {t}) AS BIGINT) AS gx_im_t",
-        f"CAST(ROUND(gy_re * {t}) AS BIGINT) AS gy_re_t",
-        f"CAST(ROUND(gy_im * {t}) AS BIGINT) AS gy_im_t")
+        "ant", *calibration.gain_ticks_exprs()[2:])
 
 
 def _q_stream_calsol_drift(spark, sf_dir):

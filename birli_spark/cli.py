@@ -461,6 +461,45 @@ def parse_args(argv: list[str]) -> Context:
         flag_parquet_out=a.flag_parquet, dry_run=a.dry_run)
 
 
+def _selected_dims(ctx: Context) -> tuple[int, int, int] | None:
+    """(n_t, n_bl, n_chan) of the selection from METADATA alone —
+    the reference sizes --max-memory from its metadata context without
+    touching data (src/cli.rs:1306-1308), and so do we: the synthetic
+    constants or the metafits header, narrowed by the plain
+    selections. None = a selection this helper cannot size
+    (limits, explicit channel subsets, flagged-ant pruning on a real
+    obs), in which case the caller falls back to one distinct-count
+    scan."""
+    if (ctx.timestep_limit or ctx.baseline_limit
+            or ctx.sel_chan_ranges or ctx.provided_chan_ranges):
+        return None
+    if ctx.metafits:
+        from birli_spark.sources import metafits as mf
+        if ctx.no_sel_flagged_ants:
+            return None      # needs the TILEDATA flag column
+        primary, _ = mf.read_metafits(ctx.metafits)
+        octx = mf.obs_context(primary)
+        n_t = octx["n_scans"]
+        n_ants = (len(set(ctx.sel_ants)) if ctx.sel_ants
+                  else octx["n_ants"])
+        # real scans emit each undirected pair once (ant1 <= ant2)
+        n_bl = (n_ants * (n_ants - 1) // 2 if ctx.no_sel_autos
+                else n_ants * (n_ants + 1) // 2)
+        n_chan = octx["n_fine_per_coarse"] * len(octx["coarse_channels"])
+    else:
+        n_t = syn.NUM_T
+        n_ants = (len(set(ctx.sel_ants)) if ctx.sel_ants
+                  else syn.NUM_ANTS)
+        # the synthetic fact carries ordered pairs (both directions)
+        n_bl = (n_ants * n_ants - n_ants if ctx.no_sel_autos
+                else n_ants * n_ants)
+        n_chan = syn.NUM_CC * syn.NUM_FC
+    if ctx.sel_time:
+        lo, hi = ctx.sel_time
+        n_t = min(n_t, hi - lo + 1)
+    return n_t, n_bl, n_chan
+
+
 def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
     """Assemble the DataFrame plan from the context (reference
     ``BirliContext::run``, src/cli.rs:1584-1954)."""
@@ -469,9 +508,19 @@ def build_plan(spark: SparkSession, ctx: Context) -> DataFrame:
     if chunk is None and ctx.max_memory_gib is not None:
         # --max-memory estimates --time-chunk from a per-chunk budget
         # with the reference's own per-cell constant
-        # (src/cli.rs:1297-1321); None = the whole selection fits
-        chunk = chunking.chunk_steps_from_memory(
-            vis, ctx.max_memory_gib, ctx.avg_time)
+        # (src/cli.rs:1297-1321); None = the whole selection fits.
+        # Dims come from metadata when the selection allows (no extra
+        # pass over the data); otherwise one distinct-count scan.
+        dims = _selected_dims(ctx)
+        if dims is not None:
+            n_t, n_bl, n_chan = dims
+            chunk = chunking.chunk_size_from_memory(
+                float(ctx.max_memory_gib) * 1024.0 ** 3,
+                n_bl * n_chan * chunking.BYTES_PER_CELL,
+                n_t, ctx.avg_time)
+        else:
+            chunk = chunking.chunk_steps_from_memory(
+                vis, ctx.max_memory_gib, ctx.avg_time)
     if chunk:
         vis = chunking.with_time_chunks(vis, chunk, ctx.avg_time)
         vis = vis.drop("chunk")

@@ -154,13 +154,24 @@ def _solve_channels(chans, a1, a2, M, D, n_ant, iters, tol):
     np.add.at(eq_y, i1, vpol[:, 2] + vpol[:, 3])   # yx, yy as ant1
     np.add.at(eq_y, i2, vpol[:, 1] + vpol[:, 3])   # xy, yy as ant2
 
+    size = C * n_ant
+
+    def _accc(idx, vals):
+        # dense scatter-add; bincount is ~10-30x faster than np.add.at
+        return (np.bincount(idx, weights=vals.real, minlength=size)
+                + 1j * np.bincount(idx, weights=vals.imag,
+                                   minlength=size))
+
+    def _accr(idx, vals):
+        return np.bincount(idx, weights=vals, minlength=size)
+
     def _sweep(gx, gy):
         g1x, g2x = gx.reshape(-1)[i1], gx.reshape(-1)[i2]
         g1y, g2y = gy.reshape(-1)[i1], gy.reshape(-1)[i2]
-        num_x = np.zeros(C * n_ant, dtype=complex)
-        den_x = np.zeros(C * n_ant, dtype=np.float64)
-        num_y = np.zeros(C * n_ant, dtype=complex)
-        den_y = np.zeros(C * n_ant, dtype=np.float64)
+        num_x = np.zeros(size, dtype=complex)
+        den_x = np.zeros(size, dtype=np.float64)
+        num_y = np.zeros(size, dtype=complex)
+        den_y = np.zeros(size, dtype=np.float64)
         # as ant1: xx/xy constrain g_1x; yx/yy constrain g_1y
         for pi, (num, den, g2) in ((0, (num_x, den_x, g2x)),
                                    (1, (num_x, den_x, g2y)),
@@ -168,8 +179,8 @@ def _solve_channels(chans, a1, a2, M, D, n_ant, iters, tol):
                                    (3, (num_y, den_y, g2y))):
             a = M[:, pi] * np.conj(g2)
             w = vpol[:, pi]
-            np.add.at(num, i1, np.where(w, np.conj(a) * D[:, pi], 0))
-            np.add.at(den, i1, np.where(w, np.abs(a) ** 2, 0.0))
+            num += _accc(i1, np.where(w, np.conj(a) * D[:, pi], 0))
+            den += _accr(i1, np.where(w, np.abs(a) ** 2, 0.0))
         # as ant2 (conjugate the equation): xx/yx constrain g_2x;
         # xy/yy constrain g_2y
         for pi, (num, den, g1) in ((0, (num_x, den_x, g1x)),
@@ -178,17 +189,19 @@ def _solve_channels(chans, a1, a2, M, D, n_ant, iters, tol):
                                    (3, (num_y, den_y, g1y))):
             a = np.conj(M[:, pi]) * np.conj(g1)
             w = vpol[:, pi]
-            np.add.at(num, i2, np.where(w, np.conj(a) * np.conj(D[:, pi]), 0))
-            np.add.at(den, i2, np.where(w, np.abs(a) ** 2, 0.0))
+            num += _accc(i2, np.where(w, np.conj(a) * np.conj(D[:, pi]), 0))
+            den += _accr(i2, np.where(w, np.abs(a) ** 2, 0.0))
         with np.errstate(invalid="ignore", divide="ignore"):
             nx = np.where(den_x > 0, num_x / np.where(den_x > 0, den_x, 1),
                           gx.reshape(-1))
             ny = np.where(den_y > 0, num_y / np.where(den_y > 0, den_y, 1),
                           gy.reshape(-1))
-        return nx.reshape(C, n_ant), ny.reshape(C, n_ant)
+        return (nx.reshape(C, n_ant), ny.reshape(C, n_ant),
+                den_x, den_y)
 
+    den_x = den_y = np.zeros(size)
     for it in range(iters):
-        nx, ny = _sweep(gx, gy)
+        nx, ny, den_x, den_y = _sweep(gx, gy)
         if it % 2 == 1:
             # even-iteration averaging (StEFCal §3.1) stabilises meshes
             nx = 0.5 * (nx + gx)
@@ -201,11 +214,15 @@ def _solve_channels(chans, a1, a2, M, D, n_ant, iters, tol):
         gx, gy = nx, ny
         if dmax < tol:
             break
-    # unconstrained chains: no finite equation touches the gain -> NaN
-    # (e.g. the NaN-Y-gain channels of the reference's norfi.cal dump,
-    # where every yx/yy/xy cell of the antenna is NaN)
-    gx = np.where(eq_x.reshape(C, n_ant) > 0, gx, np.nan + 0j)
-    gy = np.where(eq_y.reshape(C, n_ant) > 0, gy, np.nan + 0j)
+    # unconstrained chains -> NaN: no finite equation touches the gain
+    # (e.g. the NaN-Y-gain channels of the reference's norfi.cal dump),
+    # OR every touching equation has zero coefficient amplitude (the
+    # last sweep's LS denominator stayed 0 — the update never moved off
+    # the 1.0 init, so reporting it as solved would be a silent lie)
+    ok_x = (eq_x > 0) & (den_x > 0)
+    ok_y = (eq_y > 0) & (den_y > 0)
+    gx = np.where(ok_x.reshape(C, n_ant), gx, np.nan + 0j)
+    gy = np.where(ok_y.reshape(C, n_ant), gy, np.nan + 0j)
     # residual per channel over valid cells
     g1x, g2x = gx.reshape(-1)[i1], gx.reshape(-1)[i2]
     g1y, g2y = gy.reshape(-1)[i1], gy.reshape(-1)[i2]
@@ -247,7 +264,11 @@ def solve_di_gains(pairs: DataFrame, *, n_ant: int,
     ``normalize_ref=a`` divides every gain by antenna ``a``'s gain
     (hand-written naive complex division so the arithmetic matches the
     SQL oracle twin expression for expression), yielding a canonical
-    form with ``g[ref] = 1``.
+    form with ``g[ref] = 1``. Pick a reference antenna whose chains are
+    constrained in EVERY channel: where the ref gain itself is NaN the
+    division propagates NaN through the channel (there is no canonical
+    form without a reference) — callers with partially-flagged ref
+    tiles should normalise per-channel themselves or skip it.
     """
     its, tl, ga, nrm = int(iters), float(tol), int(group_chans), normalize_ref
     na = int(n_ant)
@@ -387,3 +408,13 @@ def solve_ticks_select(gains: str, ref: str) -> str:
                      ("gy_re_t", yr), ("gy_im_t", yi)))
     return (f"SELECT g.chan AS chan, g.ant AS ant, {cols}"
             f" FROM {gains} g JOIN {ref} r ON g.chan = r.chan")
+
+
+def gain_ticks_exprs(tick: str = C7_TICK) -> list[str]:
+    """The shared normalise-to-ticks projection over a solved-gains
+    relation (chan, ant, gx_re..gy_im) — used by the c7/mo7/st14 driver
+    queries so the tick scale lives in one place beside its SQL twin
+    (:func:`solve_ticks_select`)."""
+    return ["chan", "ant"] + [
+        f"CAST(ROUND({g}_{c} * {tick}) AS BIGINT) AS {g}_{c}_t"
+        for g in ("gx", "gy") for c in ("re", "im")]

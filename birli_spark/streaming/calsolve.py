@@ -4,7 +4,7 @@ of c7 (``operators/calibration.solve_di_gains``).
 Visibility scans arrive one TIMESTEP per micro-batch (the correlator's
 arrival unit). The monitor keys state on (chan, ant1, ant2) and carries
 the SUFFICIENT STATISTICS of the solve — the running sums of the 16
-model and data components plus the row count (33 doubles per key,
+model and data components plus the row count (17 values per key,
 O(1) regardless of observation length; the batch solver's relational
 time-mean is exactly ``sum / n`` over the same rows). Each batch emits
 the per-key snapshot; at drain the latest snapshot per key feeds the
@@ -49,18 +49,17 @@ def write_t_files(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     """One parquet file per timestep (the arrival unit): the ROW-wise
     pairs derivation — the same expressions the batch plan AVG-reduces
     (calibration.synth_pair_exprs over the coarse-channel label)."""
-    import os
-
     from birli_spark.sources import synthetic as syn
     syn.load_vis(spark, sf_dir).createOrReplaceTempView("st14_vis")
     cols = ", ".join(f"({e}) AS {n}" for n, e in synth_pair_exprs("cc"))
     rows = spark.sql(
         f"SELECT t, cc AS chan, ant1, ant2, {cols} FROM st14_vis"
         f" WHERE ant1 <> ant2")
-    for t in range(syn.NUM_T):
-        (rows.filter(f"t = {t}").drop("t").coalesce(1)
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, f"t={t:04d}")))
+    # ONE pass: partitionBy(t) lands each timestep in its own directory
+    # (file-per-trigger arrival unit); order across files is irrelevant
+    # here — the accumulated sums commute (unlike st13's drift fold)
+    (rows.repartition("t").write.mode("overwrite")
+     .partitionBy("t").parquet(out_dir))
     return out_dir
 
 
@@ -91,7 +90,10 @@ def accumulate_stream(stream: DataFrame) -> DataFrame:
             n, sums = 0, [0.0] * len(_SUMS)
         n += len(batch)
         for i, c in enumerate(SOLVE_IN_COLS):
-            sums[i] += float(batch[c].sum())
+            # numpy sum, NOT pandas (skipna=True) — a NaN component
+            # must poison its running sum exactly like the batch AVG,
+            # so the solver masks the same equations on both paths
+            sums[i] += float(batch[c].to_numpy(dtype=float).sum())
         state.update((n, *sums))
         yield pd.DataFrame([{
             "chan": chan, "ant1": a1, "ant2": a2, "n_rows": n,
@@ -140,10 +142,6 @@ def gains_from_updates(updates: DataFrame, *, n_ant: int,
         *[(F.col(f"s_{c}") / F.col("n_rows")).alias(c)
           for c in SOLVE_IN_COLS])
     sol = solve_di_gains(means, n_ant=n_ant, normalize_ref=0,
-                         iters=500, tol=1e-16)
-    return sol.selectExpr(
-        "chan", "ant",
-        f"CAST(ROUND(gx_re * {tick}) AS BIGINT) AS gx_re_t",
-        f"CAST(ROUND(gx_im * {tick}) AS BIGINT) AS gx_im_t",
-        f"CAST(ROUND(gy_re * {tick}) AS BIGINT) AS gy_re_t",
-        f"CAST(ROUND(gy_im * {tick}) AS BIGINT) AS gy_im_t")
+                         iters=500, tol=1e-15)
+    from birli_spark.operators.calibration import gain_ticks_exprs
+    return sol.selectExpr(*gain_ticks_exprs(tick))
