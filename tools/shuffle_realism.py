@@ -36,6 +36,10 @@ QUERIES = [
     "a1_average_time_freq",
     "e1_windowed_agg",
     "h5_shipping_priority",
+    # round 6: the solver's chan-block applyInPandas shuffle must keep
+    # its shape (and its oracle) under partitions >> cores + AQE
+    "c7_solve_di_gains",
+    "mo7_multi_obs_calsolve",
 ]
 
 
