@@ -191,6 +191,19 @@ def _q_uv_grid_uniform(spark, sf_dir):
     return gridding.uv_grid_uniform(geom)
 
 
+def _q_dirty_image(spark, sf_dir):
+    """IM4 — dirty image from the natural-weighted uv grid: MFS channel
+    stack then the Hermitian-completed inverse DFT as a SEPARABLE
+    exact-tick kernel (two literal dims, one per axis, quantized
+    driver-side so both engines consume identical integers). The
+    transform runs entirely on the dim-sized grid — the fact-scale
+    aggregation already happened in IM1, so this stage is bounded by
+    aperture^2 x pixels^2 at any data volume."""
+    baked = weights.bake_flags_into_weights(syn.load_vis(spark, sf_dir))
+    geom = corrections.correct_geometry(baked, syn.load_dim(spark, "part_uvw"))
+    return gridding.dirty_image(geom)
+
+
 def _q_delay_spectrum(spark, sf_dir):
     """IM3 — per-baseline delay power spectrum (frequency->delay DFT,
     Parsons et al. 2012): tick-exact relational transform — ONE
@@ -1927,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_ssins_autos": _q_ssins_autos,
         "im1_uv_grid": _q_uv_grid,
         "im2_uv_grid_uniform": _q_uv_grid_uniform,
+        "im4_dirty_image": _q_dirty_image,
         "im3_delay_spectrum": _q_delay_spectrum,
         "im3b_delay_spectrum_udf": _q_delay_spectrum_udf,
         "pipeline_preprocess_ssins": _q_pipeline_ssins,
@@ -2608,6 +2622,18 @@ def oracle_sql() -> dict[str, str]:
             + f"part_uvw AS ({syn.PART_UVW_SQL}), geom AS ("
             + corrections.geom_oracle_select("baked", "part_uvw", _COLS)
             + ") " + gridding.uv_grid_uniform_oracle_select("geom")),
+        "im4_dirty_image": (
+            f"WITH vis AS ({syn.vis_sql()}), baked AS (SELECT "
+            + ", ".join(
+                "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+                if c == "weight" else c
+                for c in _COLS)
+            + " FROM vis), "
+            + f"part_uvw AS ({syn.PART_UVW_SQL}), geom AS ("
+            + corrections.geom_oracle_select("baked", "part_uvw", _COLS)
+            + "), im4_grid AS ("
+            + gridding.uv_grid_oracle_select("geom")
+            + ") " + gridding.dirty_image_select("im4_grid")),
         "im3_delay_spectrum": (
             f"WITH vis AS ({syn.vis_sql()}) "
             + __import__("birli_spark.operators.delay",

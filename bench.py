@@ -77,6 +77,9 @@ HEADLINE = [
     # RFI-inclusive pipeline as one oracle-checkable plan
     "f11_ssins_spectra",
     "im1_uv_grid",
+    # round 6: the dirty-image completion of the imaging handoff
+    # (grid -> separable exact-tick DFT, broadcast-only)
+    "im4_dirty_image",
     # round 5: the delay-spectrum transform (broadcast DFT dim +
     # partial+final agg) and its hash-identical numpy-matmul island
     "im3_delay_spectrum",

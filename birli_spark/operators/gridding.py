@@ -146,3 +146,107 @@ def uv_grid_oracle_select(vis: str = "vis",
         f" GROUP BY {group}"
         f" HAVING SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) > 0"
     )
+
+
+# ------------------------------------------------------------------ IM4 ---
+
+#: dirty-image size (pixels per axis) — the DFT pixel grid; pixel p
+#: maps to direction cosine l = p / (IMG_L * cell_lambda) by the
+#: standard gridded-DFT relation, so the kernel angle is exactly
+#: 2*pi * u_cell * p / IMG_L
+IMG_L = 8
+#: gridded-aperture clip: cells with |u_cell| or |v_cell| beyond this
+#: are EXPLICITLY excluded (a declared aperture, like an imager's
+#: gridded field — not a silent join drop); covers the synthetic
+#: geometry with margin (measured |cell| <= 13 at sf0.1)
+IMG_APERTURE = 24
+#: integer-tick scales (house pattern, cf. operators/delay.py): grid
+#: values clamp at IMG_CLAMP then quantize half-up to IMG_GT ticks;
+#: each 1-D kernel factor to IMG_CT ticks. Worst-case accumulation:
+#: IMG_CLAMP*IMG_GT (2^20) * 2*IMG_CT^2 (2^23) * cells (< 2^12) < 2^55
+#: — every BIGINT sum is exact in any association.
+IMG_GT = 1 << 10
+IMG_CT = 1 << 12
+IMG_CLAMP = 1024.0
+
+
+def image_kernel_values(axis_cell: str) -> str:
+    """One axis of the separable DFT kernel as literal integer ticks:
+    rows (cell, p, kre, kim) with k = exp(+2*pi*i * cell * p / IMG_L),
+    quantized DRIVER-side so Spark and DuckDB consume the IDENTICAL
+    literals (no cross-engine trig). cell spans the declared aperture;
+    p spans the centred pixel indices -IMG_L/2 .. IMG_L/2-1."""
+    import math
+    rows = []
+    for cell in range(-IMG_APERTURE, IMG_APERTURE + 1):
+        for p in range(-IMG_L // 2, IMG_L // 2):
+            ang = 2.0 * math.pi * cell * p / IMG_L
+            kre = int(math.floor(math.cos(ang) * IMG_CT + 0.5))
+            kim = int(math.floor(math.sin(ang) * IMG_CT + 0.5))
+            rows.append(f"({cell}, {p}, {kre}, {kim})")
+    return (f"SELECT CAST(c AS INT) AS {axis_cell},"
+            f" CAST(p AS INT) AS p, CAST(kre AS BIGINT) AS kre,"
+            f" CAST(kim AS BIGINT) AS kim"
+            f" FROM (VALUES {', '.join(rows)}) AS k(c, p, kre, kim)")
+
+
+def dirty_image_select(grid: str) -> str:
+    """IM4 — dirty image from a natural-weighted uv grid (dialect-
+    common text; the relation is :func:`uv_grid`'s output).
+
+    Multi-frequency synthesis stacks the per-channel grids (BIGINT tick
+    sum over chan of the Stokes-I combination (xx + yy) / 2), then the
+    image is the Hermitian-completed inverse DFT of the half-plane
+    grid: ``I(l, m) = 2 * Re( sum_cells G(u,v) k_u(l) k_v(m) )`` —
+    gridding kept only ant1 < ant2, so each cell stands for itself and
+    its conjugate mirror. The kernel is SEPARABLE: two tiny literal
+    dims (one per axis), each a broadcast join — the transform runs
+    entirely on the dim-sized grid (the fact-scale work already
+    happened in the IM1 aggregation; at 100 TB this stage is bounded by
+    aperture^2 x pixels^2, not by data volume)."""
+    half = IMG_CLAMP
+    g_re = (f"(CASE WHEN (xx_re + yy_re) / 2.0 > {half!r} THEN {half!r}"
+            f" WHEN (xx_re + yy_re) / 2.0 < -{half!r} THEN -{half!r}"
+            f" ELSE (xx_re + yy_re) / 2.0 END)")
+    g_im = (f"(CASE WHEN (xx_im + yy_im) / 2.0 > {half!r} THEN {half!r}"
+            f" WHEN (xx_im + yy_im) / 2.0 < -{half!r} THEN -{half!r}"
+            f" ELSE (xx_im + yy_im) / 2.0 END)")
+    t_re = f"CAST(FLOOR({g_re} * {IMG_GT} + 0.5) AS BIGINT)"
+    t_im = f"CAST(FLOOR({g_im} * {IMG_GT} + 0.5) AS BIGINT)"
+    scale = float(IMG_GT) * IMG_CT * IMG_CT
+    # k = ku * kv (exact integer complex product); the image takes
+    # 2 * Re(G * k) = 2 * (g_re*k_re - g_im*k_im)
+    img_expr = f32(
+        "SUM(2 * (g_re * (ku.kre * kv.kre - ku.kim * kv.kim)"
+        " - g_im * (ku.kre * kv.kim + ku.kim * kv.kre)))"
+        f" / CAST({scale!r} AS DOUBLE)")
+    # pure subqueries (no WITH) so the whole text embeds as one CTE
+    # member of the driver oracle
+    stacked = (
+        f"SELECT u_cell, v_cell, SUM({t_re}) AS g_re,"
+        f" SUM({t_im}) AS g_im, CAST(SUM(n_vis) AS BIGINT) AS n_vis"
+        f" FROM {grid}"
+        f" WHERE u_cell BETWEEN -{IMG_APERTURE} AND {IMG_APERTURE}"
+        f" AND v_cell BETWEEN -{IMG_APERTURE} AND {IMG_APERTURE}"
+        f" GROUP BY u_cell, v_cell")
+    return (
+        f"SELECT ku.p AS lp, kv.p AS mp,"
+        f" {img_expr} AS img,"
+        f" CAST(SUM(n_vis) AS BIGINT) AS n_vis_total"
+        f" FROM ({stacked}) stacked"
+        f" JOIN ({image_kernel_values('u_cell')}) ku"
+        f" ON ku.u_cell = stacked.u_cell"
+        f" JOIN ({image_kernel_values('v_cell')}) kv"
+        f" ON kv.v_cell = stacked.v_cell"
+        f" GROUP BY ku.p, kv.p"
+    )
+
+
+def dirty_image(vis: DataFrame,
+                cell_lambda: float = DEFAULT_CELL_LAMBDA) -> DataFrame:
+    """IM4 as a DataFrame op: IM1's natural gridding then the exact-tick
+    separable DFT (two broadcast joins over literal kernel dims + one
+    dim-sized aggregation)."""
+    spark = vis.sparkSession
+    uv_grid(vis, cell_lambda).createOrReplaceTempView("im4_grid")
+    return spark.sql(dirty_image_select("im4_grid"))

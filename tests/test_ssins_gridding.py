@@ -155,3 +155,43 @@ def test_ssins_autos_burst_detected(spark):
     others = max(v for k, v in z.items() if k not in {(4, 2), (5, 2)})
     assert min(z[(4, 2)], z[(5, 2)]) > 1000 * others
     assert all(r.n_ant == 3 for r in out)   # 3 antennas' autos
+
+
+def test_im4_dirty_image_fringe_semantics(spark):
+    """A single uv cell with a real unit visibility produces the
+    textbook fringe 2*cos(2*pi*(u*l + v*m)/L) over the pixel grid —
+    the Hermitian-completed inverse DFT of one half-plane sample."""
+    import math
+
+    from birli_spark.operators import gridding as gr
+    row = [(0, 2, 1, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 1.0, 2)]
+    cols = ["chan", "u_cell", "v_cell", "xx_re", "xx_im", "xy_re",
+            "xy_im", "yx_re", "yx_im", "yy_re", "yy_im", "grid_weight",
+            "n_vis"]
+    spark.createDataFrame(row, cols).createOrReplaceTempView("im4_t")
+    img = {(r.lp, r.mp): r.img for r in
+           spark.sql(gr.dirty_image_select("im4_t")).collect()}
+    L = gr.IMG_L
+    assert len(img) == L * L
+    for (lp, mp), v in img.items():
+        # stokes I = (xx + yy)/2 = 1.0 exactly
+        want = 2.0 * math.cos(2.0 * math.pi * (2 * lp + 1 * mp) / L)
+        assert abs(v - want) < 3.0 / gr.IMG_CT, ((lp, mp), v, want)
+
+
+def test_im4_plan_shape(spark, sf_dir):
+    """IM4's physical plan: the IM1 aggregation plus broadcast-only
+    kernel joins — no sort-merge join; the transform never reshuffles
+    the fact."""
+    import __spark_entry__ as entry
+    df = entry.queries()["im4_dirty_image"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = {(r.lp, r.mp) for r in df.collect()}
+    assert len(rows) == gr_pixels()
+
+
+def gr_pixels():
+    from birli_spark.operators import gridding as gr
+    return gr.IMG_L * gr.IMG_L

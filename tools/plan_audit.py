@@ -203,8 +203,8 @@ HEADLINE = [
     "mm9_image_pixel_stats",
     # round 6: the StEFCal gain solver and its catalogue-scale shape
     # (st14's stream plan has no batch explain surface; its drained
-    # solve is c7's plan)
-    "c7_solve_di_gains", "mo7_multi_obs_calsolve",
+    # solve is c7's plan), and the dirty-image imaging completion
+    "c7_solve_di_gains", "mo7_multi_obs_calsolve", "im4_dirty_image",
 ]
 
 
