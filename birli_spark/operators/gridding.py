@@ -158,13 +158,18 @@ IMG_L = 8
 #: gridded-aperture clip: cells with |u_cell| or |v_cell| beyond this
 #: are EXPLICITLY excluded (a declared aperture, like an imager's
 #: gridded field — not a silent join drop); covers the synthetic
-#: geometry with margin (measured |cell| <= 13 at sf0.1)
+#: geometry with wide margin (measured at sf0.1: u_cell in [-5, 4],
+#: v_cell in [-4, 3])
 IMG_APERTURE = 24
 #: integer-tick scales (house pattern, cf. operators/delay.py): grid
 #: values clamp at IMG_CLAMP then quantize half-up to IMG_GT ticks;
-#: each 1-D kernel factor to IMG_CT ticks. Worst-case accumulation:
-#: IMG_CLAMP*IMG_GT (2^20) * 2*IMG_CT^2 (2^23) * cells (< 2^12) < 2^55
-#: — every BIGINT sum is exact in any association.
+#: each 1-D kernel factor to IMG_CT ticks. Exactness bound: the
+#: channel-stacked cell value is clamped AGAIN after the stack sum to
+#: +-IMG_CLAMP*IMG_GT = 2^20 ticks (so the bound is independent of the
+#: channel count), the kernel product magnitude is <= 2*IMG_CT^2 =
+#: 2^25, and the per-pixel sum spans <= (2*IMG_APERTURE + 1)^2 < 2^12
+#: cells: |sum| < 2^(20+25+12) = 2^57 — every BIGINT accumulation is
+#: exact in any association.
 IMG_GT = 1 << 10
 IMG_CT = 1 << 12
 IMG_CLAMP = 1024.0
@@ -195,14 +200,20 @@ def dirty_image_select(grid: str) -> str:
     common text; the relation is :func:`uv_grid`'s output).
 
     Multi-frequency synthesis stacks the per-channel grids (BIGINT tick
-    sum over chan of the Stokes-I combination (xx + yy) / 2), then the
-    image is the Hermitian-completed inverse DFT of the half-plane
-    grid: ``I(l, m) = 2 * Re( sum_cells G(u,v) k_u(l) k_v(m) )`` —
-    gridding kept only ant1 < ant2, so each cell stands for itself and
-    its conjugate mirror. The kernel is SEPARABLE: two tiny literal
-    dims (one per axis), each a broadcast join — the transform runs
-    entirely on the dim-sized grid (the fact-scale work already
-    happened in the IM1 aggregation; at 100 TB this stage is bounded by
+    sum over chan of the Stokes-I combination (xx + yy) / 2, re-clamped
+    after the stack so the exactness bound is channel-count-
+    independent), then the image is the real part of the inverse DFT of
+    the gridded aperture: ``I(l, m) = Re( sum_cells G(u,v) k_u(l)
+    k_v(m) )``. NO Hermitian doubling is applied: the grid's plane
+    coverage is whatever the input visibilities carry (the synthetic
+    fact holds BOTH orderings of every baseline, i.e. a full plane;
+    a single-ordering real scan yields a half plane whose real-part
+    image is the half-amplitude dirty map — amplitude convention, not
+    a defect, and callers wanting the doubled convention can scale).
+    The kernel is SEPARABLE: two tiny literal dims (one per axis),
+    each a broadcast join — the transform runs entirely on the
+    dim-sized grid (the fact-scale work already happened in the IM1
+    aggregation; at 100 TB this stage is bounded by
     aperture^2 x pixels^2, not by data volume)."""
     half = IMG_CLAMP
     g_re = (f"(CASE WHEN (xx_re + yy_re) / 2.0 > {half!r} THEN {half!r}"
@@ -215,16 +226,26 @@ def dirty_image_select(grid: str) -> str:
     t_im = f"CAST(FLOOR({g_im} * {IMG_GT} + 0.5) AS BIGINT)"
     scale = float(IMG_GT) * IMG_CT * IMG_CT
     # k = ku * kv (exact integer complex product); the image takes
-    # 2 * Re(G * k) = 2 * (g_re*k_re - g_im*k_im)
+    # Re(G * k) = g_re*k_re - g_im*k_im
     img_expr = f32(
-        "SUM(2 * (g_re * (ku.kre * kv.kre - ku.kim * kv.kim)"
-        " - g_im * (ku.kre * kv.kim + ku.kim * kv.kre)))"
+        "SUM(g_re * (ku.kre * kv.kre - ku.kim * kv.kim)"
+        " - g_im * (ku.kre * kv.kim + ku.kim * kv.kre))"
         f" / CAST({scale!r} AS DOUBLE)")
+    # re-clamp the stacked sums so the downstream exactness bound does
+    # not depend on the channel count (see the IMG_* comment)
+    tick_cap = int(IMG_CLAMP) * IMG_GT
+
+    def _clamped(expr: str) -> str:
+        return (f"LEAST(GREATEST(SUM({expr}),"
+                f" CAST(-{tick_cap} AS BIGINT)),"
+                f" CAST({tick_cap} AS BIGINT))")
+
     # pure subqueries (no WITH) so the whole text embeds as one CTE
     # member of the driver oracle
     stacked = (
-        f"SELECT u_cell, v_cell, SUM({t_re}) AS g_re,"
-        f" SUM({t_im}) AS g_im, CAST(SUM(n_vis) AS BIGINT) AS n_vis"
+        f"SELECT u_cell, v_cell, {_clamped(t_re)} AS g_re,"
+        f" {_clamped(t_im)} AS g_im,"
+        f" CAST(SUM(n_vis) AS BIGINT) AS n_vis"
         f" FROM {grid}"
         f" WHERE u_cell BETWEEN -{IMG_APERTURE} AND {IMG_APERTURE}"
         f" AND v_cell BETWEEN -{IMG_APERTURE} AND {IMG_APERTURE}"

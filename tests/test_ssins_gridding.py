@@ -159,8 +159,9 @@ def test_ssins_autos_burst_detected(spark):
 
 def test_im4_dirty_image_fringe_semantics(spark):
     """A single uv cell with a real unit visibility produces the
-    textbook fringe 2*cos(2*pi*(u*l + v*m)/L) over the pixel grid —
-    the Hermitian-completed inverse DFT of one half-plane sample."""
+    textbook fringe cos(2*pi*(u*l + v*m)/L) over the pixel grid — the
+    real part of the inverse DFT of the gridded aperture (no Hermitian
+    doubling: plane coverage is whatever the input carries)."""
     import math
 
     from birli_spark.operators import gridding as gr
@@ -175,7 +176,7 @@ def test_im4_dirty_image_fringe_semantics(spark):
     assert len(img) == L * L
     for (lp, mp), v in img.items():
         # stokes I = (xx + yy)/2 = 1.0 exactly
-        want = 2.0 * math.cos(2.0 * math.pi * (2 * lp + 1 * mp) / L)
+        want = math.cos(2.0 * math.pi * (2 * lp + 1 * mp) / L)
         assert abs(v - want) < 3.0 / gr.IMG_CT, ((lp, mp), v, want)
 
 
@@ -188,10 +189,6 @@ def test_im4_plan_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
-    rows = {(r.lp, r.mp) for r in df.collect()}
-    assert len(rows) == gr_pixels()
-
-
-def gr_pixels():
     from birli_spark.operators import gridding as gr
-    return gr.IMG_L * gr.IMG_L
+    rows = {(r.lp, r.mp) for r in df.collect()}
+    assert len(rows) == gr.IMG_L ** 2
