@@ -313,6 +313,32 @@ def test_cli_custom_phase_centre_matches_cotter_golden(spark, tmp_path,
     assert n == 11 * 2 * 4 * 768
 
 
+def test_cli_none_matches_pyuvdata_golden(spark, tmp_path, gpubox_dir):
+    """The WHOLE CLI on gpubox01 with the FULL 128-antenna array vs
+    pyuvdata's independent `none` dump — the reference's
+    compare_pyuvdata_1254670392_avg_none (src/cli.rs:4294: same args —
+    single file, --sel-time 0 0, no corrections, margin 1e-3, autos and
+    uvws ignored, weights absent from the dump). Unlike the Cotter-dump
+    variants (baselines (0, 0..11) only), this dump carries ~250
+    baselines including the (1, 2..122) family — exercising the legacy
+    PFB-lane slot layout at antenna indices the ant-0 star never
+    touches, against a SECOND independent reader's values."""
+    from birli_spark import cli
+    gp01 = gpubox_dir["glob"].replace("*gpubox*", "*gpubox01_00")
+    out = str(tmp_path / "pyuv_none.uvfits")
+    cli.run(["-m", META, "--gpubox", gp01,
+             "--sel-time", "0", "0",
+             "--no-rfi", "--no-digital-gains", "--pfb-gains", "none",
+             "--no-cable-delay", "--no-geometric-delay",
+             "--flag-init", "0", "--no-flag-dc", "--flag-edge-chans", "0",
+             "--no-draw-progress", "-u", out], spark=spark)
+    n = compare_uvfits_with_csv(
+        out, f"{REF_DIR}/pyuvdata_1254670392.none.csv",
+        vis_rtol=1e-6, vis_atol=1e-3, check_uvw=False)
+    # every cross baseline the dump carries, all 32 chans x 4 pols
+    assert n >= 240 * 32 * 4
+
+
 def compare_ms_with_csv(ms_path, csv_path, *, vis_rtol, vis_atol,
                         check_uvw=False, n_chan=768,
                         chan_filter=None):
