@@ -74,3 +74,30 @@ def test_cli_max_memory_equals_time_chunk(spark, sf_dir, tmp_path):
             spark=spark)
     cli.run([*base, "--time-chunk", "4", "-u", b], spark=spark)
     assert filecmp.cmp(a, b, shallow=False)
+
+
+def test_selected_dims_real_metafits():
+    """--max-memory's metadata sizing on a REAL metafits: dims from the
+    header narrowed by plain selections, None for selections the
+    helper cannot size (falls back to the scan)."""
+    from birli_spark import cli
+
+    meta = ("/root/reference/tests/data/1254670392_avg/"
+            "1254670392.fixed.metafits")
+    base = dict(metafits=meta, gpubox="x*.fits", sel_time=None,
+                sel_ants=None, no_sel_autos=False,
+                no_sel_flagged_ants=False, timestep_limit=None,
+                baseline_limit=None, sel_chan_ranges=None,
+                provided_chan_ranges=None)
+
+    class Ctx:
+        def __init__(self, **kw):
+            self.__dict__.update(base, **kw)
+
+    n_t, n_bl, n_chan = cli._selected_dims(Ctx())
+    assert (n_t, n_bl, n_chan) == (2, 128 * 129 // 2, 768)
+    n_t, n_bl, _ = cli._selected_dims(
+        Ctx(sel_time=(0, 0), sel_ants=[0, 1, 2], no_sel_autos=True))
+    assert (n_t, n_bl) == (1, 3)
+    assert cli._selected_dims(Ctx(no_sel_flagged_ants=True)) is None
+    assert cli._selected_dims(Ctx(sel_chan_ranges="0-2")) is None
