@@ -204,6 +204,16 @@ def _q_dirty_image(spark, sf_dir):
     return gridding.dirty_image(geom)
 
 
+def _q_psf_image(spark, sf_dir):
+    """IM5 — the point-spread function: IM4's inverse DFT over the
+    grid's WEIGHT plane — the synthesized beam an imager deconvolves
+    the dirty map with. Same kernel dims, aperture and exactness
+    bound; same dim-sized cost."""
+    baked = weights.bake_flags_into_weights(syn.load_vis(spark, sf_dir))
+    geom = corrections.correct_geometry(baked, syn.load_dim(spark, "part_uvw"))
+    return gridding.psf_image(geom)
+
+
 def _q_delay_spectrum(spark, sf_dir):
     """IM3 — per-baseline delay power spectrum (frequency->delay DFT,
     Parsons et al. 2012): tick-exact relational transform — ONE
@@ -1941,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "im1_uv_grid": _q_uv_grid,
         "im2_uv_grid_uniform": _q_uv_grid_uniform,
         "im4_dirty_image": _q_dirty_image,
+        "im5_psf_image": _q_psf_image,
         "im3_delay_spectrum": _q_delay_spectrum,
         "im3b_delay_spectrum_udf": _q_delay_spectrum_udf,
         "pipeline_preprocess_ssins": _q_pipeline_ssins,
@@ -2634,6 +2645,18 @@ def oracle_sql() -> dict[str, str]:
             + "), im4_grid AS ("
             + gridding.uv_grid_oracle_select("geom")
             + ") " + gridding.dirty_image_select("im4_grid")),
+        "im5_psf_image": (
+            f"WITH vis AS ({syn.vis_sql()}), baked AS (SELECT "
+            + ", ".join(
+                "CASE WHEN flag THEN -ABS(weight) ELSE ABS(weight) END AS weight"
+                if c == "weight" else c
+                for c in _COLS)
+            + " FROM vis), "
+            + f"part_uvw AS ({syn.PART_UVW_SQL}), geom AS ("
+            + corrections.geom_oracle_select("baked", "part_uvw", _COLS)
+            + "), im5_grid AS ("
+            + gridding.uv_grid_oracle_select("geom")
+            + ") " + gridding.psf_image_select("im5_grid")),
         "im3_delay_spectrum": (
             f"WITH vis AS ({syn.vis_sql()}) "
             + __import__("birli_spark.operators.delay",

@@ -271,3 +271,46 @@ def dirty_image(vis: DataFrame,
     spark = vis.sparkSession
     uv_grid(vis, cell_lambda).createOrReplaceTempView("im4_grid")
     return spark.sql(dirty_image_select("im4_grid"))
+
+
+def psf_image_select(grid: str) -> str:
+    """IM5 — the point-spread function: the same inverse DFT over the
+    grid's WEIGHT plane (g = sum of grid_weight ticks, purely real) —
+    the synthesized beam an imager deconvolves the IM4 dirty map with.
+    Shares IM4's kernel dims, aperture clip, and exactness bound."""
+    t_w = (f"CAST(FLOOR((CASE WHEN grid_weight > {IMG_CLAMP!r}"
+           f" THEN {IMG_CLAMP!r} ELSE grid_weight END)"
+           f" * {IMG_GT} + 0.5) AS BIGINT)")
+    tick_cap = int(IMG_CLAMP) * IMG_GT
+    scale = float(IMG_GT) * IMG_CT * IMG_CT
+    img_expr = f32(
+        "SUM(g_w * (ku.kre * kv.kre - ku.kim * kv.kim))"
+        f" / CAST({scale!r} AS DOUBLE)")
+    stacked = (
+        f"SELECT u_cell, v_cell,"
+        f" LEAST(GREATEST(SUM({t_w}), CAST(-{tick_cap} AS BIGINT)),"
+        f" CAST({tick_cap} AS BIGINT)) AS g_w,"
+        f" CAST(SUM(n_vis) AS BIGINT) AS n_vis"
+        f" FROM {grid}"
+        f" WHERE u_cell BETWEEN -{IMG_APERTURE} AND {IMG_APERTURE}"
+        f" AND v_cell BETWEEN -{IMG_APERTURE} AND {IMG_APERTURE}"
+        f" GROUP BY u_cell, v_cell")
+    return (
+        f"SELECT ku.p AS lp, kv.p AS mp,"
+        f" {img_expr} AS psf,"
+        f" CAST(SUM(n_vis) AS BIGINT) AS n_vis_total"
+        f" FROM ({stacked}) stacked"
+        f" JOIN ({image_kernel_values('u_cell')}) ku"
+        f" ON ku.u_cell = stacked.u_cell"
+        f" JOIN ({image_kernel_values('v_cell')}) kv"
+        f" ON kv.v_cell = stacked.v_cell"
+        f" GROUP BY ku.p, kv.p"
+    )
+
+
+def psf_image(vis: DataFrame,
+              cell_lambda: float = DEFAULT_CELL_LAMBDA) -> DataFrame:
+    """IM5 as a DataFrame op over IM1's natural grid."""
+    spark = vis.sparkSession
+    uv_grid(vis, cell_lambda).createOrReplaceTempView("im5_grid")
+    return spark.sql(psf_image_select("im5_grid"))

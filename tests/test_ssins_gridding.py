@@ -192,3 +192,15 @@ def test_im4_plan_shape(spark, sf_dir):
     from birli_spark.operators import gridding as gr
     rows = {(r.lp, r.mp) for r in df.collect()}
     assert len(rows) == gr.IMG_L ** 2
+
+
+def test_im5_psf_peak_at_origin(spark, sf_dir):
+    """The PSF peaks at the image origin (all kernel phases align at
+    l = m = 0, so the peak equals the summed grid weight within tick
+    precision) and no pixel exceeds it."""
+    import __spark_entry__ as entry
+    pix = {(r.lp, r.mp): r.psf for r in
+           entry.queries()["im5_psf_image"](spark, sf_dir).collect()}
+    peak = pix[(0, 0)]
+    assert peak > 0
+    assert all(v <= peak + 1e-6 for v in pix.values())
