@@ -205,6 +205,7 @@ HEADLINE = [
     # (st14's stream plan has no batch explain surface; its drained
     # solve is c7's plan), and the dirty-image imaging completion
     "c7_solve_di_gains", "mo7_multi_obs_calsolve", "im4_dirty_image",
+    "im5_psf_image",
 ]
 
 
