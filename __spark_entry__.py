@@ -193,8 +193,8 @@ def _q_uv_grid_uniform(spark, sf_dir):
 
 def _q_dirty_image(spark, sf_dir):
     """IM4 — dirty image from the natural-weighted uv grid: MFS channel
-    stack then the Hermitian-completed inverse DFT as a SEPARABLE
-    exact-tick kernel (two literal dims, one per axis, quantized
+    stack then the inverse DFT — with NO Hermitian completion (plane
+    coverage as carried by the input) — as a SEPARABLE exact-tick kernel (two literal dims, one per axis, quantized
     driver-side so both engines consume identical integers). The
     transform runs entirely on the dim-sized grid — the fact-scale
     aggregation already happened in IM1, so this stage is bounded by
@@ -1674,6 +1674,12 @@ def _q_ann_brute(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """TEACHING BASELINE (demoted, round 7): recall@5 = 0.55 at its
+    driver shape, and the committed ladder grid (ANN_RECALL_r7.json)
+    shows sign-bit LSH cannot reach 0.8 on data without angular
+    concentration at ANY production plane count. Use ann_ivf_topk
+    (0.875) / ann_ivfpq_topk (0.825) for retrieval; this entry stays
+    to gate the bucket-equi-join candidate pattern itself."""
     from birli_spark.operators import similarity
     from birli_spark.sources import corpus
     return similarity.lsh_topk(corpus.load_embeddings(spark, sf_dir))

@@ -495,8 +495,10 @@ def _selected_dims(ctx: Context) -> tuple[int, int, int] | None:
                 else n_ants * n_ants)
         n_chan = syn.NUM_CC * syn.NUM_FC
     if ctx.sel_time:
+        # clamp the window to the observation before differencing
+        # (the reference sizes from the clamped vis_sel.timestep_range)
         lo, hi = ctx.sel_time
-        n_t = min(n_t, hi - lo + 1)
+        n_t = max(0, min(hi, n_t - 1) - max(lo, 0) + 1)
     return n_t, n_bl, n_chan
 
 

@@ -103,14 +103,23 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 8,
              planes: int = N_PLANES,
              multiprobe: bool = True) -> DataFrame:
     """Bucketed ANN: rank only candidates in the query's hyperplane
-    sign-pattern bucket — plus, with ``multiprobe`` (default, the
-    production LSH recipe), the ``planes`` Hamming-distance-1 buckets
-    (each sign bit flipped once). Recall < 1 by design; measured on the
-    driver embeddings (tools/ann_recall.py): single-probe 0.15,
-    multiprobe 1+4 buckets lifts it several-fold while still pruning —
-    at production plane counts (12-16 planes, 4k-65k buckets) the probe
-    set is a vanishing fraction of the corpus. Probe buckets are
-    distinct by construction, so no candidate pair duplicates."""
+    sign-pattern bucket — plus, with ``multiprobe`` (default), the
+    ``planes`` Hamming-distance-1 buckets (each sign bit flipped once).
+
+    **TEACHING BASELINE — not a recommended default.** Use
+    :func:`ivf_topk` (recall@5 0.875 at auto-nprobe) or
+    :func:`ivfpq_topk` (0.825) for retrieval. Sign-bit LSH prunes by
+    ANGULAR concentration, and the measured decision is committed in
+    ``ANN_RECALL_r7.json``: on embeddings whose true top-5 neighbor
+    cosines sit near 0.3 (driver corpus — and any corpus without strong
+    angular clustering), the production shape (12-16 planes with a
+    query-directed multiprobe ladder, Lv et al. 2007) measures 0.0-0.125
+    recall@5 even at 64 probes (``tools/ann_recall.py --lsh-grid``),
+    because the neighbor collision probability (1 - theta/pi)^planes
+    collapses when theta is large. The 4-plane 1+4-probe shape kept
+    here (recall 0.55 while scanning ~31% of buckets) exists to teach
+    the bucket-equi-join candidate-generation PATTERN that D3/D5/IVF
+    build on — not to be picked as a retriever."""
     n = emb.select("vec_id", "embedding",
                    F.expr(X.norm(X.SPARK, "embedding")).alias("nrm"),
                    F.expr(_bucket_expr(X.SPARK, "embedding", planes))

@@ -402,13 +402,24 @@ def write_ms_casa_catalogue(spark: SparkSession, rows: DataFrame,
                       offsets_b.value[tb], vals)
         return pd.DataFrame([{"time_block": tb, "rows": g}])
 
-    written = (rows.groupBy("time_block")
+    # per-obs distributed validation: n_obs summary rows to the driver
+    per_obs = (rows.groupBy("time_block")
                .applyInPandas(write_block,
                               schema="time_block int, rows int")
-               .agg({"rows": "sum"}).collect()[0][0])
-    if written != sum(counts.values()):
-        raise ValueError(f"wrote {written} MAIN rows, planned "
-                         f"{sum(counts.values())}")
+               .groupBy((F.col("time_block") / blocks_per_obs)
+                        .cast("int").alias("obs_id"))
+               .agg(F.sum("rows").alias("rows"),
+                    F.count("*").alias("blocks"))
+               .collect())
+    planned = {o: sum(counts[tb] for tb in counts
+                      if tb // blocks_per_obs == o) for o in obs_ids}
+    got = {r["obs_id"]: r for r in per_obs}
+    for o in obs_ids:
+        r = got.get(o)
+        if r is None or r["rows"] != planned[o]:
+            raise ValueError(
+                f"obs {o}: wrote {0 if r is None else r['rows']} MAIN "
+                f"rows, planned {planned[o]}")
     return paths
 
 

@@ -197,11 +197,15 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
     (tests/test_sources_sinks.py).
 
     ``rows`` is :func:`uvfits_group_rows` output. The write action runs
-    INSIDE this call and the written group count is validated against
-    the declared GCOUNT (a missing (t_out, bl) group would otherwise
-    ship as a silent all-zero record); the returned manifest DataFrame
-    (one row per written group) is already materialized — further
-    actions on it are free and never re-run the write tasks."""
+    INSIDE this call and the written groups are validated against the
+    declared GCOUNT (a missing (t_out, bl) group would otherwise ship
+    as a silent all-zero record) — DISTRIBUTEDLY: a per-t_out
+    aggregation proves every t_out wrote exactly its contiguous
+    [t_rank*n_bl, t_rank*n_bl + n_bl) gidx range, so only the t_out-dim
+    summary ever reaches the driver (never the t_out x bl manifest).
+    The returned summary DataFrame (one row per t_out: n_groups +
+    gidx bounds) is already materialized — further actions on it are
+    free and never re-run the write tasks."""
     import os
 
     import pandas as pd
@@ -265,17 +269,36 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
         return pd.DataFrame([{"gidx": int(gidx), "t_out": int(t_out),
                               "bl": int(bl)}])
 
-    manifest = (rows.groupBy("t_out", "bl").applyInPandas(
+    # one action: the write tasks run under a per-t_out reduction, so
+    # the driver sees len(t_dim) summary rows, not t_out x bl manifest
+    # rows (the 100 TB catalogue shape)
+    summary = (rows.groupBy("t_out", "bl").applyInPandas(
         write_group, schema="gidx long, t_out int, bl int")
-        .toPandas())
-    if len(manifest) != n_groups:
+        .groupBy("t_out")
+        .agg(F.count("*").alias("n_groups"),
+             F.count_distinct("gidx").alias("n_distinct"),
+             F.min("gidx").alias("g_lo"),
+             F.max("gidx").alias("g_hi"))
+        .collect())
+    written = sum(r["n_groups"] for r in summary)
+    if written != n_groups:
         raise ValueError(
-            f"uvfits grid incomplete: wrote {len(manifest)} groups, "
+            f"uvfits grid incomplete: wrote {written} groups, "
             f"declared GCOUNT {n_groups} ({len(t_dim)} t_out x "
             f"{n_bl} bl) — never hand external FITS readers a file "
             "whose declared GCOUNT includes never-written groups")
-    return spark.createDataFrame(manifest,
-                                 schema="gidx long, t_out int, bl int")
+    for r in summary:
+        lo = t_rank[r["t_out"]] * n_bl
+        if (r["n_groups"] != n_bl or r["n_distinct"] != n_bl
+                or r["g_lo"] != lo or r["g_hi"] != lo + n_bl - 1):
+            raise ValueError(
+                f"t_out {r['t_out']}: wrote {r['n_groups']} groups "
+                f"({r['n_distinct']} distinct gidx, range "
+                f"[{r['g_lo']}, {r['g_hi']}]), expected the contiguous "
+                f"{n_bl}-group range [{lo}, {lo + n_bl - 1}]")
+    return spark.createDataFrame(
+        summary, schema="t_out int, n_groups long, n_distinct long, "
+                        "g_lo long, g_hi long")
 
 
 def write_uvfits_catalogue(rows: DataFrame, out_dir: str, n_chan: int,
@@ -376,12 +399,25 @@ def write_uvfits_catalogue(rows: DataFrame, out_dir: str, n_chan: int,
             os.close(fd)
         return pd.DataFrame([{"obs_id": obs, "gidx": int(gidx)}])
 
-    n = (rows.groupBy("t_out", "bl")
-         .applyInPandas(write_group, schema="obs_id int, gidx long")
-         .count())
-    if n != len(obs_dim) * n_groups:
-        raise ValueError(f"wrote {n} groups, planned "
-                         f"{len(obs_dim) * n_groups}")
+    # per-obs distributed validation: n_obs summary rows to the driver,
+    # never the obs x blocks x bl manifest
+    per_obs = (rows.groupBy("t_out", "bl")
+               .applyInPandas(write_group, schema="obs_id int, gidx long")
+               .groupBy("obs_id")
+               .agg(F.count("*").alias("n"),
+                    F.count_distinct("gidx").alias("n_distinct"),
+                    F.min("gidx").alias("g_lo"),
+                    F.max("gidx").alias("g_hi"))
+               .collect())
+    got = {r["obs_id"]: r for r in per_obs}
+    for o in obs_dim:
+        r = got.get(o)
+        if (r is None or r["n"] != n_groups or r["n_distinct"] != n_groups
+                or r["g_lo"] != 0 or r["g_hi"] != n_groups - 1):
+            raise ValueError(
+                f"obs {o}: wrote {0 if r is None else r['n']} groups "
+                f"({0 if r is None else r['n_distinct']} distinct), "
+                f"planned the full [0, {n_groups - 1}] gidx range")
     return paths
 
 

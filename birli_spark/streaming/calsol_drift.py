@@ -161,11 +161,18 @@ def drift_from_updates(updates: DataFrame) -> DataFrame:
 def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_calsol") -> DataFrame:
     import os
+    import shutil
     import tempfile
-    feed = os.path.join(tempfile.mkdtemp(prefix="st13_"), "sols")
+    root = tempfile.mkdtemp(prefix="st13_")
+    feed = os.path.join(root, "sols")
     write_obs_files(spark, feed)
     out = drift_stream(read_calsols_stream(spark, feed))
+    # explicit per-run checkpoint: never inherit a stale session-global
+    # location whose committed offsets would silently skip input files
     q = (out.writeStream.format("memory").queryName(query_name)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
+    # the memory sink holds the rows; feed + checkpoint are disposable
+    shutil.rmtree(root, ignore_errors=True)
     return spark.table(query_name)

@@ -112,14 +112,21 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     completion (availableNow), return the update log as a DataFrame
     (the st13 memory-sink harness shape)."""
     import os
+    import shutil
     import tempfile
 
-    feed = os.path.join(tempfile.mkdtemp(prefix="st14_"), "pairs")
+    root = tempfile.mkdtemp(prefix="st14_")
+    feed = os.path.join(root, "pairs")
     write_t_files(spark, sf_dir, feed)
     upd = accumulate_stream(read_pairs_stream(spark, feed))
+    # explicit per-run checkpoint: never inherit a stale session-global
+    # location whose committed offsets would silently skip input files
     q = (upd.writeStream.format("memory").queryName(query_name)
+         .option("checkpointLocation", os.path.join(root, "ckpt"))
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination()
+    # the memory sink holds the rows; feed + checkpoint are disposable
+    shutil.rmtree(root, ignore_errors=True)
     return spark.table(query_name)
 
 

@@ -101,3 +101,10 @@ def test_selected_dims_real_metafits():
     assert (n_t, n_bl) == (1, 3)
     assert cli._selected_dims(Ctx(no_sel_flagged_ants=True)) is None
     assert cli._selected_dims(Ctx(sel_chan_ranges="0-2")) is None
+    # the window clamps to the observation (the reference sizes from
+    # the clamped vis_sel.timestep_range): --sel-time 1 5 on this
+    # 2-scan obs selects ONE timestep, not hi-lo+1 = 5
+    n_t, _, _ = cli._selected_dims(Ctx(sel_time=(1, 5)))
+    assert n_t == 1
+    n_t, _, _ = cli._selected_dims(Ctx(sel_time=(0, 99)))
+    assert n_t == 2
