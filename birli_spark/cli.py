@@ -823,8 +823,19 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                 flagsink.write_flags(flagged, ctx.flag_parquet_out,
                                      gps_start=gps_start)
             result["flag_parquet"] = ctx.flag_parquet_out
-        with _stage("preprocess"):
-            result["rows"] = out.count()
+        # the physical uvfits sink materializes the SAME averaged
+        # relation into a localCheckpoint — at scale a standalone
+        # count() would re-run the whole pipeline (decode included)
+        # once more for a number the checkpoint already holds, so the
+        # count is deferred to that branch (validate_chunk_size pins
+        # chunk length to a multiple of avg_time, so build_plan's
+        # output and uvfits_group_rows agree on the output grid)
+        physical_uvfits = bool(
+            ctx.uvfits_out and ctx.uvfits_out.rstrip("/")
+            .endswith(".uvfits"))
+        if not physical_uvfits:
+            with _stage("preprocess"):
+                result["rows"] = out.count()
         if ctx.dump_csv:
             result["dump_csv"] = _dump_csv(out, ctx)
 
@@ -877,10 +888,13 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                                 .withColumn("u", F.col("u") / _c)
                                 .withColumn("v", F.col("v") / _c)
                                 .withColumn("w", F.col("w") / _c))
-                rows = uvsink.uvfits_group_rows(
-                    uv_baked, ctx.avg_time, ctx.avg_freq,
-                    uv_gps, int_time_s).localCheckpoint(
-                        eager=True)
+                with _stage("preprocess"):
+                    rows = uvsink.uvfits_group_rows(
+                        uv_baked, ctx.avg_time, ctx.avg_freq,
+                        uv_gps, int_time_s).localCheckpoint(
+                            eager=True)
+                    # cheap: counts the checkpoint, not the pipeline
+                    result["rows"] = rows.count()
                 n_chan = rows.select("chan_out").distinct().count()
                 with _stage("write uvfits"):
                     # the writer validates the written group count

@@ -112,10 +112,11 @@ def flag_rfi(vis: DataFrame, base_sensitivity: float = 6.0,
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = np.sort(pdf["t"].unique())
         chans = np.sort(pdf["chan"].unique())
-        t_idx = {v: i for i, v in enumerate(ts)}
-        c_idx = {v: i for i, v in enumerate(chans)}
-        rows = pdf["t"].map(t_idx).to_numpy()
-        cs = pdf["chan"].map(c_idx).to_numpy()
+        # vectorized rank lookup (ts/chans are sorted unique): a dict
+        # .map here is a Python-level lookup PER CELL — at the scale
+        # run's 43k-row groups that alone dominated the island's CPU
+        rows = np.searchsorted(ts, pdf["t"].to_numpy())
+        cs = np.searchsorted(chans, pdf["chan"].to_numpy())
         img = np.zeros((len(ts), len(chans)), dtype=np.float64)
         re = (pdf["xx_re"].to_numpy() + pdf["yy_re"].to_numpy()) / 2.0
         im = (pdf["xx_im"].to_numpy() + pdf["yy_im"].to_numpy()) / 2.0
@@ -344,10 +345,11 @@ def flag_rfi_strategy(vis: DataFrame, base_sensitivity: float = 6.0,
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = np.sort(pdf["t"].unique())
         chans = np.sort(pdf["chan"].unique())
-        t_idx = {v: i for i, v in enumerate(ts)}
-        c_idx = {v: i for i, v in enumerate(chans)}
-        rows = pdf["t"].map(t_idx).to_numpy()
-        cs = pdf["chan"].map(c_idx).to_numpy()
+        # vectorized rank lookup (ts/chans are sorted unique): a dict
+        # .map here is a Python-level lookup PER CELL — at the scale
+        # run's 43k-row groups that alone dominated the island's CPU
+        rows = np.searchsorted(ts, pdf["t"].to_numpy())
+        cs = np.searchsorted(chans, pdf["chan"].to_numpy())
         img = np.zeros((len(ts), len(chans)), dtype=np.float64)
         re = (pdf["xx_re"].to_numpy() + pdf["yy_re"].to_numpy()) / 2.0
         im = (pdf["xx_im"].to_numpy() + pdf["yy_im"].to_numpy()) / 2.0
@@ -1092,10 +1094,11 @@ def flag_rfi_mwa(vis: DataFrame, base_sensitivity: float = 6.0,
     def per_baseline(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = np.sort(pdf["t"].unique())
         chans = np.sort(pdf["chan"].unique())
-        t_idx = {v: i for i, v in enumerate(ts)}
-        c_idx = {v: i for i, v in enumerate(chans)}
-        rows = pdf["t"].map(t_idx).to_numpy()
-        cs = pdf["chan"].map(c_idx).to_numpy()
+        # vectorized rank lookup (ts/chans are sorted unique): a dict
+        # .map here is a Python-level lookup PER CELL — at the scale
+        # run's 43k-row groups that alone dominated the island's CPU
+        rows = np.searchsorted(ts, pdf["t"].to_numpy())
+        cs = np.searchsorted(chans, pdf["chan"].to_numpy())
         shape = (len(ts), len(chans))
         pol_imgs = {}
         for p in MWA_POLS:

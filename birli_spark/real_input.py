@@ -429,7 +429,45 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
         fc_pred = fc_pred | F.col("cc").isin(list(ctx.flag_coarse_chans))
     vis = flags.set_flags(vis, ts_f, bl_f, fc_pred)
 
-    vis = corrections.attach_cell_gate(vis)
+    # v0.18 unflagged-range gate (t, cc, _caf) from the RULE DIMS, not
+    # an aggregate over the fact: before RFI, flag is the star-schema
+    # disjunction ts | bl | fc over separable axes, so
+    #   bool_and(flag) over (bl, fc) = ts_flag OR bool_and(bl_flag)
+    #                                  OR bool_and(fc_flag within cc),
+    # with the baseline pool restricted to the SELECTED baselines. The
+    # generic cell_gate(vis) re-aggregates the fact — free on a
+    # columnar parquet fact (column-pruned rescan) but a SECOND FULL
+    # DECODE of the archive here, where the scan is a binary
+    # mapInPandas with no column pruning (measured: it doubled the
+    # scale-e2e read cost).
+    sel_bl = bl_f
+    if ctx.sel_ants:
+        keep = list(set(ctx.sel_ants))
+        sel_bl = sel_bl.filter(F.col("ant1").isin(keep)
+                               & F.col("ant2").isin(keep))
+    if ctx.no_sel_flagged_ants:
+        flagged_set = [r["ant"] for r in
+                       ants.filter(F.col("flagged")).collect()]
+        if flagged_set:
+            sel_bl = sel_bl.filter(~F.col("ant1").isin(flagged_set)
+                                   & ~F.col("ant2").isin(flagged_set))
+    if ctx.no_sel_autos:
+        sel_bl = sel_bl.filter(F.col("ant1") != F.col("ant2"))
+    all_bl = sel_bl.agg(F.expr("bool_and(bl_flag)").alias("_all_bl"))
+    n_cc_sel = len(meta.coarse_channels)
+    fc_grid = spark.range(0, n_cc_sel, 1, 1).selectExpr(
+        "CAST(id AS INT) AS cc").crossJoin(
+        spark.range(0, meta.n_fine_per_coarse, 1, 1).selectExpr(
+            "CAST(id AS INT) AS fc"))
+    cc_all = (fc_grid.select("cc", fc_pred.alias("_fcf"))
+              .groupBy("cc").agg(F.expr("bool_and(_fcf)").alias("_all_fc")))
+    gate = (ts_f.select("t", "ts_flag").crossJoin(F.broadcast(cc_all))
+            .crossJoin(F.broadcast(all_bl))
+            .select("t", "cc",
+                    (F.col("ts_flag") | F.coalesce(F.col("_all_bl"),
+                                                   F.lit(True))
+                     | F.col("_all_fc")).alias(corrections.GATE_COL)))
+    vis = corrections.attach_cell_gate(vis, gate=gate)
     if ctx.van_vleck:
         from birli_spark.operators import vanvleck
         # the reference's scale: fine_width_hz * int_time_ms / 500 *

@@ -238,42 +238,84 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
 
     chan_dim_b = spark.sparkContext.broadcast(chan_dim)
 
-    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        t_out, bl = key
-        gidx = t_rank_b.value[t_out] * n_bl + bl_rank_b.value[bl]
-        # absent output channels become zero-weight cells, exactly like
-        # the sequential path's reindex+fillna (examples/preprocess.py);
-        # PRESENT cells keep their values verbatim — including NaN data
-        # (NaN-solution channels of --apply-di-cal), which the reference
-        # writes as NaN with a negated weight, like the MS sink
-        pdf = pdf.assign(_present=True).set_index("chan_out").reindex(
-            chan_dim_b.value)
-        absent = pdf["_present"].isna().to_numpy()
-        rec = np.empty(rec_floats, dtype=">f4")
-        r0 = pdf.dropna(subset=["bl_code"]).iloc[0]
-        rec[:5] = (r0.u, r0.v, r0.w, float(r0.bl_code), r0.jd - jd_zero)
-        data = np.zeros((n_chan, 4, 3), dtype=np.float64)
-        for p, pol in enumerate(UVFITS_POLS):
-            data[:, p, 0] = np.where(absent, 0.0,
-                                     pdf[f"{pol}_re"].to_numpy())
-            data[:, p, 1] = np.where(absent, 0.0,
-                                     pdf[f"{pol}_im"].to_numpy())
-            data[:, p, 2] = np.where(absent, 0.0,
-                                     pdf["weight"].to_numpy())
-        rec[5:] = data.reshape(-1)
+    chan_pos = {v: i for i, v in enumerate(chan_dim)}
+    val_cols = [f"{pol}_{c}" for pol in UVFITS_POLS for c in ("re", "im")]
+
+    def write_partition(batches):
+        """One task = one file handle + a stream of sorted Arrow
+        batches holding whole (t_out, bl) group runs (hash-partitioned
+        on the keys, sorted within the partition), buffered across
+        batch boundaries so a group split over two batches writes
+        once. Replaces the per-GROUP applyInPandas writer, whose
+        os.open + pandas reindex PER GROUP dominated the scale-e2e
+        write stage (462k groups at the 1090008640 shape).
+
+        Semantics identical to the old per-group path: absent output
+        channels become zero-weight cells; PRESENT cells keep their
+        values verbatim — including NaN data (NaN-solution channels of
+        --apply-di-cal), which the reference writes as NaN with a
+        negated weight, like the MS sink."""
+        cpos = chan_pos
         fd = os.open(path, os.O_WRONLY)
+        pend: pd.DataFrame | None = None
         try:
-            os.pwrite(fd, rec.tobytes(), header_len + gidx * rec_size)
+            def flush(pdf: pd.DataFrame, out: list) -> None:
+                t_out = int(pdf["t_out"].iloc[0])
+                bl = int(pdf["bl"].iloc[0])
+                gidx = t_rank_b.value[t_out] * n_bl + bl_rank_b.value[bl]
+                pos = np.array([cpos[int(c)] for c in pdf["chan_out"]],
+                               dtype=np.int64)
+                rec = np.empty(rec_floats, dtype=">f4")
+                rec[:5] = (pdf["u"].iloc[0], pdf["v"].iloc[0],
+                           pdf["w"].iloc[0], float(pdf["bl_code"].iloc[0]),
+                           pdf["jd"].iloc[0] - jd_zero)
+                data = np.zeros((n_chan, 4, 3), dtype=np.float64)
+                for p, pol in enumerate(UVFITS_POLS):
+                    data[pos, p, 0] = pdf[f"{pol}_re"].to_numpy()
+                    data[pos, p, 1] = pdf[f"{pol}_im"].to_numpy()
+                    data[pos, p, 2] = pdf["weight"].to_numpy()
+                rec[5:] = data.reshape(-1)
+                os.pwrite(fd, rec.tobytes(), header_len + gidx * rec_size)
+                out.append((gidx, t_out, bl))
+
+            for pdf in batches:
+                if pend is not None:
+                    pdf = pd.concat([pend, pdf], ignore_index=True)
+                    pend = None
+                if not len(pdf):
+                    continue
+                key = (pdf["t_out"].to_numpy().astype(np.int64) << 32 |
+                       pdf["bl"].to_numpy().astype(np.int64))
+                bounds = np.flatnonzero(np.diff(key)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(pdf)]))
+                out: list = []
+                # the last run may continue into the next batch
+                for s, e in zip(starts[:-1], ends[:-1]):
+                    flush(pdf.iloc[s:e], out)
+                pend = pdf.iloc[starts[-1]:].copy()
+                if out:
+                    yield pd.DataFrame(out, columns=["gidx", "t_out",
+                                                     "bl"])
+            if pend is not None and len(pend):
+                out = []
+                flush(pend, out)
+                yield pd.DataFrame(out, columns=["gidx", "t_out", "bl"])
         finally:
             os.close(fd)
-        return pd.DataFrame([{"gidx": int(gidx), "t_out": int(t_out),
-                              "bl": int(bl)}])
+
+    n_part = max(rows.sparkSession.sparkContext.defaultParallelism,
+                 rows.rdd.getNumPartitions())
+    ordered = (rows.select("t_out", "bl", "chan_out", "u", "v", "w",
+                           "bl_code", "jd", "weight", *val_cols)
+               .repartition(n_part, "t_out", "bl")
+               .sortWithinPartitions("t_out", "bl", "chan_out"))
 
     # one action: the write tasks run under a per-t_out reduction, so
     # the driver sees len(t_dim) summary rows, not t_out x bl manifest
     # rows (the 100 TB catalogue shape)
-    summary = (rows.groupBy("t_out", "bl").applyInPandas(
-        write_group, schema="gidx long, t_out int, bl int")
+    summary = (ordered.mapInPandas(
+        write_partition, schema="gidx long, t_out int, bl int")
         .groupBy("t_out")
         .agg(F.count("*").alias("n_groups"),
              F.count_distinct("gidx").alias("n_distinct"),

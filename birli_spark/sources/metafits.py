@@ -84,15 +84,45 @@ def antenna_rows(tiledata: dict) -> list[dict]:
     return [ants[a] for a in sorted(ants)]
 
 
+def values_df(spark: SparkSession, rows: list[tuple],
+              schema_sql: str) -> DataFrame:
+    """Dimension DataFrame as a VALUES LITERAL (LocalRelation), not
+    ``createDataFrame(list)``: the latter is a Python-RDD-backed leaf —
+    every action pays a Python-worker round trip PER PARTITION to
+    deserialize it, its size statistics are unknown to Catalyst, and a
+    dim x dim join of two such leaves becomes a defaultParallelism^2
+    -task cartesian (measured: the 128-antenna baseline-flags cross
+    was a 1024-task stage of pure scheduling overhead in the scale-e2e
+    run). A VALUES literal is a JVM-side LocalRelation: zero tasks,
+    exact stats, broadcast-ready."""
+    cols = [c.strip().split()[0] for c in schema_sql.split(",")]
+    typs = [c.strip().split(None, 1)[1] for c in schema_sql.split(",")]
+
+    def lit(v):
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    body = ", ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    sel = ", ".join(f"CAST({c} AS {t}) AS {c}"
+                    for c, t in zip(cols, typs))
+    return spark.sql(f"SELECT {sel} FROM (VALUES {body})"
+                     f" AS v({', '.join(cols)})")
+
+
 def antennas_df(spark: SparkSession, tiledata: dict) -> DataFrame:
     """The antennas dimension in the engine's canonical schema."""
     rows = [(r["ant"], r["elec_length_x_m"], r["elec_length_y_m"],
              r["east_m"], r["north_m"], r["height_m"], r["flagged"])
             for r in antenna_rows(tiledata)]
-    return spark.createDataFrame(
-        rows, "ant int, elec_length_x_m double, elec_length_y_m double, "
-              "east_m double, north_m double, height_m double, "
-              "flagged boolean")
+    return values_df(
+        spark, rows,
+        "ant int, elec_length_x_m double, elec_length_y_m double, "
+        "east_m double, north_m double, height_m double, "
+        "flagged boolean")
 
 
 def digital_gains_df(spark: SparkSession, tiledata: dict,
@@ -112,8 +142,8 @@ def digital_gains_df(spark: SparkSession, tiledata: dict,
         for cc, p in enumerate(pos):
             rows.append((r["ant"], cc, float(r["gains_x"][p]),
                          float(r["gains_y"][p])))
-    return spark.createDataFrame(
-        rows, "ant int, cc int, gain_x double, gain_y double")
+    return values_df(spark, rows,
+                     "ant int, cc int, gain_x double, gain_y double")
 
 
 def selected_channel_positions(primary: dict) -> list[int] | None:
@@ -138,8 +168,8 @@ def timesteps_df(spark: SparkSession, primary: dict) -> DataFrame:
     n = int(primary["NSCANS"])
     gps0 = float(primary["GPSTIME"])
     dt = float(primary["INTTIME"])
-    return spark.createDataFrame(
-        [(t, gps0 + t * dt) for t in range(n)], "t int, ts_gps double")
+    return values_df(spark, [(t, gps0 + t * dt) for t in range(n)],
+                     "t int, ts_gps double")
 
 
 def coarse_channels(primary: dict) -> list[int]:
