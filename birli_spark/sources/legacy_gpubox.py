@@ -101,9 +101,20 @@ def sky_channel_order(recv_channels: list[int]) -> list[int]:
 
 def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
     """One legacy gpubox file → [(unix_ms, vis[fine_chan][slot][2])] —
-    gunzips each fine-channel tile of every scan HDU."""
+    list form of :func:`iter_legacy_scans` (tests and small fixtures)."""
+    return list(iter_legacy_scans(content))
+
+
+def iter_legacy_scans(content: bytes):
+    """One legacy gpubox file → yields (unix_ms, vis[fine_chan][slot][2])
+    per scan HDU, gunzipping each fine-channel tile as it goes.
+
+    A GENERATOR on purpose: a full-length observation file decodes to
+    GBs of f64 tiles (56 scans x 128 fine x 33k slots ≈ 3.8 GB for the
+    1090008640 benchmark shape) — materializing the whole list in every
+    concurrently-parsing Python worker OOMs the box at real scale,
+    while streaming holds ~one scan (~70 MB) per worker."""
     _, off = fc.parse_header(content)
-    scans = []
     while off < len(content):
         hdr, off2 = fc.parse_header(content, off)
         if not hdr.get("ZIMAGE"):
@@ -180,9 +191,8 @@ def parse_legacy_scans(content: bytes) -> list[tuple[int, np.ndarray]]:
             dec = zlib.decompress(
                 content[heap + int(o):heap + int(o) + int(cnt)], 47)
             tiles[r] = np.frombuffer(dec, dtype=">f8").reshape(-1, 2)
-        scans.append((unix_ms, tiles))
+        yield (unix_ms, tiles)
         off = fc.skip_data(off2, hdr)
-    return scans
 
 
 _LEGACY_SCHEMA = ("chan int, gpubox int, unix_ms bigint, ant1 int, "
@@ -216,7 +226,7 @@ def read_legacy_gpubox(spark: SparkSession, path_glob: str,
                     raise ValueError(f"no gpuboxNN in {path!r}")
                 gp = int(m.group(1))
                 sky_cc = sky_of_gpubox[gp]
-                for unix_ms, tiles in parse_legacy_scans(bytes(content)):
+                for unix_ms, tiles in iter_legacy_scans(bytes(content)):
                     # one frame per scan (all fine chans tiled), not one
                     # per (scan, chan): a 128-fine-chan obs would
                     # otherwise pay Arrow batch overhead 128x per scan
