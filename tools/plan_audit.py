@@ -356,6 +356,44 @@ def main() -> int:
         bad += flag == "WARN"
         print(f"{flag:4s} {n}: {line}")
         out.append(f"\n## {n}\n\n`{line}`\n\n```\n{plan}```\n")
+    # the scale-proof e2e CLI plan (SCALE_E2E_r7.json / SCALE.md §6):
+    # the real-input baked relation over the 1090008640-shape fixture
+    # (4-scan smoke size — the plan SHAPE is scan-count independent)
+    if not wanted:
+        try:
+            from birli_spark import cli as _cli
+            from tools import scale_e2e as _se
+        except ImportError:
+            import importlib.util as _ilu
+            _sp = _ilu.spec_from_file_location(
+                "scale_e2e", "/root/repo/tools/scale_e2e.py")
+            _se = _ilu.module_from_spec(_sp)
+            _sp.loader.exec_module(_se)
+            from birli_spark import cli as _cli
+        import os as _os
+        if not _os.path.exists(
+                _os.path.join(_se.DEST, f"{_se.OBSID}.metafits")):
+            _se.generate(4)
+        ctx = _cli.parse_args(
+            ["-m", _os.path.join(_se.DEST, f"{_se.OBSID}.metafits"),
+             "--gpubox", _os.path.join(
+                 _se.DEST, f"{_se.OBSID}_*gpubox*.fits"),
+             "-u", "/tmp/plan_audit_scale.uvfits",
+             "--max-memory", "32", "--no-draw-progress"])
+        plan = formatted_plan(_cli.build_plan(spark, ctx))
+        notes = audit("scale_e2e_cli_baked", plan)
+        nscan = plan.count("BINARYFILE")
+        notes.append(f"{nscan} binary archive scan(s)"
+                     + ("" if nscan == 1 else " WARN: input decoded"
+                        " more than once"))
+        line = "; ".join(notes)
+        flag = "WARN" if "WARN" in line else "OK"
+        bad += flag == "WARN"
+        print(f"{flag:4s} scale_e2e_cli_baked: {line}")
+        out.append(f"\n## scale_e2e_cli_baked (the SCALE_E2E_r7 CLI"
+                   f" plan, 1090008640 shape)\n\n`{line}`\n\n"
+                   f"```\n{plan}```\n")
+        names.append("scale_e2e_cli_baked")
     write_plans_atomic("/root/repo/PLANS.md", "".join(out))
     print(f"== {len(names)} plans audited, {bad} with warnings ==")
     return 0
