@@ -382,10 +382,14 @@ def main() -> int:
              "--max-memory", "32", "--no-draw-progress"])
         plan = formatted_plan(_cli.build_plan(spark, ctx))
         notes = audit("scale_e2e_cli_baked", plan)
-        nscan = plan.count("BINARYFILE")
-        notes.append(f"{nscan} binary archive scan(s)"
-                     + ("" if nscan == 1 else " WARN: input decoded"
-                        " more than once"))
+        # formatted explain names each node once in the tree and once
+        # in the detail section — count detail headers only
+        nscan = len(re.findall(r"^\(\d+\) Scan binaryFile", plan,
+                               re.MULTILINE))
+        notes.append(
+            f"{nscan} binary archive scan(s)"
+            + ("" if nscan == 1 else
+               " WARN: expected the archive decoded exactly once"))
         line = "; ".join(notes)
         flag = "WARN" if "WARN" in line else "OK"
         bad += flag == "WARN"
