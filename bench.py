@@ -288,8 +288,13 @@ def main() -> None:
             dc = round(tree_cpu_s() - c0, 3)
             timings[name] = min(dt, timings.get(name, dt))
             # min across passes, independently of wall: pass 1 carries
-            # Janino-JIT + broadcast-build CPU; the min is steady-state
-            cpu[name] = min(dc, cpu.get(name, dc))
+            # Janino-JIT + broadcast-build CPU; the min is steady-state.
+            # A NEGATIVE delta means a Python worker died between the
+            # two samples and was reaped outside the tree (its time
+            # vanishes from /proc before folding into any cutime) —
+            # that pass's sample is invalid, not a faster query.
+            if dc >= 0:
+                cpu[name] = min(dc, cpu.get(name, dc))
     # s1h scale-slope probe (round-5 ask 4): the e2e composition at 1x /
     # 4x / 16x the observation's timestep axis (835k -> 3.3M -> 13.4M
     # cube rows), full pipeline INCLUDING the physical uvfits write.
