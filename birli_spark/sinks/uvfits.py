@@ -236,8 +236,6 @@ def write_uvfits_distributed(rows: DataFrame, path: str, n_chan: int,
     n_bl = len(bl_dim)
     header_len = len(header)
 
-    chan_dim_b = spark.sparkContext.broadcast(chan_dim)
-
     chan_pos = {v: i for i, v in enumerate(chan_dim)}
     val_cols = [f"{pol}_{c}" for pol in UVFITS_POLS for c in ("re", "im")]
 
@@ -407,44 +405,82 @@ def write_uvfits_catalogue(rows: DataFrame, out_dir: str, n_chan: int,
     spark = rows.sparkSession
     bl_rank_b = spark.sparkContext.broadcast(
         {v: i for i, v in enumerate(bl_dim)})
-    chan_dim_b = spark.sparkContext.broadcast(chan_dim)
     paths_b = spark.sparkContext.broadcast(paths)
     jz_b = spark.sparkContext.broadcast(jd_zeros)
 
-    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        t_out, bl = int(key[0]), int(key[1])
-        obs = t_out // blocks_per_obs
-        gidx = (t_out - obs * blocks_per_obs) * n_bl \
-            + bl_rank_b.value[bl]
-        # absent cells -> zero-weight fill; present NaN stays NaN (see
-        # the single-obs writer above)
-        pdf = pdf.assign(_present=True).set_index("chan_out").reindex(
-            chan_dim_b.value)
-        absent = pdf["_present"].isna().to_numpy()
-        rec = np.empty(rec_floats, dtype=">f4")
-        r0 = pdf.dropna(subset=["bl_code"]).iloc[0]
-        rec[:5] = (r0.u, r0.v, r0.w, float(r0.bl_code),
-                   r0.jd - jz_b.value[obs])
-        data = np.zeros((n_chan, 4, 3), dtype=np.float64)
-        for p, pol in enumerate(UVFITS_POLS):
-            data[:, p, 0] = np.where(absent, 0.0,
-                                     pdf[f"{pol}_re"].to_numpy())
-            data[:, p, 1] = np.where(absent, 0.0,
-                                     pdf[f"{pol}_im"].to_numpy())
-            data[:, p, 2] = np.where(absent, 0.0,
-                                     pdf["weight"].to_numpy())
-        rec[5:] = data.reshape(-1)
-        fd = os.open(paths_b.value[obs], os.O_WRONLY)
+    chan_pos = {v: i for i, v in enumerate(chan_dim)}
+    val_cols = [f"{pol}_{c}" for pol in UVFITS_POLS for c in ("re", "im")]
+
+    def write_partition(batches):
+        """Partition-streaming writer (the single-file writer's round-7
+        shape): one task holds ONE open fd per obs it touches and
+        streams sorted (t_out, bl) group runs, buffering the last run
+        across Arrow batch boundaries. Absent cells -> zero-weight
+        fill; present NaN stays NaN (see the single-obs writer)."""
+        fds: dict[int, int] = {}
+        pend: pd.DataFrame | None = None
         try:
-            os.pwrite(fd, rec.tobytes(), header_len + gidx * rec_size)
+            def flush(pdf: pd.DataFrame, out: list) -> None:
+                t_out = int(pdf["t_out"].iloc[0])
+                bl = int(pdf["bl"].iloc[0])
+                obs = t_out // blocks_per_obs
+                gidx = (t_out - obs * blocks_per_obs) * n_bl \
+                    + bl_rank_b.value[bl]
+                pos = np.array([chan_pos[int(c)]
+                                for c in pdf["chan_out"]], dtype=np.int64)
+                rec = np.empty(rec_floats, dtype=">f4")
+                rec[:5] = (pdf["u"].iloc[0], pdf["v"].iloc[0],
+                           pdf["w"].iloc[0],
+                           float(pdf["bl_code"].iloc[0]),
+                           pdf["jd"].iloc[0] - jz_b.value[obs])
+                data = np.zeros((n_chan, 4, 3), dtype=np.float64)
+                for p, pol in enumerate(UVFITS_POLS):
+                    data[pos, p, 0] = pdf[f"{pol}_re"].to_numpy()
+                    data[pos, p, 1] = pdf[f"{pol}_im"].to_numpy()
+                    data[pos, p, 2] = pdf["weight"].to_numpy()
+                rec[5:] = data.reshape(-1)
+                if obs not in fds:
+                    fds[obs] = os.open(paths_b.value[obs], os.O_WRONLY)
+                os.pwrite(fds[obs], rec.tobytes(),
+                          header_len + gidx * rec_size)
+                out.append((obs, gidx))
+
+            for pdf in batches:
+                if pend is not None:
+                    pdf = pd.concat([pend, pdf], ignore_index=True)
+                    pend = None
+                if not len(pdf):
+                    continue
+                key = (pdf["t_out"].to_numpy().astype(np.int64) << 32 |
+                       pdf["bl"].to_numpy().astype(np.int64))
+                bounds = np.flatnonzero(np.diff(key)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [len(pdf)]))
+                out: list = []
+                for s, e in zip(starts[:-1], ends[:-1]):
+                    flush(pdf.iloc[s:e], out)
+                pend = pdf.iloc[starts[-1]:].copy()
+                if out:
+                    yield pd.DataFrame(out, columns=["obs_id", "gidx"])
+            if pend is not None and len(pend):
+                out = []
+                flush(pend, out)
+                yield pd.DataFrame(out, columns=["obs_id", "gidx"])
         finally:
-            os.close(fd)
-        return pd.DataFrame([{"obs_id": obs, "gidx": int(gidx)}])
+            for fd in fds.values():
+                os.close(fd)
+
+    n_part = max(spark.sparkContext.defaultParallelism,
+                 rows.rdd.getNumPartitions())
+    ordered = (rows.select("t_out", "bl", "chan_out", "u", "v", "w",
+                           "bl_code", "jd", "weight", *val_cols)
+               .repartition(n_part, "t_out", "bl")
+               .sortWithinPartitions("t_out", "bl", "chan_out"))
 
     # per-obs distributed validation: n_obs summary rows to the driver,
     # never the obs x blocks x bl manifest
-    per_obs = (rows.groupBy("t_out", "bl")
-               .applyInPandas(write_group, schema="obs_id int, gidx long")
+    per_obs = (ordered.mapInPandas(
+                   write_partition, schema="obs_id int, gidx long")
                .groupBy("obs_id")
                .agg(F.count("*").alias("n"),
                     F.count_distinct("gidx").alias("n_distinct"),
