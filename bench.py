@@ -195,6 +195,13 @@ def bench_st14_stream(spark, sf_dir: str) -> dict[str, float]:
 
     root = tempfile.mkdtemp(prefix="bench_st14_")
     feed = os.path.join(root, "pairs")
+    # recentProgress is a ring buffer capped at numRecentProgressUpdates
+    # (default ~100); a run with more micro-batches would undercount
+    # `steady` and inflate `setup`. Raise the cap well past any feed
+    # size this bench writes and assert we stayed under it below.
+    progress_cap = 10_000
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                   str(progress_cap))
     t0 = time.perf_counter()
     calsolve.write_t_files(spark, sf_dir, feed)
     t_feed = time.perf_counter() - t0
@@ -213,6 +220,9 @@ def bench_st14_stream(spark, sf_dir: str) -> dict[str, float]:
         if prog.get("numInputRows", 0) > 0:
             batch_ms.append(float(dur.get("triggerExecution", 0.0)))
     shutil.rmtree(root, ignore_errors=True)
+    if len(q.recentProgress) >= progress_cap:
+        raise SystemExit("st14 bench overflowed the progress ring "
+                         "buffer; steady/setup split would be wrong")
     steady = round(sum(batch_ms) / 1000.0, 3)
     return {
         "st14_stream_calsolve_setup": round(t_feed + t_stream - steady, 3),
@@ -328,7 +338,7 @@ def main() -> None:
     st14 = {} if restricted else bench_st14_stream(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -340,8 +350,21 @@ def main() -> None:
         "cpu_total": round(sum(cpu.values()), 3),
         "streaming": st14,
         "sf": sf,
-    }))
+    })
+    # The consumer parses the LAST stdout line as JSON. Stop every
+    # streaming query and the whole session FIRST: a StateStore
+    # maintenance thread that logs a WARN after the JSON (the
+    # BENCH_r07 parsed:null failure) must have nothing left to say by
+    # the time the line goes out.
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
     spark.stop()
+    sys.stdout.flush()
+    print(payload)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -893,7 +893,16 @@ def run(argv: list[str], spark: SparkSession | None = None) -> dict:
                         uv_baked, ctx.avg_time, ctx.avg_freq,
                         uv_gps, int_time_s).localCheckpoint(
                             eager=True)
-                    # cheap: counts the checkpoint, not the pipeline
+                    # cheap: counts the checkpoint, not the pipeline.
+                    # result['rows'] is OUTPUT-GRID rows — one per
+                    # (t_out, chan_out, bl). Identical to build_plan's
+                    # out.count() whenever the input carries one row
+                    # per (t, bl, chan) cell (every real observation;
+                    # pinned by test_rows_agree_between_plan_and_
+                    # uvfits_groups). The synthetic oracle fact has
+                    # duplicate cells by construction, so there the
+                    # parquet branch at avg 1/1 counts raw rows
+                    # instead.
                     result["rows"] = rows.count()
                 n_chan = rows.select("chan_out").distinct().count()
                 with _stage("write uvfits"):

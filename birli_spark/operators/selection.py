@@ -72,3 +72,35 @@ def filter_autos(vis: DataFrame) -> DataFrame:
     """P4 — `--no-sel-autos`: drop autocorrelations
     (reference src/cli.rs:909-918)."""
     return vis.filter(F.col("ant1") != F.col("ant2"))
+
+
+def baseline_selection_predicate(
+    sel_ants: Sequence[int] | None = None,
+    flagged_ants: Sequence[int] | None = None,
+    no_autos: bool = False,
+):
+    """P2∘P3∘P4 as ONE literal predicate over ``(ant1, ant2)``.
+
+    The single source of truth for "which baselines are selected",
+    shared by the CLI's vis-side selection and the real-input rule-dim
+    gate pool (``real_input.py``) — the two MUST agree or the v0.18
+    cell gate diverges from the fact's actual flag aggregate. Any new
+    baseline-affecting selection option belongs here. Returns ``None``
+    when no baseline selection is active.
+    """
+    pred = None
+
+    def _and(a, b):
+        return b if a is None else (a & b)
+
+    if sel_ants:
+        keep = list(set(sel_ants))
+        pred = _and(pred,
+                    F.col("ant1").isin(keep) & F.col("ant2").isin(keep))
+    if flagged_ants:
+        bad = list(set(flagged_ants))
+        pred = _and(pred,
+                    ~F.col("ant1").isin(bad) & ~F.col("ant2").isin(bad))
+    if no_autos:
+        pred = _and(pred, F.col("ant1") != F.col("ant2"))
+    return pred

@@ -441,18 +441,17 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
     # mapInPandas with no column pruning (measured: it doubled the
     # scale-e2e read cost).
     sel_bl = bl_f
-    if ctx.sel_ants:
-        keep = list(set(ctx.sel_ants))
-        sel_bl = sel_bl.filter(F.col("ant1").isin(keep)
-                               & F.col("ant2").isin(keep))
-    if ctx.no_sel_flagged_ants:
-        flagged_set = [r["ant"] for r in
-                       ants.filter(F.col("flagged")).collect()]
-        if flagged_set:
-            sel_bl = sel_bl.filter(~F.col("ant1").isin(flagged_set)
-                                   & ~F.col("ant2").isin(flagged_set))
-    if ctx.no_sel_autos:
-        sel_bl = sel_bl.filter(F.col("ant1") != F.col("ant2"))
+    # ONE shared predicate with the vis-side selection above
+    # (selection.baseline_selection_predicate): the gate pool and the
+    # fact filter must agree or the gate diverges from the fact's
+    # actual flag aggregate (ADVICE r7)
+    flagged_set = ([r["ant"] for r in
+                    ants.filter(F.col("flagged")).collect()]
+                   if ctx.no_sel_flagged_ants else None)
+    bl_pred = selection.baseline_selection_predicate(
+        ctx.sel_ants, flagged_set, ctx.no_sel_autos)
+    if bl_pred is not None:
+        sel_bl = sel_bl.filter(bl_pred)
     all_bl = sel_bl.agg(F.expr("bool_and(bl_flag)").alias("_all_bl"))
     n_cc_sel = len(meta.coarse_channels)
     fc_grid = spark.range(0, n_cc_sel, 1, 1).selectExpr(

@@ -98,12 +98,35 @@ def values_df(spark: SparkSession, rows: list[tuple],
     cols = [c.strip().split()[0] for c in schema_sql.split(",")]
     typs = [c.strip().split(None, 1)[1] for c in schema_sql.split(",")]
 
+    if not rows:
+        # 'VALUES ' with an empty body is a parse error; an empty dim
+        # is fine as an empty LocalRelation
+        return spark.sql(
+            "SELECT " + ", ".join(
+                f"CAST(NULL AS {t}) AS {c}"
+                for c, t in zip(cols, typs)) + " WHERE FALSE")
+
     def lit(v):
+        if v is None:
+            return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, float):
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
             return repr(v)
-        return str(v)
+        if isinstance(v, str):
+            # single-quote SQL string literal; '' escapes a quote —
+            # never splice a raw str into the VALUES text
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, (int,)):
+            return str(v)
+        raise TypeError(
+            f"values_df: unsupported literal type {type(v).__name__}")
 
     body = ", ".join(
         "(" + ", ".join(lit(v) for v in r) + ")" for r in rows)

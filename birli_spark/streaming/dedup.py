@@ -64,11 +64,5 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     """Drain the finite source with trigger(availableNow) into an
     in-memory sink; returns the admitted rows as a DataFrame."""
     out = dedup_stream(read_documents_stream(spark, sf_dir))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "append")

@@ -100,11 +100,5 @@ def latest_snapshots(updates: DataFrame) -> DataFrame:
 def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_ewma") -> DataFrame:
     out = ewma_stream(read_events_stream(spark, sf_dir))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("update")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "update")

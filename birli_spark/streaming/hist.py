@@ -69,14 +69,8 @@ def quantiles_from_bins(bins: DataFrame, lo: int = HIST_LO,
 def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_hist") -> DataFrame:
     out = hist_stream(read_documents_stream(spark, sf_dir))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("complete")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "complete")
 
 
 def hist_stream_oracle_sql() -> str:

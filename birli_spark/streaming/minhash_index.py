@@ -120,10 +120,5 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     idx_banded, idx_sig = static_index(spark, sf_dir)
     stream = read_documents_stream(spark, sf_dir)
     pairs = probe_stream(stream, idx_banded, idx_sig, threshold)
-    q = (pairs.writeStream
-         .format("memory").queryName(query_name)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name).distinct()
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(pairs, query_name, "append").distinct()

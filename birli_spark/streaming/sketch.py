@@ -97,14 +97,8 @@ def kmv_stream(stream: DataFrame, k: int = KMV_K) -> DataFrame:
 def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_kmv") -> DataFrame:
     out = kmv_stream(read_documents_stream(spark, sf_dir))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("update")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "update")
 
 
 def kmv_from_updates(updates: DataFrame) -> DataFrame:

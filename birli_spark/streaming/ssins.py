@@ -154,14 +154,8 @@ def score_drained(ins: DataFrame,
 def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_ssins") -> DataFrame:
     out = ssins_amp_stream(read_vis_stream(spark, sf_dir))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "append")
 
 
 # ------------------------------------------- catalogue twin (MO2) ---
@@ -226,11 +220,5 @@ def run_available_now_multiobs(spark: SparkSession, sf_dir: str,
                                n_obs: int | None = None) -> DataFrame:
     out = ssins_amp_stream_multiobs(
         read_vis_stream_multiobs(spark, sf_dir, n_obs))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("append")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "append")

@@ -84,14 +84,8 @@ def theta_stream(stream: DataFrame, k: int = THETA_K,
 def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_theta") -> DataFrame:
     out = theta_stream(read_documents_stream(spark, sf_dir))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("update")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "update")
 
 
 def pairs_from_updates(updates: DataFrame,

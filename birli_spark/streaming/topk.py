@@ -132,14 +132,8 @@ def run_available_now(spark: SparkSession, sf_dir: str,
                       query_name: str = "stream_cms_topk",
                       **kwargs) -> DataFrame:
     out = cms_topk_stream(read_documents_stream(spark, sf_dir), **kwargs)
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("update")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "update")
 
 
 def topk_from_updates(updates: DataFrame) -> DataFrame:

@@ -97,11 +97,5 @@ def run_available_now(spark: SparkSession, sf_dir: str,
     """Drain the finite source with trigger(availableNow) into an
     in-memory sink; returns the completed result as a DataFrame."""
     out = windowed_counts(read_events_stream(spark, sf_dir))
-    q = (out.writeStream
-         .format("memory")
-         .queryName(query_name)
-         .outputMode("complete")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.table(query_name)
+    from birli_spark.streaming import drain_to_memory
+    return drain_to_memory(out, query_name, "complete")

@@ -405,3 +405,50 @@ def test_cli_surface_covers_every_reference_option():
             for o in a.option_strings if o.startswith("--")}
     missing = [o for o in REFERENCE_CLI_OPTIONS if o not in ours]
     assert not missing, missing
+
+
+@pytest.mark.parametrize("avg_t,avg_f,chunk", [
+    (4, 2, None), (4, 2, "8"), (2, 4, None)])
+def test_rows_agree_between_plan_and_uvfits_groups(
+        spark, sf_dir, avg_t, avg_f, chunk):
+    """ADVICE r7 (cli.py physical-uvfits branch): result['rows'] counts
+    uvfits_group_rows(build_baked(...)) while the parquet branch counts
+    build_plan's out — two separately-built plans that must agree on
+    the output grid for every avg-factor/chunk combo (the
+    validate_chunk_size invariant made explicit). avg 1/1 is covered
+    on the real fixture below: the synthetic oracle fact carries
+    duplicate (t, bl, chan) cells by construction, so there the
+    un-averaged parquet branch legitimately counts raw rows."""
+    from birli_spark.sinks import uvfits as uvsink
+    argv = [sf_dir, "--avg-time-factor", str(avg_t),
+            "--avg-freq-factor", str(avg_f)]
+    if chunk:
+        argv += ["--time-chunk", chunk]
+    ctx = cli.parse_args(argv)
+    out_n = cli.build_plan(spark, ctx).count()
+    groups_n = uvsink.uvfits_group_rows(
+        cli.build_baked(spark, ctx), ctx.avg_time, ctx.avg_freq,
+        syn.GPS_START, syn.INT_TIME_S).count()
+    assert out_n == groups_n
+
+
+@pytest.mark.parametrize("avg_t,avg_f", [(1, 1), (2, 1), (2, 2)])
+def test_rows_agree_real_input(spark, avg_t, avg_f):
+    """Same invariant on a REAL observation (one row per (t, bl, chan)
+    cell — the shape every deployed CLI run has), including the avg 1/1
+    identity case the synthetic surface can't express."""
+    from birli_spark import real_input
+    from birli_spark.sinks import uvfits as uvsink
+    mwax = ("/root/reference/tests/data/1297526432_mwax/")
+    ctx = cli.parse_args([
+        "-m", mwax + "1297526432.metafits",
+        "--gpubox", mwax + "1297526432_*ch11*.fits",
+        "--no-rfi", "--pfb-gains", "none",
+        "--avg-time-factor", str(avg_t),
+        "--avg-freq-factor", str(avg_f)])
+    meta, _ = real_input.load_obs(ctx.metafits)
+    out_n = cli.build_plan(spark, ctx).count()
+    groups_n = uvsink.uvfits_group_rows(
+        cli.build_baked(spark, ctx), ctx.avg_time, ctx.avg_freq,
+        meta.gps_start, meta.int_time_s).count()
+    assert out_n == groups_n

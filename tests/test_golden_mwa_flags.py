@@ -21,9 +21,12 @@ uncentered thresholds per the C++ semantics, pol-chained priors).
 Measured 2026-08 (round 7) at the published defaults (sensitivity 6):
   agreement 0.9837, recall 0.9195, precision 0.625
   (tp=400, fp=240, fn=35 of 16896 cells)
-Residual breakdown (tools/margin_mwa_float.py): EVERY disagreeing cell
-— fp and fn both — sits within 2x of the final-pass decision
-threshold; the largest coherent block is the legacy DC-spike channel
+Residual breakdown (tools/margin_mwa_float.py, replayed at the SHIPPED
+MWA_FLOAT_KW configuration — center=False, interleave, wmode —
+regenerated round 8): EVERY disagreeing cell — fp and fn both — sits
+within 2x of the final-pass decision threshold (fp quartiles
+0.72/0.87/1.01, p95 1.18; fn 0.67/0.73/0.85, p95 0.92);
+the largest coherent block is the legacy DC-spike channel
 (chan % 32 == 16) where cotter itself flags only 352 of 528 cells, and
 the rest are isolated single-cell margins spread over
 chan % 32 = 3..28.

@@ -177,3 +177,24 @@ def test_digital_gains_remap_to_chansel_positions(spark):
                     == f.loc[(ant, pos), "gain_x"])
     # identity CHANSEL (this obs selects all 24) -> None, full map
     assert mf.selected_channel_positions(primary) == list(range(24))
+
+
+def test_values_df_literal_safety(spark):
+    """ADVICE r7: string values must be quoted/escaped, None/NaN/inf
+    must survive the VALUES-literal rendering, and an empty row list
+    must yield an empty typed relation rather than invalid SQL."""
+    from birli_spark.sources.metafits import values_df
+    df = values_df(
+        spark,
+        [(1, "o'brien; DROP TABLE x", 2.5),
+         (2, None, float("nan")),
+         (3, "plain", float("inf"))],
+        "id int, name string, x double")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["name"] == "o'brien; DROP TABLE x"
+    assert rows[2]["name"] is None
+    assert rows[2]["x"] != rows[2]["x"]  # NaN
+    assert rows[3]["x"] == float("inf")
+    empty = values_df(spark, [], "id int, name string")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "name"]

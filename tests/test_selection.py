@@ -46,3 +46,25 @@ def test_plan_has_pushed_filters(spark, sf_dir):
     formatted = plan._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]" in formatted
+
+
+def test_baseline_selection_predicate_matches_operators(spark):
+    """ADVICE r7: the real-input rule-dim gate pool and the vis-side
+    P2/P3/P4 operators must select the SAME baselines. The shared
+    predicate (baseline_selection_predicate) is the gate pool's
+    spelling; this pins it to the operator composition so a change to
+    either is caught."""
+    from birli_spark.operators import selection
+    bl = spark.createDataFrame(
+        [(a1, a2) for a1 in range(6) for a2 in range(a1, 6)],
+        "ant1 int, ant2 int")
+    flagged = spark.createDataFrame([(2,), (5,)], "ant int")
+    via_ops = selection.filter_autos(
+        selection.filter_antennas(
+            selection.retain_antennas(bl, [0, 1, 2, 3, 5]), flagged))
+    pred = selection.baseline_selection_predicate(
+        sel_ants=[0, 1, 2, 3, 5], flagged_ants=[2, 5], no_autos=True)
+    key = lambda r: (r["ant1"], r["ant2"])  # noqa: E731
+    assert (sorted(map(key, via_ops.collect()))
+            == sorted(map(key, bl.filter(pred).collect())))
+    assert selection.baseline_selection_predicate() is None

@@ -19,9 +19,18 @@ from birli_spark.operators import rfi  # noqa: E402
 
 def cell_margins(pol_imgs, present=None):
     """Max over pols of (final-pass residual / chi_1) per cell — the
-    m=1 decision margin of the FINAL full-sensitivity pass (>1 flags)."""
+    m=1 decision margin of the FINAL full-sensitivity pass (>1 flags).
+
+    The ladder replay uses the SHIPPED production configuration
+    (rfi.MWA_FLOAT_KW), not sumthreshold_float's defaults — ADVICE r7:
+    a replay at center=True while production ships center=False would
+    quote margins for a configuration that no longer runs."""
     shape = next(iter(pol_imgs.values())).shape
     present = np.ones(shape, bool) if present is None else present
+    # the subset of MWA_FLOAT_KW that parameterizes the ladder itself
+    st_kw = {k: v for k, v in rfi.MWA_FLOAT_KW.items()
+             if k in ("windows", "form", "two_sided", "noise_est",
+                      "decay", "center")}
     best = np.full(shape, -np.inf)
     for p in rfi.MWA_POLS:
         img = np.asarray(pol_imgs[p], dtype=np.float64)
@@ -31,16 +40,17 @@ def cell_margins(pol_imgs, present=None):
         for i in range(1, rfi.AOF_ITERS):
             factor = rfi.AOF_STEP ** (rfi.AOF_ITERS - i)
             work = rfi.sumthreshold_float(resid, work, present,
-                                          6.0 * factor)
+                                          6.0 * factor, **st_kw)
             bg = rfi.lowpass_resized_float(img, ~work & present,
                                            rf=rfi.MWA_FLOAT_KW["rf"])
             resid = img - bg
         vals = resid[~work]
         mode = rfi.winsorized_mode(vals)
-        med = float(np.median(vals))
         if mode <= 0:
             continue
-        ratio = (resid - med) / (6.0 * mode)
+        if st_kw.get("center", True):
+            resid = resid - float(np.median(vals))
+        ratio = resid / (6.0 * mode)
         best = np.maximum(best, ratio)
     return best
 
