@@ -512,10 +512,45 @@ def build_baked_real(spark: SparkSession, ctx, metafits_path: str,
                 vis, base_sensitivity=ctx.rfi_sensitivity,
                 eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2)
         else:
-            vis = rfi.flag_rfi_mwa(
-                vis, base_sensitivity=ctx.rfi_sensitivity,
+            # Scale lever (r8): the island's exchange + sort + Arrow
+            # boundary carries ONLY what the flagger consumes — the
+            # (t, chan, ant1, ant2, bl) keys, the prior flag, and the
+            # 8 pol payloads at f32 — instead of the full 19-column
+            # f64 row. The f32 cast is lossless here by construction:
+            # every upstream correction f32-demotes its outputs
+            # (functions.complex.f32, the reference's own per-operator
+            # demotion) and the raw archive payloads are f32-native.
+            # freq_hz / ts_gps / weight / cc / fc are pure functions
+            # of (chan, t) and come back as JVM projections after the
+            # island — measured >2x less shuffled+sorted+transferred
+            # bytes on the 11.4 GB scale run.
+            from birli_spark.functions.complex import VIS_COLS
+            slim = vis.select(
+                "t", "chan", "ant1", "ant2", "bl", "flag",
+                *[F.col(c).cast("float").alias(c) for c in VIS_COLS])
+            flagged = rfi.flag_rfi_mwa(
+                slim, base_sensitivity=ctx.rfi_sensitivity,
                 eta=ctx.sir_eta if ctx.sir_eta is not None else 0.2,
                 impl=ctx.rfi_impl)
+            nf = meta.n_fine_per_coarse
+            ts = (f"CAST({meta.gps_start + anchor['offset_s']!r}"
+                  f" AS DOUBLE)"
+                  f" + t * CAST({meta.int_time_s!r} AS DOUBLE)"
+                  f" + CAST({meta.int_time_s / 2.0!r} AS DOUBLE)")
+            widened = flagged.select(
+                "t",
+                F.expr(f"CAST(chan DIV {nf} AS INT)").alias("cc"),
+                "ant1", "ant2", "bl",
+                F.expr(f"CAST(chan % {nf} AS INT)").alias("fc"),
+                "chan", "flag",
+                *[F.col(c).cast("double").alias(c) for c in VIS_COLS])
+            vis = widened.select(
+                "t", "ant1", "ant2", "bl", "cc", "fc", "chan",
+                F.expr(freq_expr(meta)).alias("freq_hz"),
+                F.expr(ts).alias("ts_gps"),
+                F.lit(float(meta.weight_factor)).cast("double")
+                 .alias("weight"),
+                "flag", *VIS_COLS)
 
     # phase centre precedence (reference src/cli.rs:1353 / RADec
     # plumbing): explicit --phase-centre > --pointing-centre (the

@@ -33,9 +33,10 @@ flag baking -> physical executor-parallel UVFITS write, with
 `--max-memory` exercising the reference's chunk-size derivation.
 
 Usage:
-  python tools/scale_e2e.py gen   [n_scans]   # write fixture to /tmp
-  python tools/scale_e2e.py run   [n_scans]   # run CLI + record JSON
-  python tools/scale_e2e.py all   [n_scans]
+  python tools/scale_e2e.py gen     [n_scans]  # write fixture to /tmp
+  python tools/scale_e2e.py run     [n_scans]  # run CLI + record JSON
+  python tools/scale_e2e.py profile [n_scans]  # per-phase CPU split
+  python tools/scale_e2e.py all     [n_scans]
 """
 
 from __future__ import annotations
@@ -235,6 +236,70 @@ def generate(n_scans: int = N_SCANS) -> dict:
     return info
 
 
+DEST_MWAX = "/tmp/scale_e2e_obs_mwax"
+
+
+def _write_mwax_file(args) -> int:
+    """One MWAX coarse-channel file (correlator v2): primary metadata
+    HDU, then per scan an IMAGE visibility HDU ([baseline][fine][pol]
+    [r,i] f32) + the per-baseline-per-pol weights HDU — the layout
+    parse_mwax_gpubox_bytes reads and the reference reads via mwalib.
+    Same deterministic per-(cc, t) RNG payload family as the legacy
+    fixture so the two scale rows measure FORMAT cost, not data."""
+    ci, recv_ch, n_scans, path = args
+    n_bl = N_ANTS * (N_ANTS + 1) // 2
+    unix0 = timeutil.gps_to_unix_s(float(OBSID))
+    with open(path, "wb") as f:
+        f.write(fc.pad_block(b"".join([
+            fc.card("SIMPLE", True), fc.card("BITPIX", 8),
+            fc.card("NAXIS", 0), fc.card("OBSID", OBSID),
+            fc.card("CORR_VER", 2), fc.card("NFINECHS", N_FINE),
+            fc.card("NINPUTS", N_ANTS * 2),
+            fc.card("TIME", int(unix0)), fc.card("MILLITIM", 0),
+            fc.end_card()])))
+        for t in range(n_scans):
+            rng = np.random.default_rng(ci * 100_003 + t)
+            vis = rng.integers(-2048, 2048,
+                               size=(n_bl, N_FINE * 8)).astype(">f4")
+            vis *= np.float32(0.125)
+            unix = unix0 + t * INT_S
+            for arr, naxis1 in ((vis, N_FINE * 8),
+                                (np.ones((n_bl, 4), dtype=">f4"), 4)):
+                f.write(fc.pad_block(b"".join([
+                    fc.card("XTENSION", "IMAGE"),
+                    fc.card("BITPIX", -32), fc.card("NAXIS", 2),
+                    fc.card("NAXIS1", naxis1), fc.card("NAXIS2", n_bl),
+                    fc.card("PCOUNT", 0), fc.card("GCOUNT", 1),
+                    fc.card("TIME", int(unix)),
+                    fc.card("MILLITIM",
+                            int(round((unix % 1.0) * 1000))),
+                    fc.end_card()])))
+                f.write(fc.pad_block(arr.tobytes(), fill=b"\x00"))
+    return os.path.getsize(path)
+
+
+def generate_mwax(n_scans: int = N_SCANS) -> dict:
+    os.makedirs(DEST_MWAX, exist_ok=True)
+    meta_path = patched_metafits(DEST_MWAX, n_scans)
+    jobs = [(ci, ch, n_scans,
+             os.path.join(DEST_MWAX,
+                          f"{OBSID}_{STAMP}_ch{ch:03d}_000.fits"))
+            for ci, ch in enumerate(CHANNELS)]
+    t0 = time.time()
+    with mp.Pool(min(N_CC, os.cpu_count() or 8)) as pool:
+        sizes = pool.map(_write_mwax_file, jobs)
+    payload_f32 = n_scans * N_CC * N_FINE * N_SLOTS * 2 * 4
+    info = {
+        "metafits": meta_path,
+        "glob": os.path.join(DEST_MWAX, f"{OBSID}_*ch*.fits"),
+        "n_scans": n_scans, "on_disk_bytes": sum(sizes),
+        "payload_f32_equiv_bytes": payload_f32,
+        "gen_seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps(info, indent=1))
+    return info
+
+
 def _rss_sampler(stop: threading.Event, peak: dict) -> None:
     """Track peak summed RSS of this process tree (1 Hz /proc walk)."""
     me = os.getpid()
@@ -285,42 +350,27 @@ def _rest_stage_totals(port: int) -> dict:
     return tot
 
 
-def run(n_scans: int = N_SCANS, max_memory_gib: float = 32.0) -> dict:
-    meta_path = os.path.join(DEST, f"{OBSID}.metafits")
-    glob_pat = os.path.join(DEST, f"{OBSID}_*gpubox*.fits")
+def run(n_scans: int = N_SCANS, max_memory_gib: float = 32.0,
+        fmt: str = "legacy") -> dict:
+    dest = DEST if fmt == "legacy" else DEST_MWAX
+    pat = "_*gpubox*.fits" if fmt == "legacy" else "_*ch*.fits"
+    meta_path = os.path.join(dest, f"{OBSID}.metafits")
+    glob_pat = os.path.join(dest, f"{OBSID}{pat}")
     if not os.path.exists(meta_path):
         raise SystemExit("fixture missing — run `gen` first")
     on_disk = sum(
-        os.path.getsize(os.path.join(DEST, f))
-        for f in os.listdir(DEST) if "gpubox" in f)
+        os.path.getsize(os.path.join(dest, f))
+        for f in os.listdir(dest) if f.endswith(".fits"))
     payload_f32 = n_scans * N_CC * N_FINE * N_SLOTS * 2 * 4
 
     # a scale run spills to real disk, compresses its shuffles, and
     # exposes the REST API for stage metrics — deliberate deltas from
-    # the sf0.1 bench session (documented in session.py)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
-    os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/tmp/scale_e2e_spill"
-    os.makedirs("/tmp/scale_e2e_spill", exist_ok=True)
-    from birli_spark.session import get_spark
-
-    # through get_spark so PYTHONPATH/worker wiring matches the CLI's
-    # own session; scale-run deltas from the bench session: REST UI on
-    # (stage metrics), compressed shuffles (real disk, not tmpfs)
-    spark = get_spark("birli_spark_scale_e2e", extra_conf={
-        "spark.ui.enabled": "true",
-        "spark.ui.port": "4055",
-        "spark.shuffle.compress": "true",
-        "spark.shuffle.spill.compress": "true",
-        "spark.sql.shuffle.partitions": "64",
-        # this host's JDK 17 segfaults in the AVX-512 arraycopy stub
-        # (jlong_disjoint_arraycopy_avx3, SEGV_MAPERR) under the large
-        # copies this run drives — cap the JIT at AVX2
-        "spark.driver.extraJavaOptions":
-            "-Djava.io.tmpdir=/tmp -XX:-DontCompileHugeMethods "
-            "-XX:UseAVX=2",
-        "spark.executor.extraJavaOptions":
-            "-XX:-DontCompileHugeMethods -XX:UseAVX=2",
-    })
+    # the sf0.1 bench session (documented in session.py). Through
+    # get_spark so PYTHONPATH/worker wiring matches the CLI's own
+    # session. The AVX2 JIT cap works around this host's JDK 17
+    # segfault in the AVX-512 arraycopy stub
+    # (jlong_disjoint_arraycopy_avx3, SEGV_MAPERR).
+    spark = _scale_session()
 
     from bench import tree_cpu_s  # noqa: E402 — repo-root import
     from birli_spark import cli
@@ -353,6 +403,7 @@ def run(n_scans: int = N_SCANS, max_memory_gib: float = 32.0) -> dict:
     out_size = os.path.getsize(OUT_UVFITS)
     gb = payload_f32 / 1e9
     rec = {
+        "format": fmt,
         "shape": {"n_scans": n_scans, "n_cc": N_CC,
                   "n_fine_per_cc": N_FINE, "n_ants": N_ANTS,
                   "n_baselines": N_ANTS * (N_ANTS + 1) // 2,
@@ -393,14 +444,137 @@ def run(n_scans: int = N_SCANS, max_memory_gib: float = 32.0) -> dict:
     return rec
 
 
+def _scale_session():
+    """The run()/profile() shared session (same conf deltas)."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/tmp/scale_e2e_spill"
+    os.makedirs("/tmp/scale_e2e_spill", exist_ok=True)
+    from birli_spark.session import get_spark
+    return get_spark("birli_spark_scale_e2e", extra_conf={
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "4055",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.sql.shuffle.partitions": "64",
+        # this box runs THP enabled=madvise defrag=madvise: the JVM
+        # madvise(MADV_HUGEPAGE)s its growing heap, and once host
+        # memory is fragmented every heap-expansion fault does
+        # SYNCHRONOUS compaction — measured as a >90%-system-time
+        # stall that starved executor heartbeats for >120 s and wedged
+        # the whole app. Turn heap THP off and survive transient
+        # stalls instead of declaring the in-process executor dead.
+        "spark.executor.heartbeatInterval": "60s",
+        "spark.network.timeout": "800s",
+        "spark.driver.extraJavaOptions":
+            "-Djava.io.tmpdir=/tmp -XX:-DontCompileHugeMethods "
+            "-XX:UseAVX=2 -XX:-UseTransparentHugePages",
+        "spark.executor.extraJavaOptions":
+            "-XX:-DontCompileHugeMethods -XX:UseAVX=2 "
+            "-XX:-UseTransparentHugePages",
+    })
+
+
+def profile(n_scans: int = N_SCANS, max_memory_gib: float = 32.0) -> dict:
+    """Per-phase wall/CPU split of the scale CLI (VERDICT r7 ask 1a):
+    run nested prefixes of the pipeline — decode only; +corrections+
+    geometry+baking (--no-rfi); +RFI island; full CLI with averaging +
+    physical UVFITS write — and difference consecutive phases. Each
+    prefix re-executes its predecessors, so the deltas are the
+    marginal cost of the added stage (additive to ~the JIT warm-up of
+    the first phase)."""
+    meta_path = os.path.join(DEST, f"{OBSID}.metafits")
+    glob_pat = os.path.join(DEST, f"{OBSID}_*gpubox*.fits")
+    if not os.path.exists(meta_path):
+        raise SystemExit("fixture missing — run `gen` first")
+    spark = _scale_session()
+    from bench import tree_cpu_s  # noqa: E402
+    from birli_spark import cli, real_input
+
+    base_argv = ["-m", meta_path, "--gpubox", glob_pat,
+                 "--max-memory", str(max_memory_gib),
+                 "--avg-time-factor", "2", "--avg-freq-factor", "4"]
+    phases: dict[str, dict] = {}
+
+    def measure(name: str, fn) -> None:
+        spark.catalog.clearCache()
+        c0, t0 = tree_cpu_s(), time.perf_counter()
+        fn()
+        phases[name] = {
+            "wall_s": round(time.perf_counter() - t0, 1),
+            "cpu_s": round(tree_cpu_s() - c0, 1),
+        }
+        print(json.dumps({name: phases[name]}))
+
+    def noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # A: archive decode only (binaryFile scan -> mapInPandas -> vis)
+    meta, _tiles = real_input.load_obs(meta_path)
+    anchor = real_input.grid_anchor(glob_pat, meta.gps_start,
+                                    meta.int_time_s, meta.num_t)
+    vis = real_input.load_vis_real(spark, meta, glob_pat,
+                                   metafits_path=meta_path,
+                                   anchor=anchor)
+    measure("decode", lambda: noop(vis))
+    # B: + rules/gate/corrections/geometry/baking, RFI off
+    ctx_norfi = cli.parse_args(base_argv + ["--no-rfi"])
+    measure("baked_no_rfi",
+            lambda: noop(cli.build_baked(spark, ctx_norfi)))
+    # C: + the f9f float RFI island (the CLI default)
+    ctx_rfi = cli.parse_args(base_argv)
+    measure("baked_rfi", lambda: noop(cli.build_baked(spark, ctx_rfi)))
+    # D: the whole CLI — averaging + group params + physical write
+    measure("full_cli", lambda: cli.run(
+        base_argv + ["-u", OUT_UVFITS], spark=spark))
+
+    split = {
+        "decode": phases["decode"],
+        "corrections_geometry_baking": {
+            k: round(phases["baked_no_rfi"][k] - phases["decode"][k], 1)
+            for k in ("wall_s", "cpu_s")},
+        "rfi_island_f9f": {
+            k: round(phases["baked_rfi"][k] - phases["baked_no_rfi"][k], 1)
+            for k in ("wall_s", "cpu_s")},
+        "averaging_uvfits_write": {
+            k: round(phases["full_cli"][k] - phases["baked_rfi"][k], 1)
+            for k in ("wall_s", "cpu_s")},
+    }
+    total_cpu = phases["full_cli"]["cpu_s"]
+    for k, v in split.items():
+        v["pct_of_full_cpu"] = (round(100.0 * v["cpu_s"] / total_cpu, 1)
+                                if total_cpu else None)
+    rec = {"phases_cumulative": phases, "split_marginal": split,
+           "n_scans": n_scans}
+    print(json.dumps(rec, indent=1))
+    spark.stop()
+    return rec
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     ns = int(sys.argv[2]) if len(sys.argv) > 2 else N_SCANS
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    def _merge(path: str, key: str, rec: dict) -> None:
+        """Accumulate rows into one artifact keyed by run kind."""
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data[key] = rec
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+
+    e2e_path = os.path.join(repo, "SCALE_E2E_r8.json")
     if mode in ("gen", "all"):
         generate(ns)
-    if mode in ("run", "all"):
-        rec = run(ns)
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "SCALE_E2E_r7.json"),
-                "w") as f:
+    if mode == "gen-mwax":
+        generate_mwax(ns)
+    if mode == "profile":
+        rec = profile(ns)
+        with open(os.path.join(repo, "SCALE_PROFILE_r8.json"),
+                  "w") as f:
             json.dump(rec, f, indent=1)
+    if mode in ("run", "all"):
+        _merge(e2e_path, "legacy", run(ns))
+    if mode == "run-mwax":
+        _merge(e2e_path, "mwax", run(ns, fmt="mwax"))
