@@ -759,8 +759,14 @@ def _st_1d_float(img: np.ndarray, work: np.ndarray, m: int,
             exceed = (wsum > lim) | (wlo < -lim)
         else:
             exceed = wsum > lim
-    for off in range(m):
-        work[:, off:off + exceed.shape[1]] |= exceed
+    # spread each window hit over its m columns with a difference
+    # array + running sum — O(n) instead of the O(n*m) shift loop
+    # (m reaches 256 in the full AOFlagger ladder)
+    nt = img.shape[0]
+    delta = np.zeros((nt, n + 1), dtype=np.int32)
+    delta[:, :exceed.shape[1]] += exceed
+    delta[:, m:m + exceed.shape[1]] -= exceed
+    work |= np.cumsum(delta[:, :n], axis=1) > 0
 
 
 def sumthreshold_float(resid: np.ndarray, work0: np.ndarray,
@@ -851,14 +857,23 @@ def lowpass_resized_float(x: np.ndarray, unflagged: np.ndarray,
     col_g = np.array([gix[int(g)] for g in gid])
     xm = np.where(unflagged, x, 0.0)
     mi = unflagged.astype(np.float64)
-    xg = np.zeros((nt, ng))
-    mg = np.zeros((nt, ng))
-    for i in range(ng):
-        sel = col_g == i
-        s = xm[:, sel].sum(axis=1)
-        m = mi[:, sel].sum(axis=1)
-        xg[:, i] = np.where(m > 0, s / np.where(m > 0, m, 1.0), 0.0)
-        mg[:, i] = (m > 0).astype(np.float64)
+    if ng == nc:
+        # rf <= 1 (the shipped MWA_FLOAT_KW): every column is its own
+        # group — the downsample is the identity. The general path
+        # below cost O(nc^2 * nt) in boolean indexing and was the
+        # single hottest line of the whole f9f island (scale profile
+        # r8: ~57% of strategy CPU).
+        xg = xm
+        mg = mi
+    else:
+        # chan_values is sorted, so col_g is nondecreasing and groups
+        # are contiguous runs: one O(nt * nc) reduceat per plane
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(col_g)) + 1))
+        s = np.add.reduceat(xm, starts, axis=1)
+        m = np.add.reduceat(mi, starts, axis=1)
+        xg = np.where(m > 0, s / np.where(m > 0, m, 1.0), 0.0)
+        mg = (m > 0).astype(np.float64)
     gt = _gauss_kernel_f(LP_RADIUS_T, LP_SIGMA_T)
     gf = _gauss_kernel_f(LP_RADIUS_F, LP_SIGMA_F)
     num1 = np.zeros_like(xg)

@@ -351,22 +351,55 @@ def _recv_channel_of(path: str) -> int:
     return int(m.group(1))
 
 
+def scan_paths_df(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One row per matched archive file, one partition per file — the
+    whole-file task split of the ``binaryFile`` source WITHOUT moving
+    the bytes through the JVM. Each Python worker mmap-reads its own
+    file from shared storage (page-cache backed, zero-copy until
+    touched), so the JVM never holds archive bytes at all.
+
+    Motivation (round-8 scale run): at 24 concurrent ~340 MB files the
+    binaryFile route collapsed into JVM-side lock contention — executor
+    task threads burned >9 CPU cores of pure system-time futex churn
+    while every Python worker starved on an empty socket — and JVM RSS
+    grew by the whole archive. Paths-only sidesteps both, and is also
+    the right 1000-executor shape: the bytes move straight from the
+    distributed filesystem into the worker that decodes them."""
+    import glob as _g
+
+    from birli_spark.sources.metafits import values_df
+    paths = sorted(_g.glob(path_glob))
+    if not paths:
+        raise FileNotFoundError(f"no files match {path_glob!r}")
+    df = values_df(spark, [(p,) for p in paths], "path string")
+    return df.repartition(len(paths))
+
+
+def _mmap_bytes(path: str):
+    """mmap a local file read-only (duck-types as bytes for
+    np.frombuffer / zlib / slicing)."""
+    import mmap
+
+    with open(path, "rb") as f:
+        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+
+
 def read_mwax_gpubox(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Distributed scan of REAL MWAX gpubox files: one binaryFile row per
-    file (= per coarse-channel batch), Arrow-batched parse — the same
-    per-file task split as the reference's rayon read loop."""
-    files = spark.read.format("binaryFile").load(path_glob)
+    """Distributed scan of REAL MWAX gpubox files: one task per file
+    (= per coarse-channel batch), Arrow-batched parse — the same
+    per-file task split as the reference's rayon read loop. Workers
+    read their own file (see :func:`scan_paths_df`)."""
+    files = scan_paths_df(spark, path_glob)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 out = parse_mwax_gpubox_bytes(
-                    bytes(content), _recv_channel_of(str(path)))
+                    _mmap_bytes(str(path)), _recv_channel_of(str(path)))
                 if len(out):
                     yield out
 
-    return files.select("path", "content").mapInPandas(
-        parse, schema=_MWAX_SCHEMA)
+    return files.mapInPandas(parse, schema=_MWAX_SCHEMA)
 
 
 def mwax_expected_sql(recv_channels: tuple[int, ...] = (117, 118),

@@ -213,20 +213,22 @@ def read_legacy_gpubox(spark: SparkSession, path_glob: str,
     n_fine = ctx["n_fine_per_coarse"]
     order = sky_channel_order(ctx["coarse_channels"])
     sky_of_gpubox = {gi + 1: si for si, gi in enumerate(order)}
-    files = spark.read.format("binaryFile").load(path_glob)
+    from birli_spark.sources.gpubox import _mmap_bytes, scan_paths_df
+    files = scan_paths_df(spark, path_glob)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re as _re
         n_bl = len(a1s)
         bl_idx = np.arange(n_bl, dtype=np.int32)
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 m = _re.search(r"gpubox(\d+)_", str(path))
                 if not m:
                     raise ValueError(f"no gpuboxNN in {path!r}")
                 gp = int(m.group(1))
                 sky_cc = sky_of_gpubox[gp]
-                for unix_ms, tiles in iter_legacy_scans(bytes(content)):
+                for unix_ms, tiles in iter_legacy_scans(
+                        _mmap_bytes(str(path))):
                     # one frame per scan (all fine chans tiled), not one
                     # per (scan, chan): a 128-fine-chan obs would
                     # otherwise pay Arrow batch overhead 128x per scan
@@ -256,5 +258,4 @@ def read_legacy_gpubox(spark: SparkSession, path_glob: str,
                         **cols,
                     })
 
-    return files.select("path", "content").mapInPandas(
-        parse, schema=_LEGACY_SCHEMA)
+    return files.mapInPandas(parse, schema=_LEGACY_SCHEMA)

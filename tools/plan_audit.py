@@ -384,8 +384,12 @@ def main() -> int:
         notes = audit("scale_e2e_cli_baked", plan)
         # formatted explain names each node once in the tree and once
         # in the detail section — count detail headers only
-        nscan = len(re.findall(r"^\(\d+\) Scan binaryFile", plan,
-                               re.MULTILINE))
+        # the archive decode is the plan's only MapInPandas (the
+        # paths-relation scan — sources/gpubox.py::scan_paths_df);
+        # binaryFile kept in the pattern for the non-archive readers
+        nscan = len(re.findall(
+            r"^\(\d+\) (?:Scan binaryFile|MapInPandas)", plan,
+            re.MULTILINE))
         notes.append(
             f"{nscan} binary archive scan(s)"
             + ("" if nscan == 1 else

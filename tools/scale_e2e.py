@@ -474,14 +474,18 @@ def _scale_session():
     })
 
 
-def profile(n_scans: int = N_SCANS, max_memory_gib: float = 32.0) -> dict:
-    """Per-phase wall/CPU split of the scale CLI (VERDICT r7 ask 1a):
-    run nested prefixes of the pipeline — decode only; +corrections+
-    geometry+baking (--no-rfi); +RFI island; full CLI with averaging +
-    physical UVFITS write — and difference consecutive phases. Each
-    prefix re-executes its predecessors, so the deltas are the
-    marginal cost of the added stage (additive to ~the JIT warm-up of
-    the first phase)."""
+PHASES = ("decode", "baked_no_rfi", "baked_rfi", "full_cli")
+
+
+def run_phase(name: str, max_memory_gib: float = 32.0) -> dict:
+    """Execute ONE pipeline prefix in THIS process and print its
+    wall/CPU as the last stdout line. Run from a fresh process per
+    phase (see :func:`profile`): a single long-lived session
+    under-counted later phases' CPU (idle Python workers from an
+    earlier phase get reaped between samples and their time vanishes
+    from the /proc tree) and over-counted the first (cold page cache +
+    all the JIT). Per-process, the tree CPU is complete, and each
+    phase pays its own comparable JIT."""
     meta_path = os.path.join(DEST, f"{OBSID}.metafits")
     glob_pat = os.path.join(DEST, f"{OBSID}_*gpubox*.fits")
     if not os.path.exists(meta_path):
@@ -493,65 +497,91 @@ def profile(n_scans: int = N_SCANS, max_memory_gib: float = 32.0) -> dict:
     base_argv = ["-m", meta_path, "--gpubox", glob_pat,
                  "--max-memory", str(max_memory_gib),
                  "--avg-time-factor", "2", "--avg-freq-factor", "4"]
-    phases: dict[str, dict] = {}
-
-    def measure(name: str, fn) -> None:
-        spark.catalog.clearCache()
-        c0, t0 = tree_cpu_s(), time.perf_counter()
-        fn()
-        phases[name] = {
-            "wall_s": round(time.perf_counter() - t0, 1),
-            "cpu_s": round(tree_cpu_s() - c0, 1),
-        }
-        print(json.dumps({name: phases[name]}))
 
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    # A: archive decode only (binaryFile scan -> mapInPandas -> vis)
-    meta, _tiles = real_input.load_obs(meta_path)
-    anchor = real_input.grid_anchor(glob_pat, meta.gps_start,
-                                    meta.int_time_s, meta.num_t)
-    vis = real_input.load_vis_real(spark, meta, glob_pat,
-                                   metafits_path=meta_path,
-                                   anchor=anchor)
-    measure("decode", lambda: noop(vis))
-    # B: + rules/gate/corrections/geometry/baking, RFI off
-    ctx_norfi = cli.parse_args(base_argv + ["--no-rfi"])
-    measure("baked_no_rfi",
-            lambda: noop(cli.build_baked(spark, ctx_norfi)))
-    # C: + the f9f float RFI island (the CLI default)
-    ctx_rfi = cli.parse_args(base_argv)
-    measure("baked_rfi", lambda: noop(cli.build_baked(spark, ctx_rfi)))
-    # D: the whole CLI — averaging + group params + physical write
-    measure("full_cli", lambda: cli.run(
-        base_argv + ["-u", OUT_UVFITS], spark=spark))
+    if name == "decode":
+        meta, _tiles = real_input.load_obs(meta_path)
+        anchor = real_input.grid_anchor(glob_pat, meta.gps_start,
+                                        meta.int_time_s, meta.num_t)
+        vis = real_input.load_vis_real(spark, meta, glob_pat,
+                                       metafits_path=meta_path,
+                                       anchor=anchor)
+        act = lambda: noop(vis)  # noqa: E731
+    elif name == "baked_no_rfi":
+        ctx = cli.parse_args(base_argv + ["--no-rfi"])
+        act = lambda: noop(cli.build_baked(spark, ctx))  # noqa: E731
+    elif name == "baked_rfi":
+        ctx = cli.parse_args(base_argv)
+        act = lambda: noop(cli.build_baked(spark, ctx))  # noqa: E731
+    elif name == "full_cli":
+        act = lambda: cli.run(  # noqa: E731
+            base_argv + ["-u", OUT_UVFITS], spark=spark)
+    else:
+        raise SystemExit(f"unknown phase {name!r}")
+    c0, t0 = tree_cpu_s(), time.perf_counter()
+    act()
+    rec = {"phase": name,
+           "wall_s": round(time.perf_counter() - t0, 1),
+           "cpu_s": round(tree_cpu_s() - c0, 1)}
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(rec))
+    return rec
+
+
+def profile(n_scans: int = N_SCANS) -> dict:
+    """Per-phase wall/CPU split of the scale CLI (VERDICT r7 ask 1a):
+    each nested pipeline prefix — decode only; +corrections+geometry+
+    baking (--no-rfi); +the f9f RFI island; the whole CLI with
+    averaging + physical UVFITS write — runs in its OWN process
+    (:func:`run_phase`), and consecutive differences give the marginal
+    cost of the added stage. Per-phase JIT/session overhead is
+    comparable across phases, so it cancels in the differences."""
+    import subprocess
+
+    phases: dict[str, dict] = {}
+    for name in PHASES:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "phase", name],
+            capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"phase {name} failed:\n{proc.stderr[-3000:]}")
+        last = [ln for ln in proc.stdout.splitlines() if ln.strip()][-1]
+        phases[name] = json.loads(last)
+        print(json.dumps(phases[name]))
+
+    def diff(a: str, b: str) -> dict:
+        return {k: round(phases[b][k] - phases[a][k], 1)
+                for k in ("wall_s", "cpu_s")}
 
     split = {
-        "decode": phases["decode"],
-        "corrections_geometry_baking": {
-            k: round(phases["baked_no_rfi"][k] - phases["decode"][k], 1)
-            for k in ("wall_s", "cpu_s")},
-        "rfi_island_f9f": {
-            k: round(phases["baked_rfi"][k] - phases["baked_no_rfi"][k], 1)
-            for k in ("wall_s", "cpu_s")},
-        "averaging_uvfits_write": {
-            k: round(phases["full_cli"][k] - phases["baked_rfi"][k], 1)
-            for k in ("wall_s", "cpu_s")},
+        "decode": {k: phases["decode"][k] for k in ("wall_s", "cpu_s")},
+        "corrections_geometry_baking": diff("decode", "baked_no_rfi"),
+        "rfi_island_f9f": diff("baked_no_rfi", "baked_rfi"),
+        "averaging_uvfits_write": diff("baked_rfi", "full_cli"),
     }
     total_cpu = phases["full_cli"]["cpu_s"]
-    for k, v in split.items():
+    for v in split.values():
         v["pct_of_full_cpu"] = (round(100.0 * v["cpu_s"] / total_cpu, 1)
                                 if total_cpu else None)
     rec = {"phases_cumulative": phases, "split_marginal": split,
-           "n_scans": n_scans}
+           "n_scans": n_scans,
+           "method": ("one fresh process per nested prefix; marginal = "
+                      "consecutive difference (per-process JIT/session "
+                      "cost cancels); tree CPU = driver + JVM + Python "
+                      "workers incl. reaped children")}
     print(json.dumps(rec, indent=1))
-    spark.stop()
     return rec
 
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode == "phase":
+        run_phase(sys.argv[2])
+        sys.exit(0)
     ns = int(sys.argv[2]) if len(sys.argv) > 2 else N_SCANS
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     def _merge(path: str, key: str, rec: dict) -> None:
