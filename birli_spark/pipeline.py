@@ -77,10 +77,15 @@ def preprocess_baked(spark: SparkSession, sf_dir: str,
     if ssins_rfi:
         # all-relational RFI where the reference runs AOFlagger
         # (after passband, before geometry — src/preprocessing.rs:291-329);
-        # the (t, chan) mask is OR-ed in like re_apply_existing
+        # the (t, chan) mask is OR-ed in like re_apply_existing.
+        # The corrected fact feeds TWO consumers (the SSINS mask
+        # derivation and the join-back probe): materialize it once so
+        # the trig-heavy corrections chain doesn't execute twice per
+        # action (the same fan-out persist the st_rfi branch below
+        # already uses). Rows unchanged — plan shape only.
         from birli_spark.operators import ssins
 
-        vis = ssins.ssins_flag_vis(vis)
+        vis = ssins.ssins_flag_vis(vis.localCheckpoint(eager=True))
     elif st_rfi:
         # relational SumThreshold in the same slot: per-cell mask from
         # the deterministic cell-unique reduction, OR-ed onto every row

@@ -145,6 +145,14 @@ def e2e_rows(spark: SparkSession, write_path: str | None = None,
     fc_pred = flags.flag_fine_channels(NUM_FINE, n_edge=N_EDGE,
                                        is_legacy=True)
     vis = flags.set_flags(vis, ts_f, bl_f, fc_pred)
+    # materialize the decoded+flagged fact ONCE: three downstream
+    # consumers (the v0.18 cell-gate aggregate, the SSINS mask
+    # derivation, and the main corrected pass) would otherwise each
+    # drag the whole gpubox mapInPandas decode behind them — an opaque
+    # scan Spark can neither column-prune nor share, so every action
+    # paid THREE full archive decodes (guide §5: persist at the
+    # fan-out). Rows are unchanged; only the plan shape is.
+    vis = vis.localCheckpoint(eager=True)
     vis = corrections.attach_cell_gate(vis)
     vis = corrections.correct_cable_lengths(vis, ants, gated=True)
     vis = vis.drop(corrections.GATE_COL)

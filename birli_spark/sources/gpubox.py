@@ -140,19 +140,23 @@ def parse_gpubox_bytes(content: bytes) -> pd.DataFrame:
 
 
 def read_gpubox(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Distributed gpubox scan: binaryFile source → per-file FITS parse in
-    Arrow batches. Each file (= coarse channel) is one task, like the
-    reference's per-coarse-channel parallel read."""
-    files = spark.read.format("binaryFile").load(path_glob)
+    """Distributed gpubox scan: one task per file (= coarse channel),
+    like the reference's per-coarse-channel parallel read. Ships file
+    PATHS to the workers (see :func:`scan_paths_df`) — each Python
+    worker mmap-reads its own file, so archive bytes never transit the
+    JVM (the round-8 fix the MWAX/legacy readers already carry: the
+    ``binaryFile`` route serialized every byte through executor threads
+    and an Arrow transfer before the parse even started)."""
+    files = scan_paths_df(spark, path_glob)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for content in pdf["content"]:
-                out = parse_gpubox_bytes(bytes(content))
+            for path in pdf["path"]:
+                out = parse_gpubox_bytes(_mmap_bytes(str(path)))
                 if len(out):
                     yield out
 
-    return files.select("content").mapInPandas(parse, schema=_SCAN_SCHEMA)
+    return files.mapInPandas(parse, schema=_SCAN_SCHEMA)
 
 
 # --------------------------------------------- Python DataSource (V2) ---
