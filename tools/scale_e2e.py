@@ -465,6 +465,10 @@ def _scale_session():
         # stalls instead of declaring the in-process executor dead.
         "spark.executor.heartbeatInterval": "60s",
         "spark.network.timeout": "800s",
+        # a worker that dies mid-Arrow-stream otherwise leaves only
+        # "Connection reset" behind; the faulthandler prints the Python
+        # stack (segfault or hard kill) into the executor log
+        "spark.python.worker.faulthandler.enabled": "true",
         "spark.driver.extraJavaOptions":
             "-Djava.io.tmpdir=/tmp -XX:-DontCompileHugeMethods "
             "-XX:UseAVX=2 -XX:-UseTransparentHugePages",
